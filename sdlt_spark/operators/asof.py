@@ -1,0 +1,80 @@
+"""As-of join (SURVEY.md §2.5 J5).
+
+For each left row, attach the most recent right row with
+``right.ts <= left.ts`` (backward as-of, exact matches included) sharing the
+join key. Spark has no native as-of join; the scalable formulation used here
+is the union + last-value-window trick:
+
+    union(left tagged side=1, right tagged side=0)
+      -> window partitionBy(key) orderBy(ts, side)
+      -> F.last(right_value, ignorenulls=True) over rows unbounded preceding
+      -> keep side=1 rows
+
+Cost model: ONE hash shuffle on the join key + a per-partition sort — no
+pairwise join explosion, no range-condition nested loop. At 100 TB this is
+the plan you want: it is exactly the shuffle a sort-merge join would pay,
+without the O(matches) blow-up of an inequality join. Skewed keys are
+handled by AQE skew-split since the window is preceded by a standard
+hash exchange.
+
+Right-side ties on (key, ts) are resolved before the union (keep the row
+with the largest tiebreaker) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreaker: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join. Returns all left columns plus, for each
+    ``v`` in ``value_cols``, a column ``v + suffix`` holding the value from
+    the latest right row with ``right[ts] <= left[ts]`` and equal ``on`` key
+    (null when no such row exists).
+    """
+    if tiebreaker is not None:
+        w_dedup = Window.partitionBy(on, ts).orderBy(F.col(tiebreaker).desc())
+        right = (
+            right.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    out_cols = [f"{v}{suffix}" for v in value_cols]
+    left_cols = left.columns
+
+    l_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(o) for v, o in zip(value_cols, out_cols)],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in (on, ts)],
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(o) for v, o in zip(value_cols, out_cols)],
+    ).select(*left_cols, "__side", *out_cols)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    # side=0 (right) sorts before side=1 (left) at equal ts => exact matches count.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "__side",
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,616 @@
+"""Declared query registry — the driver-checked operator inventory.
+
+Every entry implements one row of SURVEY.md §2's operator inventory as a
+PySpark DataFrame program plus (where SQL-expressible) an exactly-equivalent
+ANSI-SQL oracle that DuckDB runs on the same parquet fixtures. The driver
+compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (2 dp for money-scale sums, 4 dp for ratios)
+  to absorb summation-order float drift between engines;
+- timestamps are emitted as formatted strings (Spark µs vs DuckDB ns
+  precision would otherwise hash differently);
+- integer-kind outputs are cast to the same width on both sides
+  (DuckDB length()/year()/sum(int) return BIGINT/HUGEINT).
+
+Reference parity citations are per-function (``/root/reference/README.md``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sdlt_spark import tables
+from sdlt_spark.operators.asof import asof_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None). Populated by @_q below.
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1 — global count (reference's only aggregation; README.md:86 etc.)
+# ---------------------------------------------------------------------------
+
+
+@_q("count_all", "SELECT count(*) AS n FROM lineitem")
+def count_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P1 — surrogate KEY projection (README.md:73-80: concat of dimensions)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "key_projection",
+    """
+    SELECT concat_ws(':', l_orderkey, l_linenumber) AS key,
+           l_quantity
+    FROM lineitem
+    """,
+)
+def key_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("key"),
+        "l_quantity",
+    )
+
+
+# §2.2 P2 — column projection (README.md:236)
+@_q("projection", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+# §2.2 P3 — equality filter (README.md:235)
+@_q(
+    "filter_eq",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# §2.2 P4 — conjunctive filter (README.md:383)
+@_q(
+    "filter_and",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+)
+def filter_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# §2.2 P5 — range predicate (README.md:177 full-replacement range semantics)
+@_q(
+    "filter_range",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_totalprice >= 1000 AND o_totalprice < 50000
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_totalprice") >= 1000)
+            & (F.col("o_totalprice") < 50000)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        ).select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 M1 — merge/upsert, relational equivalent (README.md:125-130):
+#   result = source UNION ALL (master ANTI JOIN source ON key)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "merge_upsert",
+    """
+    WITH src AS (
+      -- *2.0 is exact in binary floating point (pure exponent bump), so both
+      -- engines round identical doubles; *1.1 would hit .xx5 ties where
+      -- Spark (HALF_UP) and DuckDB disagree by one cent.
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM src
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    master = _t(spark, sf_dir, "orders")
+    src = (
+        master.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+        )
+    )
+    untouched = master.join(src.select("o_orderkey"), "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return src.unionByName(untouched)
+
+
+# §2.3 M3 — predicate delete, relational equivalent (README.md:281)
+@_q(
+    "delete_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE NOT (o_orderstatus = 'F')
+    """,
+)
+def delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(~(F.col("o_orderstatus") == "F")).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+# §2.3 M4 — predicate update, relational equivalent (README.md:290)
+@_q(
+    "update_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 0.0
+                ELSE round(o_totalprice, 2) END AS o_totalprice
+    FROM orders
+    """,
+)
+def update_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(0.0))
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("o_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A2 — hash group-by aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)       AS avg_qty,
+           round(avg(l_discount), 4)       AS avg_disc,
+           count(*)                        AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# §2.4 A3 — distinct aggregation per group
+@_q(
+    "count_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# §2.4 A4 — rollup (grouping sets)
+@_q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins — the merge condition (README.md:127) is an equi join in disguise
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "join_inner",
+    """
+    SELECT c_mktsegment,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # customer is a dim table: broadcast it so the fact side never shuffles.
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "join_left",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# §2.5 J5 — as-of join: latest click at-or-before each purchase, per user.
+@_q(
+    "asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           round(c.value, 4) AS last_click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", "ts", "value", "event_id"),
+        on="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tiebreaker="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.round("value_asof", 4).alias("last_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window functions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_q(
+    "window_lag",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@_q(
+    "window_moving_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "order_by",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@_q(
+    "top_k",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition heaps,
+    # only k rows cross the wire — the right plan at any scale.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+# §2.8 set operations
+@_q(
+    "union_all",
+    """
+    SELECT 'lo' AS bucket, o_orderkey FROM orders WHERE o_totalprice < 5000
+    UNION ALL
+    SELECT 'hi' AS bucket, o_orderkey FROM orders WHERE o_totalprice >= 150000
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    lo = o.filter(F.col("o_totalprice") < 5000).select(
+        F.lit("lo").alias("bucket"), "o_orderkey"
+    )
+    hi = o.filter(F.col("o_totalprice") >= 150000).select(
+        F.lit("hi").alias("bucket"), "o_orderkey"
+    )
+    return lo.unionByName(hi)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions (string / date / json / array)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scalar_string",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS name_lc,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@_q(
+    "scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+@_q(
+    "scalar_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@_q(
+    "scalar_array",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 streaming — batch-equivalent tumbling window over events
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

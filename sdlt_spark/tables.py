@@ -1,0 +1,57 @@
+"""Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+
+Tables (TPC-H-ish star schema + events + LLM-pipeline tables):
+    region nation customer supplier part orders lineitem events
+    documents embeddings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every scale factor we run
+# (region/nation are fixed-size; customer/supplier/part grow linearly but stay
+# far under the 64 MB broadcast threshold even at sf100).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Timestamp rendering (date_format etc.) follows the session timezone;
+    # DuckDB oracles are timezone-naive (UTC). The driver runs queries on its
+    # own SparkSession, so pin UTC here rather than relying on our builder.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+        # (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to a µs
+        # timestamp — the same truncation DuckDB applies, so oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
