@@ -614,3 +614,117 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.3 — vintage store state ops, checked end-to-end: each query BUILDS a
+# VintageTable from the orders fixture, applies real commits (write/merge/
+# delete/update), reads a snapshot back and must match the relational oracle.
+# This is the Delta-role surface (README.md:92-319) behind S2/S3/M1-M4.
+# ---------------------------------------------------------------------------
+
+_ORDERS_PROJ_SQL = "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice FROM orders"
+
+
+def _orders_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def _merge_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+        )
+    )
+
+
+def _fresh_vintage(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from sdlt_spark.store import VintageTable
+
+    path = tempfile.mkdtemp(prefix="sdlt_vintage_") + "/orders"
+    t = VintageTable(spark, path)
+    t.write(_orders_proj(spark, sf_dir).repartition(8), mode="overwrite")
+    return t
+
+
+@_q("vintage_scan", _ORDERS_PROJ_SQL)
+def vintage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: write orders into a vintage table, scan it back (README.md:98)."""
+    return _fresh_vintage(spark, sf_dir).read()
+
+
+@_q(
+    "vintage_merge",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    """,
+)
+def vintage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 executed as a real copy-on-write commit, not just its relational
+    formulation (README.md:125-130)."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    return t.read()
+
+
+@_q("vintage_time_travel", _ORDERS_PROJ_SQL)
+def vintage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: after a merge commit, versionAsOf 0 must reproduce the initial
+    load bit-for-bit (README.md:164-173)."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    return t.read(version=0)
+
+
+@_q(
+    "vintage_delete",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE NOT (o_orderstatus = 'F')",
+)
+def vintage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 as a real predicate-delete commit (README.md:281)."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.delete("o_orderstatus = 'F'")
+    return t.read()
+
+
+@_q(
+    "vintage_update",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN 0.0 ELSE round(o_totalprice, 2) END
+             AS o_totalprice
+    FROM orders
+    """,
+)
+def vintage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 as a real predicate-update commit (README.md:290)."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.update("o_orderstatus = 'P'", {"o_totalprice": F.lit(0.0)})
+    return t.read()
+
+
+@_q("vintage_history", None)  # timestamps are run-dependent -> rows-only check
+def vintage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: version log after write+merge+delete+update (README.md:305-319)."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    t.delete("o_orderstatus = 'F'")
+    t.update("o_orderstatus = 'P'", {"o_totalprice": F.lit(0.0)})
+    return t.history().select("version", "operation", "dataChange")

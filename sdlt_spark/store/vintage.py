@@ -1,0 +1,420 @@
+"""VintageTable — a Spark-native versioned parquet table.
+
+Re-implements, on plain parquet + a JSON commit log, the Delta Lake surface
+the reference choreography uses (citations are /root/reference/README.md):
+
+    overwrite write            README.md:92,195   (WRITE, mode Overwrite)
+    merge / upsert on key      README.md:125-130  (whenMatched updateAll /
+                                                   whenNotMatched insertAll)
+    predicate delete           README.md:281
+    predicate update           README.md:290
+    time travel by version     README.md:169,202  (versionAsOf)
+    time travel by timestamp   README.md:166,321  (timestampAsOf)
+    history()                  README.md:305-319
+    schema-evolving merge      README.md:330,372-376
+    compaction (dataChange=F)  README.md:403-412
+    vacuum                     README.md:415
+
+Design (scale notes):
+
+- **Commit log**: ``_vintage_log/{version:08d}.json`` entries list ``add``/
+  ``remove`` file actions (paths relative to the table root) plus operation
+  metadata. A snapshot at version v is the file set after replaying entries
+  0..v — identical in spirit to Delta's log replay. Entries are finalized
+  with an atomic ``os.rename`` so readers never observe a half commit.
+  Single-writer is assumed (the reference is a single Spark shell); a
+  multi-writer deployment would swap the rename for a CAS on an object
+  store / catalog, which is orthogonal to the query semantics.
+
+- **Copy-on-write mutations**: merge/delete/update first find the files that
+  actually contain affected rows (a left-semi join / filter over the
+  snapshot reading ONLY the key/predicate columns, via the
+  ``_metadata.file_path`` column — parquet column pruning makes this cheap),
+  then rewrite just those files. Untouched files survive across versions, so
+  a merge touching 1% of a 100 TB table rewrites ~1 TB, not 100 TB.
+
+- **All data movement is executor-side** DataFrame work; the driver only
+  handles file *names* (metadata), never rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_vintage_log"
+_DATA_DIR = "data"
+
+
+@dataclass
+class _Commit:
+    version: int
+    timestamp: float
+    operation: str
+    operation_parameters: dict
+    add: list[str]
+    remove: list[str]
+    data_change: bool = True
+    schema_json: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "timestamp": self.timestamp,
+                "operation": self.operation,
+                "operationParameters": self.operation_parameters,
+                "add": self.add,
+                "remove": self.remove,
+                "dataChange": self.data_change,
+                "schemaJson": self.schema_json,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "_Commit":
+        d = json.loads(s)
+        return _Commit(
+            version=d["version"],
+            timestamp=d["timestamp"],
+            operation=d["operation"],
+            operation_parameters=d.get("operationParameters", {}),
+            add=d.get("add", []),
+            remove=d.get("remove", []),
+            data_change=d.get("dataChange", True),
+            schema_json=d.get("schemaJson"),
+        )
+
+
+class VintageTable:
+    """A versioned parquet table with Delta-like mutation semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------------ log
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def _commits(self) -> list[_Commit]:
+        log_dir = self._log_path()
+        if not os.path.isdir(log_dir):
+            return []
+        out = []
+        for fname in sorted(os.listdir(log_dir)):
+            if fname.endswith(".json"):
+                with open(os.path.join(log_dir, fname)) as f:
+                    out.append(_Commit.from_json(f.read()))
+        return out
+
+    def exists(self) -> bool:
+        return bool(self._commits())
+
+    def latest_version(self) -> int:
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no vintage table at {self.path}")
+        return commits[-1].version
+
+    def _live_files(self, version: int | None = None, timestamp: float | None = None) -> list[str]:
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no vintage table at {self.path}")
+        if timestamp is not None:
+            eligible = [c for c in commits if c.timestamp <= timestamp]
+            if not eligible:
+                raise ValueError(f"no version at or before timestamp {timestamp}")
+            version = eligible[-1].version
+        live: set[str] = set()
+        for c in commits:
+            if version is not None and c.version > version:
+                break
+            live.difference_update(c.remove)
+            live.update(c.add)
+        return sorted(live)
+
+    def _next_version(self) -> int:
+        commits = self._commits()
+        return commits[-1].version + 1 if commits else 0
+
+    def _commit(
+        self,
+        operation: str,
+        params: dict,
+        add: list[str],
+        remove: list[str],
+        data_change: bool = True,
+        schema_json: str | None = None,
+    ) -> int:
+        version = self._next_version()
+        entry = _Commit(
+            version=version,
+            timestamp=time.time(),
+            operation=operation,
+            operation_parameters=params,
+            add=add,
+            remove=remove,
+            data_change=data_change,
+            schema_json=schema_json,
+        )
+        log_dir = self._log_path()
+        os.makedirs(log_dir, exist_ok=True)
+        final = os.path.join(log_dir, f"{version:08d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(entry.to_json())
+        os.rename(tmp, final)  # atomic publish
+        return version
+
+    # ----------------------------------------------------------------- data
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write df as parquet into a fresh immutable commit directory and
+        return the relative paths of the produced data files."""
+        commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
+        abs_dir = os.path.join(self.path, commit_dir)
+        df.write.mode("errorifexists").parquet(abs_dir)
+        files = [
+            f"{commit_dir}/{fname}"
+            for fname in sorted(os.listdir(abs_dir))
+            if fname.endswith(".parquet")
+        ]
+        return files
+
+    def _schema_at(self, version: int | None = None):
+        from pyspark.sql.types import StructType
+
+        last = None
+        for c in self._commits():
+            if version is not None and c.version > version:
+                break
+            if c.schema_json:
+                last = c.schema_json
+        if last is None:
+            raise FileNotFoundError(f"no schema recorded for table at {self.path}")
+        return StructType.fromJson(json.loads(last))
+
+    def _read_files(self, files: list[str], version: int | None = None) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], self._schema_at(version))
+        paths = [os.path.join(self.path, f) for f in files]
+        # mergeSchema tolerates schema evolution across commits (README.md:330)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    @staticmethod
+    def _with_file(df: DataFrame) -> DataFrame:
+        return df.withColumn("__file", F.col("_metadata.file_path"))
+
+    def _rel(self, file_uri: str) -> str:
+        p = file_uri
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        return os.path.relpath(p, self.path)
+
+    # ---------------------------------------------------------------- reads
+
+    def read(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        """Snapshot read; ``version``/``timestamp`` give time travel
+        (README.md:169 ``versionAsOf`` / README.md:166 ``timestampAsOf``)."""
+        files = self._live_files(version=version, timestamp=timestamp)
+        return self._read_files(files, version=version)
+
+    def history(self) -> DataFrame:
+        """Version log, newest first (README.md:305-319)."""
+        rows = [
+            (
+                c.version,
+                # match Delta's history(): a timestamp column
+                time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(c.timestamp)),
+                c.operation,
+                json.dumps(c.operation_parameters),
+                c.data_change,
+            )
+            for c in reversed(self._commits())
+        ]
+        return self.spark.createDataFrame(
+            rows, "version LONG, timestamp STRING, operation STRING, operationParameters STRING, dataChange BOOLEAN"
+        )
+
+    # --------------------------------------------------------------- writes
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Full write. ``overwrite`` = reference full replacement
+        (README.md:175-199); history is preserved, old files stay for time
+        travel until vacuumed."""
+        if mode not in ("overwrite", "append", "errorifexists"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        if mode == "errorifexists" and self.exists():
+            raise FileExistsError(self.path)
+        add = self._write_files(df)
+        remove = self._live_files() if (mode == "overwrite" and self.exists()) else []
+        return self._commit(
+            "WRITE",
+            {"mode": "Overwrite" if mode == "overwrite" else mode.title()},
+            add,
+            remove,
+            schema_json=df.schema.json(),
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        schema_evolution: bool = False,
+    ) -> int:
+        """Upsert: whenMatched updateAll / whenNotMatched insertAll on key
+        equality (README.md:125-130). With ``schema_evolution`` new source
+        columns are added, like Delta's autoMerge (README.md:330).
+
+        Copy-on-write: only files containing a matched key are rewritten;
+        scanning for matches reads just the key columns (column pruning) +
+        file metadata.
+        """
+        src = source.dropDuplicates(key_cols)  # Delta errors on dup source keys
+        live = self._live_files()
+        if live:
+            snap = self._with_file(self._read_files(live))
+            # Which files contain rows whose key appears in the source? Reads
+            # only key columns + file metadata; Catalyst/AQE picks broadcast
+            # when the source is small.
+            touched_uris = [
+                r["__file"]
+                for r in snap.select("__file", *key_cols)
+                .join(src.select(*key_cols), key_cols, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            touched = sorted({self._rel(u) for u in touched_uris})
+        else:
+            touched = []
+
+        target_schema = self._schema_at() if self.exists() else src.schema
+        if touched:
+            touched_rows = self._read_files(touched)
+            kept = touched_rows.join(src.select(*key_cols), key_cols, "left_anti")
+            if schema_evolution:
+                new_data = src.unionByName(kept, allowMissingColumns=True)
+            else:
+                new_data = src.select(*touched_rows.columns).unionByName(kept)
+        elif schema_evolution:
+            new_data = src
+        else:
+            new_data = src.select(*[f.name for f in target_schema.fields])
+
+        # Untouched files keep their old schema; mergeSchema on read surfaces
+        # evolved columns as nulls there, matching Delta autoMerge semantics.
+        add = self._write_files(new_data)
+        return self._commit(
+            "MERGE",
+            {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)},
+            add,
+            touched,
+            schema_json=new_data.schema.json()
+            if schema_evolution or not self.exists()
+            else None,
+        )
+
+    def delete(self, condition: str) -> int:
+        """Logical predicate delete (README.md:281). Rewrites only files that
+        contain matching rows; a file left empty is simply removed."""
+        live = self._live_files()
+        cond = F.expr(condition)
+        touched = (
+            sorted(
+                {
+                    self._rel(r["__file"])
+                    for r in self._with_file(self._read_files(live))
+                    .filter(cond)
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+            )
+            if live
+            else []
+        )
+        if not touched:
+            return self._commit("DELETE", {"predicate": condition}, [], [])
+        survivors = self._read_files(touched).filter(~cond)
+        add = self._write_files(survivors) if not survivors.isEmpty() else []
+        return self._commit("DELETE", {"predicate": condition}, add, touched)
+
+    def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
+        """Predicate update, e.g. series-level attribute fan-out
+        (README.md:290). Rewrites only files containing matching rows."""
+        live = self._live_files()
+        cond = F.expr(condition)
+        touched = (
+            sorted(
+                {
+                    self._rel(r["__file"])
+                    for r in self._with_file(self._read_files(live))
+                    .filter(cond)
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+            )
+            if live
+            else []
+        )
+        if not touched:
+            return self._commit("UPDATE", {"predicate": condition}, [], [])
+        rows = self._read_files(touched)
+        updated = rows.withColumns(
+            {
+                col: F.when(cond, F.expr(val) if isinstance(val, str) else val).otherwise(
+                    F.col(col)
+                )
+                for col, val in assignments.items()
+            }
+        )
+        add = self._write_files(updated)
+        return self._commit("UPDATE", {"predicate": condition}, add, touched)
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, num_files: int = 4) -> int:
+        """Rewrite the current snapshot into ``num_files`` files without a
+        logical data change (README.md:403-412: repartition(4) +
+        dataChange=false)."""
+        snap = self.read()
+        add = self._write_files(snap.repartition(num_files))
+        return self._commit(
+            "WRITE", {"mode": "Overwrite", "dataChange": "false"}, add, self._live_files(),
+            data_change=False,
+        )
+
+    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+        """Physically delete files that are not live in the current snapshot
+        and were removed longer than ``retention_hours`` ago (README.md:415).
+        Time travel beyond the retention window stops working — same
+        trade-off as Delta's VACUUM."""
+        commits = self._commits()
+        current = set(self._live_files())
+        cutoff = time.time() - retention_hours * 3600
+        removed_at: dict[str, float] = {}
+        for c in commits:
+            for f in c.remove:
+                removed_at[f] = c.timestamp
+        deleted = []
+        for f, ts in removed_at.items():
+            if f not in current and ts <= cutoff:
+                abs_f = os.path.join(self.path, f)
+                if os.path.exists(abs_f):
+                    os.remove(abs_f)
+                    deleted.append(f)
+        return sorted(deleted)
