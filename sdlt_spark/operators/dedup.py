@@ -1,0 +1,309 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2 + north-star extensions):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes
+------------------
+- Exact dedup shuffles a fixed-width md5 fingerprint, not document bodies.
+- MinHash signatures are computed with k independent xxhash64 functions as
+  ONE hash-aggregate over the exploded token table (map-side partial agg);
+  LSH banding turns the O(n^2) pair problem into an equi self-join on
+  (band, band_hash) — the only pairs materialized are bucket collisions.
+- SimHash is pure JVM bit arithmetic (explode -> xor/shift/sum -> assemble);
+  candidate pairs come from matching any of four 16-bit chunks (pigeonhole:
+  hamming distance <= 3 guarantees one chunk equal).
+- All joins are equi joins Catalyst can shuffle-hash/broadcast; no
+  cross joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators.text import fingerprint
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per distinct text; adds ``n_dups``.
+    Groups on the md5 fingerprint so the shuffle key is 16 bytes regardless
+    of document size."""
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+# ------------------------------------------------------------------- tokens
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Distinct (id, token) pairs — the set representation used by MinHash
+    and Jaccard verification."""
+    return (
+        df.select(id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("token"))
+    )
+
+
+def doc_ngrams(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (id, word-n-gram) pairs (shingles)."""
+    toks = F.split(text_col, " ")
+    grams = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32
+) -> DataFrame:
+    """k-permutation MinHash signature per document: h_i = min over tokens of
+    xxhash64(salt_i || token). One shuffle (groupBy id) with partial
+    aggregation; signature width is k longs."""
+    tok = doc_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("token")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (b bands x r rows) and self-join on band hash.
+    Docs agreeing on ANY band become a candidate pair. P(candidate) =
+    1 - (1 - j^r)^b for true Jaccard j — the standard S-curve.
+
+    One posexplode pass emits (id, band, band_hash) — no b-way union, no
+    re-computation of the signature lineage per band."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, tok: DataFrame, id_col: str, item_col: str = "token"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the (id, item) set table:
+    |A ∩ B| via an equi join on the item, |A ∪ B| = |A| + |B| - |A ∩ B|."""
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = tok.select(F.col(id_col).alias("id_a"), F.col(item_col).alias("__item"))
+    tb = tok.select(F.col(id_col).alias("id_b"), F.col(item_col).alias("__item"))
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, on=["id_b", "__item"])  # equi join on (doc, item): |A ∩ B|
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash -> LSH banding -> signature-estimate
+    prefilter -> exact-Jaccard verify on token arrays.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    ``bands`` defaults to the standard S-curve tuning: pick b so the collision
+    knee (1/b)^(r/num_hashes... precisely t ~ (1/b)^(1/r)) sits at the
+    threshold — a high threshold gets few wide bands (selective buckets), a
+    low one many narrow bands. This is what keeps candidate volume sane when
+    the corpus is globally similar: at t=0.9, r=8 buckets collide with
+    probability j^8 (3% at j=0.65) instead of j^4 (18%).
+
+    Verification is two-staged: (1) the free estimate — fraction of equal
+    signature components — prunes candidates at (threshold - 2 sigma), then
+    (2) exact Jaccard via array_intersect on the per-doc distinct-token
+    arrays (no token-level shuffle: the pair list joins the compact
+    (id, tokens[]) table twice and evaluates per-row)."""
+    if bands is None:
+        # smallest b (most selective buckets) whose S-curve knee <= threshold
+        bands = num_hashes
+        for b in range(1, num_hashes + 1):
+            if num_hashes % b == 0 and (1.0 / b) ** (b / num_hashes) <= threshold:
+                bands = b
+                break
+    rows_per_band = num_hashes // bands
+    # the signature feeds banding AND both sides of the estimate join —
+    # persist so the explode+32-agg lineage runs once, not five times
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+
+    sig_arr = sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("__sig")
+    )
+    sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"))
+    sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    # 2-sigma margin on the binomial estimator so prefiltering can't drop a
+    # pair the exact verify would keep
+    import math
+
+    margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
+    prefiltered = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+
+    toks_arr = df.select(
+        F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("__toks")
+    ).persist()
+    ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
+    tb = toks_arr.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
+    inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+    union = F.size("__toks_a") + F.size("__toks_b") - inter
+    return (
+        prefiltered.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions: token hash
+    bits vote +1/-1 weighted by term frequency; the sign vector is packed
+    back into one long."""
+    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("token")).withColumn(
+        "h", F.xxhash64("token")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return per_doc.select(id_col, packed.alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Candidates from equality
+    on any (64/num_chunks)-bit chunk — pigeonhole guarantees full recall for
+    hamming distance < num_chunks — then verified with bit_count(xor).
+    More chunks = better recall at smaller distances but more bucket
+    collisions to verify; 8x8-bit chunks covers distance <= 7."""
+    width = 64 // num_chunks
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col).persist()
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
+            for c in range(num_chunks)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for all pairs sharing at least one
+    shingle. The shared-shingle equi join IS the candidate generator — pairs
+    with zero overlap (jaccard 0) never materialize."""
+    grams = doc_ngrams(df, id_col, text_col, n)
+    return jaccard_verify(
+        grams.alias("g")
+        .join(grams.withColumnRenamed(id_col, "id_b").alias("h"), "ngram")
+        .filter(F.col(f"g.{id_col}") < F.col("id_b"))
+        .select(F.col(f"g.{id_col}").alias("id_a"), "id_b")
+        .distinct(),
+        grams,
+        id_col,
+        "ngram",
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,124 @@
+"""Multimodal column handling (SURVEY.md §2.11 X5).
+
+Images/audio/video ride through the engine as opaque ``binary`` payload
+columns plus a typed metadata struct; decode / feature-extraction /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
+Python cost is per-batch, not per-row, and the operator parallelizes like
+any other map: no shuffle, partition-local, scales with executors.
+
+The actual codec step is STUBBED (no image/audio libraries in this
+container): ``decode_features`` computes a deterministic fake feature
+vector from the payload bytes, and ``decode_image``raises
+``NotImplementedError`` unless PIL is importable. The Spark-side plumbing —
+schema, batching, UDF signatures, output shapes — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Manufacture a media table from the documents fixture: payload =
+    utf-8 bytes of the text, metadata derived deterministically. Stands in
+    for `spark.read.format("binaryFile")` / an object-store manifest scan."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(media: DataFrame, feature_dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    The "decode" here is a deterministic stand-in (byte histogram moments);
+    a real deployment drops torchvision/librosa into `_featurize` — the
+    Spark plumbing (mapInPandas, schema, batch shape) is already the
+    production shape.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                if arr.size == 0:
+                    arr = np.zeros(1)
+                # deterministic fake embedding: moments + coarse histogram
+                hist = np.histogram(arr, bins=feature_dim - 2, range=(0, 255))[0]
+                vec = np.concatenate([[arr.mean(), arr.std()], hist / max(arr.size, 1)])
+                feats.append(vec.astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.select("media_id", "payload").mapInPandas(_featurize, out_schema)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real image decode — requires PIL, which this container does not ship.
+    Raises NotImplementedError at plan-build time rather than mid-job."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode needs pillow; this environment has no image libs — "
+            "use decode_features (stub) for plumbing tests"
+        ) from exc
+    raise NotImplementedError("wire PIL decode into the mapInPandas stage here")
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: slice the payload every n bytes via
+    JVM-side substring on binary — the same pushdown-friendly shape a video
+    frame sampler has (payload in, smaller payloads out)."""
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(meta.n_bytes / {every_n_bytes} AS INT) - 1), "
+                f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+            )
+        ).alias("frame_no", "frame"),
+    )

@@ -1,0 +1,207 @@
+"""Embedding similarity search (SURVEY.md §2.11 X3 + north-star ANN).
+
+- ``cosine_topk``: exact brute-force top-k against one query vector. The
+  query vector is a broadcast literal; the scan is a single map-side pass
+  (dot product via zip_with/aggregate — JVM codegen, no Python), then
+  TakeOrderedAndProject keeps k rows per partition. Scales linearly and
+  embarrassingly parallel — the right baseline at any corpus size.
+
+- ``neardup_cosine_pairs``: exact all-pairs above a threshold (quadratic;
+  for oracle-checkable correctness at test scale).
+
+- ``ann_lsh_topk``: random-hyperplane LSH (sign sketch) — the scale path.
+  Vectors bucket by the sign pattern of h seeded hyperplanes; the query
+  probes only its own bucket (optionally hamming-adjacent buckets), turning
+  a full scan into a ~n/2^h candidate scan. Hyperplanes are generated from a
+  fixed seed so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dimension. Unlike the higher-order
+    ``aggregate`` lambda (interpreted per element), an unrolled sum of
+    element_at products stays inside whole-stage codegen — ~an order of
+    magnitude faster on the all-pairs hot path."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = _lit_vec(query)
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        df.select(F.col(id_col), sim.alias("__sim"))
+        .orderBy(F.col("__sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__sim", 4).alias("cos_sim"))
+    )
+
+
+def neardup_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via distributed block matrix
+    multiply.
+
+    Rows are hashed into blocks of ~``block_rows`` vectors; each block is
+    packed into ONE row (ids + unit-vector matrix). The self-join of block
+    rows (upper triangle) yields B(B+1)/2 small tasks, each computing a
+    numpy GEMM over its two sub-matrices inside an Arrow-batched
+    mapInPandas — BLAS speed, executor-parallel, no driver collection.
+    This is the canonical exact-similarity design at scale: work is O(n^2 d)
+    no matter what, but it runs as dense GEMM, and block size bounds task
+    memory (block_rows^2 doubles per task).
+
+    Emits (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from pyspark.sql import types as T
+
+    # NB: the lambda must be single-parameter — PySpark interprets a second
+    # lambda parameter as the array index.
+    norm = _norm(F.col(vec_col))
+    unit = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
+    )
+    n_blocks = max(1, int(df.count() / block_rows))
+    packed = (
+        unit.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
+        .groupBy("__blk")
+        .agg(F.collect_list("__id").alias("ids"), F.collect_list("__u").alias("mat"))
+    )
+
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.__blk") <= F.col("b.__blk"))
+        .select(
+            (F.col("a.__blk") == F.col("b.__blk")).alias("same_blk"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.mat").alias("mat_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.mat").alias("mat_b"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def _gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for same_blk, ids_a, mat_a, ids_b, mat_b in zip(
+                pdf["same_blk"], pdf["ids_a"], pdf["mat_a"], pdf["ids_b"], pdf["mat_b"]
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in mat_a])
+                mb = np.asarray([np.asarray(v) for v in mat_b])
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if ii.size == 0:
+                    continue
+                id_a, id_b, s = ia[ii], ib[jj], sims[ii, jj]
+                if same_blk:
+                    # full matrix incl. diagonal -> keep upper triangle only
+                    keep = id_a < id_b
+                    id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+                else:
+                    # each unordered pair appears exactly once across block
+                    # pairs; normalize to (lo, hi) instead of dropping
+                    lo = np.minimum(id_a, id_b)
+                    hi = np.maximum(id_a, id_b)
+                    id_a, id_b = lo, hi
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": id_a, "id_b": id_b, "cos_sim": np.round(s, 4)}
+                    )
+                )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+                )
+            )
+
+    return pairs.mapInPandas(_gemm, out_schema)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def lsh_bucket(vec_col: str, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-sketch bucket id: bit i = (v . plane_i) >= 0, packed into a long."""
+    planes = _hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        bit = F.when(_dot(F.col(vec_col), _lit_vec(planes[i].tolist())) >= 0, 1).otherwise(0)
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket. At 2^8 buckets a
+    uniform corpus scans ~0.4% of rows; recall tunes with num_planes (and
+    could add multi-probe). Partition-prunable if the table is written
+    partitioned by bucket."""
+    dim = len(query)
+    planes = _hyperplanes(dim, num_planes, seed)
+    qv = np.asarray(query)
+    q_bucket = int(sum((1 << i) for i in range(num_planes) if float(qv @ planes[i]) >= 0))
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, dim, num_planes, seed))
+    return cosine_topk(
+        bucketed.filter(F.col("__bucket") == q_bucket), vec_col, id_col, query, k
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.11 X4 +
+north-star extensions): token stats, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything here is built-in-expression only (split/filter/size/regexp/md5 —
+JVM-side, whole-stage codegen'd); no Python runs per row, so these scale to
+100 TB as pure map-side work with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small: the operator demonstrates the scoring plumbing; a real
+# deployment swaps in fastText or CLD3 via mapInPandas (see multimodal.py for
+# the pattern).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "and", "is", "of", "to", "in", "that"],
+    "es": ["el", "la", "los", "y", "es", "de", "que", "un"],
+    "fr": ["le", "la", "les", "et", "est", "de", "que", "un"],
+}
+
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts + quality ratios (length, punctuation,
+    stopword density) — the classic pre-training quality signals."""
+    toks = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_tokens = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars": F.length(text_col).cast("long"),
+            "chars_per_token": F.round(F.length(text_col).cast("double") / n_tokens, 4),
+            "punct_ratio": F.round(
+                F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", "")).cast("double")
+                / F.length(text_col),
+                4,
+            ),
+            "stopword_ratio": F.round(
+                F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+                / n_tokens,
+                4,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the token stats (heuristic in the
+    spirit of C4/Gopher filtering rules, SQL-expressible end to end)."""
+    stats = token_stats(df, text_col)
+    return stats.withColumn(
+        "quality",
+        F.round(
+            (F.when(F.col("n_tokens") >= 10, 0.4).otherwise(0.0))
+            + (F.when((F.col("chars_per_token") >= 3) & (F.col("chars_per_token") <= 12), 0.3).otherwise(0.0))
+            + (F.when(F.col("punct_ratio") <= 0.2, 0.3).otherwise(0.0)),
+            2,
+        ),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language scores + argmax prediction (n-gram/stopword
+    heuristic language-ID). Deterministic tiebreak: first language in sorted
+    order wins (the CASE chain below)."""
+    toks = tokens(F.col(text_col))
+    out = df
+
+    def _score(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-parameter lambda only: PySpark reads a 2nd param as the index
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    for lang in sorted(LANG_PROFILES):
+        out = out.withColumn(f"score_{lang}", _score(LANG_PROFILES[lang]))
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    out = out.withColumn("pred_lang", expr)
+    return out
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the case/whitespace
+    normalized text. Used as the exact-dedup key at scale (fixed-width key
+    shuffles far cheaper than full documents)."""
+    return df.withColumn(out_col, F.md5(F.lower(F.trim(F.col(text_col)))))

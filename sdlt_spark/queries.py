@@ -728,3 +728,207 @@ def vintage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete("o_orderstatus = 'F'")
     t.update("o_orderstatus = 'P'", {"o_totalprice": F.lit(0.0)})
     return t.history().select("version", "operation", "dataChange")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 — LLM-data-pipeline extensions over documents/embeddings
+# ---------------------------------------------------------------------------
+
+from sdlt_spark.operators import dedup as _dedup  # noqa: E402
+from sdlt_spark.operators import multimodal as _mm  # noqa: E402
+from sdlt_spark.operators import similarity as _sim  # noqa: E402
+from sdlt_spark.operators import text as _text  # noqa: E402
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS fp,
+           min(doc_id) AS doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup keyed on the md5 fingerprint (16-byte shuffle key)."""
+    return _dedup.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@_q(
+    "token_counts",
+    """
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: corpus token histogram (split -> explode -> count; partial aggs
+    make this one light shuffle of (token, count) pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@_q(
+    "text_quality",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) * 1.0
+                 / length(text), 4) AS punct_ratio,
+           round(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','a','and','is','of','to','in','that'], t)))
+                 * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document, all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in _text.LANG_PROFILES["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias("chars_per_token"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9 \t\n]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text,' '),
+             t -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], t))) AS INTEGER) AS score_de,
+        CAST(len(list_filter(string_split(text,' '),
+             t -> list_contains(['the','a','and','is','of','to','in','that'], t))) AS INTEGER) AS score_en,
+        CAST(len(list_filter(string_split(text,' '),
+             t -> list_contains(['el','la','los','y','es','de','que','un'], t))) AS INTEGER) AS score_es,
+        CAST(len(list_filter(string_split(text,' '),
+             t -> list_contains(['le','la','les','et','est','de','que','un'], t))) AS INTEGER) AS score_fr
+      FROM documents)
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de >= greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en >= greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es >= greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic (X4 family)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _text.language_scores(docs).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "pred_lang"
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+@_q("lang_histogram", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
+def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-k; query vector broadcast as literal,
+    similarity fully JVM-side, TakeOrderedAndProject keeps k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(query), k=10
+    )
+
+
+@_q(
+    "neardup_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+    """,
+)
+def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, exact (LSH-bucketed variant: ann_lsh_topk)."""
+    return _sim.neardup_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.40
+    )
+
+
+# --- rows-only declared ops (LSH/ANN randomness or non-SQL plumbing) -------
+
+
+@_q("minhash_lsh_dedup", None)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash -> LSH banding (auto-tuned S-curve) -> estimate prefilter
+    -> exact-Jaccard verification. Threshold 0.9: the fixture corpus is
+    globally similar (31-token vocabulary, median pairwise jaccard 0.65), so
+    lower thresholds have inherently quadratic answers."""
+    return _dedup.minhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.9
+    )
+
+
+@_q("simhash_neardup", None)
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_neardup(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=10)
+
+
+@_q("ngram_jaccard", None)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.2
+    )
+
+
+@_q("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.ann_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(query), k=10
+    )
+
+
+@_q("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: binary payload -> Arrow-batched feature extraction (stub codec,
+    real mapInPandas plumbing)."""
+    media = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return _mm.decode_features(media)

@@ -1,0 +1,106 @@
+"""Streaming ingest: watermarked tumbling windows + sessionization.
+
+The reference is batch-only (Spark shell choreography); streams are a
+north-star extension. The transformations below are written once and work
+on BOTH a static DataFrame and a ``readStream`` DataFrame — the recommended
+Spark pattern (same Catalyst plan, different sink semantics). Tests drive
+them through a real ``readStream`` -> memory-sink query with
+``processAllAvailable()``, plus the batch equivalents are oracle-checked via
+``events_tumbling_window`` in the declared registry.
+
+Scale notes: the watermark bounds state (late rows beyond it are dropped);
+windowed aggregation state is per (window, event_type) — tiny; session
+windows use Spark's built-in ``session_window`` operator whose state is
+bounded per active user by the gap timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def event_schema() -> T.StructType:
+    """events fixture schema with ts as long nanos (parquet TIMESTAMP(NANOS)
+    is unreadable by Spark's parquet reader — see tables.load)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """ns-long -> µs timestamp (matches tables.load batch semantics)."""
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. Append-mode
+    compatible: windows finalize once the watermark passes their end."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user: built-in session_window keeps state bounded
+    by the gap timeout; works identically on static input."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    query_name: str = "sdlt_stream",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a parquet-source streaming query to completion against a static
+    directory (smoke-test harness; production swaps the source for Kafka /
+    files-arriving and the sink for a VintageTable foreachBatch writer)."""
+    raw = (
+        spark.readStream.schema(event_schema())
+        .format("parquet")
+        .option("path", source_dir)
+        .load()
+    )
+    out = transform(normalize_events(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

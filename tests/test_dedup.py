@@ -1,0 +1,67 @@
+"""Dedup-family operator tests on planted duplicates (the driver fixtures
+contain no near-dups, so parity checks alone can't prove recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators import dedup
+
+WORDS = "spark query join filter window table row batch stream hash sort merge".split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = " ".join(WORDS * 16)  # 192 tokens
+    near = "flink " + base[len("spark ") :]  # one token changed
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, far),           # disjoint vocabulary
+        (4, "one tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id").collect()
+    by_id = {r["doc_id"]: r["n_dups"] for r in out}
+    assert by_id[0] == 2  # doc 1 collapsed into 0
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup survives banding
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_simhash_hamming(docs):
+    pairs = dedup.simhash_neardup(docs, "doc_id", max_hamming=7).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 1)] == 0  # identical text -> identical simhash
+    # one-token change keeps hamming < num_chunks (8) -> pigeonhole recall
+    near = {k: v for k, v in got.items() if 2 in k and (0 in k or 1 in k)}
+    assert near and all(0 < v <= 7 for v in near.values())
+    assert not any(3 in k or 4 in k for k in got)
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert any(2 in k for k in got)  # near-dup pair found via shared shingles
+
+
+def test_minhash_no_false_high_jaccard(docs):
+    """Verification step bounds LSH false positives: any reported pair's
+    jaccard is the exact value, so thresholding is exact post-verify."""
+    pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1)}

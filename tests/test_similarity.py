@@ -1,0 +1,50 @@
+"""Similarity-search operator tests with a known geometry."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),   # 45 degrees
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_order(vecs):
+    out = sim.cosine_topk(vecs.filter(F.col("vec_id") != 0), "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2]
+    assert out[0]["cos_sim"] == pytest.approx(0.9 / math.hypot(0.9, 0.1), abs=1e-4)
+
+
+def test_neardup_pairs_threshold(vecs):
+    out = sim.neardup_cosine_pairs(vecs, "embedding", "vec_id", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_ann_lsh_contains_true_neighbor(vecs):
+    """The query's own bucket must contain the (identical-direction) top hit."""
+    out = sim.ann_lsh_topk(
+        vecs.filter(F.col("vec_id") != 0), "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=3, num_planes=4
+    ).collect()
+    assert out, "query bucket unexpectedly empty"
+    assert out[0]["vec_id"] == 1  # nearest neighbor shares the sign sketch
+
+
+def test_ann_bucket_is_subset_of_exact(vecs, spark):
+    exact = sim.cosine_topk(vecs, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=5).collect()
+    approx = sim.ann_lsh_topk(vecs, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=5, num_planes=4).collect()
+    exact_ids = [r["vec_id"] for r in exact]
+    for r in approx:
+        assert r["vec_id"] in exact_ids
