@@ -932,3 +932,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real mapInPandas plumbing)."""
     media = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
     return _mm.decode_features(media)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A4 extras + reshaping: cube, pivot, percentiles, sessionization
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_q(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@_q(
+    "percentile_agg",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont, both linear interpolation). The approximate variant for
+    100 TB is percentile_approx — same call shape, sketch-based."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+@_q("sessionize", None)  # session_window not expressible in one DuckDB query
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: session windows per user (30 min gap), static-mode run of the
+    streaming transformation."""
+    from sdlt_spark.streaming.ingest import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties —
+pushdown, pruning, broadcast, top-k — must be visible in the plan, not
+assumed. These guard against regressions that stay correct but stop scaling.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sdlt_spark.queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = q.registry()[name]
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_eq")
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "projection")
+    # scan must read only the 3 projected columns
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_join_inner_broadcasts_dim(spark):
+    plan = plan_of(spark, "join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_uses_take_ordered(spark):
+    plan = plan_of(spark, "top_k")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_agg_partial_aggregation(spark):
+    """HashAggregate must appear twice (partial + final) around the exchange:
+    map-side combine is what keeps the shuffle linear in groups, not rows."""
+    plan = plan_of(spark, "groupby_agg")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE only finalizes codegen stages at execution; materialize first
+    fn, _ = q.registry()["groupby_agg"]
+    df = fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages appear as "*(n) Operator" in the simple plan string
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost exactly one hash exchange of the unioned
+    stream (plus the tiny dedup window), never a nested-loop range join."""
+    plan = plan_of(spark, "asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entry_flagship_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = e.entry(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # lineitem filter pushed to scan
+    assert "PushedFilters" in plan
