@@ -1000,3 +1000,60 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdlt_spark.streaming.ingest import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set operations (intersect/except) + §2.1 S1 CSV source + A3 approx
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "intersect_op",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both a fulfilled and an open order (INTERSECT is
+    distinct-semantics in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@_q(
+    "except_op",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep surplus multiplicity)
+    return f.subtract(op)
+
+
+@_q("csv_scan", None)  # reads the reference CSV fixture, not an sf table
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: CSV source with header + explicit non-null schema + derived KEY
+    (README.md:45-80). 504 rows from the reference's own data.0.csv."""
+    from sdlt_spark.store.sdmx import read_submission
+
+    return read_submission(spark, "/root/reference/in/data.0.csv")
+
+
+@_q("approx_distinct", None)  # HLL sketches differ across engines -> rows-only
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 approximate variant: HyperLogLog count-distinct — the 100 TB path
+    where exact distinct would shuffle every key."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs")
+    )

@@ -1,0 +1,121 @@
+"""Property-based spot checks (SURVEY.md §5.2): merge idempotence, merge ==
+relational formulation, time-travel immutability, as-of join vs pandas
+merge_asof — on hypothesis-generated data, not just the fixtures.
+
+Spark jobs per example are expensive: examples are capped and deadlines
+disabled; the properties, not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators.asof import asof_join
+from sdlt_spark.store import VintageTable
+
+KEYS = st.integers(min_value=0, max_value=20)
+VALS = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+rows_strategy = st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=30)
+
+_prop_settings = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def _df(spark, rows):
+    # one row per key (merge sources must be key-unique, like real SDMX)
+    dedup = {k: v for k, v in rows}
+    return spark.createDataFrame(list(dedup.items()), "k long, v double")
+
+
+@given(base=rows_strategy, src=rows_strategy)
+@_prop_settings
+def test_merge_matches_relational_formulation(spark, tmp_path_factory, base, src):
+    """VintageTable.merge == src UNION ALL (master ANTI JOIN src) — the M1
+    oracle formulation (SURVEY.md §2.3) on arbitrary data."""
+    t = VintageTable(spark, str(tmp_path_factory.mktemp("prop") / "t"))
+    base_df, src_df = _df(spark, base), _df(spark, src)
+    t.write(base_df)
+    t.merge(src_df, ["k"])
+    got = sorted(map(tuple, t.read().collect()))
+    expected = sorted(
+        map(
+            tuple,
+            src_df.unionByName(
+                base_df.join(src_df.select("k"), "k", "left_anti")
+            ).collect(),
+        )
+    )
+    assert got == expected
+
+
+@given(base=rows_strategy, src=rows_strategy)
+@_prop_settings
+def test_merge_idempotent(spark, tmp_path_factory, base, src):
+    t = VintageTable(spark, str(tmp_path_factory.mktemp("prop") / "t"))
+    t.write(_df(spark, base))
+    t.merge(_df(spark, src), ["k"])
+    once = sorted(map(tuple, t.read().collect()))
+    t.merge(_df(spark, src), ["k"])
+    twice = sorted(map(tuple, t.read().collect()))
+    assert once == twice
+
+
+@given(base=rows_strategy, src=rows_strategy, thresh=KEYS)
+@_prop_settings
+def test_time_travel_immutable_under_mutation(spark, tmp_path_factory, base, src, thresh):
+    """Any prior version re-reads bit-identically after merge+delete."""
+    t = VintageTable(spark, str(tmp_path_factory.mktemp("prop") / "t"))
+    t.write(_df(spark, base))
+    v0 = sorted(map(tuple, t.read(version=0).collect()))
+    t.merge(_df(spark, src), ["k"])
+    v1 = sorted(map(tuple, t.read().collect()))
+    t.delete(f"k >= {thresh}")
+    assert sorted(map(tuple, t.read(version=0).collect())) == v0
+    assert sorted(map(tuple, t.read(version=1).collect())) == v1
+    assert t.read().filter(F.col("k") >= thresh).count() == 0
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), VALS), min_size=1, max_size=25
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@_prop_settings
+def test_asof_join_matches_pandas(spark, left, right):
+    """asof_join == pd.merge_asof (backward, exact matches allowed) on
+    arbitrary data, after identical (key, ts) dedup."""
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts, _v) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(right)],
+        "rid long, k long, ts long, v double",
+    )
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, on="k", ts="ts", value_cols=["v"], tiebreaker="rid").collect()
+    }
+
+    lp = ldf.toPandas().sort_values("ts", kind="stable")
+    rp = (
+        rdf.toPandas()
+        .sort_values(["ts", "rid"], kind="stable")
+        .groupby(["k", "ts"], as_index=False)
+        .last()  # tiebreaker: max rid per (k, ts)
+        .sort_values("ts", kind="stable")
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expected = {int(r.lid): (None if pd.isna(r.v) else r.v) for r in merged.itertuples()}
+    assert set(got) == set(expected)
+    for lid, v in expected.items():
+        if v is None:
+            assert got[lid] is None
+        else:
+            assert got[lid] == pytest.approx(v)
