@@ -62,6 +62,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries are independent; drop operator-internal persisted RDDs so
+        # one query's cache pressure can't skew the next measurement
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -188,9 +188,11 @@ def minhash_dedup(
     import math
 
     margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
+    # per-doc side tables are tiny relative to the pair list — broadcast so
+    # the (potentially large) candidate set never shuffles for these joins
     prefiltered = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn("__est", est)
         .filter(F.col("__est") >= threshold - margin)
         .select("id_a", "id_b")
@@ -204,8 +206,8 @@ def minhash_dedup(
     inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
     union = F.size("__toks_a") + F.size("__toks_b") - inter
     return (
-        prefiltered.join(ta, "id_a")
-        .join(tb, "id_b")
+        prefiltered.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

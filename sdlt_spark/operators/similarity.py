@@ -74,7 +74,7 @@ def neardup_cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.45,
-    block_rows: int = 1024,
+    block_rows: int = 512,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via distributed block matrix
     multiply.

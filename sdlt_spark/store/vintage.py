@@ -110,7 +110,8 @@ class VintageTable:
             return []
         out = []
         for fname in sorted(os.listdir(log_dir)):
-            if fname.endswith(".json"):
+            # commit entries only (8-digit version); skips file_stats.json etc.
+            if fname.endswith(".json") and fname[:-5].isdigit():
                 with open(os.path.join(log_dir, fname)) as f:
                     out.append(_Commit.from_json(f.read()))
         return out
@@ -187,7 +188,69 @@ class VintageTable:
             for fname in sorted(os.listdir(abs_dir))
             if fname.endswith(".parquet")
         ]
+        self._collect_stats(files)
         return files
+
+    def _stats_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "file_stats.json")
+
+    def _collect_stats(self, files: list[str]) -> None:
+        """Record per-file zone maps (row count + per-column min/max) from
+        the parquet footers — metadata-only reads, O(files) driver work, the
+        same stats Delta keeps in its log. Used for file skipping."""
+        import pyarrow.parquet as pq
+
+        stats = self._file_stats()
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                        except UnicodeDecodeError:
+                            continue
+                    if not isinstance(lo, (int, float, str)):
+                        continue
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            stats[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
+        tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.rename(tmp, self._stats_path())
+
+    def _file_stats(self) -> dict:
+        try:
+            with open(self._stats_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _prune_by_range(self, files: list[str], col: str, lo, hi) -> list[str]:
+        """Keep only files whose [min, max] zone for ``col`` overlaps
+        [lo, hi]; files without stats are always kept (over-approximation
+        preserves correctness)."""
+        stats = self._file_stats()
+        out = []
+        for f in files:
+            st = stats.get(f)
+            if not st or col not in st.get("min", {}) or col not in st.get("max", {}):
+                out.append(f)
+                continue
+            if st["max"][col] >= lo and st["min"][col] <= hi:
+                out.append(f)
+        return out
 
     def _schema_at(self, version: int | None = None):
         from pyspark.sql.types import StructType
@@ -285,19 +348,32 @@ class VintageTable:
         src = source.dropDuplicates(key_cols)  # Delta errors on dup source keys
         live = self._live_files()
         if live:
-            snap = self._with_file(self._read_files(live))
-            # Which files contain rows whose key appears in the source? Reads
-            # only key columns + file metadata; Catalyst/AQE picks broadcast
-            # when the source is small.
-            touched_uris = [
-                r["__file"]
-                for r in snap.select("__file", *key_cols)
-                .join(src.select(*key_cols), key_cols, "left_semi")
-                .select("__file")
-                .distinct()
-                .collect()
-            ]
-            touched = sorted({self._rel(u) for u in touched_uris})
+            # Zone-map skip first: files whose key range can't overlap the
+            # source's never get read at all (Delta-style data skipping) —
+            # one tiny agg job on the source buys O(files-skipped) I/O.
+            candidates = live
+            key0 = key_cols[0]
+            rng = src.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).head()
+            if rng and rng["lo"] is not None:
+                lo, hi = rng["lo"], rng["hi"]
+                if isinstance(lo, (int, float, str)):
+                    candidates = self._prune_by_range(live, key0, lo, hi)
+            if candidates:
+                snap = self._with_file(self._read_files(candidates))
+                # Which files contain rows whose key appears in the source?
+                # Reads only key columns + file metadata; Catalyst/AQE picks
+                # broadcast when the source is small.
+                touched_uris = [
+                    r["__file"]
+                    for r in snap.select("__file", *key_cols)
+                    .join(src.select(*key_cols), key_cols, "left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                ]
+                touched = sorted({self._rel(u) for u in touched_uris})
+            else:
+                touched = []
         else:
             touched = []
 

@@ -104,3 +104,46 @@ def run_stream_once(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_into_vintage(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    key_cols: list[str],
+    query_name: str = "vintage_ingest",
+):
+    """Exactly-once-style streaming upsert into a VintageTable: each
+    micro-batch merges on the key columns via foreachBatch (the same
+    pattern Delta uses for streaming MERGE sinks). Late/duplicate rows are
+    idempotent by merge semantics; the vintage log records one commit per
+    non-empty batch.
+    """
+    from sdlt_spark.store import VintageTable
+
+    table = VintageTable(spark, table_path)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not table.exists():
+            table.write(batch_df, mode="errorifexists")
+        else:
+            table.merge(batch_df, key_cols)
+
+    raw = (
+        spark.readStream.schema(event_schema())
+        .format("parquet")
+        .option("path", source_dir)
+        .load()
+    )
+    q = (
+        normalize_events(raw)
+        .writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", table_path + "/_stream_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    return table

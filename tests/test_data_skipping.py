@@ -1,0 +1,68 @@
+"""Zone-map file skipping in VintageTable (Delta-style data skipping): a
+merge whose source keys fall in one file's range must rewrite only that
+file — verified via the commit log's remove list, not timing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdlt_spark.store import VintageTable
+
+
+def _build(spark, path, n_files=8, rows=4000):
+    df = spark.range(rows).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t = VintageTable(spark, path)
+    # range partitioning gives disjoint per-file key zones
+    t.write(df.repartitionByRange(n_files, "k"))
+    return t
+
+
+def test_stats_recorded(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "t"))
+    stats = t._file_stats()
+    assert len(stats) == len(t._live_files())
+    for st in stats.values():
+        assert st["rows"] > 0
+        assert "k" in st["min"] and "k" in st["max"]
+
+
+def test_merge_prunes_files_by_key_range(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "t"), n_files=8, rows=4000)
+    live_before = t._live_files()
+    assert len(live_before) == 8
+
+    # source touches keys 0..9 -> exactly one range file overlaps
+    src = spark.range(10).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    t.merge(src, ["k"])
+    commit = t._commits()[-1]
+    assert len(commit.remove) == 1, f"expected 1 rewritten file, got {commit.remove}"
+
+    snap = t.read()
+    assert snap.count() == 4000
+    assert snap.filter(F.col("k") < 10).agg(F.sum("v")).head()[0] == -10.0
+    assert snap.filter(F.col("k") == 100).head()["v"] == 200.0
+
+
+def test_prune_keeps_files_without_stats(spark, tmp_path):
+    t = _build(spark, str(tmp_path / "t"), n_files=4, rows=100)
+    # simulate missing stats (e.g. older commits): pruning must keep the file
+    import json, os
+
+    with open(t._stats_path(), "w") as f:
+        json.dump({}, f)
+    src = spark.range(5).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    t.merge(src, ["k"])
+    assert t.read().count() == 100
+
+
+def test_out_of_range_merge_appends_only(spark, tmp_path):
+    """Source entirely above the table's key range: zero files rewritten,
+    pure append commit."""
+    t = _build(spark, str(tmp_path / "t"), n_files=4, rows=100)
+    src = spark.range(1000, 1010).select(F.col("id").alias("k"), F.lit(9.0).alias("v"))
+    t.merge(src, ["k"])
+    commit = t._commits()[-1]
+    assert commit.remove == []
+    assert t.read().count() == 110

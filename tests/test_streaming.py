@@ -50,3 +50,19 @@ def test_stream_is_streaming(spark):
     assert raw.isStreaming
     agg = ingest.tumbling_counts(ingest.normalize_events(raw))
     assert agg.isStreaming
+
+
+def test_stream_into_vintage(spark, tmp_path):
+    """readStream -> foreachBatch merge -> VintageTable: row-parity with the
+    batch load, and a queryable commit history."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{SF}/events.parquet")
+    table = ingest.stream_into_vintage(
+        spark, str(src), str(tmp_path / "tbl"), key_cols=["event_id"]
+    )
+    batch = tables.load(spark, SF, "events")
+    assert table.read().count() == batch.count()
+    ops = [r["operation"] for r in table.history().collect()]
+    assert ops[-1] == "WRITE"  # first batch bootstraps the table
