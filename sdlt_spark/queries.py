@@ -407,8 +407,8 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey, rnk FROM (
       SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
       FROM orders) WHERE rnk <= 3
     """,
 )
@@ -1144,4 +1144,59 @@ def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
             ).alias("revenue")
         )
+    )
+
+
+@_q(
+    "sessionize_sql",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id, sess_id, count(*) AS n_events,
+           round(sum(value), 2) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+)
+def sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30 min inactivity gap) as pure
+    window SQL — the oracle-checkable twin of the session_window operator
+    (`sessionize`). One shuffle on user_id; sessions derive from a running
+    sum over the new-session flags."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gaps = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")) <= 1800, 0
+        ).otherwise(1),
+    )
+    sessions = gaps.withColumn("sess_id", F.sum("new_sess").over(run))
+    return sessions.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@_q("multimodal_frames", None)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: payload chunking (frame-sample shape) via JVM-side binary slicing."""
+    from sdlt_spark.operators import multimodal as _mm2
+
+    media = _mm2.documents_as_media(_t(spark, sf_dir, "documents"))
+    return _mm2.frame_sample(media, every_n_bytes=64).select(
+        "media_id", "frame_no", F.length("frame").alias("frame_bytes")
     )

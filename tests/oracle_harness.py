@@ -45,15 +45,31 @@ def _normalize(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[str]
     return sorted_cols, out
 
 
+# spark simpleString -> acceptable duckdb type names (lowered)
+_TYPE_EQUIV = {
+    "bigint": {"bigint"},
+    "int": {"integer"},
+    "smallint": {"smallint"},
+    "double": {"double"},
+    "float": {"float", "real"},
+    "string": {"varchar"},
+    "boolean": {"boolean"},
+    "date": {"date"},
+    "timestamp": {"timestamp"},
+}
+
+
 def compare(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = parity)."""
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    s_types = dict(sdf.dtypes)
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_conn(sf_dir)
     rel = con.sql(sql)
     d_cols = list(rel.columns)
+    d_types = {c: str(t).lower() for c, t in zip(rel.columns, rel.types)}
     d_rows = rel.fetchall()
     con.close()
 
@@ -61,6 +77,12 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    for c in s_cols:
+        ok = _TYPE_EQUIV.get(s_types[c])
+        if ok is not None and d_types[c] not in ok:
+            problems.append(
+                f"{name}: type mismatch on {c}: spark={s_types[c]} duckdb={d_types[c]}"
+            )
     if len(s_rows) != len(d_rows):
         problems.append(f"{name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
     _, s_norm = _normalize(s_rows, s_cols)
