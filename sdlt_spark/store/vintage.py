@@ -463,16 +463,43 @@ class VintageTable:
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, num_files: int = 4) -> int:
+    def compact(self, num_files: int = 4, sort_by: list[str] | None = None) -> int:
         """Rewrite the current snapshot into ``num_files`` files without a
         logical data change (README.md:403-412: repartition(4) +
-        dataChange=false)."""
+        dataChange=false).
+
+        ``sort_by`` range-partitions + sorts by the given columns — the 1-D
+        analog of Delta's OPTIMIZE ZORDER: afterwards each file owns a
+        disjoint key range, so the zone maps (file stats) prune merges and
+        range scans down to single files."""
         snap = self.read()
-        add = self._write_files(snap.repartition(num_files))
+        if sort_by:
+            reorg = snap.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            reorg = snap.repartition(num_files)
+        add = self._write_files(reorg)
         return self._commit(
             "WRITE", {"mode": "Overwrite", "dataChange": "false"}, add, self._live_files(),
             data_change=False,
         )
+
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level changes between two versions (CDC-style read): rows in
+        ``to_version`` not present in ``from_version`` tagged 'insert', rows
+        gone from ``from_version`` tagged 'delete'; an update appears as a
+        delete+insert pair. Exact set difference over the two snapshots —
+        O(both snapshots) but shuffle-pruned to changed files would be the
+        next refinement."""
+        after = self.read(version=to_version)
+        before = self.read(version=from_version)
+        cols = [c for c in after.columns if c in before.columns]
+        inserts = after.select(cols).subtract(before.select(cols)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = before.select(cols).subtract(after.select(cols)).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Physically delete files that are not live in the current snapshot

@@ -1,0 +1,78 @@
+"""Format round-trips (CSV/JSONL/ORC) and the new store features: sorted
+compaction tightening zone maps, and version diff (CDC-style)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdlt_spark import sources, tables
+from sdlt_spark.store import VintageTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders_proj(spark):
+    return tables.load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _orders_proj(spark)
+    sources.write_csv(df, str(tmp_path / "csv"))
+    back = sources.read_csv(spark, str(tmp_path / "csv"), df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = _orders_proj(spark)
+    sources.write_jsonl(df, str(tmp_path / "json"))
+    back = sources.read_jsonl(spark, str(tmp_path / "json"), df.schema)
+    assert back.count() == df.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = _orders_proj(spark)
+    sources.write_orc(df, str(tmp_path / "orc"))
+    back = sources.read_orc(spark, str(tmp_path / "orc"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_sorted_compaction_tightens_zone_maps(spark, tmp_path):
+    """After compact(sort_by=k), files own disjoint ranges, so a narrow
+    merge rewrites exactly one file even though the initial layout was
+    hash-scattered (every file overlapping every key range)."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    df = spark.range(4000).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.write(df.repartition(8))  # hash layout: all files overlap all ranges
+
+    src = spark.range(10).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    t.merge(src, ["k"])
+    scattered_rewrite = len(t._commits()[-1].remove)
+    assert scattered_rewrite > 1  # scattered layout: zone maps can't isolate
+
+    t.compact(num_files=8, sort_by=["k"])
+    t.merge(spark.range(5).select(F.col("id").alias("k"), F.lit(-2.0).alias("v")), ["k"])
+    clustered_rewrite = len(t._commits()[-1].remove)
+    assert clustered_rewrite == 1  # sorted layout -> single-file rewrite
+    assert t.read().count() == 4000
+
+
+def test_diff_between_versions(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.write(df)  # v0
+    src = spark.range(3).select(F.col("id").alias("k"), F.lit(-5.0).alias("v"))
+    t.merge(src, ["k"])  # v1: updates k=0,1,2
+    t.delete("k >= 98")  # v2: removes 2 rows
+
+    d01 = t.diff(0, 1).collect()
+    ins = {(r["k"], r["v"]) for r in d01 if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["v"]) for r in d01 if r["_change_type"] == "delete"}
+    assert ins == {(0, -5.0), (1, -5.0), (2, -5.0)}
+    assert dels == {(0, 0.0), (1, 1.0), (2, 2.0)}
+
+    d12 = t.diff(1, 2).collect()
+    assert {r["k"] for r in d12 if r["_change_type"] == "delete"} == {98, 99}
+    assert not [r for r in d12 if r["_change_type"] == "insert"]
