@@ -36,6 +36,15 @@ def get_spark(app_name: str = "sdlt_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SDLT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver fixtures are single ~1-10 MB parquet files; the 128 MB
+        # default would scan each as 1 task on a 32-core box. 4 MB splits
+        # align scan parallelism with cores at local test scale. On a real
+        # cluster with 128 MB-1 GB files, raise via SDLT_MAX_PARTITION_BYTES
+        # (or leave Spark's default by setting it to 134217728).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SDLT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -72,3 +72,33 @@ def test_entry_flagship_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     # lineitem filter pushed to scan
     assert "PushedFilters" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Star join: every dim must broadcast; only lineitem⋈orders and the
+    final group-by may shuffle."""
+    plan = plan_of(spark, "tpch_q5_shape")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_no_cartesian(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_exact_shuffles_fingerprint_only(spark):
+    """The exchange key must be the md5 fingerprint, not the document text:
+    text is pruned before the shuffle by partial aggregation."""
+    plan = plan_of(spark, "dedup_exact")
+    assert "hashpartitioning(fp" in plan
+
+
+def test_scan_parallelism_matches_split_size(spark):
+    """maxPartitionBytes=4MB must split the 10MB lineitem file into >1 scan
+    task (the 128MB default would read it as one)."""
+    from sdlt_spark import tables
+
+    df = tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    assert df.rdd.getNumPartitions() >= 2
