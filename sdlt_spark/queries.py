@@ -1200,3 +1200,64 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm2.frame_sample(media, every_n_bytes=64).select(
         "media_id", "frame_no", F.length("frame").alias("frame_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, window variants, string distance (breadth ops)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "stats_agg",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@_q(
+    "window_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    )
+
+
+@_q(
+    "string_distance",
+    """
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS dist
+    FROM part WHERE levenshtein(p_name, 'red widget') <= 6
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance filter (fuzzy matching — both engines implement
+    classic Levenshtein)."""
+    p = _t(spark, sf_dir, "part")
+    d = F.levenshtein("p_name", F.lit("red widget"))
+    return p.filter(d <= 6).select("p_partkey", "p_name", d.alias("dist"))
