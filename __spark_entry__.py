@@ -8,7 +8,12 @@ declared operator inventory from SURVEY.md §2, implemented in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make sdlt_spark importable no matter which cwd the driver imports us from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -321,6 +321,17 @@ class VintageTable:
             raise ValueError(f"unsupported mode {mode!r}")
         if mode == "errorifexists" and self.exists():
             raise FileExistsError(self.path)
+        if mode == "append" and self.exists():
+            # Delta errors on schema-mismatched appends (README.md:327);
+            # overwrite replaces the schema, append must conform.
+            current = {f.name for f in self._schema_at().fields}
+            incoming = set(df.columns)
+            if incoming != current:
+                raise ValueError(
+                    f"append schema mismatch: table has {sorted(current)}, "
+                    f"dataframe has {sorted(incoming)}; use merge(..., "
+                    f"schema_evolution=True) or mode='overwrite' to evolve"
+                )
         add = self._write_files(df)
         remove = self._live_files() if (mode == "overwrite" and self.exists()) else []
         return self._commit(

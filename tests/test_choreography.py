@@ -134,3 +134,16 @@ def test_compact_and_vacuum(spark, tmp_path):
     deleted = t.vacuum(retention_hours=0)
     assert deleted
     assert t.read().count() == before
+
+
+def test_append_schema_enforcement(spark, tmp_path):
+    """Schema mismatch on append must error like Delta (README.md:327);
+    schema evolution is the explicit opt-in path (README.md:330)."""
+    t = VintageTable(spark, str(tmp_path / "enf"))
+    t.write(read_submission(spark, f"{IN}/data.0.csv"))
+    evolved = read_submission(spark, f"{IN}/data.6.csv", with_obs_com=True)
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(evolved, mode="append")
+    # the sanctioned path works
+    t.merge(evolved, ["KEY"], schema_evolution=True)
+    assert "OBS_COM" in t.read().columns
