@@ -43,9 +43,18 @@ BENCH_QUERIES = [
     "token_counts",
     "text_quality",
     "minhash_lsh_dedup",
+    "simhash_neardup",
     "cosine_topk",
     "neardup_cosine",
+    "neardup_cosine_lsh",
+    "ann_lsh_topk",
     "events_tumbling_window",
+    "sessionize_sql",
+    "tpch_q3_shape",
+    "tpch_q5_shape",
+    "cube_agg",
+    "percentile_agg",
+    "stats_agg",
 ]
 
 

@@ -205,3 +205,112 @@ def ann_lsh_topk(
     return cosine_topk(
         bucketed.filter(F.col("__bucket") == q_bucket), vec_col, id_col, query, k
     )
+
+
+def neardup_cosine_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_tables: int = 4,
+    num_planes: int = 8,
+    block_rows: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs cosine >= threshold — the 100 TB path.
+
+    Multi-table hyperplane LSH: each of ``num_tables`` independent sign
+    sketches buckets the corpus; candidate pairs share a (table, bucket);
+    within each bucket the exact block-GEMM from ``neardup_cosine_pairs``
+    runs, and pairs found by several tables dedupe on (id_a, id_b).
+
+    Recall for a pair at angle θ is 1 - (1 - (1-θ/π)^planes)^tables —
+    e.g. cos 0.9 with 8 planes x 4 tables ≈ 0.75 single-probe. Work drops
+    from O(n²) to O(Σ bucket²): for a uniform corpus ~n²/2^planes per
+    table. Buckets never cross executors unnecessarily: packing groups by
+    (table, bucket, block), so each GEMM task reads only its two packed
+    rows. Precision is exact — every emitted similarity is verified by the
+    dense dot product, LSH only governs recall.
+    """
+    from pyspark.sql import types as T
+
+    head = df.select(F.size(vec_col).alias("d")).head()
+    dim = int(head["d"]) if head else 0
+    norm = _norm(F.col(vec_col))
+    unit = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
+    )
+    buckets = F.array(
+        *[lsh_bucket("__u", dim, num_planes, seed=seed + t) for t in range(num_tables)]
+    )
+    assign = unit.select(
+        "__id", "__u", F.posexplode(buckets).alias("__tbl", "__bucket")
+    )
+    n_blocks = max(1, int(df.count() / (block_rows * (2**num_planes))))
+    packed = (
+        assign.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
+        .groupBy("__tbl", "__bucket", "__blk")
+        .agg(F.collect_list("__id").alias("ids"), F.collect_list("__u").alias("mat"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(
+            packed.alias("b"),
+            (F.col("a.__tbl") == F.col("b.__tbl"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__blk") <= F.col("b.__blk")),
+        )
+        .select(
+            (F.col("a.__blk") == F.col("b.__blk")).alias("same_blk"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.mat").alias("mat_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.mat").alias("mat_b"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def _gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for same_blk, ids_a, mat_a, ids_b, mat_b in zip(
+                pdf["same_blk"], pdf["ids_a"], pdf["mat_a"], pdf["ids_b"], pdf["mat_b"]
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in mat_a])
+                mb = np.asarray([np.asarray(v) for v in mat_b])
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if ii.size == 0:
+                    continue
+                id_a, id_b, s = ia[ii], ib[jj], sims[ii, jj]
+                if same_blk:
+                    keep = id_a < id_b
+                    id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+                else:
+                    lo = np.minimum(id_a, id_b)
+                    hi = np.maximum(id_a, id_b)
+                    id_a, id_b = lo, hi
+                outs.append(pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": s}))
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+                )
+            )
+
+    raw = pairs.mapInPandas(_gemm, out_schema)
+    # the same pair can surface in several tables -> dedupe
+    return raw.groupBy("id_a", "id_b").agg(F.round(F.max("cos_sim"), 4).alias("cos_sim"))

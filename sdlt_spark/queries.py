@@ -1261,3 +1261,13 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     d = F.levenshtein("p_name", F.lit("red widget"))
     return p.filter(d <= 6).select("p_partkey", "p_name", d.alias("dist"))
+
+
+@_q("neardup_cosine_lsh", None)  # LSH recall is seed-deterministic but approximate
+def neardup_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for all-pairs similarity: multi-table hyperplane LSH +
+    per-bucket block GEMM (exact-precision, tunable recall)."""
+    return _sim.neardup_cosine_lsh(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.40, num_tables=6, num_planes=4,
+    )

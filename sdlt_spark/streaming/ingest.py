@@ -147,3 +147,35 @@ def stream_into_vintage(
     )
     q.awaitTermination()
     return table
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event count + value total maintained across micro-batches.
+
+    State is two scalars per user — O(users) total, the smallest possible
+    footprint; each batch folds its rows into the state and emits the
+    updated row (update output mode). This is the pattern for bespoke
+    aggregations Structured Streaming lacks natively (decaying counters,
+    fraud scores, per-entity model state...).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fold(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -48,3 +48,28 @@ def test_ann_bucket_is_subset_of_exact(vecs, spark):
     exact_ids = [r["vec_id"] for r in exact]
     for r in approx:
         assert r["vec_id"] in exact_ids
+
+
+def test_neardup_lsh_subset_of_exact_with_recall(spark):
+    """On the fixture embeddings: every LSH pair must appear in the exact
+    answer with the same similarity (precision 1.0 by construction), and
+    single-probe recall should be nontrivial."""
+    from sdlt_spark import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sim.neardup_cosine_pairs(emb, "embedding", "vec_id", threshold=0.40).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in sim.neardup_cosine_lsh(
+            emb, "embedding", "vec_id", threshold=0.40, num_tables=6, num_planes=4
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == pytest.approx(exact[k], abs=1e-4)
+    # 0.40-cosine pairs sit at ~66 deg; 4 planes x 6 tables ≈ 0.55 recall —
+    # just require we found a meaningful fraction, deterministic via seed
+    assert len(approx) >= len(exact) * 0.3

@@ -66,3 +66,58 @@ def test_stream_into_vintage(spark, tmp_path):
     assert table.read().count() == batch.count()
     ops = [r["operation"] for r in table.history().collect()]
     assert ops[-1] == "WRITE"  # first batch bootstraps the table
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches: feed
+    the events fixture as TWO files (maxFilesPerTrigger=1) and check the
+    final per-user totals equal the batch aggregation."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    half = tbl.num_rows // 2
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, half), src / "part0.parquet")
+    pq.write_table(tbl.slice(half), src / "part1.parquet")
+
+    raw = (
+        spark.readStream.schema(ingest.event_schema())
+        .format("parquet")
+        .option("path", str(src))
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    out = ingest.running_user_totals(ingest.normalize_events(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_state").collect()
+    assert emitted
+    # multiple emissions per user (one per batch that saw it); the final one
+    # has the max n_events
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in tables.load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert abs(final[u][1] - batch[u][1]) < 0.02
