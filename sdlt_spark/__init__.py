@@ -11,6 +11,7 @@ Layout:
 """
 
 from sdlt_spark.session import get_spark
+from sdlt_spark.store import VintageTable
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "VintageTable"]
 __version__ = "0.1.0"

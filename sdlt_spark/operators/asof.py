@@ -52,18 +52,25 @@ def asof_join(
     out_cols = [f"{v}{suffix}" for v in value_cols]
     left_cols = left.columns
 
+    # Values ride in ONE struct per right row: last(.., ignorenulls) then
+    # tracks "latest right ROW", not "latest non-null value" — a right row
+    # whose value is legitimately NULL must win over an older non-null row
+    # (matching SQL ASOF JOIN semantics).
+    pack_type = "struct<" + ",".join(
+        f"`{v}`:{right.schema[v].dataType.simpleString()}" for v in value_cols
+    ) + ">"
     l_tagged = left.select(
         *left_cols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(o) for v, o in zip(value_cols, out_cols)],
+        F.lit(None).cast(pack_type).alias("__pack"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(ts),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in (on, ts)],
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(o) for v, o in zip(value_cols, out_cols)],
-    ).select(*left_cols, "__side", *out_cols)
+        F.struct(*[F.col(v) for v in value_cols]).alias("__pack"),
+    ).select(*left_cols, "__side", "__pack")
 
     unioned = l_tagged.unionByName(r_tagged)
     # side=0 (right) sorts before side=1 (left) at equal ts => exact matches count.
@@ -75,6 +82,12 @@ def asof_join(
     filled = unioned.select(
         *left_cols,
         "__side",
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+        F.last("__pack", ignorenulls=True).over(w).alias("__pack"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__pack.{v}").alias(o) for v, o in zip(value_cols, out_cols)],
+        )
+    )

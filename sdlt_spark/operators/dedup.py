@@ -47,11 +47,14 @@ def doc_tokens(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 
 
 def doc_ngrams(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (id, word-n-gram) pairs (shingles)."""
-    toks = F.split(text_col, " ")
+    """Distinct (id, word-n-gram) pairs (shingles). Documents shorter than
+    n tokens produce no shingles (guarded: sequence(0, size-n) would count
+    DOWN for short docs and slice(-1) throws)."""
     grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
         f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))) "
+        f"ELSE array() END"
     )
     return df.select(
         id_col, F.explode(F.array_distinct(grams)).alias("ngram")
@@ -164,8 +167,11 @@ def minhash_dedup(
                 bands = b
                 break
     rows_per_band = num_hashes // bands
-    # the signature feeds banding AND both sides of the estimate join —
-    # persist so the explode+32-agg lineage runs once, not five times
+    # The signature feeds banding AND both sides of the estimate join —
+    # persist so the explode+32-agg lineage runs once, not five times.
+    # Blocks are released by Spark's ContextCleaner once the returned
+    # DataFrame is garbage collected; long-lived callers holding many
+    # results can force it earlier with spark.catalog.clearCache().
     sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
 
@@ -245,13 +251,20 @@ def simhash_neardup(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
-    num_chunks: int = 8,
+    num_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidates from equality
     on any (64/num_chunks)-bit chunk — pigeonhole guarantees full recall for
     hamming distance < num_chunks — then verified with bit_count(xor).
     More chunks = better recall at smaller distances but more bucket
-    collisions to verify; 8x8-bit chunks covers distance <= 7."""
+    collisions to verify.
+
+    ``num_chunks`` defaults to the smallest divisor of 64 exceeding
+    ``max_hamming``, so the pigeonhole recall guarantee always covers the
+    requested distance; passing a smaller value explicitly trades recall
+    for fewer candidates."""
+    if num_chunks is None:
+        num_chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
     width = 64 // num_chunks
     mask = (1 << width) - 1
     sh = simhash(df, id_col, text_col).persist()

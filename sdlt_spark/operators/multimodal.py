@@ -112,13 +112,21 @@ def decode_image(media: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every n bytes via
     JVM-side substring on binary — the same pushdown-friendly shape a video
-    frame sampler has (payload in, smaller payloads out)."""
+    frame sampler has (payload in, smaller payloads out).
+
+    Frame count is ceil(n_bytes / every_n_bytes): a short payload yields
+    one (short) frame, an empty payload yields none (a descending
+    sequence() from the unguarded floor-minus-one form would emit phantom
+    frames)."""
+    n_frames = f"CAST(ceil(meta.n_bytes / {every_n_bytes}.0) AS INT)"
     return media.select(
         "media_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, CAST(meta.n_bytes / {every_n_bytes} AS INT) - 1), "
-                f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+                f"CASE WHEN {n_frames} > 0 THEN "
+                f"transform(sequence(0, {n_frames} - 1), "
+                f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes})) "
+                f"ELSE array() END"
             )
         ).alias("frame_no", "frame"),
     )

@@ -323,13 +323,15 @@ class VintageTable:
             raise FileExistsError(self.path)
         if mode == "append" and self.exists():
             # Delta errors on schema-mismatched appends (README.md:327);
-            # overwrite replaces the schema, append must conform.
-            current = {f.name for f in self._schema_at().fields}
-            incoming = set(df.columns)
+            # overwrite replaces the schema, append must conform — names AND
+            # types (a name-only check would let a string o_totalprice land
+            # and corrupt every later mergeSchema read).
+            current = {f.name: f.dataType.simpleString() for f in self._schema_at().fields}
+            incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
             if incoming != current:
                 raise ValueError(
-                    f"append schema mismatch: table has {sorted(current)}, "
-                    f"dataframe has {sorted(incoming)}; use merge(..., "
+                    f"append schema mismatch: table has {sorted(current.items())}, "
+                    f"dataframe has {sorted(incoming.items())}; use merge(..., "
                     f"schema_evolution=True) or mode='overwrite' to evolve"
                 )
         add = self._write_files(df)
@@ -389,13 +391,28 @@ class VintageTable:
             touched = []
 
         target_schema = self._schema_at() if self.exists() else src.schema
+
+        def _pad_to(frame: DataFrame, schema) -> DataFrame:
+            """Project onto schema order, adding evolved columns an old file
+            lacks as typed nulls."""
+            have = set(frame.columns)
+            for f in schema.fields:
+                if f.name not in have:
+                    frame = frame.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return frame.select(*[f.name for f in schema.fields])
+
         if touched:
             touched_rows = self._read_files(touched)
             kept = touched_rows.join(src.select(*key_cols), key_cols, "left_anti")
             if schema_evolution:
                 new_data = src.unionByName(kept, allowMissingColumns=True)
             else:
-                new_data = src.select(*touched_rows.columns).unionByName(kept)
+                # project BOTH sides onto the table schema: src must supply
+                # every table column (select errors otherwise, like Delta),
+                # kept rows from pre-evolution files get typed-null padding
+                new_data = src.select(*[f.name for f in target_schema.fields]).unionByName(
+                    _pad_to(kept, target_schema)
+                )
         elif schema_evolution:
             new_data = src
         else:
@@ -404,14 +421,27 @@ class VintageTable:
         # Untouched files keep their old schema; mergeSchema on read surfaces
         # evolved columns as nulls there, matching Delta autoMerge semantics.
         add = self._write_files(new_data)
+        schema_json = None
+        if not self.exists():
+            schema_json = new_data.schema.json()
+        elif schema_evolution:
+            # record prior-schema ∪ new columns — new_data alone can miss
+            # table columns when the merge touched no (or only old) files
+            from pyspark.sql.types import StructType
+
+            prior = self._schema_at()
+            names = {f.name for f in prior.fields}
+            merged = StructType(
+                list(prior.fields)
+                + [f for f in new_data.schema.fields if f.name not in names]
+            )
+            schema_json = merged.json()
         return self._commit(
             "MERGE",
             {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)},
             add,
             touched,
-            schema_json=new_data.schema.json()
-            if schema_evolution or not self.exists()
-            else None,
+            schema_json=schema_json,
         )
 
     def delete(self, condition: str) -> int:
@@ -504,10 +534,12 @@ class VintageTable:
         after = self.read(version=to_version)
         before = self.read(version=from_version)
         cols = [c for c in after.columns if c in before.columns]
-        inserts = after.select(cols).subtract(before.select(cols)).withColumn(
+        # exceptAll keeps multiplicity: dropping one of two identical rows IS
+        # a delete (plain subtract/set semantics would miss it)
+        inserts = after.select(cols).exceptAll(before.select(cols)).withColumn(
             "_change_type", F.lit("insert")
         )
-        deletes = before.select(cols).subtract(after.select(cols)).withColumn(
+        deletes = before.select(cols).exceptAll(after.select(cols)).withColumn(
             "_change_type", F.lit("delete")
         )
         return inserts.unionByName(deletes)

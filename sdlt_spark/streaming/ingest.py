@@ -112,24 +112,42 @@ def stream_into_vintage(
     table_path: str,
     key_cols: list[str],
     query_name: str = "vintage_ingest",
+    order_col: str | None = None,
 ):
     """Exactly-once-style streaming upsert into a VintageTable: each
     micro-batch merges on the key columns via foreachBatch (the same
-    pattern Delta uses for streaming MERGE sinks). Late/duplicate rows are
-    idempotent by merge semantics; the vintage log records one commit per
-    non-empty batch.
+    pattern Delta uses for streaming MERGE sinks). The vintage log records
+    one commit per non-empty batch.
+
+    Batches are deduplicated per key BEFORE hitting the table (the first
+    batch bootstraps via write(), which has no merge-side dedup). With
+    ``order_col`` the row with the greatest value wins deterministically
+    (e.g. an update timestamp); without it an arbitrary row per key is kept.
     """
+    from pyspark.sql import Window
+
     from sdlt_spark.store import VintageTable
 
     table = VintageTable(spark, table_path)
 
+    def _dedup(df: DataFrame) -> DataFrame:
+        if order_col is None:
+            return df.dropDuplicates(key_cols)
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     def _sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        deduped = _dedup(batch_df)
         if not table.exists():
-            table.write(batch_df, mode="errorifexists")
+            table.write(deduped, mode="errorifexists")
         else:
-            table.merge(batch_df, key_cols)
+            table.merge(deduped, key_cols)
 
     raw = (
         spark.readStream.schema(event_schema())

@@ -1,0 +1,132 @@
+"""Regression tests for the round-1 code-review findings: each test pins a
+bug that was reachable on legitimate inputs (short docs, null values,
+duplicate rows, schema evolution edge states)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators import dedup, multimodal as mm
+from sdlt_spark.operators.asof import asof_join
+from sdlt_spark.store import VintageTable
+
+
+def test_ngrams_short_docs_no_crash(spark):
+    """Docs shorter than n must yield zero shingles, not a slice() error."""
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a"), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    )
+    grams = dedup.doc_ngrams(docs, "doc_id", n=3).collect()
+    by_doc = {}
+    for r in grams:
+        by_doc.setdefault(r["doc_id"], []).append(r["ngram"])
+    assert 0 not in by_doc and 1 not in by_doc and 2 not in by_doc
+    assert sorted(by_doc[3]) == ["a b c", "b c d"]
+    # and the full pair op survives short docs
+    dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.1).collect()
+
+
+def test_frame_sample_short_and_empty_payloads(spark):
+    media = spark.createDataFrame(
+        [
+            (1, b"x" * 10, ("bin", None, None, 10)),
+            (2, b"", ("bin", None, None, 0)),
+            (3, b"y" * 130, ("bin", None, None, 130)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    frames = mm.frame_sample(media, every_n_bytes=64).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(bytes(r["frame"]))
+    assert by_media[1] == [b"x" * 10]  # one short frame, no phantom second
+    assert 2 not in by_media  # empty payload -> zero frames
+    assert [len(f) for f in by_media[3]] == [64, 64, 2]  # ceil(130/64) = 3
+
+
+def test_merge_after_evolution_preserves_evolved_values(spark, tmp_path):
+    """Non-evolving merge on a table with old-schema files must write the
+    source's evolved-column values, not silently drop them."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))
+    # evolve: add column w via merge
+    t.merge(
+        spark.createDataFrame([(3, 30.0, "w3")], "k long, v double, w string"),
+        ["k"],
+        schema_evolution=True,
+    )
+    # non-evolving merge touching an OLD file (k=1) with full-schema source
+    t.merge(
+        spark.createDataFrame([(1, 11.0, "w1")], "k long, v double, w string"),
+        ["k"],
+    )
+    rows = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert rows[1] == (11.0, "w1")  # evolved value kept, not dropped
+    assert rows[2] == (20.0, None)
+    assert rows[3] == (30.0, "w3")
+
+
+def test_evolution_merge_no_touch_keeps_prior_schema(spark, tmp_path):
+    """A schema-evolution merge that matches nothing must record
+    prior-schema ∪ new columns, not just the source's columns."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0, 99)], "k long, v double, z int"))
+    t.merge(
+        spark.createDataFrame([(100, 1.0, "new")], "k long, v double, w string"),
+        ["k"],
+        schema_evolution=True,
+    )
+    names = [f.name for f in t._schema_at().fields]
+    assert names == ["k", "v", "z", "w"]  # z survived, w appended
+    # append with the full recorded schema is accepted
+    t.write(
+        spark.createDataFrame([(200, 2.0, 5, "x")], "k long, v double, z int, w string"),
+        mode="append",
+    )
+    assert t.read().count() == 3  # initial 1 + merge-insert 1 + append 1
+
+
+def test_asof_join_null_value_wins(spark):
+    """A right row whose value is NULL is still the as-of match — it must
+    not be skipped for an older non-null row (matches SQL ASOF JOIN)."""
+    left = spark.createDataFrame([(100, 1, 25)], "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None)], "k long, ts long, v double"
+    )
+    out = asof_join(left, right, on="k", ts="ts", value_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v_asof"] is None  # the ts=20 null row, not ts=10's 5.0
+
+
+def test_diff_tracks_duplicate_multiplicity(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    dup = spark.createDataFrame([(1, 1.0), (1, 1.0), (2, 2.0)], "k long, v double")
+    t.write(dup)  # v0: two copies of (1, 1.0)
+    t.write(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+        mode="overwrite",
+    )  # v1: one copy
+    d = t.diff(0, 1).collect()
+    assert [(r["k"], r["v"], r["_change_type"]) for r in d] == [(1, 1.0, "delete")]
+
+
+def test_append_rejects_type_mismatch(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    bad = spark.createDataFrame([(2, "oops")], "k long, v string")
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.write(bad, mode="append")
+
+
+def test_simhash_auto_chunks_cover_requested_distance(spark):
+    """num_chunks auto-sizes above max_hamming so pigeonhole recall holds."""
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    base = " ".join(words * 24)
+    # flip several tokens to push hamming into the 8-15 range
+    variant = base.replace("alpha", "omega", 6)
+    docs = spark.createDataFrame([(0, base), (1, variant)], "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    dist = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    found = dedup.simhash_neardup(docs, "doc_id", max_hamming=dist).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(0, 1, dist)]
