@@ -427,7 +427,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 4) AS delta
+                                          ORDER BY ts, event_id), 4) + 0.0 AS delta
     FROM events
     """,
 )
@@ -437,7 +437,7 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        (F.round(F.col("value") - F.lag("value").over(w), 4) + 0.0).alias("delta"),
     )
 
 
@@ -578,7 +578,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val
     FROM embeddings
     """,
 )
@@ -587,7 +587,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias("first_val"),
     )
 
 
@@ -1213,8 +1213,8 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 4) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1223,8 +1223,8 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias("covar_qty_price"),
     )
 
 
