@@ -1271,3 +1271,64 @@ def neardup_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         threshold=0.40, num_tables=6, num_planes=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped custom aggregation via applyInPandas (SURVEY §2.11 UDAF path) +
+# unpivot/melt reshaping
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "grouped_udaf_slope",
+    """
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) / 86400.0), 4) + 0.0 AS slope
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_udaf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of value over time, computed as a CUSTOM grouped
+    aggregate in applyInPandas (Arrow batch per group, numpy closed form) —
+    the UDAF escape hatch for aggregations Spark lacks. Oracle: DuckDB's
+    native regr_slope. (Spark also has regr_slope; the point here is
+    exercising the applyInPandas path against a closed-form answer.)"""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("ts").cast("double") / 86400.0).alias("t_days"), "value"
+    )
+
+    def _slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf["t_days"].to_numpy()
+        v = pdf["value"].to_numpy()
+        if len(t) < 2 or np.var(t) == 0.0:
+            s = np.nan
+        else:
+            s = float(np.cov(t, v, bias=True)[0, 1] / np.var(t))
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "slope": [s]})
+
+    out = ev.groupBy("user_id").applyInPandas(_slope, "user_id long, slope double")
+    return out.select("user_id", (F.round("slope", 4) + 0.0).alias("slope"))
+
+
+@_q(
+    "unpivot_melt",
+    """
+    SELECT o_orderkey, metric, round(val, 2) AS val FROM (
+      SELECT o_orderkey, 'price' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    )
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long reshaping via stack (the unpivot dual of pivot_agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'price', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))"
+        ).alias("metric", "val"),
+    ).select("o_orderkey", "metric", F.round("val", 2).alias("val"))
