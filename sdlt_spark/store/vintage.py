@@ -188,16 +188,26 @@ class VintageTable:
             for fname in sorted(os.listdir(abs_dir))
             if fname.endswith(".parquet")
         ]
-        self._collect_stats(files)
-        return files
+        stats = self._collect_stats(files)
+        # Empty partitions produce zero-row part files — drop them at the
+        # source (small-file hygiene, and delete() needs no extra isEmpty
+        # job: a delete-everything rewrite simply adds no files).
+        keep = []
+        for f in files:
+            if stats.get(f, {}).get("rows", 1) == 0:
+                os.remove(os.path.join(self.path, f))
+            else:
+                keep.append(f)
+        return keep
 
     def _stats_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "file_stats.json")
 
-    def _collect_stats(self, files: list[str]) -> None:
+    def _collect_stats(self, files: list[str]) -> dict:
         """Record per-file zone maps (row count + per-column min/max) from
         the parquet footers — metadata-only reads, O(files) driver work, the
-        same stats Delta keeps in its log. Used for file skipping."""
+        same stats Delta keeps in its log. Used for file skipping. Returns
+        the full stats map."""
         import pyarrow.parquet as pq
 
         stats = self._file_stats()
@@ -229,6 +239,7 @@ class VintageTable:
         with open(tmp, "w") as f:
             json.dump(stats, f)
         os.rename(tmp, self._stats_path())
+        return stats
 
     def _file_stats(self) -> dict:
         try:
@@ -466,7 +477,8 @@ class VintageTable:
         if not touched:
             return self._commit("DELETE", {"predicate": condition}, [], [])
         survivors = self._read_files(touched).filter(~cond)
-        add = self._write_files(survivors) if not survivors.isEmpty() else []
+        # zero-row outputs are dropped inside _write_files; no isEmpty job
+        add = self._write_files(survivors)
         return self._commit("DELETE", {"predicate": condition}, add, touched)
 
     def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
