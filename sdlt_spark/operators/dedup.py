@@ -322,3 +322,64 @@ def ngram_jaccard_pairs(
         id_col,
         "ngram",
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------- dup clustering
+
+
+def dedup_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: transitively
+    closed duplicate clusters, labeled by their minimum member id (the
+    canonical representative).
+
+    Label propagation: every node starts as its own label; each round a
+    node adopts the minimum label among itself and its neighbors; stop at
+    fixed point. Rounds needed = graph diameter (near-dup clusters are
+    shallow — chains longer than ~5 are rare), each round is one join +
+    one min-aggregate, both shuffle-hash on the node id. This is the
+    join-based form of the standard large-scale connected-components
+    pattern; at extreme diameters switch to large-star/small-star.
+
+    Returns (id, cluster) for EVERY id in ``ids`` — singletons keep their
+    own id as cluster — so downstream `keep = id == cluster` selects
+    canonical documents directly.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("cluster"))
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        # localCheckpoint truncates the lineage each round — without it the
+        # plan doubles per iteration and Catalyst blows up on deep graphs
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), "cluster")

@@ -1332,3 +1332,16 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'price', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))"
         ).alias("metric", "val"),
     ).select("o_orderkey", "metric", F.round("val", 2).alias("val"))
+
+
+@_q("dedup_pipeline", None)  # iterative fixpoint -> rows-only check
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup pipeline: MinHash+LSH pairs ->
+    connected-component clusters -> canonical representative per cluster.
+    Returns (doc_id, cluster, is_canonical) for every document."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_dedup(docs, "doc_id", threshold=0.9)
+    clusters = _dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return clusters.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_canonical")
+    )

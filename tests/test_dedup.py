@@ -65,3 +65,36 @@ def test_minhash_no_false_high_jaccard(docs):
     pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.95).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(0, 1)}
+
+
+def test_dedup_clusters_transitive(spark):
+    """Chain a-b, b-c plus isolated pair d-e and singleton f: clusters must
+    close transitively and singletons keep their own label."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    out = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_clusters_long_chain(spark):
+    """A 10-node path exercises multi-round propagation to the fixpoint."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(11)], "doc_id long")
+    out = dedup.dedup_clusters(pairs, ids, "doc_id").collect()
+    assert {r["cluster"] for r in out} == {0}
+
+
+def test_end_to_end_dedup_pipeline(docs):
+    """minhash pairs -> clusters -> canonical selection: docs 0,1,2 collapse
+    to one representative; 3 and 4 survive."""
+    pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.5)
+    clusters = dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    keep = {r["doc_id"] for r in clusters.filter(F.col("doc_id") == F.col("cluster")).collect()}
+    assert keep == {0, 3, 4}
