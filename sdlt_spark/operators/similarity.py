@@ -36,21 +36,6 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
-def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled over a known dimension. Unlike the higher-order
-    ``aggregate`` lambda (interpreted per element), an unrolled sum of
-    element_at products stays inside whole-stage codegen — ~an order of
-    magnitude faster on the all-pairs hot path."""
-    terms = [
-        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
-        for i in range(dim)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 

@@ -23,9 +23,6 @@ LANG_PROFILES: dict[str, list[str]] = {
     "fr": ["le", "la", "les", "et", "est", "de", "que", "un"],
 }
 
-_PUNCT_RE = r"[^a-zA-Z0-9\s]"
-
-
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization as an array column."""
     return F.split(text, " ")
