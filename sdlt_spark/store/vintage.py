@@ -575,4 +575,13 @@ class VintageTable:
                 if os.path.exists(abs_f):
                     os.remove(abs_f)
                     deleted.append(f)
+        if deleted:
+            # keep the zone-map file bounded: dead files need no stats
+            stats = self._file_stats()
+            for f in deleted:
+                stats.pop(f, None)
+            tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.rename(tmp, self._stats_path())
         return sorted(deleted)
