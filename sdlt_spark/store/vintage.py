@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_vintage_log"
 _DATA_DIR = "data"
+# Delta checkpoints every 10 commits by default; same cadence here.
+_CHECKPOINT_EVERY = 10
 
 
 @dataclass
@@ -104,7 +106,12 @@ class VintageTable:
     def _log_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR)
 
-    def _commits(self) -> list[_Commit]:
+    def _commits(self, after: int = -1) -> list[_Commit]:
+        """Commit entries with version > ``after``, in version order. Passing
+        a checkpoint version keeps log replay O(commits-since-checkpoint)
+        instead of O(all versions) — at one merge/minute a year-old table has
+        ~500k commits, and reading them all per snapshot is the driver
+        bottleneck Delta's ``_last_checkpoint`` exists to avoid."""
         log_dir = self._log_path()
         if not os.path.isdir(log_dir):
             return []
@@ -112,29 +119,96 @@ class VintageTable:
         for fname in sorted(os.listdir(log_dir)):
             # commit entries only (8-digit version); skips file_stats.json etc.
             if fname.endswith(".json") and fname[:-5].isdigit():
+                if int(fname[:-5]) <= after:
+                    continue
                 with open(os.path.join(log_dir, fname)) as f:
                     out.append(_Commit.from_json(f.read()))
         return out
 
+    def _commit_versions(self) -> list[int]:
+        """Commit version numbers from filenames alone — no JSON parsing, so
+        the write path stays O(listdir) regardless of log length."""
+        log_dir = self._log_path()
+        if not os.path.isdir(log_dir):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
     def exists(self) -> bool:
-        return bool(self._commits())
+        return bool(self._commit_versions())
 
     def latest_version(self) -> int:
-        commits = self._commits()
-        if not commits:
+        versions = self._commit_versions()
+        if not versions:
             raise FileNotFoundError(f"no vintage table at {self.path}")
-        return commits[-1].version
+        return versions[-1]
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _checkpoint_versions(self) -> list[int]:
+        log_dir = self._log_path()
+        if not os.path.isdir(log_dir):
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suffix)])
+            for f in os.listdir(log_dir)
+            if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+        )
+
+    def _load_checkpoint(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> dict | None:
+        """Newest checkpoint at or before the target version/timestamp."""
+        for v in reversed(self._checkpoint_versions()):
+            if version is not None and v > version:
+                continue
+            path = os.path.join(self._log_path(), f"{v:08d}.checkpoint.json")
+            try:
+                with open(path) as f:
+                    ckpt = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if timestamp is not None and ckpt["timestamp"] > timestamp:
+                continue
+            return ckpt
+        return None
+
+    def checkpoint(self) -> int:
+        """Materialize the current snapshot's state (live file set + schema)
+        so later reads replay only commits AFTER this version — Delta's
+        ``_last_checkpoint`` mechanism. Written automatically every
+        ``_CHECKPOINT_EVERY`` commits; safe to call any time. Returns the
+        checkpointed version."""
+        v = self.latest_version()
+        entry = self._commits(after=v - 1)[0]
+        payload = {
+            "version": v,
+            "timestamp": entry.timestamp,
+            "live": self._live_files(version=v),
+            "schemaJson": self._schema_at(version=v).json(),
+        }
+        final = os.path.join(self._log_path(), f"{v:08d}.checkpoint.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, final)  # atomic publish
+        return v
 
     def _live_files(self, version: int | None = None, timestamp: float | None = None) -> list[str]:
-        commits = self._commits()
-        if not commits:
+        ckpt = self._load_checkpoint(version=version, timestamp=timestamp)
+        commits = self._commits(after=ckpt["version"] if ckpt else -1)
+        if not commits and ckpt is None:
             raise FileNotFoundError(f"no vintage table at {self.path}")
         if timestamp is not None:
             eligible = [c for c in commits if c.timestamp <= timestamp]
-            if not eligible:
+            if not eligible and ckpt is None:
                 raise ValueError(f"no version at or before timestamp {timestamp}")
-            version = eligible[-1].version
-        live: set[str] = set()
+            version = eligible[-1].version if eligible else ckpt["version"]
+        live: set[str] = set(ckpt["live"]) if ckpt else set()
         for c in commits:
             if version is not None and c.version > version:
                 break
@@ -143,8 +217,8 @@ class VintageTable:
         return sorted(live)
 
     def _next_version(self) -> int:
-        commits = self._commits()
-        return commits[-1].version + 1 if commits else 0
+        versions = self._commit_versions()
+        return versions[-1] + 1 if versions else 0
 
     def _commit(
         self,
@@ -173,6 +247,8 @@ class VintageTable:
         with open(tmp, "w") as f:
             f.write(entry.to_json())
         os.rename(tmp, final)  # atomic publish
+        if version > 0 and version % _CHECKPOINT_EVERY == 0:
+            self.checkpoint()
         return version
 
     # ----------------------------------------------------------------- data
@@ -266,8 +342,9 @@ class VintageTable:
     def _schema_at(self, version: int | None = None):
         from pyspark.sql.types import StructType
 
-        last = None
-        for c in self._commits():
+        ckpt = self._load_checkpoint(version=version)
+        last = ckpt["schemaJson"] if ckpt else None
+        for c in self._commits(after=ckpt["version"] if ckpt else -1):
             if version is not None and c.version > version:
                 break
             if c.schema_json:
@@ -540,11 +617,17 @@ class VintageTable:
         """Row-level changes between two versions (CDC-style read): rows in
         ``to_version`` not present in ``from_version`` tagged 'insert', rows
         gone from ``from_version`` tagged 'delete'; an update appears as a
-        delete+insert pair. Exact set difference over the two snapshots —
-        O(both snapshots) but shuffle-pruned to changed files would be the
-        next refinement."""
-        after = self.read(version=to_version)
-        before = self.read(version=from_version)
+        delete+insert pair.
+
+        File-pruned: only files that differ between the two snapshots are
+        read. Rows living in files common to both versions appear
+        identically on both sides and would cancel in the exceptAll anyway
+        — so skipping them is exact, and the diff cost is O(changed files),
+        not O(table). A merge that rewrote 1% of a 100 TB table diffs ~1 TB."""
+        live_before = set(self._live_files(version=from_version))
+        live_after = set(self._live_files(version=to_version))
+        before = self._read_files(sorted(live_before - live_after), version=from_version)
+        after = self._read_files(sorted(live_after - live_before), version=to_version)
         cols = [c for c in after.columns if c in before.columns]
         # exceptAll keeps multiplicity: dropping one of two identical rows IS
         # a delete (plain subtract/set semantics would miss it)

@@ -76,3 +76,32 @@ def test_diff_between_versions(spark, tmp_path):
     d12 = t.diff(1, 2).collect()
     assert {r["k"] for r in d12 if r["_change_type"] == "delete"} == {98, 99}
     assert not [r for r in d12 if r["_change_type"] == "insert"]
+
+
+def test_diff_is_file_pruned_but_exact(spark, tmp_path):
+    """diff must read only changed files yet equal the full-snapshot
+    difference — untouched files' rows cancel either way."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    df = spark.range(4000).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.write(df.repartitionByRange(8, "k"))  # 8 disjoint-range files
+    src = spark.range(5).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    t.merge(src, ["k"])  # touches exactly 1 file
+
+    d = t.diff(0, 1).collect()
+    ins = {(r["k"], r["v"]) for r in d if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["v"]) for r in d if r["_change_type"] == "delete"}
+    assert ins == {(k, -1.0) for k in range(5)}
+    assert dels == {(k, float(k)) for k in range(5)}
+
+    # full-snapshot formulation agrees
+    full_ins = {
+        tuple(r)
+        for r in t.read(version=1).exceptAll(t.read(version=0)).collect()
+    }
+    assert full_ins == ins
+
+    # and the pruned read really is small: only the rewritten file + its
+    # replacement are outside the common set
+    before = set(t._live_files(version=0))
+    after = set(t._live_files(version=1))
+    assert len(before - after) == 1
