@@ -192,6 +192,79 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_centroids(
+    df: DataFrame, vec_col: str, n_cells: int, sample_rows: int, seed: int
+) -> np.ndarray:
+    """Train IVF cell centroids with a few Lloyd iterations over a bounded,
+    seeded sample. The sample is a fixed-size driver-side array (~n_cells*50
+    vectors), so training cost is independent of corpus size; ASSIGNMENT of
+    the full corpus stays executor-side (see ``ivf_assign``). This mirrors
+    FAISS's IVF recipe: train on a sample, assign everything."""
+    frac_df = df.select(vec_col)
+    n = frac_df.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    sample = frac_df.sample(min(1.0, sample_rows / n), seed=seed).limit(sample_rows)
+    x = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample.collect()])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(5):  # Lloyd iterations; 5 is plenty for routing quality
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Tag each row with its nearest-centroid cell id — pure JVM expression
+    (greatest over per-cell dot products), no Python in the scan. Writing
+    the corpus partitioned by ``__cell`` turns every later probe into a
+    partition-pruned read."""
+    cells = [
+        _dot(F.col(vec_col), _lit_vec(c.tolist())).alias(f"__d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    tagged = df.select("*", *cells)
+    dots = F.array(*[F.col(f"__d{i}") for i in range(len(centroids))])
+    best = F.array_position(dots, F.array_max(dots)) - 1
+    return tagged.withColumn("__cell", best.cast("int")).drop(
+        *[f"__d{i}" for i in range(len(centroids))]
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` cells whose centroids
+    are nearest the query (FAISS IVF-Flat, Spark-native). At n_cells=1024 /
+    nprobe=32 a uniform corpus scans ~3% of rows; with the corpus written
+    partitioned by cell the non-probed 97% is never read at all. Exact
+    cosine re-ranking inside the probed cells makes precision exact; only
+    recall is approximate."""
+    cents = _ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = set(np.argsort(-(cents @ qv))[:nprobe].tolist())
+    tagged = ivf_assign(df, vec_col, cents)
+    return cosine_topk(
+        tagged.filter(F.col("__cell").isin(*probe)), vec_col, id_col, query, k
+    )
+
+
 def neardup_cosine_lsh(
     df: DataFrame,
     vec_col: str,

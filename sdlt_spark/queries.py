@@ -1345,3 +1345,192 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1/Q6 shapes — the canonical scan-heavy aggregation benchmarks
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q1_shape",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary shape (TPC-H Q1): one full scan, map-side partial
+    aggregation into a tiny (flag, status) group space — the classic
+    whole-stage-codegen throughput benchmark. No joins; the only shuffle
+    carries pre-aggregated partials (a few rows per task), so at 100 TB the
+    cost is exactly the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice") + 1e-6, 2).alias("sum_base_price"),
+        F.round(F.sum(disc) + 1e-6, 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))) + 1e-6, 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "tpch_q6_shape",
+    """
+    SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue shape (TPC-H Q6): highly selective conjunctive
+    filter + global sum. Every predicate reaches the parquet scan
+    (PushedFilters + row-group zone maps), so the engine reads a fraction
+    of the table — the data-skipping showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (non-equi) join + scalar subquery + grouping sets
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "range_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('early', TIMESTAMP '1992-01-01', TIMESTAMP '1995-01-01'),
+      ('mid',   TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
+      ('late',  TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-01'))
+    SELECT band, count(*) AS n, round(sum(o_totalprice) + 1e-6, 2) AS total
+    FROM orders JOIN bands ON o_orderdate >= lo AND o_orderdate < hi
+    GROUP BY band
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True non-equi (interval containment) join: each order lands in the
+    date band containing its order date. The band table is tiny and
+    broadcast, so Catalyst plans BroadcastNestedLoopJoin — each executor
+    streams its order partition against the in-memory bands, no shuffle of
+    the fact side. This is the scalable shape for banding/bucketing joins;
+    an unbroadcast non-equi join would be a cartesian disaster."""
+    bands = spark.createDataFrame(
+        [
+            ("early", "1992-01-01", "1995-01-01"),
+            ("mid", "1995-01-01", "1997-01-01"),
+            ("late", "1997-01-01", "2000-01-01"),
+        ],
+        "band STRING, lo_s STRING, hi_s STRING",
+    ).select(
+        "band", F.col("lo_s").cast("timestamp").alias("lo"), F.col("hi_s").cast("timestamp").alias("hi")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_orderdate >= bands.lo) & (o.o_orderdate < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice") + 1e-6, 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 3 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above 3x the global average price.
+    The 1-row aggregate is cross-joined (automatically broadcast) against
+    the fact scan — two passes over orders, no wide shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.agg((F.avg("o_totalprice") * 3).alias("__cut"))
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("__cut"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@_q(
+    "grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice) + 1e-6, 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 explicit GROUPING SETS (the general form of rollup/cube): one
+    pass computes per-status totals, per-priority totals, and the grand
+    total; Spark expands the sets map-side, so it is still a single
+    shuffle on the (expanded) grouping keys."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice") + 1e-6, 2).alias("total"),
+    )
+
+
+@_q("ann_ivf_topk", None)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (FAISS-style): centroids trained on a bounded seeded
+    sample, corpus assigned to cells JVM-side, query probes only the
+    nearest nprobe cells. The scale path for similarity search when the
+    corpus is written partitioned by cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.ann_ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        list(query),
+        k=10,
+        n_cells=16,
+        nprobe=6,
+    )

@@ -73,3 +73,43 @@ def test_neardup_lsh_subset_of_exact_with_recall(spark):
     # 0.40-cosine pairs sit at ~66 deg; 4 planes x 6 tables ≈ 0.55 recall —
     # just require we found a meaningful fraction, deterministic via seed
     assert len(approx) >= len(exact) * 0.3
+
+
+def test_ivf_topk_recall_on_fixture(spark):
+    """IVF-probed top-k vs brute force on the fixture embeddings: probing
+    4/16 cells must keep most of the true top-10 (clustered corpus routes
+    neighbors to the same cell), and every returned similarity must equal
+    the exact value (precision is exact by construction)."""
+    from sdlt_spark import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cos_sim"] for r in sim.cosine_topk(corpus, "embedding", "vec_id", query, k=10).collect()}
+    approx = {r["vec_id"]: r["cos_sim"] for r in sim.ann_ivf_topk(corpus, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=6).collect()}
+    hits = set(approx) & set(exact)
+    assert len(hits) >= 6, f"recall too low: {len(hits)}/10"
+    for vid in hits:
+        assert approx[vid] == pytest.approx(exact[vid], abs=1e-4)
+    # probing more cells can only widen the scanned set -> recall is monotone
+    few = {r["vec_id"] for r in sim.ann_ivf_topk(corpus, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=2).collect()}
+    assert len(few & set(exact)) <= len(hits)
+    # probing every cell degenerates to the exact scan
+    all_cells = {r["vec_id"] for r in sim.ann_ivf_topk(corpus, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=16).collect()}
+    assert all_cells == set(exact)
+
+
+def test_ivf_assignment_is_deterministic_and_total(spark):
+    """Every vector gets exactly one cell id in [0, n_cells); same seed,
+    same assignment."""
+    from sdlt_spark import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim._ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
+    a1 = sim.ivf_assign(emb, "embedding", cents).select("vec_id", "__cell")
+    counts = a1.groupBy("__cell").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert all(0 <= r["__cell"] < 8 for r in counts)
+    cents2 = sim._ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
+    a2 = sim.ivf_assign(emb, "embedding", cents2).select("vec_id", "__cell")
+    assert a1.exceptAll(a2).isEmpty()
