@@ -50,8 +50,12 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "events_tumbling_window",
     "sessionize_sql",
+    "tpch_q1_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",
+    "tpch_q6_shape",
+    "range_join",
+    "ann_ivf_topk",
     "cube_agg",
     "percentile_agg",
     "stats_agg",

@@ -1447,15 +1447,16 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams its order partition against the in-memory bands, no shuffle of
     the fact side. This is the scalable shape for banding/bucketing joins;
     an unbroadcast non-equi join would be a cartesian disaster."""
-    bands = spark.createDataFrame(
-        [
-            ("early", "1992-01-01", "1995-01-01"),
-            ("mid", "1995-01-01", "1997-01-01"),
-            ("late", "1997-01-01", "2000-01-01"),
-        ],
-        "band STRING, lo_s STRING, hi_s STRING",
-    ).select(
-        "band", F.col("lo_s").cast("timestamp").alias("lo"), F.col("hi_s").cast("timestamp").alias("hi")
+    # a SQL VALUES local relation, not createDataFrame: no Python-RDD
+    # conversion, and TIMESTAMP_NTZ literals match o_orderdate's type so the
+    # join condition needs no per-row cast
+    bands = spark.sql(
+        """
+        SELECT band, CAST(lo AS TIMESTAMP_NTZ) AS lo, CAST(hi AS TIMESTAMP_NTZ) AS hi
+        FROM VALUES ('early', '1992-01-01', '1995-01-01'),
+                    ('mid',   '1995-01-01', '1997-01-01'),
+                    ('late',  '1997-01-01', '2000-01-01') AS t(band, lo, hi)
+        """
     )
     o = _t(spark, sf_dir, "orders")
     return (

@@ -639,6 +639,33 @@ class VintageTable:
         )
         return inserts.unionByName(deletes)
 
+    def restore(self, version: int | None = None, timestamp: float | None = None) -> int:
+        """Roll the table back to a previous state (README.md:321: use a
+        version or timestamp "to replace the current state (rollback
+        functionality)") — Delta's RESTORE. Metadata-only: the commit swaps
+        the live file set for the old snapshot's, re-pointing at files that
+        still exist on disk; no data is read or rewritten, so restoring a
+        100 TB table is O(file-list) driver work. History is preserved (the
+        restore is itself a new version), and restore-of-restore works."""
+        target_files = self._live_files(version=version, timestamp=timestamp)
+        if timestamp is not None and version is None:
+            # resolve for the history record
+            eligible = [c for c in self._commits() if c.timestamp <= timestamp]
+            version = eligible[-1].version
+        current = self._live_files()
+        add = [f for f in target_files if f not in current]
+        remove = [f for f in current if f not in target_files]
+        missing = [f for f in add if not os.path.exists(os.path.join(self.path, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} file(s) "
+                f"already vacuumed, e.g. {missing[0]}"
+            )
+        schema_json = self._schema_at(version=version).json()
+        return self._commit(
+            "RESTORE", {"version": str(version)}, add, remove, schema_json=schema_json
+        )
+
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Physically delete files that are not live in the current snapshot
         and were removed longer than ``retention_hours`` ago (README.md:415).

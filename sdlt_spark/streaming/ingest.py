@@ -167,6 +167,20 @@ def stream_into_vintage(
     return table
 
 
+def dedup_stream(
+    events: DataFrame, key_cols: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key, with
+    state bounded by the watermark (dropDuplicatesWithinWatermark — Spark
+    evicts a key's state once the watermark passes its event time, so a
+    forever-running ingest doesn't accumulate unbounded key state; an
+    unwatermarked dropDuplicates would). On a static frame this degrades to
+    plain dropDuplicates for batch parity."""
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + value total maintained across micro-batches.

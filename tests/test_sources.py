@@ -105,3 +105,38 @@ def test_diff_is_file_pruned_but_exact(spark, tmp_path):
     before = set(t._live_files(version=0))
     after = set(t._live_files(version=1))
     assert len(before - after) == 1
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    """RESTORE (README.md:321 rollback): metadata-only swap back to an old
+    snapshot; history keeps growing; restore-of-restore returns forward."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.write(df)                                   # v0: 100 rows
+    t.delete("k >= 50")                           # v1: 50 rows
+    src = spark.createDataFrame([(200, 2.0)], "k LONG, v DOUBLE")
+    t.merge(src, ["k"])                           # v2: 51 rows
+
+    v = t.restore(version=0)                      # v3 == v0 state
+    assert v == 3
+    assert t.read().count() == 100
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops[0] == "RESTORE" and len(ops) == 4
+    # time travel through the rollback still sees every intermediate state
+    assert t.read(version=2).count() == 51
+    # restore forward again to the pre-rollback head
+    t.restore(version=2)
+    assert t.read().count() == 51
+
+
+def test_restore_after_vacuum_refuses_cleanly(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.write(df)
+    t.write(spark.range(5).select(F.col("id").alias("k")))  # overwrite: v1
+    t.vacuum(retention_hours=0.0)                  # v0 files physically gone
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(version=0)
+    assert t.read().count() == 5  # table unharmed

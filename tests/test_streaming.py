@@ -121,3 +121,32 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     for u in batch:
         assert final[u][0] == batch[u][0]
         assert abs(final[u][1] - batch[u][1]) < 0.02
+
+
+def test_dedup_stream_drops_duplicates_with_bounded_state(spark, tmp_path):
+    """Streaming dedup via dropDuplicatesWithinWatermark: feeding the same
+    file twice must emit each event_id once (state eviction is a runtime
+    property; exactness within the watermark is what we can assert)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.parquet").symlink_to(f"{SF}/events.parquet")
+    (src / "b.parquet").symlink_to(f"{SF}/events.parquet")
+    out = ingest.run_stream_once(
+        spark,
+        str(src),
+        lambda ev: ingest.dedup_stream(ev, ["event_id"], watermark="365 days"),
+        query_name="t_dedup",
+        output_mode="append",
+    )
+    n_unique = tables.load(spark, SF, "events").select("event_id").distinct().count()
+    got = out.groupBy("event_id").count().collect()
+    assert len(got) == n_unique
+    assert all(r["count"] == 1 for r in got)
+
+
+def test_dedup_stream_batch_parity(spark):
+    ev = tables.load(spark, SF, "events")
+    doubled = ev.unionByName(ev)
+    out = ingest.dedup_stream(doubled, ["event_id"])
+    assert out.count() == ev.select("event_id").distinct().count()
