@@ -159,14 +159,37 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim))
 
 
+def _lsh_buckets_udf(planes_by_table: np.ndarray):
+    """Arrow-batched bucket assignment: one numpy GEMM per batch computes
+    every (table, plane) dot product at once, then packs sign bits into one
+    long per table. A per-plane Catalyst higher-order-function formulation
+    is interpreted per element AND builds an expression tree with
+    tables*planes*dim literal nodes — seconds of driver analysis time
+    before a single row moves; the UDF's plan is one node and the kernel is
+    BLAS."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, dim = planes_by_table.shape
+    flat = planes_by_table.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(col):
+        if not len(col):
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        signs = (x @ flat.T) >= 0  # (n, tables*planes)
+        b = signs.reshape(len(x), n_tables, n_planes) @ weights  # (n, tables)
+        return pd.Series(list(b))
+
+    return _buckets
+
+
 def lsh_bucket(vec_col: str, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
     """Sign-sketch bucket id: bit i = (v . plane_i) >= 0, packed into a long."""
-    planes = _hyperplanes(dim, num_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i in range(num_planes):
-        bit = F.when(_dot(F.col(vec_col), _lit_vec(planes[i].tolist())) >= 0, 1).otherwise(0)
-        bucket = bucket + (bit.cast("long") * F.lit(1 << i).cast("long"))
-    return bucket
+    planes = _hyperplanes(dim, num_planes, seed)[None, ...]
+    return _lsh_buckets_udf(planes)(F.col(vec_col)).getItem(0)
 
 
 def ann_lsh_topk(
@@ -222,20 +245,25 @@ def _ivf_centroids(
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: np.ndarray
 ) -> DataFrame:
-    """Tag each row with its nearest-centroid cell id — pure JVM expression
-    (greatest over per-cell dot products), no Python in the scan. Writing
-    the corpus partitioned by ``__cell`` turns every later probe into a
+    """Tag each row with its nearest-centroid cell id via an Arrow-batched
+    argmax GEMM (one numpy matmul per batch — the vectorized fast path;
+    a per-cell Catalyst expression would cost cells*dim literal nodes of
+    driver analysis plus interpreted per-element evaluation). Writing the
+    corpus partitioned by ``__cell`` turns every later probe into a
     partition-pruned read."""
-    cells = [
-        _dot(F.col(vec_col), _lit_vec(c.tolist())).alias(f"__d{i}")
-        for i, c in enumerate(centroids)
-    ]
-    tagged = df.select("*", *cells)
-    dots = F.array(*[F.col(f"__d{i}") for i in range(len(centroids))])
-    best = F.array_position(dots, F.array_max(dots)) - 1
-    return tagged.withColumn("__cell", best.cast("int")).drop(
-        *[f"__d{i}" for i in range(len(centroids))]
-    )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _cell(col):
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+
+    return df.withColumn("__cell", _cell(F.col(vec_col)))
 
 
 def ann_ivf_topk(
@@ -299,9 +327,10 @@ def neardup_cosine_lsh(
         F.col(id_col).cast("long").alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
     )
-    buckets = F.array(
-        *[lsh_bucket("__u", dim, num_planes, seed=seed + t) for t in range(num_tables)]
+    planes = np.stack(
+        [_hyperplanes(dim, num_planes, seed=seed + t) for t in range(num_tables)]
     )
+    buckets = _lsh_buckets_udf(planes)(F.col("__u"))
     assign = unit.select(
         "__id", "__u", F.posexplode(buckets).alias("__tbl", "__bucket")
     )

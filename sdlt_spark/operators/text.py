@@ -93,6 +93,74 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII subset: contractions, letter
+# runs, digit runs, punctuation runs (each optionally space-prefixed),
+# residual whitespace. Plain alternation/classes only, so Java regex
+# (Spark) and RE2 (DuckDB) agree on every match.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenizer token counts: BPE-ish regex segments (the unit LLM
+    tokenizers split on before merges — a good proxy for real token cost)
+    next to whitespace words. regexp_count is JVM-side codegen'd map work;
+    no shuffle, no Python."""
+    return df.withColumns(
+        {
+            "n_bpe_tokens": F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("long"),
+            "n_ws_tokens": F.size(tokens(F.col(text_col))).cast("long"),
+        }
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et al.,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, then keep
+    the minimum hash of each w-wide sliding window. Guarantees any shared
+    run of >= w+k-1 tokens contributes a shared fingerprint, with ~2/(w+1)
+    of the shingle hashes retained.
+
+    Emits (id, fp) exploded — ready for an equi self-join to find local
+    (passage-level) overlap that whole-document MinHash misses.
+
+    Split: token hashing stays JVM-side (one codegen'd transform+xxhash64
+    pass); the rolling k-gram combine and sliding-window min run as
+    vectorized numpy over the int64 hash arrays in an Arrow-batched UDF.
+    (A pure-expression formulation — slice+concat per shingle, then
+    array_min(slice) per window — is interpreted per element and was ~50x
+    slower: O(n*(k+w)) object churn per document.) Documents shorter than
+    k+w-1 tokens yield no fingerprints."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    @pandas_udf("array<bigint>")
+    def _winnow(col):
+        # Karp-Rabin polynomial combine in wrapping uint64, then window min
+        base = np.uint64(1099511628211)  # FNV-1a prime
+        weights = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        out = []
+        with np.errstate(over="ignore"):
+            for v in col:
+                a = np.asarray(v, dtype=np.int64).view(np.uint64)
+                if len(a) < k + w - 1:
+                    out.append([])
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(a, k)
+                kh = (sw * weights).sum(axis=1, dtype=np.uint64)
+                wins = np.lib.stride_tricks.sliding_window_view(kh, w).min(axis=1)
+                out.append(np.unique(wins).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(_winnow(token_hashes)).alias("fp")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 over the case/whitespace
     normalized text. Used as the exact-dedup key at scale (fixed-width key

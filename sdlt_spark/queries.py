@@ -1535,3 +1535,31 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         nprobe=6,
     )
+
+
+_BPE_SQL = _text.BPE_PATTERN.replace("'", "''")
+
+
+@_q(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BPE-ish pre-tokenizer counts (the LLM token-cost proxy) — the
+    regex is plain alternation so Java regex (Spark) and RE2 (DuckDB)
+    tokenize identically."""
+    return _text.bpe_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens"
+    )
+
+
+@_q("winnow_fingerprint", None)  # xxhash64 values are Spark-specific
+def winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: rolling-hash winnowing fingerprints (MOSS) — passage-level
+    overlap detection; (doc_id, fp) pairs ready for a self-join."""
+    return _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id")

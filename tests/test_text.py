@@ -34,3 +34,48 @@ def test_language_scores_pick_en_when_en_stopwords_present(spark):
     out = {r["doc_id"]: r["pred_lang"] for r in text.language_scores(docs).collect()}
     assert out[0] == "en"
     assert out[1] == "de"
+
+
+def test_bpe_token_count_sane(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world's 42 cats!"), (2, ""), (3, "plain words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"]) for r in text.bpe_token_count(df).collect()}
+    # Hello | , | <sp>world | 's | <sp>42 | <sp>cats | !  => 7 segments
+    assert out[1] == (7, 4)
+    assert out[2][0] == 0
+    assert out[3] == (3, 3)
+
+
+def test_winnow_shared_passage_shares_fingerprint(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words " + base),
+            (2, base + " totally different tail content here"),
+            (3, "nothing in common with the others at all whatsoever truly"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints(df, "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs 1 and 2 share a >= w+k-1 = 8-token run -> winnowing guarantees a
+    # shared fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc  # shorter than k+w-1 tokens -> no fingerprints
+
+
+def test_winnow_density(spark):
+    """Winnowing keeps roughly 2/(w+1) of shingle hashes (upper bound: all
+    windows distinct -> at most n_shingles - w + 1 fingerprints)."""
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    n_fp = text.winnow_fingerprints(df, "doc_id", k=5, w=4).count()
+    n_shingles = 100 - 5 + 1
+    assert 0 < n_fp <= n_shingles
+    assert n_fp < n_shingles * 0.7  # substantially compressed
