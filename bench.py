@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "vintage_merge",
     "dedup_exact",
     "token_counts",
+    "bpe_token_count",
     "text_quality",
+    "winnow_fingerprint",
     "minhash_lsh_dedup",
     "simhash_neardup",
     "cosine_topk",

@@ -42,3 +42,23 @@ def cobucketed_join(
     join key: Catalyst recognizes the co-partitioning and plans a
     sort-merge join without exchanges."""
     return read_table(spark, left_table).join(read_table(spark, right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style directory partitioning (``path/col=value/...``). The
+    complement of bucketing: bucketing co-locates JOIN keys, directory
+    partitioning prunes SCANS — a filter on a partition column eliminates
+    whole directories before any file is opened (PartitionFilters in the
+    plan, vs pushed filters which still open footers). Partition by
+    low-cardinality columns only (date, region); high-cardinality
+    partitioning creates the small-file problem the reference warns about
+    (README.md:392-396)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back with partition discovery; partition columns come from the
+    directory names."""
+    return spark.read.parquet(path)

@@ -58,3 +58,20 @@ def test_bucketed_agg_skips_shuffle(spark, bucketed):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning), and only the matching partition's rows load."""
+    o = tables.load(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    bucketing.write_partitioned(o, path, ["o_year"])
+
+    back = bucketing.read_partitioned(spark, path)
+    q = back.filter(F.col("o_year") == 1995)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:120], plan
+    expected = o.filter(F.col("o_year") == 1995).count()
+    assert q.count() == expected > 0
