@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "events_tumbling_window",
     "sessionize_sql",
+    "resample_ffill",
     "tpch_q1_shape",
     "tpch_q3_shape",
     "tpch_q5_shape",

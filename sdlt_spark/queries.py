@@ -738,6 +738,7 @@ from sdlt_spark.operators import dedup as _dedup  # noqa: E402
 from sdlt_spark.operators import multimodal as _mm  # noqa: E402
 from sdlt_spark.operators import similarity as _sim  # noqa: E402
 from sdlt_spark.operators import text as _text  # noqa: E402
+from sdlt_spark.operators import timeseries as _ts  # noqa: E402
 
 
 @_q(
@@ -1563,3 +1564,42 @@ def winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: rolling-hash winnowing fingerprints (MOSS) — passage-level
     overlap detection; (doc_id, fp) pairs ready for a self-join."""
     return _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@_q(
+    "resample_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    daily AS (SELECT user_id, day, value FROM obs WHERE rn = 1),
+    bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds)
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           round(last_value(d.value IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.day
+                       ROWS UNBOUNDED PRECEDING), 2) AS value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's irregular events
+    become one row per day over their own active range, carrying the last
+    observed value across silent days (deterministic last-by (ts,
+    event_id))."""
+    out = _ts.resample_ffill(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        F.round("value", 2).alias("value"),
+    )

@@ -102,3 +102,31 @@ def test_scan_parallelism_matches_split_size(spark):
 
     df = tables.load(spark, "/root/testdata/sf0.1", "lineitem")
     assert df.rdd.getNumPartitions() >= 2
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark):
+    """Q1 shape: date filter reaches the scan; aggregation is partial+final
+    (map-side combine makes the shuffle carry groups, not rows)."""
+    plan = plan_of(spark, "tpch_q1_shape")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "tpch_q6_shape")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_range_join_broadcasts_bands(spark):
+    """Non-equi band join must be BroadcastNestedLoopJoin (bands in memory,
+    fact side streamed) — never a cartesian shuffle."""
+    plan = plan_of(spark, "range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_broadcasts_cutoff(spark):
+    plan = plan_of(spark, "scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

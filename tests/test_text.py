@@ -3,6 +3,8 @@ these inline for oracle pairing; the library functions are the public API)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sdlt_spark import tables
 from sdlt_spark.operators import text
 
@@ -79,3 +81,28 @@ def test_winnow_density(spark):
     n_shingles = 100 - 5 + 1
     assert 0 < n_fp <= n_shingles
     assert n_fp < n_shingles * 0.7  # substantially compressed
+
+
+def test_resample_ffill_gaps(spark):
+    from sdlt_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0, 100),
+            (1, "2024-01-01 18:00:00", 7.0, 101),  # later same day wins
+            (1, "2024-01-04 09:00:00", 9.0, 102),  # two silent days
+            (2, "2024-02-10 00:00:00", 1.0, 103),  # single-obs key
+        ],
+        "user_id long, ts_s string, value double, event_id long",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_id")
+    out = resample_ffill(df, "user_id", "ts", "value", tiebreak_cols=["event_id"])
+    rows = {
+        (r["user_id"], r["bucket_start"].strftime("%Y-%m-%d")): r["value"]
+        for r in out.collect()
+    }
+    assert rows[(1, "2024-01-01")] == 7.0
+    assert rows[(1, "2024-01-02")] == 7.0  # forward-filled
+    assert rows[(1, "2024-01-03")] == 7.0
+    assert rows[(1, "2024-01-04")] == 9.0
+    assert rows[(2, "2024-02-10")] == 1.0
+    assert len(rows) == 5  # user 2 contributes exactly its own 1-day grid
