@@ -109,6 +109,46 @@ def decode_image(media: DataFrame) -> DataFrame:
     raise NotImplementedError("wire PIL decode into the mapInPandas stage here")
 
 
+def resize(media: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' stand-in: downsample the payload by keeping every
+    ``factor``-th byte (numpy stride slice per Arrow batch) and rewrite the
+    metadata struct accordingly — the exact shape of a real thumbnailer
+    (payload in, smaller payload + updated dims out, partition-local, no
+    shuffle). A real deployment swaps the stride slice for
+    PIL.Image.resize inside the same mapInPandas stage."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, True),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if payload is None:
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
+                small = np.frombuffer(bytes(payload), dtype=np.uint8)[::factor].tobytes()
+                m = dict(meta) if meta is not None else {}
+                m["n_bytes"] = len(small)
+                for dim in ("width", "height"):
+                    if m.get(dim) is not None:
+                        m[dim] = max(1, m[dim] // factor)
+                payloads.append(small)
+                metas.append(m)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(_resize, out_schema)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every n bytes via
     JVM-side substring on binary — the same pushdown-friendly shape a video

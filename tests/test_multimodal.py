@@ -56,3 +56,25 @@ def test_frame_sample(media):
     assert r["n"] >= 1
     first = frames.filter(F.col("frame_no") == 0).head()
     assert len(bytes(first["frame"])) <= 64
+
+
+def test_resize_shrinks_payload_and_meta(spark):
+    docs = tables.load(spark, SF, "documents").limit(50)
+    media = mm.documents_as_media(docs)
+    small = mm.resize(media, factor=4)
+    joined = (
+        media.select("media_id", F.col("meta.n_bytes").alias("orig"))
+        .join(small.select("media_id", F.col("meta.n_bytes").alias("new")), "media_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        # stride slice keeps ceil(n/4) bytes
+        assert r["new"] == (r["orig"] + 3) // 4
+
+
+def test_resize_output_schema_stable(spark):
+    media = mm.documents_as_media(tables.load(spark, SF, "documents").limit(5))
+    out = mm.resize(media)
+    assert [f.name for f in out.schema.fields] == ["media_id", "payload", "meta"]
+    assert out.schema["meta"].dataType == mm.MEDIA_SCHEMA["meta"].dataType
