@@ -593,17 +593,67 @@ class VintageTable:
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, num_files: int = 4, sort_by: list[str] | None = None) -> int:
+    def compact(
+        self,
+        num_files: int = 4,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot into ``num_files`` files without a
         logical data change (README.md:403-412: repartition(4) +
         dataChange=false).
 
-        ``sort_by`` range-partitions + sorts by the given columns — the 1-D
-        analog of Delta's OPTIMIZE ZORDER: afterwards each file owns a
-        disjoint key range, so the zone maps (file stats) prune merges and
-        range scans down to single files."""
+        ``sort_by`` range-partitions + sorts by the given columns: each file
+        then owns a disjoint range of the FIRST column, so zone maps prune
+        point/range reads on it to single files — but a filter on any other
+        column still touches every file.
+
+        ``zorder_by`` (two or more numeric columns) clusters on the Morton
+        (Z-curve) interleaving of the columns' bucketed ranks — Delta's
+        OPTIMIZE ZORDER. Each file then covers a small hyper-rectangle of
+        the key space, so zone maps prune selective filters on EVERY listed
+        column, at the cost of slightly looser per-column ranges than a
+        dedicated 1-D sort."""
         snap = self.read()
-        if sort_by:
+        if zorder_by:
+            if len(zorder_by) < 2:
+                raise ValueError("zorder_by needs >= 2 columns; use sort_by for 1")
+            # 10 bits per dimension: bucket each column's value range, then
+            # interleave the bucket bits into one long sort key. Bounds come
+            # from one tiny agg (driver-side scalars, not row data).
+            bits = 10
+            n_buckets = 1 << bits
+            bounds = snap.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"__hi_{c}") for c in zorder_by],
+            ).head()
+            z = F.lit(0).cast("long")
+            for d, c in enumerate(zorder_by):
+                lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+                if lo is None or hi is None or lo == hi:
+                    continue
+                bucket = (
+                    F.width_bucket(
+                        F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
+                    )
+                    - 1
+                ).cast("long")
+                # clamp width_bucket's overflow bucket (value == hi)
+                bucket = F.least(bucket, F.lit(n_buckets - 1))
+                for i in range(bits):
+                    z = z.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1).cast("long")),
+                            i * len(zorder_by) + d,
+                        )
+                    )
+            reorg = (
+                snap.withColumn("__z", z)
+                .repartitionByRange(num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             reorg = snap.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
         else:
             reorg = snap.repartition(num_files)

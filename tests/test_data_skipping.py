@@ -66,3 +66,42 @@ def test_out_of_range_merge_appends_only(spark, tmp_path):
     commit = t._commits()[-1]
     assert commit.remove == []
     assert t.read().count() == 110
+
+
+def test_zorder_compact_prunes_both_columns(spark, tmp_path):
+    """After a 2-D Z-order compact, zone maps must prune selective range
+    reads on BOTH clustered columns; a 1-D sort only prunes its first."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+            F.col("id").alias("v"),
+        )
+        # shuffle the layout so compaction has real work to do
+        .orderBy(F.xxhash64("id"))
+    )
+    t.write(df)
+    t.compact(num_files=16, zorder_by=["x", "y"])
+
+    live = t._live_files()
+    assert len(live) == 16
+    pruned_x = t._prune_by_range(live, "x", 0, 3)
+    pruned_y = t._prune_by_range(live, "y", 0, 3)
+    # a 4/64 slice of either dimension must skip most of the 16 files
+    assert len(pruned_x) <= len(live) // 2, (len(pruned_x), len(live))
+    assert len(pruned_y) <= len(live) // 2, (len(pruned_y), len(live))
+    # correctness: data unchanged
+    assert t.read().count() == n * n
+    assert t.read().agg(F.sum("v")).head()[0] == sum(range(n * n))
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).select(F.col("id").alias("x"), F.col("id").alias("y")))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_by"):
+        t.compact(zorder_by=["x"])
