@@ -1603,3 +1603,14 @@ def resample_ffill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
         F.round("value", 2).alias("value"),
     )
+
+
+@_q("vintage_restore", _ORDERS_PROJ_SQL)
+def vintage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback (README.md:321): after a merge commit, restore(version=0)
+    must reproduce the initial load as the new table HEAD — a metadata-only
+    commit re-pointing at the v0 files."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    t.restore(version=0)
+    return t.read()
