@@ -54,7 +54,9 @@ def main() -> None:
         "__keep",
         F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1,
     )
-    exact_kept = survivors.filter("__keep").drop("__keep", "fp")
+    # several downstream actions reuse this frame — persist so the scan +
+    # scoring + window chain runs once, not per action
+    exact_kept = survivors.filter("__keep").drop("__keep", "fp").persist()
     n_exact = exact_kept.count()
     print(f"after exact dedup:        {n_exact}")
 
@@ -65,7 +67,7 @@ def main() -> None:
         clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id"),
         "doc_id",
         "left_semi",
-    )
+    ).persist()
     n_canon = canonical.count()
     print(f"after near-dup dedup:     {n_canon}")
 
@@ -88,7 +90,7 @@ def main() -> None:
 
     # 6. embedding side: IVF cells for ANN serving + exact near-dup pairs
     emb = tables.load(spark, sf_dir, "embeddings")
-    cents = similarity._ivf_centroids(emb, "embedding", n_cells=16, sample_rows=2048, seed=42)
+    cents = similarity.train_ivf_centroids(emb, "embedding", n_cells=16, sample_rows=2048, seed=42)
     celled = similarity.ivf_assign(emb, "embedding", cents)
     sizes = celled.groupBy("__cell").count().orderBy("__cell")
     print(f"IVF cells (for partitioned ANN serving): {sizes.count()} cells")

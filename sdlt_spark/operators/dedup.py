@@ -247,6 +247,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
     def _simhash(col):
         if not len(col):
             return pd.Series([], dtype="int64")
+        # NULL text -> NULL hash array -> None here; treat as empty and emit
+        # simhash NULL below (filtered out, matching the old explode/groupBy
+        # form which produced no row for NULL text)
+        isnull = np.fromiter((v is None for v in col), dtype=bool, count=len(col))
+        col = pd.Series([v if v is not None else [] for v in col])
         # whole-batch vectorization: flatten every doc's hashes, then count
         # per-lane one-bits per document with add.reduceat — a per-document
         # numpy loop is overhead-bound on short docs (~1ms/doc of dispatch)
@@ -268,9 +273,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) 
                 # >= 1 token (split of "" is [""]) but guard anyway
                 ones[nonempty] = np.add.reduceat(bit, offsets[nonempty]).astype(np.int64)
             out |= ((2 * ones) > lens).astype(np.uint64) << lane
-        return pd.Series(out.view(np.int64))
+        res = pd.array(out.view(np.int64), dtype="Int64")
+        res[isnull] = pd.NA
+        return pd.Series(res)
 
-    return df.select(F.col(id_col), _simhash(token_hashes).alias("simhash"))
+    return df.select(F.col(id_col), _simhash(token_hashes).alias("simhash")).filter(
+        F.col("simhash").isNotNull()
+    )
 
 
 def simhash_neardup(

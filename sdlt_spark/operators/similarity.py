@@ -178,10 +178,20 @@ def _lsh_buckets_udf(planes_by_table: np.ndarray):
     def _buckets(col):
         if not len(col):
             return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        # NULL vectors get a NULL bucket array (dropped by posexplode /
+        # never equal to a probe bucket) — matching the old expression
+        # form, where a NULL vector produced a NULL bucket
+        x = np.stack(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+                for v in col
+            ]
+        )
         signs = (x @ flat.T) >= 0  # (n, tables*planes)
         b = signs.reshape(len(x), n_tables, n_planes) @ weights  # (n, tables)
-        return pd.Series(list(b))
+        return pd.Series(
+            [row if v is not None else None for row, v in zip(b, col)]
+        )
 
     return _buckets
 
@@ -215,8 +225,12 @@ def ann_lsh_topk(
     )
 
 
-def _ivf_centroids(
-    df: DataFrame, vec_col: str, n_cells: int, sample_rows: int, seed: int
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 42,
 ) -> np.ndarray:
     """Train IVF cell centroids with a few Lloyd iterations over a bounded,
     seeded sample. The sample is a fixed-size driver-side array (~n_cells*50
@@ -260,8 +274,16 @@ def ivf_assign(
     def _cell(col):
         if not len(col):
             return pd.Series([], dtype="int32")
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in col])
-        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
+        dim = cents.shape[1]
+        x = np.stack(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+                for v in col
+            ]
+        )
+        res = pd.array(np.argmax(x @ cents.T, axis=1).astype(np.int32), dtype="Int32")
+        res[np.fromiter((v is None for v in col), dtype=bool, count=len(col))] = pd.NA
+        return pd.Series(res)
 
     return df.withColumn("__cell", _cell(F.col(vec_col)))
 
@@ -283,7 +305,7 @@ def ann_ivf_topk(
     partitioned by cell the non-probed 97% is never read at all. Exact
     cosine re-ranking inside the probed cells makes precision exact; only
     recall is approximate."""
-    cents = _ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
+    cents = train_ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
     qv = np.asarray(query, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe = set(np.argsort(-(cents @ qv))[:nprobe].tolist())

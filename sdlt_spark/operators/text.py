@@ -95,9 +95,14 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # GPT-2-style pre-tokenizer pattern, ASCII subset: contractions, letter
 # runs, digit runs, punctuation runs (each optionally space-prefixed),
-# residual whitespace. Plain alternation/classes only, so Java regex
-# (Spark) and RE2 (DuckDB) agree on every match.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+# residual whitespace. Plain alternation/classes only, and whitespace is an
+# EXPLICIT class: Java's \s includes vertical tab (\x0B), RE2's does not,
+# so a \s-based pattern diverges between Spark and DuckDB on \x0B.
+_WS = " \\t\\n\\f\\r"
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    rf"| ?[^{_WS}a-zA-Z0-9]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -146,6 +151,9 @@ def winnow_fingerprints(
         out = []
         with np.errstate(over="ignore"):
             for v in col:
+                if v is None:  # NULL text -> NULL token-hash array: no fps
+                    out.append([])
+                    continue
                 a = np.asarray(v, dtype=np.int64).view(np.uint64)
                 if len(a) < k + w - 1:
                     out.append([])

@@ -678,15 +678,32 @@ class VintageTable:
         live_after = set(self._live_files(version=to_version))
         before = self._read_files(sorted(live_before - live_after), version=from_version)
         after = self._read_files(sorted(live_after - live_before), version=to_version)
-        cols = [c for c in after.columns if c in before.columns]
+        # Compare on the UNION of the two snapshot schemas, padding either
+        # side's missing columns with typed nulls (CDC semantics, like
+        # Delta's change feed): an update that only sets a newly-evolved
+        # column still surfaces as a delete+insert pair (before has NULL),
+        # and rows in files common to both versions still cancel — they pad
+        # identically on both sides. Intersecting columns instead would
+        # report evolution-only updates as no-ops.
+        to_fields = self._schema_at(version=to_version).fields
+        to_names = {f.name for f in to_fields}
+        fields = list(to_fields) + [
+            f for f in self._schema_at(version=from_version).fields
+            if f.name not in to_names
+        ]
+
+        def _pad(frame: DataFrame) -> DataFrame:
+            have = set(frame.columns)
+            for f in fields:
+                if f.name not in have:
+                    frame = frame.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return frame.select(*[f.name for f in fields])
+
+        before, after = _pad(before), _pad(after)
         # exceptAll keeps multiplicity: dropping one of two identical rows IS
         # a delete (plain subtract/set semantics would miss it)
-        inserts = after.select(cols).exceptAll(before.select(cols)).withColumn(
-            "_change_type", F.lit("insert")
-        )
-        deletes = before.select(cols).exceptAll(after.select(cols)).withColumn(
-            "_change_type", F.lit("delete")
-        )
+        inserts = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+        deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
     def restore(self, version: int | None = None, timestamp: float | None = None) -> int:

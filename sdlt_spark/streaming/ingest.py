@@ -168,7 +168,10 @@ def stream_into_vintage(
 
 
 def dedup_stream(
-    events: DataFrame, key_cols: list[str], watermark: str = "10 minutes"
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming exact dedup: keep the first occurrence of each key, with
     state bounded by the watermark (dropDuplicatesWithinWatermark — Spark
@@ -178,7 +181,7 @@ def dedup_stream(
     plain dropDuplicates for batch parity."""
     if not events.isStreaming:
         return events.dropDuplicates(key_cols)
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -130,3 +130,84 @@ def test_simhash_auto_chunks_cover_requested_distance(spark):
     dist = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
     found = dedup.simhash_neardup(docs, "doc_id", max_hamming=dist).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [(0, 1, dist)]
+
+
+# --- NULL-input tolerance of the Arrow-batched kernels (review round 2) ----
+
+
+def test_simhash_null_text_skipped_not_crashed(spark):
+    from sdlt_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, None), (3, "hello world hello")],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash(df, "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {1, 3}  # null doc yields no row
+    pairs = dedup.simhash_neardup(df, "doc_id", max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_winnow_null_text_skipped(spark):
+    from sdlt_spark.operators import text as t
+
+    words = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, words), (2, None)], "doc_id long, text string"
+    )
+    out = t.winnow_fingerprints(df, "doc_id").collect()
+    assert out and all(r["doc_id"] == 1 for r in out)
+
+
+def test_lsh_and_ivf_null_vector_tolerated(spark):
+    from sdlt_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.1])],
+        "vec_id long, embedding array<double>",
+    )
+    top = sim.ann_lsh_topk(df, "embedding", "vec_id", [1.0, 2.0], k=5, num_planes=2).collect()
+    assert {r["vec_id"] for r in top} <= {1, 3}
+    cents = sim.train_ivf_centroids(
+        df.filter("embedding is not null"), "embedding", n_cells=2, sample_rows=10, seed=1
+    )
+    cells = sim.ivf_assign(df, "embedding", cents).collect()
+    by_id = {r["vec_id"]: r["__cell"] for r in cells}
+    assert by_id[2] is None and by_id[1] is not None
+    pairs = sim.neardup_cosine_lsh(df, "embedding", "vec_id", threshold=0.9, num_tables=2, num_planes=2)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 3)}
+
+
+def test_bpe_pattern_vertical_tab_parity(spark):
+    """Java \\s includes \\x0B, RE2's does not — the explicit class must
+    make Spark and DuckDB count identically on vertical-tab text."""
+    import duckdb
+
+    from sdlt_spark.operators import text as t
+
+    samples = ["a\x0b.", "\x0b\x0b.", "plain text", "tab\there"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "doc_id long, text string")
+    spark_counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in t.bpe_token_count(df).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        duck = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [s, t.BPE_PATTERN]
+        ).fetchone()[0]
+        assert spark_counts[i] == duck, (s, spark_counts[i], duck)
+
+
+def test_diff_detects_schema_evolution_only_updates(spark, tmp_path):
+    """A merge that only sets a newly-evolved column on existing rows must
+    show up in the file-pruned diff as delete+insert pairs."""
+    from sdlt_spark.store import VintageTable
+
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))
+    src = spark.createDataFrame([(1, 10.0, "note")], "k long, v double, c string")
+    t.merge(src, ["k"], schema_evolution=True)
+    d = t.diff(0, 1).collect()
+    ins = {(r["k"], r["v"], r["c"]) for r in d if r["_change_type"] == "insert"}
+    # v unchanged, only c gained a value: the diff must still surface it
+    assert (1, 10.0, "note") in ins

@@ -105,11 +105,11 @@ def test_ivf_assignment_is_deterministic_and_total(spark):
     from sdlt_spark import tables
 
     emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    cents = sim._ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
+    cents = sim.train_ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
     a1 = sim.ivf_assign(emb, "embedding", cents).select("vec_id", "__cell")
     counts = a1.groupBy("__cell").count().collect()
     assert sum(r["count"] for r in counts) == emb.count()
     assert all(0 <= r["__cell"] < 8 for r in counts)
-    cents2 = sim._ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
+    cents2 = sim.train_ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
     a2 = sim.ivf_assign(emb, "embedding", cents2).select("vec_id", "__cell")
     assert a1.exceptAll(a2).isEmpty()
