@@ -9,6 +9,7 @@ Usage: python scripts/driver_sim.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,13 +24,20 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 
 def main() -> int:
-    spark = (
+    builder = (
         SparkSession.builder.master("local[32]")
         .appName("driver_sim")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Default stays a faithful plain session (1g heap, like the driver's
+    # sf0.01 gate). The 10x pre-check (sf0.1) needs more heap for the
+    # iterative dedup pipeline under 32 task threads: opt in with e.g.
+    # SDLT_SIM_DRIVER_MEM=4g.
+    mem = os.environ.get("SDLT_SIM_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
