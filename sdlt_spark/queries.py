@@ -1614,3 +1614,23 @@ def vintage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
     t.restore(version=0)
     return t.read()
+
+
+@_q(
+    "array_agg",
+    """
+    SELECT o_orderpriority,
+           list_sort(list(o_orderkey))[1:5] AS first_keys,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list is order-nondeterministic under
+    parallel merge, so both sides sort before slicing — the pattern for any
+    oracle-checkable list aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("first_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
