@@ -184,6 +184,44 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair events from two streams sharing
+    ``key`` whose event times fall within ``within`` of each other.
+
+    Both sides are watermarked and the join condition carries the
+    event-time bound — that pair is what lets Spark EVICT join state (a
+    row can only match partners inside the time band, so state older than
+    watermark+band drops). An unbounded-condition stream-stream join would
+    buffer both streams forever. Works identically on static frames (the
+    batch parity oracle path)."""
+    l = left.select(
+        F.col(key).alias("__k"), F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a")
+    )
+    r = right.select(
+        F.col(key).alias("__k2"), F.col("ts").alias("ts_b"), F.col("event_id").alias("id_b")
+    )
+    if left.isStreaming:
+        l = l.withWatermark("ts_a", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("ts_b", watermark)
+    cond = (
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"interval {within}"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"interval {within}"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        l.join(r, cond)
+        .select(F.col("__k").alias(key), "id_a", "id_b", "ts_a", "ts_b")
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + value total maintained across micro-batches.

@@ -150,3 +150,44 @@ def test_dedup_stream_batch_parity(spark):
     doubled = ev.unionByName(ev)
     out = ingest.dedup_stream(doubled, ["event_id"])
     assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Real stream-stream inner join (two file streams, watermarked, time-
+    banded condition) must produce exactly the batch join's pairs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(f"{SF}/events.parquet")
+
+    def _stream():
+        raw = (
+            spark.readStream.schema(ingest.event_schema())
+            .format("parquet")
+            .option("path", str(src))
+            .load()
+        )
+        return ingest.normalize_events(raw)
+
+    joined = ingest.correlate_streams(_stream(), _stream(), "user_id", within="30 minutes")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+
+    ev = tables.load(spark, SF, "events")
+    batch = {
+        (r["user_id"], r["id_a"], r["id_b"])
+        for r in ingest.correlate_streams(ev, ev, "user_id", within="30 minutes").collect()
+    }
+    assert batch  # the fixture has co-active users
+    assert streamed == batch
