@@ -1634,3 +1634,32 @@ def array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("first_keys"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_q(
+    "having_semijoin",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    """,
+)
+def having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-order shape (TPC-H Q18's core): aggregate with HAVING
+    feeding an IN-subquery = groupBy + filter + left-semi join. The
+    aggregate output is tiny (qualifying keys only), so AQE broadcasts it
+    into the semi join — one shuffle for the agg, none for the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
