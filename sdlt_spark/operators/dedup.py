@@ -161,7 +161,15 @@ def minhash_dedup(
     signature components — prunes candidates at (threshold - 2 sigma), then
     (2) exact Jaccard via array_intersect on the per-doc distinct-token
     arrays (no token-level shuffle: the pair list joins the compact
-    (id, tokens[]) table twice and evaluates per-row)."""
+    (id, tokens[]) table twice and evaluates per-row).
+
+    Scale note: the signature array RIDES THROUGH the banding self-join, so
+    the estimate prefilter is a per-row expression on the collision output —
+    no extra join, and (critically) no broadcast of any per-document table.
+    The verify stage joins the (id, tokens[]) projection as ordinary shuffle
+    joins on the pair ids; AQE demotes them to broadcast only when the side
+    is actually small. Nothing here materializes O(corpus) state on a single
+    executor."""
     if bands is None:
         # smallest b (most selective buckets) whose S-curve knee <= threshold
         bands = num_hashes
@@ -170,19 +178,32 @@ def minhash_dedup(
                 bands = b
                 break
     rows_per_band = num_hashes // bands
-    # The signature feeds banding AND both sides of the estimate join —
-    # persist so the explode+32-agg lineage runs once, not five times.
-    # Blocks are released by Spark's ContextCleaner once the returned
-    # DataFrame is garbage collected; long-lived callers holding many
-    # results can force it earlier with spark.catalog.clearCache().
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
 
-    sig_arr = sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("__sig")
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
     )
-    sa = sig_arr.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sig_a"))
-    sb = sig_arr.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sig_b"))
+    banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("__sig"),
+        F.posexplode(band_hashes).alias("band", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    collisions = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.__sig").alias("__sig_a"),
+        F.col("b.__sig").alias("__sig_b"),
+    )
+
     est = (
         F.size(
             F.filter(
@@ -197,26 +218,25 @@ def minhash_dedup(
     import math
 
     margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
-    # per-doc side tables are tiny relative to the pair list — broadcast so
-    # the (potentially large) candidate set never shuffles for these joins
+    # estimate BEFORE the distinct: every band collision of a pair carries
+    # the same signatures, so filtering first shrinks the dedup shuffle
     prefiltered = (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn("__est", est)
-        .filter(F.col("__est") >= threshold - margin)
-        .select("id_a", "id_b")
+        collisions.filter(est >= threshold - margin).select("id_a", "id_b").distinct()
     )
 
+    # verify joins re-derive the compact (id, tokens[]) projection from the
+    # source scan — a cheap codegen'd map; persisting it would pin O(corpus)
+    # blocks for no shuffle savings
     toks_arr = df.select(
         F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("__toks")
-    ).persist()
+    )
     ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
     tb = toks_arr.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
     inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
     union = F.size("__toks_a") + F.size("__toks_b") - inter
     return (
-        prefiltered.join(F.broadcast(ta), "id_a")
-        .join(F.broadcast(tb), "id_b")
+        prefiltered.join(ta, "id_a")
+        .join(tb, "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -303,10 +323,15 @@ def simhash_neardup(
         num_chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
     width = 64 // num_chunks
     mask = (1 << width) - 1
-    # repartition before persisting: simhash() is a pure map, so it inherits
-    # the scan's partitioning (possibly 1 file = 1 partition) — the banding
-    # explode and self-join below need the rows spread to parallelize
-    sh = simhash(df, id_col, text_col).repartition(F.col(id_col)).persist()
+    # simhash() is a pure map, so it inherits the scan's partitioning; only
+    # when that is too narrow (1-file fixture = 1 partition) does the banding
+    # self-join below need the rows spread — an unconditional repartition
+    # would add a full extra shuffle on inputs that are already parallel
+    sh = simhash(df, id_col, text_col)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        sh = sh.repartition(F.col(id_col))
+    sh = sh.persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))

@@ -1,0 +1,99 @@
+"""Scale-safe global ranking (SURVEY.md §2.6 W-extras).
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels every row through a
+single task — correct, but a scale-killer. ``global_rank`` computes the same
+total-order rank with bounded parallelism:
+
+1. one pass computes explicit range boundaries for the first order column
+   (``approxQuantile``; collected once to the driver, so both downstream
+   jobs see the SAME literal boundaries — no reliance on deterministic
+   re-sampling inside a range exchange);
+2. one tiny aggregation counts rows per bucket (partial agg, shuffles
+   ``n_buckets`` rows) from which cumulative offsets are derived;
+3. the data pass groups by bucket (one shuffle) and ranks each bucket
+   locally inside ``applyInPandas``, adding its bucket's offset — per-task
+   memory is one bucket, parallelism is ``n_buckets``.
+
+The bucketing only uses the FIRST order column, so it is a monotone
+coarsening of the full order: ties on the boundary value land in one bucket
+and are resolved locally by the remaining columns. Callers must therefore
+pass a tie-breaking final column (unique key) — which they need anyway for
+a deterministic, oracle-checkable rank.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int | None = None,
+    rank_col: str = "grank",
+) -> tuple[DataFrame, int]:
+    """Total-order row_number over ``order_cols`` (last one must be unique).
+
+    Returns ``(df + rank_col, total_rows)``; the total comes free from the
+    bucket-count pass. All three jobs are executor-parallel; driver state is
+    O(n_buckets) boundary/offset scalars.
+    """
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(2, spark.sparkContext.defaultParallelism)
+    first = order_cols[0]
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # collected once -> literal boundaries shared by the count and data jobs
+    bounds = df.stat.approxQuantile(first, qs, 0.001)
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("__bucket", bucket.cast("int"))
+
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    out_schema = f"{out_fields}, {rank_col} long"
+
+    def _rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__bucket"].iloc[0])
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[rank_col] = offsets[b] + pd.RangeIndex(1, len(pdf) + 1)
+        return pdf.drop(columns="__bucket")
+
+    ranked = bucketed.groupBy("__bucket").applyInPandas(_rank, out_schema)
+    return ranked, total
+
+
+def ntile_expr(rank: F.Column, n: int, k: int) -> F.Column:
+    """SQL NTILE(k) bucket for a 1-based total-order rank over n rows:
+    the first n % k tiles get floor(n/k)+1 rows, the rest floor(n/k)."""
+    base, rem = divmod(n, k)
+    big_span = rem * (base + 1)
+    small = F.lit(rem) + F.ceil((rank - big_span) / F.lit(base)) if base else F.lit(None)
+    return (
+        F.when(rank <= big_span, F.ceil(rank / F.lit(base + 1)))
+        .otherwise(small)
+        .cast("int")
+    )
+
+
+def percent_rank_expr(rank: F.Column, n: int) -> F.Column:
+    """SQL PERCENT_RANK for a tie-free total order: (rank-1)/(n-1), 0.0 when
+    n == 1 (matching Spark/DuckDB)."""
+    if n <= 1:
+        return F.lit(0.0)
+    return (rank - 1).cast("double") / F.lit(float(n - 1))

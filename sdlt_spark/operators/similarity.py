@@ -60,6 +60,7 @@ def neardup_cosine_pairs(
     id_col: str,
     threshold: float = 0.45,
     block_rows: int = 512,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold via distributed block matrix
     multiply.
@@ -84,7 +85,13 @@ def neardup_cosine_pairs(
         F.col(id_col).cast("long").alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
     )
-    n_blocks = max(1, int(df.count() / block_rows))
+    # Block count needs the input cardinality BEFORE the plan runs. Callers
+    # that know it (parquet footers, catalog stats — see tables.row_count)
+    # pass n_rows and skip the extra count() job; the fallback count stays
+    # for ad-hoc DataFrames.
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, int(n_rows / block_rows))
     packed = (
         unit.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
         .groupBy("__blk")

