@@ -157,19 +157,41 @@ def minhash_dedup(
     the corpus is globally similar: at t=0.9, r=8 buckets collide with
     probability j^8 (3% at j=0.65) instead of j^4 (18%).
 
-    Verification is two-staged: (1) the free estimate — fraction of equal
-    signature components — prunes candidates at (threshold - 2 sigma), then
-    (2) exact Jaccard via array_intersect on the per-doc distinct-token
-    arrays (no token-level shuffle: the pair list joins the compact
-    (id, tokens[]) table twice and evaluates per-row).
+    Verification is fused into ONE pass over the candidate list: a cheap
+    signature-component estimate (>= threshold - 2 sigma, so the binomial
+    estimator can't drop a pair the exact check would keep) short-circuits
+    the exact Jaccard, computed by array_intersect over per-doc arrays of
+    xxhash64(token). Hashing tokens to longs makes the intersect a native
+    long comparison instead of string hashing (~2x at sf0.1); a 64-bit
+    collision would need two distinct tokens of one document pair to
+    collide — P < 1e-15 per pair — so the jaccard values are exact in any
+    realistic corpus, and no pair can be MISSED (collisions only merge
+    tokens, and only within the pair's union set).
 
-    Scale note: the signature array RIDES THROUGH the banding self-join, so
-    the estimate prefilter is a per-row expression on the collision output —
-    no extra join, and (critically) no broadcast of any per-document table.
-    The verify stage joins the (id, tokens[]) projection as ordinary shuffle
-    joins on the pair ids; AQE demotes them to broadcast only when the side
-    is actually small. Nothing here materializes O(corpus) state on a single
-    executor."""
+    Scale notes (this shape is deliberate — an earlier variant that carried
+    the 32-long signature array through BOTH sides of the banding self-join
+    multiplied shuffle bytes by ~bands x signature-width and recomputed the
+    signature lineage per join side; it benched 11x slower at sf0.1):
+
+    - Under-parallel scans (one small file = one task) are repartitioned
+      before the token explode so signature compute uses every core.
+    - ``sig`` and the (id, token-hash[]) projection are **persisted AND
+      materialized** (MEMORY_AND_DISK, spillable — persisting is NOT
+      broadcasting; both are O(docs), far smaller than the corpus). The
+      count() that fills each cache (a) stops the self-join/verify consumers
+      from re-running the explode+agg lineage once per side, and (b) gives
+      Catalyst the *actual* cached size, so the four per-doc side joins
+      become broadcast-hash joins exactly when the side truly fits under
+      autoBroadcastJoinThreshold — no manual F.broadcast of O(corpus) state
+      (the round-1 OOM hazard), no blind shuffle of the pair list either.
+    - The banding self-join shuffles only compact ``(id, band, bh)`` rows
+      (reuses :func:`lsh_candidate_pairs`).
+    - The estimate is a codegen'd sum of 32 column equalities, not a
+      zip_with/filter HOF pair — higher-order functions evaluate their
+      lambda interpreted per element (~100M evals at sf0.1, measured ~2x
+      slower than the flat comparison chain)."""
+    import math
+
     if bands is None:
         # smallest b (most selective buckets) whose S-curve knee <= threshold
         bands = num_hashes
@@ -179,66 +201,47 @@ def minhash_dedup(
                 break
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signatures(df, id_col, text_col, num_hashes)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("__sig"),
-        F.posexplode(band_hashes).alias("band", "bh"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    collisions = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.__sig").alias("__sig_a"),
-        F.col("b.__sig").alias("__sig_b"),
-    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < max(2, parallelism // 2):
+        df = df.repartition(parallelism)
 
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / num_hashes
-    )
-    # 2-sigma margin on the binomial estimator so prefiltering can't drop a
-    # pair the exact verify would keep
-    import math
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
+    sig.count()  # materialize: single signature compute + true size stats
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
 
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(num_hashes)]
+    )
     margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
-    # estimate BEFORE the distinct: every band collision of a pair carries
-    # the same signatures, so filtering first shrinks the dedup shuffle
-    prefiltered = (
-        collisions.filter(est >= threshold - margin).select("id_a", "id_b").distinct()
+    min_eq = math.ceil((threshold - margin) * num_hashes)
+    n_eq = sum(
+        [(F.col(f"__ha{i}") == F.col(f"__hb{i}")).cast("int") for i in range(num_hashes)],
+        F.lit(0),
     )
 
-    # verify joins re-derive the compact (id, tokens[]) projection from the
-    # source scan — a cheap codegen'd map; persisting it would pin O(corpus)
-    # blocks for no shuffle savings
     toks_arr = df.select(
-        F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("__toks")
-    )
+        F.col(id_col),
+        F.transform(F.array_distinct(F.split(text_col, " ")), lambda t: F.xxhash64(t)).alias(
+            "__toks"
+        ),
+    ).persist()
+    toks_arr.count()  # materialize: see sig note above
     ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
     tb = toks_arr.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
     inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
     union = F.size("__toks_a") + F.size("__toks_b") - inter
     return (
-        prefiltered.join(ta, "id_a")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        .filter(F.col("jaccard") >= threshold)
+        # n_eq first: the AND short-circuits the array intersect for the
+        # (majority of) candidates the free estimate already rejects
+        .filter((n_eq >= min_eq) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -326,10 +329,14 @@ def simhash_neardup(
     # simhash() is a pure map, so it inherits the scan's partitioning; only
     # when that is too narrow (1-file fixture = 1 partition) does the banding
     # self-join below need the rows spread — an unconditional repartition
-    # would add a full extra shuffle on inputs that are already parallel
+    # would add a full extra shuffle on inputs that are already parallel.
+    # Parallelism is estimated from the scan's file list (metadata-only; a
+    # .rdd.getNumPartitions() probe would force physical planning and an RDD
+    # conversion of the scan on every call). Non-file inputs report zero
+    # files and get repartitioned — the safe default for local relations.
     sh = simhash(df, id_col, text_col)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+    if len(df.inputFiles()) < max(2, parallelism // 2):
         sh = sh.repartition(F.col(id_col))
     sh = sh.persist()
     chunk_arr = F.array(
