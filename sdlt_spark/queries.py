@@ -740,6 +740,102 @@ def vintage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.history().select("version", "operation", "dataChange")
 
 
+@_q("vintage_timestamp_travel", _ORDERS_PROJ_SQL)
+def vintage_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: ``timestampAsOf`` (README.md:166) — a wall-clock instant captured
+    between the initial load and a merge must resolve to the pre-merge
+    snapshot. Commit timestamps are stored as full-precision epoch floats,
+    so a microsecond-apart capture is unambiguous (the sleep guards against
+    a coarse or stepped clock)."""
+    import time as _time
+
+    t = _fresh_vintage(spark, sf_dir)
+    _time.sleep(0.005)
+    before_merge = _time.time()
+    _time.sleep(0.005)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    return t.read(timestamp=before_merge)
+
+
+@_q("vintage_compact", _ORDERS_PROJ_SQL)
+def vintage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: compaction is a physical reorganization with dataChange=false
+    (README.md:403-412) — reading back after repartition+sort must be
+    bit-for-bit the plain projection."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.compact(num_files=2, sort_by=["o_orderkey"])
+    return t.read()
+
+
+@_q(
+    "vintage_vacuum",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE NOT (o_orderstatus = 'F')",
+)
+def vintage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: vacuum (README.md:415) must delete ONLY dead files. Choreography:
+    compact (writes clone-owned files, retires the shared cloned-in refs),
+    then a predicate delete (retires the compacted files), then vacuum with
+    zero retention — which physically removes the dead compacted files and
+    skips the shared ones it doesn't own. The scan afterwards must still
+    produce exactly the delete-state rows; a vacuum that removed a live (or
+    shared) file would crash or mismatch here."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.compact(num_files=2)
+    t.delete("o_orderstatus = 'F'")
+    t.vacuum(retention_hours=0)
+    return t.read()
+
+
+@_q(
+    "vintage_evolve",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice,
+             'HIGH' AS o_priority
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_priority FROM src
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_priority
+    FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    """,
+)
+def vintage_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: schema-evolving merge (README.md:330,372-387 — Delta autoMerge).
+    The source carries a new ``o_priority`` column; after the merge the
+    scan surfaces it as typed NULL on every untouched row (the COALESCE
+    shape of README.md:379-387), real values on merged rows."""
+    src = _merge_src(spark, sf_dir).withColumn("o_priority", F.lit("HIGH"))
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(src, ["o_orderkey"], schema_evolution=True)
+    return t.read()
+
+
+@_q(
+    "vintage_diff",
+    """
+    SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+           'delete' AS _change_type
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def vintage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read (the batch half of Delta's change feed): after a predicate
+    update, diff(v0) must emit exactly one delete+insert pair per updated
+    row — unchanged rows in rewritten files cancel in the exceptAll, and
+    files untouched by the update are never read at all."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.update("o_orderstatus = 'P'", {"o_totalprice": F.lit(0.0)})
+    return t.diff(0)
+
+
 # ---------------------------------------------------------------------------
 # §2.11 — LLM-data-pipeline extensions over documents/embeddings
 # ---------------------------------------------------------------------------
