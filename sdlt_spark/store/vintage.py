@@ -79,6 +79,47 @@ def _link_cas_publish(tmp: str, final: str) -> None:
     os.remove(tmp)
 
 
+def _read_footer_stats(abs_path: str) -> dict:
+    """Zone map for one parquet file from its footer (metadata-only read).
+    Module-level so executors can run it by reference when a commit is big
+    enough to fan stats collection out (see ``_collect_stats``).
+
+    A column's file-level range is only usable if EVERY row group supplied
+    valid min/max — a partial range (some row groups omitted stats for
+    oversized/non-UTF8 values) would let ``_prune_by_range`` skip a file
+    that actually contains matches, and a merge would then miss rows it
+    must rewrite."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    unusable: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        lo = None
+            if lo is None or not isinstance(lo, (int, float, str)):
+                unusable.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in unusable:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
 @dataclass
 class _Commit:
     version: int
@@ -308,47 +349,36 @@ class VintageTable:
     def _stats_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "file_stats.json")
 
+    # Below this many new files, footer reads happen in a driver loop: a
+    # local/shared-FS footer read is ~1-50 ms, so a handful of serial reads
+    # beats one Spark job's scheduling overhead. Above it, footers are read
+    # executor-side in parallel — O(files) work spread over the cluster, the
+    # driver only collects the (small) aggregated zone maps, mirroring how
+    # Delta gathers per-file stats from the write tasks rather than looping
+    # on the driver.
+    _DRIVER_STATS_MAX = 32
+
     def _collect_stats(self, files: list[str]) -> dict:
         """Record per-file zone maps (row count + per-column min/max) from
-        the parquet footers — metadata-only reads, O(files) driver work, the
-        same stats Delta keeps in its log. Used for file skipping. Returns
-        the full stats map."""
-        import pyarrow.parquet as pq
-
+        the parquet footers — metadata-only reads, the same stats Delta
+        keeps in its log. Used for file skipping. Returns the full stats
+        map. Large commits fan the footer reads out to executors (see
+        ``_DRIVER_STATS_MAX``); a 100 TB write's stats collection is then
+        bounded by cluster parallelism, not driver round-trips."""
         stats = self._file_stats()
-        for rel in files:
-            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-            mins: dict = {}
-            maxs: dict = {}
-            # A column's file-level range is only usable if EVERY row group
-            # supplied valid min/max — a partial range (some row groups
-            # omitted stats for oversized/non-UTF8 values) would let
-            # _prune_by_range skip a file that actually contains matches,
-            # and a merge would then miss rows it must rewrite.
-            unusable: set[str] = set()
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    name = col.path_in_schema
-                    st = col.statistics
-                    lo = hi = None
-                    if st is not None and st.has_min_max:
-                        lo, hi = st.min, st.max
-                        if isinstance(lo, bytes):
-                            try:
-                                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                            except UnicodeDecodeError:
-                                lo = None
-                    if lo is None or not isinstance(lo, (int, float, str)):
-                        unusable.add(name)
-                        continue
-                    mins[name] = lo if name not in mins else min(mins[name], lo)
-                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-            for name in unusable:
-                mins.pop(name, None)
-                maxs.pop(name, None)
-            stats[rel] = {"rows": md.num_rows, "min": mins, "max": maxs}
+        if len(files) > self._DRIVER_STATS_MAX:
+            sc = self.spark.sparkContext
+            root = self.path
+            n_parts = max(1, min(len(files) // 8 + 1, sc.defaultParallelism * 4))
+            pairs = (
+                sc.parallelize(files, n_parts)
+                .map(lambda rel: (rel, _read_footer_stats(os.path.join(root, rel))))
+                .collect()
+            )
+            stats.update(dict(pairs))
+        else:
+            for rel in files:
+                stats[rel] = _read_footer_stats(os.path.join(self.path, rel))
         tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as f:

@@ -105,3 +105,19 @@ def test_zorder_requires_two_columns(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="zorder_by"):
         t.compact(zorder_by=["x"])
+
+
+def test_executor_side_stats_for_large_commits(spark, tmp_path):
+    """Commits above _DRIVER_STATS_MAX files collect footer stats via a
+    Spark job instead of a serial driver loop — same zone maps, and
+    pruning still works."""
+    t = _build(spark, str(tmp_path / "t"), n_files=40, rows=4000)
+    assert len(t._live_files()) > VintageTable._DRIVER_STATS_MAX
+    stats = t._file_stats()
+    assert len(stats) == len(t._live_files())
+    for st in stats.values():
+        assert st["rows"] > 0 and "k" in st["min"] and "k" in st["max"]
+    # a 10-key source must prune to the one overlapping range file
+    src = spark.range(10).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    t.merge(src, ["k"])
+    assert len(t._commits()[-1].remove) == 1
