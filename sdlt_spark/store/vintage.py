@@ -21,10 +21,11 @@ Design (scale notes):
   ``remove`` file actions (paths relative to the table root) plus operation
   metadata. A snapshot at version v is the file set after replaying entries
   0..v — identical in spirit to Delta's log replay. Entries are finalized
-  with an atomic ``os.rename`` so readers never observe a half commit.
-  Single-writer is assumed (the reference is a single Spark shell); a
-  multi-writer deployment would swap the rename for a CAS on an object
-  store / catalog, which is orthogonal to the query semantics.
+  with an atomic CAS publish (``os.link`` EEXIST; object stores swap in a
+  conditional PUT) so exactly one writer wins each version number, and
+  mutations retry against the new snapshot on conflict (``_retry_conflicts``)
+  — optimistic concurrency like Delta's. The reference itself is a single
+  Spark shell, so this is strictly stronger than its requirements.
 
 - **Copy-on-write mutations**: merge/delete/update first find the files that
   actually contain affected rows (a left-semi join / filter over the
@@ -39,6 +40,7 @@ Design (scale notes):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -52,6 +54,39 @@ _LOG_DIR = "_vintage_log"
 _DATA_DIR = "data"
 # Delta checkpoints every 10 commits by default; same cadence here.
 _CHECKPOINT_EVERY = 10
+# Bounded optimistic-concurrency retries, like Delta's
+# spark.databricks.delta.maxCommitAttempts (just much smaller: each retry
+# re-runs the full operation, so runaway retrying hides real contention).
+_COMMIT_RETRIES = 3
+
+
+def _retry_conflicts(fn):
+    """Optimistic concurrency for mutations: on ``CommitConflictError`` the
+    whole operation re-runs against the NEW snapshot (every mutation derives
+    its state from the log on entry, so re-invocation IS the re-derivation —
+    touched files, zone-map pruning and all), up to ``_COMMIT_RETRIES``
+    times. The loser of a race therefore lands the same state as sequential
+    application.
+
+    Also owns failure hygiene: data files written by an attempt that did not
+    commit (conflict OR any other error) are deleted before re-raising /
+    retrying, so aborted mutations don't leak permanently-unreferenced
+    parquet files (Delta reclaims those via VACUUM's directory listing;
+    vacuum() here sweeps them too, as a crash backstop)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        for attempt in range(_COMMIT_RETRIES):
+            self._op_files = []
+            try:
+                return fn(self, *args, **kwargs)
+            except BaseException as exc:
+                self._cleanup_op_files()
+                if not isinstance(exc, CommitConflictError) or attempt == _COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
+
+    return wrapper
 
 
 class CommitConflictError(RuntimeError):
@@ -169,6 +204,9 @@ class VintageTable:
         # pluggable CAS seam: (tmp_path, final_path) -> None, atomic, raises
         # CommitConflictError if final_path was already published
         self._publish = commit_hook or _link_cas_publish
+        # data files written by the in-flight mutation attempt; cleaned up
+        # by _retry_conflicts if the attempt fails to commit
+        self._op_files: list[str] = []
 
     # ------------------------------------------------------------------ log
 
@@ -344,7 +382,34 @@ class VintageTable:
                 os.remove(os.path.join(self.path, f))
             else:
                 keep.append(f)
+        self._op_files.extend(keep)
         return keep
+
+    def _cleanup_op_files(self) -> None:
+        """Delete data files written by a mutation attempt that failed to
+        commit (no log entry references them), plus their stats entries and
+        now-empty commit directories."""
+        files, self._op_files = self._op_files, []
+        if not files:
+            return
+        for f in files:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except OSError:
+                pass
+        for d in {os.path.dirname(f) for f in files}:
+            try:
+                os.rmdir(os.path.join(self.path, d))
+            except OSError:
+                pass
+        stats = self._file_stats()
+        if any(f in stats for f in files):
+            for f in files:
+                stats.pop(f, None)
+            tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.rename(tmp, self._stats_path())
 
     def _stats_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "file_stats.json")
@@ -470,6 +535,7 @@ class VintageTable:
 
     # --------------------------------------------------------------- writes
 
+    @_retry_conflicts
     def write(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Full write. ``overwrite`` = reference full replacement
         (README.md:175-199); history is preserved, old files stay for time
@@ -501,6 +567,7 @@ class VintageTable:
             schema_json=df.schema.json(),
         )
 
+    @_retry_conflicts
     def merge(
         self,
         source: DataFrame,
@@ -646,6 +713,7 @@ class VintageTable:
             schema_json=schema_json,
         )
 
+    @_retry_conflicts
     def delete(self, condition: str) -> int:
         """Logical predicate delete (README.md:281). Rewrites only files that
         contain matching rows; a file left empty is simply removed."""
@@ -672,6 +740,7 @@ class VintageTable:
         add = self._write_files(survivors)
         return self._commit("DELETE", {"predicate": condition}, add, touched)
 
+    @_retry_conflicts
     def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
         """Predicate update, e.g. series-level attribute fan-out
         (README.md:290). Rewrites only files containing matching rows."""
@@ -707,6 +776,7 @@ class VintageTable:
 
     # ---------------------------------------------------------- maintenance
 
+    @_retry_conflicts
     def compact(
         self,
         num_files: int = 4,
@@ -820,6 +890,7 @@ class VintageTable:
         deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    @_retry_conflicts
     def restore(self, version: int | None = None, timestamp: float | None = None) -> int:
         """Roll the table back to a previous state (README.md:321: use a
         version or timestamp "to replace the current state (rollback
@@ -901,6 +972,35 @@ class VintageTable:
                 if os.path.exists(abs_f):
                     os.remove(abs_f)
                     deleted.append(f)
+        # Orphan sweep (Delta's VACUUM lists the directory too): data files
+        # referenced by NO commit — left behind by a writer that crashed
+        # between writing and committing — are deleted once older than the
+        # retention window. The mtime guard is what keeps an in-flight
+        # writer's files safe, exactly Delta's trade-off (its default
+        # retention is 7 days for the same reason).
+        referenced = {f for c in commits for f in c.add}
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for dirpath, _dirs, fnames in os.walk(data_root):
+            for fname in fnames:
+                abs_f = os.path.join(dirpath, fname)
+                rel = os.path.relpath(abs_f, self.path)
+                try:
+                    # `rel not in current` is redundant while commit entries
+                    # are never pruned (every live file has an add record),
+                    # but guarantees the sweep can never touch a live file
+                    orphaned = (
+                        rel not in referenced
+                        and rel not in current
+                        and os.path.getmtime(abs_f) <= cutoff
+                    )
+                except OSError:
+                    continue
+                if orphaned:
+                    try:
+                        os.remove(abs_f)
+                    except OSError:
+                        continue
+                    deleted.append(rel)
         if deleted:
             # keep the zone-map file bounded: dead files need no stats
             stats = self._file_stats()

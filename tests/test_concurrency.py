@@ -1,0 +1,128 @@
+"""Multi-writer optimistic concurrency on VintageTable: conflicting commits
+retry against the new snapshot (final state == sequential application), and
+attempts that fail to commit never leak data files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.store import VintageTable
+from sdlt_spark.store.vintage import CommitConflictError, _link_cas_publish
+
+
+def _base(spark, path, rows=100):
+    df = spark.range(rows).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = VintageTable(spark, path)
+    t.write(df.repartition(4))
+    return t
+
+
+def _data_files(table):
+    out = []
+    root = os.path.join(table.path, "data")
+    for dirpath, _dirs, fnames in os.walk(root):
+        out += [
+            os.path.relpath(os.path.join(dirpath, f), table.path)
+            for f in fnames
+            if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+def _referenced(table):
+    return {f for c in table._commits() for f in c.add}
+
+
+def test_two_writer_merge_both_land(spark, tmp_path):
+    """Writer B derives its merge against v0; writer A commits first; B's
+    CAS publish fails, the retry re-derives against A's state, and the
+    final table equals sequential application of both merges."""
+    path = str(tmp_path / "t")
+    reader = _base(spark, path)
+    other = VintageTable(spark, path)
+
+    src_a = spark.range(5).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    src_b = spark.range(5, 10).select(F.col("id").alias("k"), F.lit(-2.0).alias("v"))
+
+    state = {"injected": False}
+
+    def racing_publish(tmp, final):
+        if not state["injected"]:
+            state["injected"] = True
+            other.merge(src_a, ["k"])  # A wins the version number
+        _link_cas_publish(tmp, final)
+
+    writer_b = VintageTable(spark, path, commit_hook=racing_publish)
+    writer_b.merge(src_b, ["k"])
+
+    assert state["injected"], "race never triggered"
+    got = {r["k"]: r["v"] for r in reader.read().collect()}
+    expected = {**{k: -1.0 for k in range(5)}, **{k: -2.0 for k in range(5, 10)}}
+    assert {k: got[k] for k in range(10)} == expected
+    assert got[50] == 50.0  # untouched rows intact
+    # history shows both merges as separate versions
+    ops = [c.operation for c in reader._commits()]
+    assert ops.count("MERGE") == 2
+    # no leaked files: everything on disk is referenced by some commit
+    assert set(_data_files(reader)) <= _referenced(reader)
+
+
+def test_conflict_exhaustion_raises_and_cleans_up(spark, tmp_path):
+    """A writer that loses every retry surfaces CommitConflictError and
+    leaves no unreferenced data files behind."""
+    path = str(tmp_path / "t")
+    t = _base(spark, path)
+    other = VintageTable(spark, path)
+
+    def always_lose(tmp, final):
+        # someone else always takes this version number first
+        other.delete("k = 99999")  # no-op delete still commits a version
+        _link_cas_publish(tmp, final)
+
+    loser = VintageTable(spark, path, commit_hook=always_lose)
+    src = spark.range(3).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    with pytest.raises(CommitConflictError):
+        loser.merge(src, ["k"])
+    assert set(_data_files(t)) <= _referenced(t)
+    # table still consistent and mutable afterwards
+    t.merge(src, ["k"])
+    assert {r["v"] for r in t.read().filter("k < 3").collect()} == {0.0}
+
+
+def test_failed_write_files_cleaned_up(spark, tmp_path):
+    """Any commit failure (not just conflicts) deletes the attempt's data
+    files and stats entries."""
+    path = str(tmp_path / "t")
+    t = _base(spark, path)
+    files_before = _data_files(t)
+    stats_before = set(t._file_stats())
+
+    def boom(tmp, final):
+        os.remove(tmp)
+        raise RuntimeError("publish exploded")
+
+    broken = VintageTable(spark, path, commit_hook=boom)
+    with pytest.raises(RuntimeError, match="publish exploded"):
+        broken.delete("k < 10")
+    assert _data_files(t) == files_before
+    assert set(t._file_stats()) == stats_before
+
+
+def test_vacuum_sweeps_orphaned_files(spark, tmp_path):
+    """Files referenced by no commit (crash between write and commit) are
+    reclaimed by vacuum once past retention; live files never are."""
+    path = str(tmp_path / "t")
+    t = _base(spark, path)
+    orphan_dir = os.path.join(path, "data", "cdeadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    deleted = t.vacuum(retention_hours=0)
+    assert "data/cdeadbeef/part-orphan.parquet" in deleted
+    assert not os.path.exists(orphan)
+    # live files survived and the table still reads
+    assert t.read().count() == 100
