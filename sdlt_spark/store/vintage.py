@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_vintage_log"
 _DATA_DIR = "data"
+_CHANGE_DIR = "_change_data"
 # Delta checkpoints every 10 commits by default; same cadence here.
 _CHECKPOINT_EVERY = 10
 # Bounded optimistic-concurrency retries, like Delta's
@@ -198,12 +199,20 @@ class _Commit:
 class VintageTable:
     """A versioned parquet table with Delta-like mutation semantics."""
 
-    def __init__(self, spark: SparkSession, path: str, commit_hook=None):
+    def __init__(
+        self, spark: SparkSession, path: str, commit_hook=None, change_feed: bool = False
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         # pluggable CAS seam: (tmp_path, final_path) -> None, atomic, raises
         # CommitConflictError if final_path was already published
         self._publish = commit_hook or _link_cas_publish
+        # Delta's delta.enableChangeDataFeed: row-level ops (merge/delete/
+        # update) additionally persist their change rows under _change_data/
+        # so CDC readers (table_changes / the vintage_cdc stream source)
+        # never re-derive them by diffing. Off by default — it costs one
+        # extra O(changed rows) write per mutation.
+        self.change_feed = change_feed
         # data files written by the in-flight mutation attempt; cleaned up
         # by _retry_conflicts if the attempt fails to commit
         self._op_files: list[str] = []
@@ -410,6 +419,23 @@ class VintageTable:
             with open(tmp, "w") as fh:
                 json.dump(stats, fh)
             os.rename(tmp, self._stats_path())
+
+    def _write_change_data(self, changes: DataFrame | None) -> str | None:
+        """Persist a mutation's change rows (must carry ``_change_type``)
+        under ``_change_data/`` and return the directory's relative path for
+        the commit record — Delta's CDF ``_change_data`` mechanism. The
+        write is executor-side and O(changed rows); files are tracked in
+        ``_op_files`` so a failed commit reclaims them."""
+        if changes is None or not self.change_feed:
+            return None
+        rel_dir = f"{_CHANGE_DIR}/c{uuid.uuid4().hex}"
+        abs_dir = os.path.join(self.path, rel_dir)
+        changes.write.mode("errorifexists").parquet(abs_dir)
+        files = [
+            f"{rel_dir}/{f}" for f in sorted(os.listdir(abs_dir)) if f.endswith(".parquet")
+        ]
+        self._op_files.extend(files)
+        return rel_dir
 
     def _stats_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "file_stats.json")
@@ -687,6 +713,23 @@ class VintageTable:
         else:
             new_data = src.select(*[f.name for f in target_schema.fields])
 
+        change_dir = None
+        if self.change_feed:
+            # CDF capture: every source row lands (insert); previously-stored
+            # rows for matched keys disappear (delete). Reuses the frames the
+            # merge already computes — O(changed rows), executor-side.
+            inserts = src if schema_evolution else src.select(
+                *[f.name for f in target_schema.fields]
+            )
+            changes = inserts.withColumn("_change_type", F.lit("insert"))
+            if touched:
+                matched_old = touched_rows.join(src.select(*key_cols), key_cols, "left_semi")
+                changes = changes.unionByName(
+                    matched_old.withColumn("_change_type", F.lit("delete")),
+                    allowMissingColumns=True,
+                )
+            change_dir = self._write_change_data(changes)
+
         # Untouched files keep their old schema; mergeSchema on read surfaces
         # evolved columns as nulls there, matching Delta autoMerge semantics.
         add = self._write_files(new_data)
@@ -705,13 +748,10 @@ class VintageTable:
                 + [f for f in new_data.schema.fields if f.name not in names]
             )
             schema_json = merged.json()
-        return self._commit(
-            "MERGE",
-            {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)},
-            add,
-            touched,
-            schema_json=schema_json,
-        )
+        params = {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)}
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit("MERGE", params, add, touched, schema_json=schema_json)
 
     @_retry_conflicts
     def delete(self, condition: str) -> int:
@@ -735,10 +775,22 @@ class VintageTable:
         )
         if not touched:
             return self._commit("DELETE", {"predicate": condition}, [], [])
-        survivors = self._read_files(touched).filter(~cond)
+        rows = self._read_files(touched)
+        # keep rows where the predicate is FALSE **or NULL** — SQL DELETE
+        # only removes rows where it is true; a bare ~cond would silently
+        # drop NULL-evaluating rows from rewritten files
+        survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+        change_dir = self._write_change_data(
+            rows.filter(cond).withColumn("_change_type", F.lit("delete"))
+            if self.change_feed
+            else None
+        )
         # zero-row outputs are dropped inside _write_files; no isEmpty job
         add = self._write_files(survivors)
-        return self._commit("DELETE", {"predicate": condition}, add, touched)
+        params = {"predicate": condition}
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit("DELETE", params, add, touched)
 
     @_retry_conflicts
     def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
@@ -771,8 +823,25 @@ class VintageTable:
                 for col, val in assignments.items()
             }
         )
+        change_dir = None
+        if self.change_feed:
+            matching = rows.filter(cond)
+            after = matching.withColumns(
+                {
+                    col: F.expr(val) if isinstance(val, str) else val
+                    for col, val in assignments.items()
+                }
+            )
+            change_dir = self._write_change_data(
+                matching.withColumn("_change_type", F.lit("delete")).unionByName(
+                    after.withColumn("_change_type", F.lit("insert"))
+                )
+            )
         add = self._write_files(updated)
-        return self._commit("UPDATE", {"predicate": condition}, add, touched)
+        params = {"predicate": condition}
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit("UPDATE", params, add, touched)
 
     # ---------------------------------------------------------- maintenance
 
@@ -889,6 +958,85 @@ class VintageTable:
         inserts = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
         deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
+
+    def table_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        skip_change_commits: bool = False,
+    ) -> DataFrame:
+        """Per-commit CDC rows for versions in [from_version, to_version] —
+        Delta's ``table_changes``. Unlike :meth:`diff` (which compares two
+        snapshots), this attributes every change to its commit via
+        ``_commit_version``:
+
+        - row-level ops (MERGE/DELETE/UPDATE) replay their **materialized**
+          change rows from ``_change_data/`` (tables built with
+          ``change_feed=True``); without materialized changes they raise —
+          or are skipped with ``skip_change_commits``, Delta's option of the
+          same name — because re-deriving them would need a row diff;
+        - file-level ops (WRITE/RESTORE/CLONE) are exact from the commit's
+          file actions alone: added files are inserts, removed files are
+          deletes — no row comparison, O(changed files) reads;
+        - dataChange=false commits (compaction) emit nothing.
+        """
+        hi = self.latest_version() if to_version is None else to_version
+        schema = self._schema_at(version=hi)
+        parts: list[DataFrame] = []
+        for c in self._commits():
+            if c.version < from_version or c.version > hi or not c.data_change:
+                continue
+            change_dir = c.operation_parameters.get("changeData")
+            if change_dir:
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(self.path, change_dir)
+                )
+            elif c.operation in ("MERGE", "DELETE", "UPDATE") and (c.add or c.remove):
+                if skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"version {c.version} ({c.operation}) has no materialized "
+                    "change data — create the table with change_feed=True, or "
+                    "pass skip_change_commits=True to ignore such commits"
+                )
+            else:
+                frames = []
+                if c.add:
+                    frames.append(
+                        self._read_files(c.add, version=c.version).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                if c.remove:
+                    frames.append(
+                        self._read_files(
+                            c.remove, version=max(c.version - 1, 0)
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+                if not frames:
+                    continue
+                df = frames[0]
+                if len(frames) == 2:
+                    df = df.unionByName(frames[1], allowMissingColumns=True)
+            parts.append(df.withColumn("_commit_version", F.lit(c.version).cast("long")))
+        base = None
+        for p in parts:
+            base = p if base is None else base.unionByName(p, allowMissingColumns=True)
+        if base is None:
+            base = self.spark.createDataFrame([], schema).withColumns(
+                {
+                    "_change_type": F.lit(None).cast("string"),
+                    "_commit_version": F.lit(None).cast("long"),
+                }
+            )
+        # stable output order: schema at `hi` (typed-null padding for rows
+        # from pre-evolution commits), then the CDC bookkeeping columns
+        for f in schema.fields:
+            if f.name not in base.columns:
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return base.select(
+            *[f.name for f in schema.fields], "_change_type", "_commit_version"
+        )
 
     @_retry_conflicts
     def restore(self, version: int | None = None, timestamp: float | None = None) -> int:

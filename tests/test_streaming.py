@@ -191,3 +191,160 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert batch  # the fixture has co-active users
     assert streamed == batch
+
+
+# --------------------------------------------------------------- vintage CDC
+
+
+def _cdc_rows(df):
+    return sorted(
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"]) for r in df.collect()
+    )
+
+
+def test_vintage_cdc_stream_tails_commits(spark, tmp_path):
+    """Streaming read OF a VintageTable: a stream over the commit log emits
+    exactly the CDC rows of each commit — initial snapshot as inserts, then
+    merge/delete change rows from the materialized change feed — and keeps
+    tailing commits that land while it runs."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.write(base.repartition(2))  # v0: 10 inserts
+    t.merge(
+        spark.range(2).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")), ["k"]
+    )  # v1: 2 inserts + 2 deletes
+
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_tail")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _cdc_rows(spark.sql("select * from cdc_tail"))
+        expected = sorted(
+            [(k, float(k), "insert", 0) for k in range(10)]
+            + [(k, -1.0, "insert", 1) for k in range(2)]
+            + [(k, float(k), "delete", 1) for k in range(2)]
+        )
+        assert got == expected
+
+        # a commit landing while the stream runs is picked up incrementally
+        t.delete("k >= 8")  # v2: 2 deletes
+        q.processAllAvailable()
+        got2 = _cdc_rows(spark.sql("select * from cdc_tail"))
+        assert got2 == sorted(expected + [(k, float(k), "delete", 2) for k in (8, 9)])
+    finally:
+        q.stop()
+
+
+def test_vintage_cdc_stream_skips_compaction_and_default_tails(spark, tmp_path):
+    """dataChange=false commits emit nothing; without startingVersion the
+    stream starts at the current latest version (pure tail)."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(4)
+    )
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_tail2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from cdc_tail2").count() == 0  # no replay
+        t.compact(num_files=1)  # dataChange=false
+        q.processAllAvailable()
+        assert spark.sql("select * from cdc_tail2").count() == 0
+        t.update("k = 3", {"v": F.lit(99.0)})
+        q.processAllAvailable()
+        got = _cdc_rows(spark.sql("select * from cdc_tail2"))
+        assert got == [(3, 3.0, "delete", 2), (3, 99.0, "insert", 2)]
+    finally:
+        q.stop()
+
+
+def test_vintage_cdc_requires_change_feed_for_row_ops(spark, tmp_path):
+    """A merge on a table without change_feed poisons the stream (no way to
+    re-derive row changes) unless skipChangeCommits is set."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)  # change feed OFF
+    t.write(spark.range(5).select(F.col("id").alias("k"), F.lit(0.0).alias("v")))
+    t.merge(spark.range(2).select(F.col("id").alias("k"), F.lit(1.0).alias("v")), ["k"])
+
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_poisoned")
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="change data|changeData|change_feed"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    q2 = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_skipping")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        got = _cdc_rows(spark.sql("select * from cdc_skipping"))
+        assert got == [(k, 0.0, "insert", 0) for k in range(5)]  # merge skipped
+    finally:
+        q2.stop()
+
+
+def test_table_changes_batch(spark, tmp_path):
+    """Batch CDC: table_changes attributes rows to commits; file-level ops
+    need no materialized feed; compaction is silent."""
+    from sdlt_spark.store import VintageTable
+
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t.delete("k = 0")  # v1
+    t.compact(num_files=1)  # v2, silent
+    t.merge(
+        spark.range(4, 6).select(F.col("id").alias("k"), F.lit(7.0).alias("v")), ["k"]
+    )  # v3: pure inserts (no matched keys)
+    got = _cdc_rows(t.table_changes(1))
+    assert got == sorted(
+        [(0, 0.0, "delete", 1), (4, 7.0, "insert", 3), (5, 7.0, "insert", 3)]
+    )
+    # full history including the initial snapshot
+    assert len(_cdc_rows(t.table_changes(0))) == 4 + 3
