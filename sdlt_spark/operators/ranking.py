@@ -39,6 +39,12 @@ def global_rank(
     Returns ``(df + rank_col, total_rows)``; the total comes free from the
     bucket-count pass. All three jobs are executor-parallel; driver state is
     O(n_buckets) boundary/offset scalars.
+
+    NULL ordering matches ``Window.orderBy`` ascending (nulls FIRST, on
+    every order column): rows with a NULL first column go to a dedicated
+    bucket ranked before all value buckets (``approxQuantile`` ignores
+    nulls, so boundaries only describe non-null values), and the in-bucket
+    pandas sort uses ``na_position='first'``.
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -52,6 +58,8 @@ def global_rank(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
+    # nulls-first: their own bucket, ordered before every value bucket
+    bucket = F.when(F.col(first).isNull(), F.lit(-1)).otherwise(bucket)
     bucketed = df.withColumn("__bucket", bucket.cast("int"))
 
     counts = {
@@ -70,7 +78,7 @@ def global_rank(
 
     def _rank(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["__bucket"].iloc[0])
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = pdf.sort_values(order_cols, kind="mergesort", na_position="first")
         pdf[rank_col] = offsets[b] + pd.RangeIndex(1, len(pdf) + 1)
         return pdf.drop(columns="__bucket")
 

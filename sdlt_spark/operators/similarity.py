@@ -331,8 +331,13 @@ def neardup_cosine_lsh(
     num_planes: int = 8,
     block_rows: int = 512,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine >= threshold — the 100 TB path.
+
+    ``n_rows`` sizes the per-bucket block count; pass it from footer stats
+    or catalog metadata (tables.row_count) to avoid the fallback count()
+    job — block sizing needs only the order of magnitude.
 
     Multi-table hyperplane LSH: each of ``num_tables`` independent sign
     sketches buckets the corpus; candidate pairs share a (table, bucket);
@@ -363,7 +368,9 @@ def neardup_cosine_lsh(
     assign = unit.select(
         "__id", "__u", F.posexplode(buckets).alias("__tbl", "__bucket")
     )
-    n_blocks = max(1, int(df.count() / (block_rows * (2**num_planes))))
+    if n_rows is None:
+        n_rows = df.count()
+    n_blocks = max(1, int(n_rows / (block_rows * (2**num_planes))))
     packed = (
         assign.withColumn("__blk", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)))
         .groupBy("__tbl", "__bucket", "__blk")

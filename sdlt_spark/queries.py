@@ -1417,6 +1417,7 @@ def neardup_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.neardup_cosine_lsh(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         threshold=0.40, num_tables=6, num_planes=4,
+        n_rows=tables.row_count(sf_dir, "embeddings"),
     )
 
 

@@ -449,6 +449,10 @@ class VintageTable:
     # on the driver.
     _DRIVER_STATS_MAX = 32
 
+    # Max distinct values for dictionary-rank Z-order buckets on a string
+    # column; the driver holds one sorted list this size per compact() call.
+    _Z_DICT_MAX = 1024
+
     def _collect_stats(self, files: list[str]) -> dict:
         """Record per-file zone maps (row count + per-column min/max) from
         the parquet footers — metadata-only reads, the same stats Delta
@@ -861,38 +865,85 @@ class VintageTable:
         point/range reads on it to single files — but a filter on any other
         column still touches every file.
 
-        ``zorder_by`` (two or more numeric columns) clusters on the Morton
-        (Z-curve) interleaving of the columns' bucketed ranks — Delta's
-        OPTIMIZE ZORDER. Each file then covers a small hyper-rectangle of
-        the key space, so zone maps prune selective filters on EVERY listed
-        column, at the cost of slightly looser per-column ranges than a
-        dedicated 1-D sort."""
+        ``zorder_by`` (two or more columns) clusters on the Morton (Z-curve)
+        interleaving of the columns' bucketed ranks — Delta's OPTIMIZE
+        ZORDER. Each file then covers a small hyper-rectangle of the key
+        space, so zone maps prune selective filters on EVERY listed column,
+        at the cost of slightly looser per-column ranges than a dedicated
+        1-D sort.
+
+        Column buckets (10 bits each, NULL -> bucket 0, Delta's nulls-first):
+
+        - numeric: ``width_bucket`` over the min/max from one tiny agg;
+        - string, <= ``_Z_DICT_MAX`` distinct: dictionary rank — sorted
+          distinct values (one small agg, driver holds only the dictionary)
+          mapped to scaled indices, preserving lexicographic locality so
+          string zone maps prune ranges AND points (the SDMX dimension-key
+          case, e.g. CURRENCY);
+        - string, higher cardinality: hash buckets — equal values still
+          cluster (point-predicate pruning works) but range locality is
+          given up rather than paying a global sort; Delta samples a range
+          partitioner here, a fine future upgrade."""
         snap = self.read()
         if zorder_by:
             if len(zorder_by) < 2:
                 raise ValueError("zorder_by needs >= 2 columns; use sort_by for 1")
-            # 10 bits per dimension: bucket each column's value range, then
-            # interleave the bucket bits into one long sort key. Bounds come
-            # from one tiny agg (driver-side scalars, not row data).
+            from pyspark.sql.types import StringType
+
             bits = 10
             n_buckets = 1 << bits
-            bounds = snap.agg(
-                *[F.min(c).alias(f"__lo_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"__hi_{c}") for c in zorder_by],
-            ).head()
+            num_cols = [
+                c for c in zorder_by if not isinstance(snap.schema[c].dataType, StringType)
+            ]
+            bounds = (
+                snap.agg(
+                    *[F.min(c).alias(f"__lo_{c}") for c in num_cols],
+                    *[F.max(c).alias(f"__hi_{c}") for c in num_cols],
+                ).head()
+                if num_cols
+                else None
+            )
             z = F.lit(0).cast("long")
             for d, c in enumerate(zorder_by):
-                lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
-                if lo is None or hi is None or lo == hi:
-                    continue
-                bucket = (
-                    F.width_bucket(
-                        F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
-                    )
-                    - 1
-                ).cast("long")
-                # clamp width_bucket's overflow bucket (value == hi)
-                bucket = F.least(bucket, F.lit(n_buckets - 1))
+                if c in num_cols:
+                    lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+                    if lo is None or hi is None or lo == hi:
+                        continue
+                    bucket = (
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.lit(float(lo)),
+                            F.lit(float(hi)),
+                            F.lit(n_buckets),
+                        )
+                        - 1
+                    ).cast("long")
+                    # clamp width_bucket's overflow bucket (value == hi)
+                    bucket = F.least(bucket, F.lit(n_buckets - 1))
+                else:
+                    vals = [
+                        r[0]
+                        for r in snap.select(c)
+                        .filter(F.col(c).isNotNull())
+                        .distinct()
+                        .orderBy(c)
+                        .limit(self._Z_DICT_MAX + 1)
+                        .collect()
+                    ]
+                    if len(vals) <= 1:
+                        continue
+                    if len(vals) > self._Z_DICT_MAX:
+                        bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("long")
+                    else:
+                        idx = F.create_map(
+                            *[
+                                x
+                                for i, v in enumerate(vals)
+                                for x in (F.lit(v), F.lit(i * n_buckets // len(vals)))
+                            ]
+                        )[F.col(c)]
+                        bucket = idx.cast("long")
+                bucket = F.coalesce(bucket, F.lit(0).cast("long"))
                 for i in range(bits):
                     z = z.bitwiseOR(
                         F.shiftleft(
@@ -1073,7 +1124,13 @@ class VintageTable:
         clone are copy-on-write into the clone's own directory; the source
         is never touched (and the clone's vacuum() never deletes shared
         files it doesn't own — see vacuum). Zone-map stats ride along, so
-        file skipping works on the clone immediately."""
+        file skipping works on the clone immediately.
+
+        Caveat (same as Delta's shallow clone): the SOURCE table does not
+        know its clones exist, so vacuuming or overwriting the source can
+        delete files a live clone still references — after which the
+        clone's reads fail. Deep-copy (write the clone's read() into a new
+        table) before vacuuming the source if clones must outlive it."""
         dest = VintageTable(self.spark, dest_path, commit_hook=self._publish)
         if dest.exists():
             raise FileExistsError(f"clone destination {dest.path} already exists")
@@ -1103,7 +1160,10 @@ class VintageTable:
         Time travel beyond the retention window stops working — same
         trade-off as Delta's VACUUM. Files outside the table root (shallow
         clone references) are never deleted — the clone doesn't own them,
-        matching Delta's shallow-clone VACUUM behavior."""
+        matching Delta's shallow-clone VACUUM behavior. The protection is
+        one-directional: vacuuming a SOURCE table can still break shallow
+        clones made FROM it, because the source has no record of them (see
+        clone())."""
         commits = self._commits()
         current = set(self._live_files())
         cutoff = time.time() - retention_hours * 3600

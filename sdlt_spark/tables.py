@@ -52,11 +52,22 @@ def row_count(sf_dir: str, name: str) -> int:
     job) — the cheap stats read operators use to size block/partition counts
     without an extra count() action. On a cluster the same number comes from
     the table catalog or file-listing metadata."""
+    import os
+
     import pyarrow.parquet as pq
 
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        # spark.read.parquet (load()) accepts part-file directories; keep
+        # the two contracts aligned by summing footers, still no Spark job
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

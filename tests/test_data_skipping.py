@@ -121,3 +121,32 @@ def test_executor_side_stats_for_large_commits(spark, tmp_path):
     src = spark.range(10).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
     t.merge(src, ["k"])
     assert len(t._commits()[-1].remove) == 1
+
+
+def test_zorder_string_column_prunes(spark, tmp_path):
+    """Z-order with a string first column (dictionary-rank buckets): zone
+    maps must prune selective reads on the string AND the numeric column."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    n = 64
+    letters = [chr(ord("a") + i) for i in range(16)]
+    df = (
+        spark.range(n * n)
+        .select(
+            F.element_at(
+                F.array(*[F.lit(s) for s in letters]), (F.col("id") % 16 + 1).cast("int")
+            ).alias("status"),
+            (F.col("id") / 16).cast("long").alias("k"),
+            F.col("id").alias("v"),
+        )
+        .orderBy(F.xxhash64("id"))
+    )
+    t.write(df)
+    t.compact(num_files=16, zorder_by=["status", "k"])
+    live = t._live_files()
+    assert len(live) == 16
+    pruned_s = t._prune_by_range(live, "status", "a", "b")  # 2/16 of the dict
+    pruned_k = t._prune_by_range(live, "k", 0, 15)  # 16/256 of the range
+    assert len(pruned_s) <= len(live) // 2, (len(pruned_s), len(live))
+    assert len(pruned_k) <= len(live) // 2, (len(pruned_k), len(live))
+    assert t.read().count() == n * n
+    assert t.read().agg(F.sum("v")).head()[0] == sum(range(n * n))

@@ -211,3 +211,27 @@ def test_diff_detects_schema_evolution_only_updates(spark, tmp_path):
     ins = {(r["k"], r["v"], r["c"]) for r in d if r["_change_type"] == "insert"}
     # v unchanged, only c gained a value: the diff must still surface it
     assert (1, 10.0, "note") in ins
+
+
+def test_global_rank_nulls_first_matches_window(spark):
+    """global_rank on a nullable first column must match Window.orderBy
+    ascending (nulls first, every column) exactly."""
+    from pyspark.sql import Window
+
+    from sdlt_spark.operators.ranking import global_rank
+
+    df = spark.range(500).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 50).alias("g"),
+        F.col("id").alias("uid"),
+    )
+    ranked, total = global_rank(df, ["g", "uid"], n_buckets=8)
+    assert total == 500
+    expected = df.withColumn(
+        "wrank", F.row_number().over(Window.orderBy(F.asc_nulls_first("g"), "uid"))
+    )
+    mism = (
+        ranked.join(expected, "uid")
+        .filter(F.col("grank") != F.col("wrank"))
+        .count()
+    )
+    assert mism == 0
