@@ -1495,6 +1495,25 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dedup_cluster_sizes", None)  # depends on minhash pairs -> rows-only
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level view of the dedup pipeline: one row per NON-SINGLETON
+    duplicate cluster with its size. Unlike dedup_pipeline (one row per
+    document — a count no pipeline bug can move), the row count here is the
+    number of discovered duplicate clusters: deterministic for the fixture,
+    and any regression in pair generation, transitive closure, or canonical
+    labeling shifts it. Invariants (min-id labeling, one canonical per
+    cluster, pair endpoints co-clustered) are asserted in
+    tests/test_dedup.py::test_pipeline_invariants."""
+    labeled = dedup_pipeline(spark, sf_dir)
+    return (
+        labeled.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") >= 2)
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1/Q6 shapes — the canonical scan-heavy aggregation benchmarks
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from sdlt_spark import tables
 from sdlt_spark.operators import dedup
 
 WORDS = "spark query join filter window table row batch stream hash sort merge".split()
@@ -98,3 +99,34 @@ def test_end_to_end_dedup_pipeline(docs):
     clusters = dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
     keep = {r["doc_id"] for r in clusters.filter(F.col("doc_id") == F.col("cluster")).collect()}
     assert keep == {0, 3, 4}
+
+
+def test_pipeline_invariants(spark):
+    """End-to-end dedup pipeline on the sf0.01 corpus: labeling invariants
+    that any regression in pairs, transitive closure, or canonicalization
+    breaks."""
+    from sdlt_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    docs = tables.load(spark, sf, "documents")
+    n_docs = docs.count()
+    labeled = Q.dedup_pipeline(spark, sf).persist()
+    try:
+        # every document labeled exactly once
+        assert labeled.count() == n_docs
+        assert labeled.select("doc_id").distinct().count() == n_docs
+        # cluster label is the minimum member id -> exactly one canonical per
+        # cluster, and it is the label itself
+        agg = labeled.groupBy("cluster").agg(
+            F.min("doc_id").alias("lo"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        )
+        assert agg.filter((F.col("lo") != F.col("cluster")) | (F.col("n_canon") != 1)).count() == 0
+        # near-dup pair endpoints always land in the same cluster
+        pairs = dedup.minhash_dedup(docs, "doc_id", threshold=0.9)
+        la = labeled.select(F.col("doc_id").alias("id_a"), F.col("cluster").alias("ca"))
+        lb = labeled.select(F.col("doc_id").alias("id_b"), F.col("cluster").alias("cb"))
+        split = pairs.join(la, "id_a").join(lb, "id_b").filter(F.col("ca") != F.col("cb"))
+        assert split.count() == 0
+    finally:
+        labeled.unpersist()
