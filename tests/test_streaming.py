@@ -348,3 +348,50 @@ def test_table_changes_batch(spark, tmp_path):
     )
     # full history including the initial snapshot
     assert len(_cdc_rows(t.table_changes(0))) == 4 + 3
+
+
+def test_vintage_cdc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Version offsets live in the stream checkpoint: a restarted query
+    picks up exactly after the last committed batch — no replay, no gap."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+
+    def start():
+        # file sink: the one that actually exercises checkpoint recovery
+        # (memory sink refuses to recover)
+        return (
+            spark.readStream.format("vintage_cdc")
+            .option("path", path)
+            .option("startingVersion", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 4  # v0 snapshot
+    finally:
+        q.stop()
+
+    t.delete("k = 0")  # v1, lands while the stream is down
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        # offsets recovered: exactly the one un-consumed commit arrives
+        got = _cdc_rows(spark.read.parquet(out))
+        assert got == sorted(
+            [(k, float(k), "insert", 0) for k in range(4)] + [(0, 0.0, "delete", 1)]
+        )
+    finally:
+        q2.stop()
