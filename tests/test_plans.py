@@ -130,3 +130,24 @@ def test_range_join_broadcasts_bands(spark):
 def test_scalar_subquery_broadcasts_cutoff(spark):
     plan = plan_of(spark, "scalar_subquery")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_minhash_dedup_broadcasts_side_tables(spark):
+    """The per-doc side tables (signatures, token arrays) are persisted AND
+    materialized before planning, so Catalyst sees their true cached size
+    and picks broadcast-hash joins for the candidate-pair enrichment — with
+    NO explicit broadcast hint (at real scale the same stats make it fall
+    back to a shuffle join instead of OOMing an executor). The banding
+    self-join must shuffle only compact (id, band, bh) rows."""
+    plan = plan_of(spark, "minhash_lsh_dedup")
+    try:
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 4, plan
+        # no manual broadcast hints anywhere in the operator
+        import inspect
+
+        from sdlt_spark.operators import dedup as _d
+
+        assert "F.broadcast(" not in inspect.getsource(_d.minhash_dedup)
+    finally:
+        spark.catalog.clearCache()
