@@ -52,8 +52,11 @@ def _table(path: str) -> VintageTable:
 
 def _stream_schema(path: str) -> StructType:
     base = _table(path)._schema_at()
+    # every column nullable: pre-evolution commits pad newer columns with
+    # NULL, whatever nullability the writer recorded (a non-nullable
+    # evolved field would NPE Spark's Arrow conversion on padded rows)
     return StructType(
-        list(base.fields)
+        [StructField(f.name, f.dataType, True) for f in base.fields]
         + [
             StructField("_change_type", StringType(), True),
             StructField("_commit_version", LongType(), True),

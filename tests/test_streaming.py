@@ -395,3 +395,44 @@ def test_vintage_cdc_stream_restart_resumes_from_checkpoint(spark, tmp_path):
         )
     finally:
         q2.stop()
+
+
+def test_vintage_cdc_stream_handles_schema_evolution(spark, tmp_path):
+    """A schema-evolving merge mid-stream: rows from pre-evolution commits
+    arrive padded with typed NULLs for the new column (the executor-side
+    Arrow padding path), evolved rows carry real values."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t.merge(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), F.lit(9.0).alias("v"), F.lit("x").alias("tag")
+        ),
+        ["k"],
+        schema_evolution=True,
+    )
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_evolve")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["v"], r["tag"], r["_change_type"], r["_commit_version"])
+            for r in spark.sql("select * from cdc_evolve").collect()
+        )
+        assert got == sorted(
+            [(k, float(k), None, "insert", 0) for k in range(3)]
+            + [(k, 9.0, "x", "insert", 1) for k in (3, 4)]
+        )
+    finally:
+        q.stop()
