@@ -436,3 +436,36 @@ def test_vintage_cdc_stream_handles_schema_evolution(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_table_changes_compose_to_snapshots(spark, tmp_path):
+    """CDC soundness invariant: for EVERY version v,
+    snapshot(v) == snapshot(v-1) - deletes(v) + inserts(v) as multisets —
+    across merge, delete, compaction, update, overwrite, and restore."""
+    from sdlt_spark.store import VintageTable
+
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t.merge(
+        spark.range(15, 25).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")), ["k"]
+    )
+    t.delete("k < 5")
+    t.compact(num_files=2)
+    t.update("k = 10", {"v": F.lit(42.0)})
+    t.write(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(8.0).alias("v")),
+        mode="overwrite",
+    )
+    t.restore(version=2)
+
+    latest = t.latest_version()
+    for v in range(1, latest + 1):
+        before = t.read(version=v - 1).select("k", "v")
+        after = t.read(version=v).select("k", "v")
+        ch = t.table_changes(v, v)
+        ins = ch.filter("_change_type = 'insert'").select("k", "v")
+        dels = ch.filter("_change_type = 'delete'").select("k", "v")
+        derived = before.exceptAll(dels).unionAll(ins)
+        assert derived.exceptAll(after).count() == 0, f"v{v}: extra rows"
+        assert after.exceptAll(derived).count() == 0, f"v{v}: missing rows"
