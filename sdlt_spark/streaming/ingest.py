@@ -113,6 +113,7 @@ def stream_into_vintage(
     key_cols: list[str],
     query_name: str = "vintage_ingest",
     order_col: str | None = None,
+    change_feed: bool = False,
 ):
     """Exactly-once-style streaming upsert into a VintageTable: each
     micro-batch merges on the key columns via foreachBatch (the same
@@ -123,12 +124,14 @@ def stream_into_vintage(
     batch bootstraps via write(), which has no merge-side dedup). With
     ``order_col`` the row with the greatest value wins deterministically
     (e.g. an update timestamp); without it an arbitrary row per key is kept.
+    ``change_feed`` materializes CDC rows per commit so a ``vintage_cdc``
+    stream can tail the table back out (see streaming/vintage_source.py).
     """
     from pyspark.sql import Window
 
     from sdlt_spark.store import VintageTable
 
-    table = VintageTable(spark, table_path)
+    table = VintageTable(spark, table_path, change_feed=change_feed)
 
     def _dedup(df: DataFrame) -> DataFrame:
         if order_col is None:
