@@ -30,6 +30,12 @@ Usage::
 Reference parity: the reference's Delta tutorial is batch-only; streaming
 CDC is the Delta feature (readStream.format("delta") + change feed) a
 production user of README.md:92-319's table would reach for next.
+
+Retention interplay (same contract as Delta): a lagging stream holds
+version offsets, not file locks — vacuum()/overwrite with a retention
+window shorter than the stream's lag can delete files an unprocessed
+commit still references, failing that micro-batch. Keep retention_hours
+above the maximum expected stream downtime.
 """
 
 from __future__ import annotations
