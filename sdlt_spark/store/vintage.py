@@ -401,16 +401,17 @@ class VintageTable:
         files, self._op_files = self._op_files, []
         if not files:
             return
+        import shutil
+
         for f in files:
             try:
                 os.remove(os.path.join(self.path, f))
             except OSError:
                 pass
+        # each attempt writes into fresh uuid directories nothing else uses,
+        # so the whole dir goes (rmdir alone would trip on _SUCCESS markers)
         for d in {os.path.dirname(f) for f in files}:
-            try:
-                os.rmdir(os.path.join(self.path, d))
-            except OSError:
-                pass
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         stats = self._file_stats()
         if any(f in stats for f in files):
             for f in files:

@@ -126,3 +126,52 @@ def test_vacuum_sweeps_orphaned_files(spark, tmp_path):
     assert not os.path.exists(orphan)
     # live files survived and the table still reads
     assert t.read().count() == 100
+
+
+def test_conflict_retry_rewrites_change_feed(spark, tmp_path):
+    """A merge that loses the CAS race re-runs against the new snapshot:
+    its change-data rows are re-derived (not stale) and the aborted
+    attempt's CDC files are reclaimed."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    path = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(df.repartition(2))
+    other = VintageTable(spark, path, change_feed=True)
+
+    src_a = spark.range(5).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    src_b = spark.range(3, 8).select(F.col("id").alias("k"), F.lit(-2.0).alias("v"))
+    state = {"injected": False}
+
+    def racing_publish(tmp, final):
+        if not state["injected"]:
+            state["injected"] = True
+            other.merge(src_a, ["k"])
+        _link_cas_publish(tmp, final)
+
+    loser = VintageTable(spark, path, commit_hook=racing_publish, change_feed=True)
+    loser.merge(src_b, ["k"])
+    assert state["injected"]
+
+    # CDC of the retried merge (v2) reflects the post-v1 state: its deletes
+    # for overlapping keys 3,4 carry v1's -1.0 values, not v0's originals
+    ch = t.table_changes(2, 2)
+    dels = {r["k"]: r["v"] for r in ch.filter("_change_type = 'delete'").collect()}
+    assert dels == {3: -1.0, 4: -1.0, 5: 5.0, 6: 6.0, 7: 7.0}
+    ins = {r["k"]: r["v"] for r in ch.filter("_change_type = 'insert'").collect()}
+    assert ins == {k: -2.0 for k in range(3, 8)}
+
+    # no orphaned change-data files from the aborted attempt
+    referenced = set()
+    for c in t._commits():
+        cd = c.operation_parameters.get("changeData")
+        if cd:
+            referenced.add(cd)
+    import os as _os
+
+    on_disk = {
+        f"_change_data/{d}"
+        for d in _os.listdir(_os.path.join(path, "_change_data"))
+    }
+    assert on_disk == referenced
