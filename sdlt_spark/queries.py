@@ -1165,10 +1165,27 @@ def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.subtract(op)
 
 
-@_q("csv_scan", None)  # reads the reference CSV fixture, not an sf table
+@_q(
+    "csv_scan",
+    # DuckDB reads the same CSV with the same explicit column types (no
+    # auto-inference: '2020-01' must stay VARCHAR, UNIT_MULT '0' too)
+    """
+    SELECT FREQ, CURRENCY, CURRENCY_DENOM, EXR_TYPE, EXR_SUFFIX, TIME_PERIOD,
+           OBS_VALUE, OBS_STATUS, COLLECTION, DECIMALS, TITLE, UNIT, UNIT_MULT,
+           concat_ws(':', FREQ, CURRENCY, CURRENCY_DENOM, EXR_TYPE, EXR_SUFFIX,
+                     TIME_PERIOD) AS KEY
+    FROM read_csv('/root/reference/in/data.0.csv', header=true, columns={
+      'FREQ':'VARCHAR','CURRENCY':'VARCHAR','CURRENCY_DENOM':'VARCHAR',
+      'EXR_TYPE':'VARCHAR','EXR_SUFFIX':'VARCHAR','TIME_PERIOD':'VARCHAR',
+      'OBS_VALUE':'DOUBLE','OBS_STATUS':'VARCHAR','COLLECTION':'VARCHAR',
+      'DECIMALS':'INTEGER','TITLE':'VARCHAR','UNIT':'VARCHAR',
+      'UNIT_MULT':'VARCHAR'})
+    """,
+)
 def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: CSV source with header + explicit non-null schema + derived KEY
-    (README.md:45-80). 504 rows from the reference's own data.0.csv."""
+    (README.md:45-80). 504 rows from the reference's own data.0.csv, now
+    value-hash-checked against DuckDB's read_csv of the same file."""
     from sdlt_spark.store.sdmx import read_submission
 
     return read_submission(spark, "/root/reference/in/data.0.csv")
