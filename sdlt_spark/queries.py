@@ -730,7 +730,17 @@ def vintage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
-@_q("vintage_history", None)  # timestamps are run-dependent -> rows-only check
+@_q(
+    "vintage_history",
+    # timestamps are run-dependent, but the (version, operation, dataChange)
+    # projection is exact: the clone bootstrap plus the three mutations
+    """
+    SELECT CAST(version AS BIGINT) AS version, operation,
+           CAST(dataChange AS BOOLEAN) AS dataChange
+    FROM (VALUES (3, 'UPDATE', true), (2, 'DELETE', true),
+                 (1, 'MERGE', true), (0, 'CLONE', true)) AS t(version, operation, dataChange)
+    """,
+)
 def vintage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: version log after write+merge+delete+update (README.md:305-319)."""
     t = _fresh_vintage(spark, sf_dir)
