@@ -119,3 +119,75 @@ def test_asof_join_matches_pandas(spark, left, right):
             assert got[lid] is None
         else:
             assert got[lid] == pytest.approx(v)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=20
+    )
+)
+@_prop_settings
+def test_dedup_clusters_match_union_find(spark, edges):
+    """Label-propagation connected components == a reference union-find with
+    min-label canonicalization, on arbitrary small graphs."""
+    from sdlt_spark.operators.dedup import dedup_clusters
+
+    n = 16
+    clean = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    if clean:
+        pairs = spark.createDataFrame(clean, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    comp_min: dict[int, int] = {}
+    for x in range(n):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    for x in range(n):
+        expected[x] = comp_min[find(x)]
+    assert got == expected
+
+
+TOKENS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=st.lists(TOKENS, min_size=2, max_size=12))
+@_prop_settings
+def test_minhash_dedup_precision_and_exact_jaccard(spark, texts):
+    """Every pair minhash_dedup emits must truly satisfy jaccard >= t, with
+    the exact set-jaccard value (LSH bounds recall, never precision)."""
+    from sdlt_spark.operators.dedup import minhash_dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_dedup(df, "doc_id", threshold=0.5).collect()
+    spark.catalog.clearCache()
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    for r in out:
+        a, b = sets[r["id_a"]], sets[r["id_b"]]
+        true_j = len(a & b) / len(a | b)
+        assert r["id_a"] < r["id_b"]
+        assert true_j >= 0.5
+        assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
