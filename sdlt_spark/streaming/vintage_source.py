@@ -108,7 +108,9 @@ class VintageStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         t = _table(self._path)
-        commits = {c.version: c for c in t._commits()}
+        # parse only the commits in (start, end] — a long-lived table has
+        # O(history) log entries and this runs every micro-batch
+        commits = {c.version: c for c in t._commits(after=start["version"])}
         parts: list[_ChangeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             c = commits.get(v)
