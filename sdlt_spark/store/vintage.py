@@ -436,6 +436,13 @@ class VintageTable:
             f"{rel_dir}/{f}" for f in sorted(os.listdir(abs_dir)) if f.endswith(".parquet")
         ]
         self._op_files.extend(files)
+        if not files:
+            # a zero-partition change frame wrote no part files; recording
+            # the dir would make CDC readers choke on schema inference
+            import shutil
+
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            return None
         return rel_dir
 
     def _stats_path(self) -> str:
@@ -1187,6 +1194,36 @@ class VintageTable:
         # retention window. The mtime guard is what keeps an in-flight
         # writer's files safe, exactly Delta's trade-off (its default
         # retention is 7 days for the same reason).
+        # Change-data retention (Delta VACUUMs CDF files the same way): a
+        # commit's materialized change rows are reclaimed once the commit
+        # falls outside the retention window; table_changes / CDC streams
+        # further back than retention stop working, like time travel.
+        import shutil
+
+        referenced_cd = set()
+        for c in commits:
+            cd = c.operation_parameters.get("changeData")
+            if cd:
+                referenced_cd.add(cd)
+                if c.timestamp <= cutoff:
+                    abs_cd = os.path.join(self.path, cd)
+                    if os.path.isdir(abs_cd):
+                        shutil.rmtree(abs_cd, ignore_errors=True)
+                        deleted.append(cd)
+        # change dirs referenced by NO commit: a writer crashed between the
+        # CDC write and its commit — same orphan rule as data files
+        change_root = os.path.join(self.path, _CHANGE_DIR)
+        if os.path.isdir(change_root):
+            for d in os.listdir(change_root):
+                rel = f"{_CHANGE_DIR}/{d}"
+                abs_d = os.path.join(change_root, d)
+                try:
+                    orphaned = rel not in referenced_cd and os.path.getmtime(abs_d) <= cutoff
+                except OSError:
+                    continue
+                if orphaned:
+                    shutil.rmtree(abs_d, ignore_errors=True)
+                    deleted.append(rel)
         referenced = {f for c in commits for f in c.add}
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _dirs, fnames in os.walk(data_root):

@@ -175,3 +175,23 @@ def test_conflict_retry_rewrites_change_feed(spark, tmp_path):
         for d in _os.listdir(_os.path.join(path, "_change_data"))
     }
     assert on_disk == referenced
+
+
+def test_vacuum_reclaims_change_data_past_retention(spark, tmp_path):
+    """Change-data dirs of commits outside the retention window are
+    reclaimed (Delta VACUUMs CDF files the same way); orphaned change dirs
+    (crash between CDC write and commit) go too."""
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(df)
+    t.delete("k = 0")  # v1 with materialized change data
+    orphan = os.path.join(path, "_change_data", "cdeadbeef")
+    os.makedirs(orphan)
+    assert len(os.listdir(os.path.join(path, "_change_data"))) == 2
+    deleted = t.vacuum(retention_hours=0)
+    assert any(d.startswith("_change_data/") for d in deleted)
+    assert not os.path.exists(orphan)
+    assert os.listdir(os.path.join(path, "_change_data")) == []
+    # the table itself is untouched
+    assert t.read().count() == 9
