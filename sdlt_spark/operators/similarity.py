@@ -295,6 +295,80 @@ def ivf_assign(
     return df.withColumn("__cell", _cell(F.col(vec_col)))
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table_path: str,
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 42,
+):
+    """Materialize an IVF index as a VintageTable: the corpus tagged with
+    its cell id, written range-clustered on ``__cell`` so each data file
+    owns a narrow cell range (disjoint zone maps), plus the centroid matrix
+    as a JSON sidecar next to the commit log.
+
+    This is the build-once/probe-many ANN shape for 100 TB: search reads
+    ONLY the files whose cell zone overlaps the probed cells (file-level
+    pruning via the table's zone maps, row-group pruning below that) — the
+    un-probed bulk of the corpus is never opened. Rebuilds are versioned
+    commits like any other write; readers on the old index keep working.
+
+    Returns ``(table, centroids)``.
+    """
+    from sdlt_spark.store import VintageTable
+
+    cents = train_ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
+    tagged = ivf_assign(df, vec_col, cents).select(id_col, vec_col, "__cell")
+    t = VintageTable(df.sparkSession, table_path)
+    n_files = max(2, n_cells // 4)
+    t.write(
+        tagged.repartitionByRange(n_files, "__cell").sortWithinPartitions("__cell")
+    )
+    import json as _json
+    import os as _os
+
+    sidecar = _os.path.join(t.path, "ivf_centroids.json")
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(cents.tolist(), fh)
+    _os.rename(tmp, sidecar)
+    return t, cents
+
+
+def ivf_search(
+    spark,
+    table_path: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (``ivf_build``): nearest ``nprobe``
+    centroids from the sidecar -> zone-map file pruning on ``__cell`` ->
+    exact cosine re-rank inside the probed cells. Driver work is the
+    centroid argsort + a file-list filter; only the probed files are read."""
+    import json as _json
+    import os as _os
+
+    from sdlt_spark.store import VintageTable
+
+    t = VintageTable(spark, table_path)
+    with open(_os.path.join(t.path, "ivf_centroids.json")) as fh:
+        cents = np.asarray(_json.load(fh), dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = sorted(np.argsort(-(cents @ qv))[:nprobe].tolist())
+    live = t._live_files()
+    files = sorted(
+        {f for c in probe for f in t._prune_by_range(live, "__cell", c, c)}
+    )
+    probed = t._read_files(files).filter(F.col("__cell").isin(*probe))
+    return cosine_topk(probed, vec_col, id_col, query, k)
+
+
 def ann_ivf_topk(
     df: DataFrame,
     vec_col: str,

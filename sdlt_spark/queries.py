@@ -1712,6 +1712,34 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX: dict = {}
+
+
+@_q("ann_ivf_persisted", None)  # ANN -> rows-only
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/probe-many IVF shape: the index is a cell-clustered
+    VintageTable + centroid sidecar (ivf_build, cached per session); each
+    search reads only the files whose __cell zone overlaps the probed
+    cells. This is what ann_ivf_topk becomes when the corpus is too big to
+    re-assign per query."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    key = (id(spark), sf_dir)
+    entry = _IVF_INDEX.get(key)
+    if entry is None or not entry.exists():
+        path = tempfile.mkdtemp(prefix="sdlt_ivf_") + "/index"
+        entry, _ = _sim.ivf_build(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", path,
+            n_cells=16,
+        )
+        _IVF_INDEX[key] = entry
+    return _sim.ivf_search(
+        spark, entry.path, "embedding", "vec_id", list(query), k=10, nprobe=6
+    )
+
+
 @_q("ann_ivf_topk", None)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (FAISS-style): centroids trained on a bounded seeded

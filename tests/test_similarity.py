@@ -113,3 +113,35 @@ def test_ivf_assignment_is_deterministic_and_total(spark):
     cents2 = sim.train_ivf_centroids(emb, "embedding", n_cells=8, sample_rows=512, seed=7)
     a2 = sim.ivf_assign(emb, "embedding", cents2).select("vec_id", "__cell")
     assert a1.exceptAll(a2).isEmpty()
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
+    """ivf_build + ivf_search: (1) same results as the train-per-query
+    ann_ivf_topk with the same seed, (2) probes read a strict subset of the
+    index files (zone-map pruning on __cell)."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import similarity as sim
+    from sdlt_spark.store import VintageTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load(spark, sf, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    path = str(tmp_path / "index")
+    t, cents = sim.ivf_build(corpus, "embedding", "vec_id", path, n_cells=16)
+    got = sim.ivf_search(spark, path, "embedding", "vec_id", query, k=10, nprobe=6)
+    direct = sim.ann_ivf_topk(
+        corpus, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=6
+    )
+    key = lambda r: (r["vec_id"], round(r["cos_sim"], 6))
+    assert sorted(map(key, got.collect())) == sorted(map(key, direct.collect()))
+
+    # pruning: the probed file set is strictly smaller than the index
+    live = t._live_files()
+    assert len(live) >= 2
+    probe_files = {
+        f for c in range(16) for f in t._prune_by_range(live, "__cell", c, c)
+    }
+    one_cell = t._prune_by_range(live, "__cell", 0, 0)
+    assert len(one_cell) < len(live)
