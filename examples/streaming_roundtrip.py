@@ -47,7 +47,8 @@ def main() -> None:
 
     # ---- inbound: stream files into a change-feed vintage table ----------
     table = ingest.stream_into_vintage(
-        spark, src_dir, table_dir, key_cols=["event_id"], change_feed=True
+        spark, src_dir, table_dir, key_cols=["event_id"], order_col="ts",
+        change_feed=True,
     )
     n = table.read().count()
     print(f"inbound: {n} events landed, versions: "

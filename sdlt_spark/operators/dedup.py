@@ -17,10 +17,47 @@ Scale design notes
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sdlt_spark.operators.text import fingerprint
+
+# ------------------------------------------------------------- scan sizing
+
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _scan_underparallel(df: DataFrame) -> bool:
+    """Metadata-only estimate of whether the scan feeding ``df`` will yield
+    fewer partitions than half the cluster's cores (so a downstream
+    self-join would serialize). Spark packs input files into splits of
+    ``maxPartitionBytes``, so partitions are bounded by BOTH the file count
+    and total-bytes/split-size: a directory of many tiny files coalesces
+    into few partitions (a file-count-only probe would miss that), while a
+    physical-plan probe (.rdd.getNumPartitions) would force planning + an
+    RDD conversion per call. Non-file inputs report zero files and count as
+    under-parallel — the safe default for local relations."""
+    spark = df.sparkSession
+    target = max(2, spark.sparkContext.defaultParallelism // 2)
+    files = df.inputFiles()
+    if len(files) < target:
+        return True
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).lower()
+    if raw and raw[-1] == "b":
+        raw = raw[:-1]
+    split = int(raw[:-1]) * _SIZE_SUFFIX[raw[-1]] if raw[-1:] in _SIZE_SUFFIX else int(raw)
+    try:
+        total = sum(
+            os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+            for f in files
+        )
+    except OSError:
+        return False  # can't stat (remote store): trust the file count
+    return min(len(files), total // split + 1) < target
+
 
 # --------------------------------------------------------------------- exact
 
@@ -201,9 +238,8 @@ def minhash_dedup(
                 break
     rows_per_band = num_hashes // bands
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, parallelism // 2):
-        df = df.repartition(parallelism)
+    if _scan_underparallel(df):
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
     sig.count()  # materialize: single signature compute + true size stats
@@ -335,8 +371,7 @@ def simhash_neardup(
     # conversion of the scan on every call). Non-file inputs report zero
     # files and get repartitioned — the safe default for local relations.
     sh = simhash(df, id_col, text_col)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, parallelism // 2):
+    if _scan_underparallel(df):
         sh = sh.repartition(F.col(id_col))
     sh = sh.persist()
     chunk_arr = F.array(

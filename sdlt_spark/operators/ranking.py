@@ -67,6 +67,25 @@ def global_rank(
         for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = sum(counts.values())
+    n_nulls = counts.get(-1, 0)
+    # The null bucket is ONE applyInPandas task (approxQuantile boundaries
+    # only describe non-null values, so nulls can't be range-split on the
+    # first column). When nulls dominate — a sparse metric column — that
+    # task would sort an unbounded row set; recurse instead: rank the null
+    # rows by the REMAINING order columns (exactly their relative order
+    # under nulls-first semantics, since their first column is all-equal)
+    # and the non-null rows by the normal bucketed path, offset after.
+    if n_nulls and len(order_cols) > 1 and n_nulls > 4 * max(1, total // n_buckets):
+        nulls_ranked, _ = global_rank(
+            df.filter(F.col(first).isNull()), order_cols[1:], n_buckets, rank_col
+        )
+        rest_ranked, n_rest = global_rank(
+            df.filter(F.col(first).isNotNull()), order_cols, n_buckets, rank_col
+        )
+        ranked = nulls_ranked.unionByName(
+            rest_ranked.withColumn(rank_col, (F.col(rank_col) + F.lit(n_nulls)).cast("long"))
+        )
+        return ranked, n_nulls + n_rest
     offsets: dict[int, int] = {}
     acc = 0
     for b in sorted(counts):

@@ -319,18 +319,23 @@ def ivf_build(
     """
     from sdlt_spark.store import VintageTable
 
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
     cents = train_ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
     tagged = ivf_assign(df, vec_col, cents).select(id_col, vec_col, "__cell")
     t = VintageTable(df.sparkSession, table_path)
     n_files = max(2, n_cells // 4)
-    t.write(
+    version = t.write(
         tagged.repartitionByRange(n_files, "__cell").sortWithinPartitions("__cell")
     )
-    import json as _json
-    import os as _os
-
-    sidecar = _os.path.join(t.path, "ivf_centroids.json")
-    tmp = sidecar + ".tmp"
+    # the sidecar is VERSIONED and written after the commit: searchers pair
+    # centroids with the file set of the SAME version (a rebuild in flight
+    # — commit landed, sidecar not yet — resolves to the previous complete
+    # build, never to mismatched centroid/assignment pairs)
+    sidecar = _os.path.join(t.path, f"ivf_centroids.v{version:08d}.json")
+    tmp = sidecar + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         _json.dump(cents.tolist(), fh)
     _os.rename(tmp, sidecar)
@@ -352,20 +357,31 @@ def ivf_search(
     centroid argsort + a file-list filter; only the probed files are read."""
     import json as _json
     import os as _os
+    import re as _re
 
     from sdlt_spark.store import VintageTable
 
     t = VintageTable(spark, table_path)
-    with open(_os.path.join(t.path, "ivf_centroids.json")) as fh:
+    latest = t.latest_version()
+    builds = sorted(
+        int(m.group(1))
+        for f in _os.listdir(t.path)
+        if (m := _re.fullmatch(r"ivf_centroids\.v(\d+)\.json", f))
+        and int(m.group(1)) <= latest
+    )
+    if not builds:
+        raise FileNotFoundError(f"no completed IVF build at {t.path}")
+    v = builds[-1]  # newest COMPLETE build (commit + sidecar both landed)
+    with open(_os.path.join(t.path, f"ivf_centroids.v{v:08d}.json")) as fh:
         cents = np.asarray(_json.load(fh), dtype=np.float64)
     qv = np.asarray(query, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe = sorted(np.argsort(-(cents @ qv))[:nprobe].tolist())
-    live = t._live_files()
+    live = t._live_files(version=v)
     files = sorted(
         {f for c in probe for f in t._prune_by_range(live, "__cell", c, c)}
     )
-    probed = t._read_files(files).filter(F.col("__cell").isin(*probe))
+    probed = t._read_files(files, version=v).filter(F.col("__cell").isin(*probe))
     return cosine_topk(probed, vec_col, id_col, query, k)
 
 

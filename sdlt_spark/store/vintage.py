@@ -115,6 +115,38 @@ def _link_cas_publish(tmp: str, final: str) -> None:
     os.remove(tmp)
 
 
+def resolve_commit_changes(
+    commit: "_Commit", skip_change_commits: bool = False
+) -> tuple[str, object] | None:
+    """The ONE encoding of per-commit CDC semantics, shared by the batch
+    reader (``VintageTable.table_changes``) and the streaming source
+    (``streaming/vintage_source.py``) so the two can never drift:
+
+    - ``None``: nothing to emit (dataChange=false, or a skipped/empty op);
+    - ``("dir", rel_dir)``: materialized change rows (carry _change_type);
+    - ``("files", [(rel_path, tag), ...])``: file-level derivation —
+      added files are inserts, removed files are deletes;
+    - raises ``ValueError`` for a row-level op without materialized change
+      data unless ``skip_change_commits``.
+    """
+    if not commit.data_change:
+        return None
+    change_dir = commit.operation_parameters.get("changeData")
+    if change_dir:
+        return ("dir", change_dir)
+    if commit.operation in ("MERGE", "DELETE", "UPDATE") and (commit.add or commit.remove):
+        if skip_change_commits:
+            return None
+        raise ValueError(
+            f"version {commit.version} ({commit.operation}) has no "
+            "materialized change data — create the table with "
+            "change_feed=True, or skip such commits (skip_change_commits / "
+            ".option('skipChangeCommits', 'true'))"
+        )
+    actions = [(f, "insert") for f in commit.add] + [(f, "delete") for f in commit.remove]
+    return ("files", actions) if actions else None
+
+
 def _read_footer_stats(abs_path: str) -> dict:
     """Zone map for one parquet file from its footer (metadata-only read).
     Module-level so executors can run it by reference when a commit is big
@@ -364,8 +396,19 @@ class VintageTable:
             f.write(entry.to_json())
         # CAS publish: exactly one writer wins each version number
         self._publish(tmp, final)
+        # The commit is durable from here: the published entry references
+        # this attempt's files, so failure-cleanup must never touch them —
+        # a post-publish exception (e.g. checkpoint IO) would otherwise
+        # delete data a committed version points at.
+        self._op_files = []
         if version > 0 and version % _CHECKPOINT_EVERY == 0:
-            self.checkpoint()
+            try:
+                self.checkpoint()
+            except OSError:
+                # checkpoints are an optimization (bounded log replay);
+                # the commit itself already succeeded, and the next
+                # checkpoint interval retries
+                pass
         return version
 
     # ----------------------------------------------------------------- data
@@ -649,6 +692,13 @@ class VintageTable:
                 f"on_duplicate_source={on_duplicate_source!r}; expected "
                 "'error', 'keep_any' or 'assume_unique'"
             )
+        if self.change_feed:
+            # pin the source to ONE evaluation: the change-data write and the
+            # table-data write are separate jobs, and a nondeterministic
+            # source (e.g. a keep_any dropDuplicates pick) could otherwise
+            # record one row in the change feed while landing another in the
+            # table — CDC consumers would reconstruct divergent state
+            src = src.localCheckpoint(eager=False)
         live = self._live_files()
         key0 = key_cols[0]
         validate = on_duplicate_source == "error" and order_col is None
@@ -1042,38 +1092,34 @@ class VintageTable:
         hi = self.latest_version() if to_version is None else to_version
         schema = self._schema_at(version=hi)
         parts: list[DataFrame] = []
-        for c in self._commits():
-            if c.version < from_version or c.version > hi or not c.data_change:
+        # incremental log parse: only the requested range is replayed
+        for c in self._commits(after=from_version - 1):
+            if c.version > hi:
+                break
+            resolved = resolve_commit_changes(c, skip_change_commits)
+            if resolved is None:
                 continue
-            change_dir = c.operation_parameters.get("changeData")
-            if change_dir:
+            kind, payload = resolved
+            if kind == "dir":
                 df = self.spark.read.option("mergeSchema", "true").parquet(
-                    os.path.join(self.path, change_dir)
-                )
-            elif c.operation in ("MERGE", "DELETE", "UPDATE") and (c.add or c.remove):
-                if skip_change_commits:
-                    continue
-                raise ValueError(
-                    f"version {c.version} ({c.operation}) has no materialized "
-                    "change data — create the table with change_feed=True, or "
-                    "pass skip_change_commits=True to ignore such commits"
+                    os.path.join(self.path, payload)
                 )
             else:
                 frames = []
-                if c.add:
+                inserts = [f for f, tag in payload if tag == "insert"]
+                deletes = [f for f, tag in payload if tag == "delete"]
+                if inserts:
                     frames.append(
-                        self._read_files(c.add, version=c.version).withColumn(
+                        self._read_files(inserts, version=c.version).withColumn(
                             "_change_type", F.lit("insert")
                         )
                     )
-                if c.remove:
+                if deletes:
                     frames.append(
                         self._read_files(
-                            c.remove, version=max(c.version - 1, 0)
+                            deletes, version=max(c.version - 1, 0)
                         ).withColumn("_change_type", F.lit("delete"))
                     )
-                if not frames:
-                    continue
                 df = frames[0]
                 if len(frames) == 2:
                     df = df.unionByName(frames[1], allowMissingColumns=True)

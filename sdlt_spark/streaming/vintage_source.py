@@ -107,41 +107,37 @@ class VintageStreamReader(DataSourceStreamReader):
         return {"version": _table(self._path).latest_version()}
 
     def partitions(self, start: dict, end: dict):
+        from sdlt_spark.store.vintage import resolve_commit_changes
+
         t = _table(self._path)
         # parse only the commits in (start, end] — a long-lived table has
-        # O(history) log entries and this runs every micro-batch
+        # O(history) log entries and this runs every micro-batch. Change
+        # semantics come from the SAME resolver table_changes uses, so
+        # batch and streaming CDC can never drift.
         commits = {c.version: c for c in t._commits(after=start["version"])}
         parts: list[_ChangeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             c = commits.get(v)
-            if c is None or not c.data_change:
+            if c is None:
                 continue
-            change_dir = c.operation_parameters.get("changeData")
-            if change_dir:
-                abs_dir = os.path.join(self._path, change_dir)
+            resolved = resolve_commit_changes(c, self._skip_change_commits)
+            if resolved is None:
+                continue
+            kind, payload = resolved
+            if kind == "dir":
+                abs_dir = os.path.join(self._path, payload)
                 parts += [
                     _ChangeFilePartition(os.path.join(abs_dir, f), None, v)
                     for f in sorted(os.listdir(abs_dir))
                     if f.endswith(".parquet")
                 ]
-            elif c.operation in ("MERGE", "DELETE", "UPDATE") and (c.add or c.remove):
-                if self._skip_change_commits:
-                    continue
-                raise ValueError(
-                    f"vintage_cdc: version {v} ({c.operation}) has no "
-                    "materialized change data — build the table with "
-                    "change_feed=True or set .option('skipChangeCommits', "
-                    "'true')"
-                )
             else:
-                for rel, tag in [(f, "insert") for f in c.add] + [
-                    (f, "delete") for f in c.remove
-                ]:
-                    parts.append(
-                        _ChangeFilePartition(
-                            os.path.normpath(os.path.join(self._path, rel)), tag, v
-                        )
+                parts += [
+                    _ChangeFilePartition(
+                        os.path.normpath(os.path.join(self._path, rel)), tag, v
                     )
+                    for rel, tag in payload
+                ]
         return parts
 
     def commit(self, end: dict) -> None:  # offsets live in the stream checkpoint

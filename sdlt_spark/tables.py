@@ -60,13 +60,16 @@ def row_count(sf_dir: str, name: str) -> int:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
     if os.path.isdir(path):
-        # spark.read.parquet (load()) accepts part-file directories; keep
-        # the two contracts aligned by summing footers, still no Spark job
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        # spark.read.parquet (load()) accepts part-file directories —
+        # including nested/partitioned layouts, which it reads recursively;
+        # keep the two contracts aligned by walking the tree and summing
+        # footers, still no Spark job
+        total = 0
+        for dirpath, _dirs, fnames in os.walk(path):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
+        return total
     return pq.read_metadata(path).num_rows
 
 

@@ -195,3 +195,24 @@ def test_vacuum_reclaims_change_data_past_retention(spark, tmp_path):
     assert os.listdir(os.path.join(path, "_change_data")) == []
     # the table itself is untouched
     assert t.read().count() == 9
+
+
+def test_checkpoint_failure_does_not_destroy_committed_files(spark, tmp_path, monkeypatch):
+    """A post-publish failure (checkpoint IO at every 10th commit) must not
+    trigger failure-cleanup of files the published commit references, and
+    must not fail the already-durable commit."""
+    path = str(tmp_path / "t")
+    t = _base(spark, path, rows=50)  # v0
+
+    def boom(self):
+        raise OSError("checkpoint disk full")
+
+    monkeypatch.setattr(VintageTable, "checkpoint", boom)
+    for i in range(1, 11):  # v10 triggers the (now failing) checkpoint
+        t.delete(f"k = {i}")
+    assert t.latest_version() == 10
+    # every committed file is still on disk and the table reads correctly
+    assert t.read().count() == 50 - 10
+    assert set(_data_files(t)) <= _referenced(t)
+    for f in t._live_files():
+        assert os.path.exists(os.path.join(t.path, f)), f

@@ -235,3 +235,28 @@ def test_global_rank_nulls_first_matches_window(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_global_rank_null_heavy_recursion_matches_window(spark):
+    """When nulls dominate the first order column, global_rank recurses on
+    the remaining columns instead of funneling every null row through one
+    task — and still matches Window.orderBy exactly."""
+    from pyspark.sql import Window
+
+    from sdlt_spark.operators.ranking import global_rank
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 6, None).otherwise(F.col("id") % 40).alias("g"),
+        (F.col("id") % 7).alias("g2"),
+        F.col("id").alias("uid"),
+    )
+    ranked, total = global_rank(df, ["g", "g2", "uid"], n_buckets=8)
+    assert total == 2000
+    expected = df.withColumn(
+        "wrank",
+        F.row_number().over(
+            Window.orderBy(F.asc_nulls_first("g"), F.asc_nulls_first("g2"), "uid")
+        ),
+    )
+    mism = ranked.join(expected, "uid").filter(F.col("grank") != F.col("wrank")).count()
+    assert mism == 0
