@@ -1522,6 +1522,41 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dataset_split",
+    """
+    SELECT split, count(*) AS n, count(DISTINCT doc_id) AS n_ids
+    FROM (
+      SELECT doc_id,
+             CASE WHEN substr(md5(concat_ws(':', 'split-v1',
+                              CAST(doc_id AS VARCHAR))), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(concat_ws(':', 'split-v1',
+                              CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 key bucket — stable
+    under re-partitioning, appends, and engine swaps (the oracle runs the
+    identical expression in DuckDB), unlike seeded sample()/randomSplit().
+    The per-split counts are the declared check; membership itself is the
+    CASE expression both engines share."""
+    from sdlt_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+    )
+
+
 @_q("dedup_cluster_sizes", None)  # depends on minhash pairs -> rows-only
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level view of the dedup pipeline: one row per NON-SINGLETON

@@ -130,3 +130,35 @@ def test_pipeline_invariants(spark):
         assert split.count() == 0
     finally:
         labeled.unpersist()
+
+
+def test_deterministic_split_stability(spark):
+    """Split membership is a pure function of the key: stable under
+    repartitioning and appends, weights approximately honored, and the SQL
+    formulation assigns identically."""
+    from sdlt_spark.operators.sampling import deterministic_split, deterministic_split_sql
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+    # appending rows never moves existing ones
+    bigger = spark.range(8000).select(F.col("id").alias("doc_id"))
+    c = {r["doc_id"]: r["split"] for r in deterministic_split(bigger, "doc_id").collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # fractions within a few percent of 80/10/10
+    from collections import Counter
+
+    frac = {k: v / 5000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.03 and abs(frac["val"] - 0.1) < 0.02
+    # SQL formulation == DataFrame formulation
+    df.createOrReplaceTempView("split_in")
+    sql = deterministic_split_sql("doc_id")
+    d = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql(f"SELECT doc_id, {sql} AS split FROM split_in").collect()
+    }
+    assert d == a
