@@ -74,7 +74,9 @@ def deterministic_split_sql(
     half, and what an auditor would run."""
     if weights is None:
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
-    bucket = f"substr(md5(concat_ws(':', '{seed}', CAST({id_col} AS VARCHAR))), 1, 2)"
+    # STRING (not VARCHAR) is the one text-cast spelling BOTH engines parse:
+    # Spark rejects bare VARCHAR (needs a length), DuckDB aliases STRING=VARCHAR.
+    bucket = f"substr(md5(concat_ws(':', '{seed}', CAST({id_col} AS STRING))), 1, 2)"
     parts = [
         f"WHEN {bucket} < '{bound}' THEN '{name}'"
         for name, bound in split_boundaries(weights)

@@ -1529,9 +1529,9 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT doc_id,
              CASE WHEN substr(md5(concat_ws(':', 'split-v1',
-                              CAST(doc_id AS VARCHAR))), 1, 2) < 'cc' THEN 'train'
+                              CAST(doc_id AS STRING))), 1, 2) < 'cc' THEN 'train'
                   WHEN substr(md5(concat_ws(':', 'split-v1',
-                              CAST(doc_id AS VARCHAR))), 1, 2) < 'e6' THEN 'val'
+                              CAST(doc_id AS STRING))), 1, 2) < 'e6' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )
