@@ -809,7 +809,7 @@ def vintage_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_orderstatus, o_totalprice, o_priority FROM src
     UNION ALL
     SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice,
-           CAST(NULL AS VARCHAR) AS o_priority
+           CAST(NULL AS STRING) AS o_priority
     FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
     """,
 )

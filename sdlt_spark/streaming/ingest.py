@@ -21,13 +21,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def event_schema() -> T.StructType:
-    """events fixture schema with ts as long nanos (parquet TIMESTAMP(NANOS)
-    is unreadable by Spark's parquet reader — see tables.load)."""
+def _ts_field_type(source_path: str | None) -> T.DataType:
+    """Pick the read type for events.ts from the parquet footer.
+
+    The fixture has shipped both as TIMESTAMP(NANOS) — which Spark's reader
+    only accepts as a long (``spark.sql.legacy.parquet.nanosAsLong``) — and
+    as TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ. File-stream sources
+    need an explicit schema, so peek at one footer (driver-side, no Spark
+    job) instead of hardcoding either generation."""
+    if source_path is not None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = source_path
+        if os.path.isdir(path):
+            for dirpath, _dirs, fnames in os.walk(path):
+                hit = next((f for f in sorted(fnames) if f.endswith(".parquet")), None)
+                if hit:
+                    path = os.path.join(dirpath, hit)
+                    break
+        try:
+            ts = pq.read_schema(path).field("ts").type
+            if pa.types.is_timestamp(ts):
+                return T.LongType() if ts.unit == "ns" else T.TimestampNTZType()
+        except Exception:
+            pass
+    return T.TimestampNTZType()
+
+
+def event_schema(source_path: str | None = None) -> T.StructType:
+    """events fixture schema; ts type adapts to the source footer
+    (see _ts_field_type)."""
     return T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            T.StructField("ts", T.LongType(), True),
+            T.StructField("ts", _ts_field_type(source_path), True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
@@ -37,8 +67,14 @@ def event_schema() -> T.StructType:
 
 
 def normalize_events(raw: DataFrame) -> DataFrame:
-    """ns-long -> µs timestamp (matches tables.load batch semantics)."""
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ts to a session-tz timestamp, matching tables.load batch
+    semantics: ns-long -> µs truncation, TIMESTAMP_NTZ -> UTC-session cast."""
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampType):
+        return raw
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
@@ -89,7 +125,7 @@ def run_stream_once(
     directory (smoke-test harness; production swaps the source for Kafka /
     files-arriving and the sink for a VintageTable foreachBatch writer)."""
     raw = (
-        spark.readStream.schema(event_schema())
+        spark.readStream.schema(event_schema(source_dir))
         .format("parquet")
         .option("path", source_dir)
         .load()
@@ -154,7 +190,7 @@ def stream_into_vintage(
             table.merge(deduped, key_cols, on_duplicate_source="assume_unique")
 
     raw = (
-        spark.readStream.schema(event_schema())
+        spark.readStream.schema(event_schema(source_dir))
         .format("parquet")
         .option("path", source_dir)
         .load()

@@ -36,14 +36,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # own SparkSession, so pin UTC here rather than relying on our builder.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        # (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to a µs
-        # timestamp — the same truncation DuckDB applies, so oracles agree.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # reader rejects — PARQUET_TYPE_ILLEGAL — unless read as long) in some
+        # fixture generations and plain TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ) in others. Adapt to whatever the footer says so the
+        # loader survives fixture regeneration; normalize to a session-tz
+        # TIMESTAMP (session tz pinned UTC above), matching DuckDB's naive-UTC
+        # reading so oracles agree either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos read as long: truncate to µs (same truncation DuckDB does)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            # TIMESTAMP_NTZ (or date): naive values are UTC by fixture
+            # contract; cast under the UTC session tz is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
