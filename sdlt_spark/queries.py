@@ -1032,7 +1032,37 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_neardup(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=10)
 
 
-@_q("ngram_jaccard", None)
+@_q(
+    "ngram_jaccard",
+    # Exact semantics (no hashing anywhere in the operator), so the oracle
+    # recomputes word-3-gram Jaccard from scratch: DuckDB list slicing
+    # t[i : i+2] is 1-based end-INCLUSIVE (a 3-gram), range() end-EXCLUSIVE.
+    # Both sides filter on the ROUNDED similarity (Spark rounds before its
+    # threshold filter).
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS ngram
+      FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM grams a JOIN grams b USING (ngram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    """,
+)
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.2
@@ -1128,7 +1158,33 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("sessionize", None)  # session_window not expressible in one DuckDB query
+@_q(
+    "sessionize",
+    # session_window as gaps-and-islands: two events share a session iff
+    # their windows [t, t+gap) overlap, i.e. delta STRICTLY < gap (an event
+    # landing exactly at prev_end starts a new session — note `<` here vs
+    # sessionize_sql's deliberate `<=` formulation, which is its own twin).
+    # Session end = last event ts + gap, exactly Spark's sess.end.
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: session windows per user (30 min gap), static-mode run of the
     streaming transformation."""
