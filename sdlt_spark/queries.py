@@ -970,6 +970,77 @@ def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_prep",
+    # End-to-end training-corpus prep with a fully relational oracle. Both
+    # sides filter on UNROUNDED signals (identical IEEE arithmetic from
+    # integer lengths, so the comparisons agree bit-for-bit) and the final
+    # ratio derives from integer sums (exact regardless of summation order).
+    r"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+        AND length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) * 1.0
+            / length(text) <= 0.1
+    ),
+    keep AS (
+      SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+      FROM q GROUP BY 1
+    ),
+    rep AS (
+      SELECT q.* FROM q
+      JOIN keep ON keep.doc_id = q.doc_id
+               AND keep.fp = md5(lower(trim(q.text)))
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(length(text)) AS DOUBLE) / sum(n_tokens), 4)
+             AS avg_chars_per_token
+    FROM rep GROUP BY lang, source
+    """,
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data-pipeline composition: quality filter -> exact
+    near-zero-cost dedup -> per-(lang, source) corpus statistics, all
+    JVM-side expressions.
+
+    Scale shape: the quality signals are scan-local projections (no
+    shuffle); dedup shuffles only (fp, doc_id) pairs — a 16-byte md5 key,
+    never document bodies — then the representative semi-join and the final
+    aggregation are AQE-planned shuffles on compact keys. At 100 TB the
+    whole pipeline is one scan plus three narrow-key shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(toks).alias("n_tokens"),
+    ).filter(
+        (F.size(toks) >= 5)
+        & (
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9 \t\n]", "")).cast("double")
+            / F.length("text")
+            <= 0.1
+        )
+    )
+    fp = F.md5(F.lower(F.trim("text")))
+    with_fp = q.withColumn("fp", fp)
+    keep = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    rep = with_fp.join(keep, ["fp", "doc_id"])
+    return rep.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum("n_tokens"), 4
+        ).alias("avg_chars_per_token"),
+    )
+
+
+@_q(
     "cosine_topk",
     """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -1255,6 +1326,27 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdlt_spark.store.sdmx import read_submission
 
     return read_submission(spark, "/root/reference/in/data.0.csv")
+
+
+@_q("json_scan", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: JSON-lines sink + source (the training-corpus exchange
+    format). Stages documents as JSONL, reads them back with an explicit
+    schema (never inferSchema — that's an extra full scan). The roundtrip
+    is lossless, so the oracle is the identity projection — the same
+    scan-back pattern vintage_compact uses."""
+    import tempfile
+
+    from sdlt_spark import sources as _src
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = tempfile.mkdtemp(prefix="sdlt_json_scan_")
+    _src.write_jsonl(docs, stage)
+    return _src.read_jsonl(spark, stage, docs.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
 
 
 @_q("approx_distinct", None)  # HLL sketches differ across engines -> rows-only

@@ -617,12 +617,34 @@ class VintageTable:
     # --------------------------------------------------------------- writes
 
     @_retry_conflicts
-    def write(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        cluster_by: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
         """Full write. ``overwrite`` = reference full replacement
         (README.md:175-199); history is preserved, old files stay for time
-        travel until vacuumed."""
+        travel until vacuumed.
+
+        ``cluster_by`` clusters the data AT INGEST: range-repartition +
+        sort-within-partitions on the given columns, so each file owns a
+        narrow zone of the leading cluster key and zone maps prune scans
+        and merge rewrites immediately — no post-hoc compact() needed.
+        This is the scale replacement for Hive-style partitionBy: same
+        pruning effect on selective predicates, but high-cardinality keys
+        can't explode into millions of directories (file count stays
+        ``num_files``, default the session shuffle parallelism)."""
         if mode not in ("overwrite", "append", "errorifexists"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if cluster_by:
+            nf = num_files or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            df = df.repartitionByRange(nf, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
         if mode == "errorifexists" and self.exists():
             raise FileExistsError(self.path)
         if mode == "append" and self.exists():

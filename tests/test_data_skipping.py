@@ -150,3 +150,25 @@ def test_zorder_string_column_prunes(spark, tmp_path):
     assert len(pruned_k) <= len(live) // 2, (len(pruned_k), len(live))
     assert t.read().count() == n * n
     assert t.read().agg(F.sum("v")).head()[0] == sum(range(n * n))
+
+
+def test_write_cluster_by_prunes_at_ingest(spark, tmp_path):
+    """write(cluster_by=...) must produce zone-disjoint files straight from
+    ingest: selective range reads on the cluster key skip most files with
+    no compact() in between, and the data round-trips unchanged."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        # adversarial layout: without clustering every file spans ~all of k
+        .orderBy(F.xxhash64("id"))
+    )
+    t.write(df, cluster_by=["k"], num_files=16)
+
+    live = t._live_files()
+    assert len(live) == 16
+    pruned = t._prune_by_range(live, "k", 0, n // 16)
+    assert len(pruned) <= 2, (len(pruned), len(live))
+    assert t.read().count() == n
+    assert t.read().agg(F.sum("v")).head()[0] == n * (n - 1)
