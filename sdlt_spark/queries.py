@@ -846,6 +846,45 @@ def vintage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.diff(0)
 
 
+@_q(
+    "vintage_incremental_agg",
+    # Oracle recomputes the FINAL snapshot's aggregate relationally
+    # (merge-then-delete shape reused from vintage_merge / vintage_delete);
+    # the Spark side never rescans that snapshot — it folds the change feed
+    # onto the v0 seed. DECIMAL sums make both sides order-proof.
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+      FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    ),
+    final AS (SELECT * FROM merged WHERE NOT (o_orderstatus = 'F'))
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def vintage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance over the change feed: per-status order
+    count + exact revenue total maintained from the v0 seed plus CDC deltas
+    of a merge and a delete — O(changed rows) per refresh instead of a full
+    snapshot rescan (operators/incremental.py)."""
+    from sdlt_spark.operators.incremental import incremental_agg
+    from sdlt_spark.store import VintageTable
+
+    clone = _fresh_vintage(spark, sf_dir)
+    t = VintageTable(spark, clone.path, change_feed=True)
+    t.merge(_merge_src(spark, sf_dir), ["o_orderkey"])
+    t.delete("o_orderstatus = 'F'")
+    return incremental_agg(t, ["o_orderstatus"], "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # §2.11 — LLM-data-pipeline extensions over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -1326,6 +1365,30 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdlt_spark.store.sdmx import read_submission
 
     return read_submission(spark, "/root/reference/in/data.0.csv")
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rk
+      FROM documents)
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k selection (the 'best N documents per language'
+    curation staple): row_number over a (group, order) window, filtered to
+    k. One shuffle on the group key; deterministic doc_id tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
 
 
 @_q("json_scan", "SELECT doc_id, text, lang, source, n_chars FROM documents")

@@ -1,0 +1,81 @@
+"""Incremental aggregate maintenance: the CDC fold must equal a full
+recompute after every kind of commit, and must keep working across
+compaction (silent) and version ranges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdlt_spark.operators.incremental import incremental_agg
+from sdlt_spark.store import VintageTable
+
+
+def _recompute(table, keys, value_col):
+    return (
+        table.read()
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_agg_tracks_all_mutations(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"), change_feed=True)
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t.write(base)  # v0
+    t.merge(  # v1: update 10 keys into group 'X', insert 5 new
+        spark.range(95, 110).select(
+            F.col("id").alias("k"), F.lit("X").alias("g"), F.lit(7.0).alias("v")
+        ),
+        ["k"],
+    )
+    t.delete("g = '1'")  # v2: a whole group drops out
+    t.compact(num_files=2)  # v3: dataChange=false, must be silent
+    t.update("k = 0", {"v": F.lit(99.0)})  # v4: delete+insert pair
+
+    got = incremental_agg(t, ["g"], "v")
+    assert _rows(got) == _rows(_recompute(t, ["g"], "v"))
+    # group '1' was fully deleted: it must vanish, not linger at n=0
+    assert not any(r[0] == "1" for r in got.collect())
+
+
+def test_incremental_agg_from_later_seed(spark, tmp_path):
+    """Seeding from a mid-history snapshot folds only the later commits."""
+    t = VintageTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(
+        spark.range(50).select(
+            F.col("id").alias("k"), F.lit("a").alias("g"), F.lit(2.0).alias("v")
+        )
+    )
+    t.delete("k < 10")  # v1
+    t.merge(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), F.lit("b").alias("g"), F.lit(3.0).alias("v")
+        ),
+        ["k"],
+    )  # v2
+    got = incremental_agg(t, ["g"], "v", from_version=1)
+    assert _rows(got) == _rows(_recompute(t, ["g"], "v"))
+
+
+def test_incremental_agg_no_changes_is_snapshot_agg(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"), change_feed=True)
+    t.write(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit("a").alias("g"), F.lit(1.0).alias("v")
+        )
+    )
+    got = incremental_agg(t, ["g"], "v")
+    assert _rows(got) == [("a", 10, 10.0)]
