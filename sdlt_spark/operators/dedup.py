@@ -370,10 +370,13 @@ def simhash_neardup(
     # .rdd.getNumPartitions() probe would force physical planning and an RDD
     # conversion of the scan on every call). Non-file inputs report zero
     # files and get repartitioned — the safe default for local relations.
-    sh = simhash(df, id_col, text_col)
+    # Spread the INPUT before hashing: the Arrow bit-voting UDF inherits the
+    # scan's partitioning, so on a 1-file fixture it would run serially —
+    # repartitioning the (cheap) raw rows parallelizes the expensive stage,
+    # not just the join behind it (same pattern as minhash_dedup above).
     if _scan_underparallel(df):
-        sh = sh.repartition(F.col(id_col))
-    sh = sh.persist()
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = simhash(df, id_col, text_col).persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
