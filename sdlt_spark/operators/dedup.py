@@ -370,13 +370,15 @@ def simhash_neardup(
     # .rdd.getNumPartitions() probe would force physical planning and an RDD
     # conversion of the scan on every call). Non-file inputs report zero
     # files and get repartitioned — the safe default for local relations.
-    # Spread the INPUT before hashing: the Arrow bit-voting UDF inherits the
-    # scan's partitioning, so on a 1-file fixture it would run serially —
-    # repartitioning the (cheap) raw rows parallelizes the expensive stage,
-    # not just the join behind it (same pattern as minhash_dedup above).
+    # simhash() is a pure map over the scan; repartition its (id, simhash)
+    # OUTPUT — 16 bytes/row — when the scan is under-parallel, never the raw
+    # rows: spreading text bodies first costs a document-sized shuffle that
+    # dwarfs what the (warm-worker) serial hash stage saves. Measured at
+    # sf0.1: input-repartition ~2.3 s vs output-repartition ~1.4 s warm.
+    sh = simhash(df, id_col, text_col)
     if _scan_underparallel(df):
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = simhash(df, id_col, text_col).persist()
+        sh = sh.repartition(F.col(id_col))
+    sh = sh.persist()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
