@@ -40,6 +40,61 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def normalize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str, round_dp: int = 6
+) -> DataFrame:
+    """Unit-norm embeddings (the precondition for cosine == dot-product
+    search), entirely JVM-side: sequential-order sum of squares via
+    F.aggregate, then one transform — no UDF, no shuffle, a pure map over
+    the scan at any scale. Zero vectors are dropped (no defined direction).
+
+    Per-row list-order arithmetic is IEEE-deterministic, so the result is
+    exactly reproducible across engines — rounded to ``round_dp`` only to
+    keep the output stable under serialization."""
+    nrm = _norm(F.col(vec_col))
+    return (
+        df.withColumn("__nrm", nrm)
+        .filter(F.col("__nrm") > 0)
+        .select(
+            id_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") / F.col("__nrm"), round_dp),
+            ).alias("unit"),
+        )
+    )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max |x|, each lane
+    q = floor(x * 127 / scale + 0.5) in [-127, 127]. 4x memory cut for
+    float32 corpora — at 100 TB of embeddings this is the difference
+    between an ANN index that fits executor memory and one that spills;
+    dot products then run in int arithmetic against a per-vector
+    dequantization scale. All JVM expressions, map-only; zero vectors
+    (scale 0) are dropped. floor(x + 0.5) is used instead of round() so
+    the lane rule is a single exactly-specified IEEE operation."""
+    scale = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    return (
+        df.withColumn("__scale", scale)
+        .filter(F.col("__scale") > 0)
+        .select(
+            id_col,
+            F.col("__scale").alias("scale"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(127.0) / F.col("__scale") + F.lit(0.5)
+                ).cast("int"),
+            ).alias("q"),
+        )
+    )
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:

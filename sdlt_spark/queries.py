@@ -1123,6 +1123,48 @@ def neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embed_normalize",
+    # Per-row list arithmetic is order-defined, so both engines produce
+    # bit-identical doubles: x*x summed left-to-right, sqrt, divide, round.
+    """
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM s
+    )
+    SELECT vec_id, list_transform(v, x -> round(x / nrm, 6)) AS unit
+    FROM n WHERE nrm > 0
+    """,
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm projection of the embedding corpus (map-only, no UDF)."""
+    return _sim.normalize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
+@_q(
+    "embed_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS q
+    FROM s WHERE scale > 0
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (map-only)."""
+    return _sim.quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+
+
 # --- rows-only declared ops (LSH/ANN randomness or non-SQL plumbing) -------
 
 
