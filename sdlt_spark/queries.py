@@ -847,6 +847,25 @@ def vintage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vintage_cluster_scan",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000",
+)
+def vintage_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered ingest + data-skipping read: write(cluster_by) lays files
+    out range-disjoint, read_where lists only zone-matching files before
+    the exact row filter (pruning itself is asserted in
+    tests/test_data_skipping.py; the oracle checks the visible rows)."""
+    import tempfile
+
+    from sdlt_spark.store import VintageTable
+
+    t = VintageTable(spark, tempfile.mkdtemp(prefix="sdlt_cluster_") + "/orders")
+    t.write(_orders_proj(spark, sf_dir), cluster_by=["o_orderkey"], num_files=8)
+    return t.read_where("o_orderkey", 1000, 2000)
+
+
+@_q(
     "vintage_incremental_agg",
     # Oracle recomputes the FINAL snapshot's aggregate relationally
     # (merge-then-delete shape reused from vintage_merge / vintage_delete);

@@ -541,8 +541,9 @@ class VintageTable:
 
     def _prune_by_range(self, files: list[str], col: str, lo, hi) -> list[str]:
         """Keep only files whose [min, max] zone for ``col`` overlaps
-        [lo, hi]; files without stats are always kept (over-approximation
-        preserves correctness)."""
+        [lo, hi] (either bound ``None`` = unbounded on that side); files
+        without stats are always kept (over-approximation preserves
+        correctness)."""
         stats = self._file_stats()
         out = []
         for f in files:
@@ -550,7 +551,9 @@ class VintageTable:
             if not st or col not in st.get("min", {}) or col not in st.get("max", {}):
                 out.append(f)
                 continue
-            if st["max"][col] >= lo and st["min"][col] <= hi:
+            if (lo is None or st["max"][col] >= lo) and (
+                hi is None or st["min"][col] <= hi
+            ):
                 out.append(f)
         return out
 
@@ -596,6 +599,26 @@ class VintageTable:
         (README.md:169 ``versionAsOf`` / README.md:166 ``timestampAsOf``)."""
         files = self._live_files(version=version, timestamp=timestamp)
         return self._read_files(files, version=version)
+
+    def read_where(self, col: str, lo=None, hi=None, version: int | None = None) -> DataFrame:
+        """Data-skipping range read (Delta's read-path file skipping): only
+        files whose zone map for ``col`` overlaps [lo, hi] (``None`` =
+        unbounded) are listed for the scan, then the exact row predicate
+        still applies — zone maps are file-granular over-approximations.
+
+        Composes with parquet row-group pushdown inside the surviving
+        files. On a table written with ``write(cluster_by=[col])`` or
+        reorganized by ``compact(sort_by/zorder_by)`` a narrow range
+        touches O(matching) files regardless of table size — the property
+        that makes point-ish reads on a 100 TB table not be table scans."""
+        files = self._prune_by_range(self._live_files(version=version), col, lo, hi)
+        df = self._read_files(files, version=version)
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
 
     def history(self) -> DataFrame:
         """Version log, newest first (README.md:305-319)."""

@@ -172,3 +172,28 @@ def test_write_cluster_by_prunes_at_ingest(spark, tmp_path):
     assert len(pruned) <= 2, (len(pruned), len(live))
     assert t.read().count() == n
     assert t.read().agg(F.sum("v")).head()[0] == n * (n - 1)
+
+
+def test_read_where_skips_files(spark, tmp_path):
+    """read_where must list only zone-matching files (visible via
+    inputFiles) and return exactly the rows the full-scan filter returns,
+    including with half-open bounds."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        .orderBy(F.xxhash64("id"))
+    )
+    t.write(df, cluster_by=["k"], num_files=16)
+
+    narrow = t.read_where("k", 100, 200)
+    assert len(narrow.inputFiles()) <= 2
+    assert sorted(r["k"] for r in narrow.collect()) == list(range(100, 201))
+
+    lo_only = t.read_where("k", lo=n - 50)
+    assert len(lo_only.inputFiles()) <= 2
+    assert lo_only.count() == 50
+    hi_only = t.read_where("k", hi=49)
+    assert len(hi_only.inputFiles()) <= 2
+    assert hi_only.count() == 50
