@@ -27,6 +27,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def maintain_agg_stream(
+    spark,
+    source_path: str,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    query_name: str = "mv_maintain",
+    starting_version: int = 0,
+):
+    """CONTINUOUS materialized-view maintenance: tail ``source_path``'s
+    change feed (the ``vintage_cdc`` streaming source) and fold every
+    micro-batch's deltas into a persistent per-key (n, total) state table.
+
+    Each trigger does O(changed rows) work: the batch pre-aggregates its
+    CDC rows to per-key deltas (insert +1, delete -1; DECIMAL-exact sums),
+    then a full-outer join against the O(groups) state applies them. The
+    stream checkpoint carries the source version offsets, so a restarted
+    query resumes exactly after the last folded commit — each commit is
+    folded once even across crashes (the foreachBatch/state-overwrite pair
+    is idempotent per batch only if batches re-run identically, which the
+    version-offset checkpoint guarantees).
+
+    Returns the started StreamingQuery; the caller drives/stops it.
+    """
+    from sdlt_spark.store import VintageTable
+
+    state = VintageTable(spark, state_path)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.sum(w).alias("dn"),
+                F.sum(F.col(value_col).cast("decimal(18,2)") * w)
+                .cast("decimal(28,2)")
+                .alias("dtotal"),
+            )
+        )
+        if state.exists():
+            cur = state.read()
+            merged = (
+                cur.join(delta, on=keys, how="full_outer")
+                .select(
+                    *keys,
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+                    (
+                        F.coalesce(F.col("total"), F.lit(0).cast("decimal(28,2)"))
+                        + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(28,2)"))
+                    ).cast("decimal(28,2)").alias("total"),
+                )
+                .filter(F.col("n") > 0)
+            )
+            state.write(merged, mode="overwrite")
+        else:
+            state.write(
+                delta.filter(F.col("dn") > 0).select(
+                    *keys, F.col("dn").alias("n"), F.col("dtotal").alias("total")
+                ),
+                mode="errorifexists",
+            )
+
+    return (
+        spark.readStream.format("vintage_cdc")
+        .option("path", source_path)
+        .option("startingVersion", starting_version)
+        .load()
+        .writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", state_path + "/_mv_checkpoint")
+        .start()
+    )
+
+
 def incremental_agg(
     table,
     keys: list[str],

@@ -79,3 +79,67 @@ def test_incremental_agg_no_changes_is_snapshot_agg(spark, tmp_path):
     )
     got = incremental_agg(t, ["g"], "v")
     assert _rows(got) == [("a", 10, 10.0)]
+
+
+def test_maintain_agg_stream_continuous(spark, tmp_path):
+    """Streaming MV maintenance: the state table must equal a full
+    recompute after the initial snapshot, after in-flight commits, and
+    after a stream restart from the checkpoint."""
+    from sdlt_spark.operators.incremental import maintain_agg_stream
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    src_path = str(tmp_path / "src")
+    state_path = str(tmp_path / "state")
+    src = VintageTable(spark, src_path, change_feed=True)
+    src.write(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 0.5).alias("v"),
+        )
+    )
+
+    def state_rows():
+        return sorted(
+            (r["g"], r["n"], float(r["total"]))
+            for r in VintageTable(spark, state_path).read().collect()
+        )
+
+    def expect():
+        return sorted(
+            (r["g"], r["n"], float(r["t"]))
+            for r in src.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(28,2)").alias("t"),
+            )
+            .collect()
+        )
+
+    q = maintain_agg_stream(spark, src_path, state_path, ["g"], "v")
+    try:
+        q.processAllAvailable()
+        assert state_rows() == expect()
+
+        src.merge(  # commits landing while the stream runs are folded
+            spark.range(95, 120).select(
+                F.col("id").alias("k"), F.lit("x").alias("g"), F.lit(2.0).alias("v")
+            ),
+            ["k"],
+        )
+        src.delete("g = '1'")
+        q.processAllAvailable()
+        assert state_rows() == expect()
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: only the new commit is folded, once
+    src.update("k = 2", {"v": F.lit(9.0)})
+    q2 = maintain_agg_stream(spark, src_path, state_path, ["g"], "v")
+    try:
+        q2.processAllAvailable()
+        assert state_rows() == expect()
+    finally:
+        q2.stop()
