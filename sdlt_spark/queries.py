@@ -1184,6 +1184,44 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "quantized_cosine_topk",
+    # The int dot is exact (BIGINT lanes, < 2^53 so DuckDB's double result
+    # is lossless); dequantization multiplies in the same left-to-right
+    # order as the Spark expression. ORDER BY uses the unrounded score.
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS q
+      FROM s WHERE scale > 0
+    ),
+    qref AS (SELECT scale AS qscale, q AS qvec FROM qz WHERE vec_id = 0)
+    SELECT z.vec_id,
+           round(CAST(list_dot_product(z.q, qref.qvec) AS DOUBLE)
+                 * z.scale * qref.qscale / 16129.0, 6) AS score
+    FROM qz z, qref
+    WHERE z.vec_id <> 0
+    ORDER BY CAST(list_dot_product(z.q, qref.qvec) AS DOUBLE)
+             * z.scale * qref.qscale / 16129.0 DESC, z.vec_id
+    LIMIT 10
+    """,
+)
+def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 int8 path: search the quantized corpus with an int dot product;
+    the quantization rule is exactly specified so even this 'approximate'
+    search is value-hash-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.quantized_cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", list(query), k=10
+    )
+
+
 # --- rows-only declared ops (LSH/ANN randomness or non-SQL plumbing) -------
 
 
