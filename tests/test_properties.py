@@ -191,3 +191,63 @@ def test_minhash_dedup_precision_and_exact_jaccard(spark, texts):
         assert r["id_a"] < r["id_b"]
         assert true_j >= 0.5
         assert abs(r["jaccard"] - round(true_j, 4)) < 1e-9
+
+
+# ------------------------------------------------------ incremental fold
+
+
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), rows_strategy),
+        st.tuples(st.just("delete"), KEYS),
+        st.tuples(st.just("update"), KEYS),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(base=rows_strategy, ops=OPS)
+@_prop_settings
+def test_incremental_fold_equals_recompute(spark, tmp_path_factory, base, ops):
+    """incremental_agg over an ARBITRARY mutation sequence must equal the
+    from-scratch aggregate of the final snapshot — the CDC fold has no
+    blind spots (empty deltas, vanished groups, update pairs...)."""
+    from sdlt_spark.operators.incremental import incremental_agg
+
+    path = str(tmp_path_factory.mktemp("inc") / "t")
+    t = VintageTable(spark, path, change_feed=True)
+    t.write(
+        _df(spark, base).select(
+            "k", (F.col("k") % 3).cast("string").alias("g"), "v"
+        )
+    )
+    for op, arg in ops:
+        if op == "merge":
+            t.merge(
+                _df(spark, arg).select(
+                    "k", (F.col("k") % 2).cast("string").alias("g"), "v"
+                ),
+                ["k"],
+            )
+        elif op == "delete":
+            t.delete(f"k = {arg}")
+        else:
+            t.update(f"k = {arg}", {"v": F.lit(1.25)})
+
+    got = sorted(map(tuple, incremental_agg(t, ["g"], "v").collect()))
+    want = sorted(
+        map(
+            tuple,
+            t.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2
+                ).alias("total"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
