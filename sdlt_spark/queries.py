@@ -1185,6 +1185,43 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_groupby",
+    # Oracle is the PLAIN aggregate: salting is a physical rewrite with
+    # identical semantics. DECIMAL sums make the two-phase reassociation
+    # exact, so the hash can't drift with summation order.
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 under skew: two-phase salted aggregation (operators/skew.py) —
+    phase 1 aggregates on (key, salt) so a hot key spreads over num_salts
+    reducers, phase 2 merges the partials. Same answer as the direct
+    aggregate by construction; this entry keeps the skew path
+    driver-checked, not just unit-tested."""
+    from sdlt_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        "l_orderkey",
+        {"n": ("count", "*"), "sum_qty": ("sum", "qty")},
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+    )
+
+
+@_q(
     "quantized_cosine_topk",
     # The int dot is exact (BIGINT lanes, < 2^53 so DuckDB's double result
     # is lossless); dequantization multiplies in the same left-to-right

@@ -151,3 +151,27 @@ def test_minhash_dedup_broadcasts_side_tables(spark):
         assert "F.broadcast(" not in inspect.getsource(_d.minhash_dedup)
     finally:
         spark.catalog.clearCache()
+
+
+def test_embed_ops_are_map_only(spark):
+    """Normalization and quantization must plan as pure scans + projections:
+    any Exchange here would mean a pointless full-corpus shuffle at 100 TB."""
+    for name in ("embed_normalize", "embed_quantize"):
+        assert "Exchange" not in plan_of(spark, name), name
+
+
+def test_corpus_prep_partial_aggregation(spark):
+    """Both aggregations in the pipeline (fp-dedup and the final stats) must
+    partial-aggregate before their exchanges."""
+    plan = plan_of(spark, "corpus_prep")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_salted_groupby_two_phase(spark):
+    """The salted rewrite must show both aggregation phases; the salt must
+    not survive into the output schema."""
+    fn, _ = q.registry()["salted_groupby"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4  # (key,salt) partial+final, then key partial+final
+    assert "__salt" not in df.columns
