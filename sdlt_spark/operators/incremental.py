@@ -27,6 +27,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fold_cdc_batch(
+    state, batch_df: DataFrame, batch_id: int, keys: list[str], value_col: str
+) -> None:
+    """Fold one CDC micro-batch's per-key deltas into the ``state`` table,
+    EXACTLY ONCE even when the caller replays the batch.
+
+    foreachBatch's crash window — the state commit lands but the stream
+    checkpoint doesn't — makes every sink write potentially re-run. The
+    guard is Delta's txnVersion pattern: each fold commits with
+    ``txn_id=batch_id``; a replayed batch sees its own id in
+    ``state.last_txn_id()`` and returns without touching the table.
+    (Batch ids are monotone per checkpoint, so ``>=`` is the correct skip
+    test; a fresh checkpoint against an existing state table is user error
+    and shows up as skipped batch 0.)
+    """
+    if batch_df.isEmpty():
+        return
+    if state.exists():
+        last = state.last_txn_id()
+        if last is not None and int(last) >= batch_id:
+            return  # replay of an already-folded batch
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = batch_df.groupBy(*keys).agg(
+        F.sum(w).alias("dn"),
+        F.sum(F.col(value_col).cast("decimal(18,2)") * w)
+        .cast("decimal(28,2)")
+        .alias("dtotal"),
+    )
+    if state.exists():
+        cur = state.read()
+        merged = (
+            cur.join(delta, on=keys, how="full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0).cast("decimal(28,2)"))
+                    + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(28,2)"))
+                )
+                .cast("decimal(28,2)")
+                .alias("total"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        state.write(merged, mode="overwrite", txn_id=str(batch_id))
+    else:
+        state.write(
+            delta.filter(F.col("dn") > 0).select(
+                *keys, F.col("dn").alias("n"), F.col("dtotal").alias("total")
+            ),
+            mode="errorifexists",
+            txn_id=str(batch_id),
+        )
+
+
 def maintain_agg_stream(
     spark,
     source_path: str,
@@ -44,10 +101,10 @@ def maintain_agg_stream(
     CDC rows to per-key deltas (insert +1, delete -1; DECIMAL-exact sums),
     then a full-outer join against the O(groups) state applies them. The
     stream checkpoint carries the source version offsets, so a restarted
-    query resumes exactly after the last folded commit — each commit is
-    folded once even across crashes (the foreachBatch/state-overwrite pair
-    is idempotent per batch only if batches re-run identically, which the
-    version-offset checkpoint guarantees).
+    query resumes exactly after the last folded commit; replays of the
+    crash window between a state commit and the checkpoint commit are
+    de-duplicated by the txn-id guard in :func:`fold_cdc_batch`, so every
+    batch folds exactly once.
 
     Returns the started StreamingQuery; the caller drives/stops it.
     """
@@ -56,40 +113,7 @@ def maintain_agg_stream(
     state = VintageTable(spark, state_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
-        delta = (
-            batch_df.groupBy(*keys)
-            .agg(
-                F.sum(w).alias("dn"),
-                F.sum(F.col(value_col).cast("decimal(18,2)") * w)
-                .cast("decimal(28,2)")
-                .alias("dtotal"),
-            )
-        )
-        if state.exists():
-            cur = state.read()
-            merged = (
-                cur.join(delta, on=keys, how="full_outer")
-                .select(
-                    *keys,
-                    (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
-                    (
-                        F.coalesce(F.col("total"), F.lit(0).cast("decimal(28,2)"))
-                        + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(28,2)"))
-                    ).cast("decimal(28,2)").alias("total"),
-                )
-                .filter(F.col("n") > 0)
-            )
-            state.write(merged, mode="overwrite")
-        else:
-            state.write(
-                delta.filter(F.col("dn") > 0).select(
-                    *keys, F.col("dn").alias("n"), F.col("dtotal").alias("total")
-                ),
-                mode="errorifexists",
-            )
+        fold_cdc_batch(state, batch_df, batch_id, keys, value_col)
 
     return (
         spark.readStream.format("vintage_cdc")

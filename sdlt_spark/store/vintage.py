@@ -646,10 +646,17 @@ class VintageTable:
         mode: str = "overwrite",
         cluster_by: list[str] | None = None,
         num_files: int | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Full write. ``overwrite`` = reference full replacement
         (README.md:175-199); history is preserved, old files stay for time
         travel until vacuumed.
+
+        ``txn_id`` records an idempotence token in the commit's operation
+        parameters (Delta's ``txnAppId/txnVersion`` pattern): a sink that
+        may replay its writes (foreachBatch after a crash between the
+        table commit and the stream checkpoint) checks
+        :meth:`last_txn_id` and skips already-applied batches.
 
         ``cluster_by`` clusters the data AT INGEST: range-repartition +
         sort-within-partitions on the given columns, so each file owns a
@@ -685,13 +692,28 @@ class VintageTable:
                 )
         add = self._write_files(df)
         remove = self._live_files() if (mode == "overwrite" and self.exists()) else []
+        params = {"mode": "Overwrite" if mode == "overwrite" else mode.title()}
+        if txn_id is not None:
+            params["txnId"] = str(txn_id)
         return self._commit(
             "WRITE",
-            {"mode": "Overwrite" if mode == "overwrite" else mode.title()},
+            params,
             add,
             remove,
             schema_json=df.schema.json(),
         )
+
+    def last_txn_id(self) -> str | None:
+        """The ``txn_id`` of the most recent commit that recorded one, or
+        None — the read half of the write(txn_id=...) idempotence pattern.
+        Scans commits newest-first and stops at the first token, so a
+        non-transactional commit interleaved by another writer doesn't hide
+        the sink's own progress marker."""
+        for c in reversed(self._commits()):
+            tid = (c.operation_parameters or {}).get("txnId")
+            if tid is not None:
+                return tid
+        return None
 
     @_retry_conflicts
     def merge(

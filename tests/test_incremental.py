@@ -143,3 +143,29 @@ def test_maintain_agg_stream_continuous(spark, tmp_path):
         assert state_rows() == expect()
     finally:
         q2.stop()
+
+
+def test_fold_cdc_batch_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a folded batch (the foreachBatch crash window: state
+    committed, checkpoint not) must be a no-op; the next batch id still
+    applies."""
+    from sdlt_spark.operators.incremental import fold_cdc_batch
+
+    state = VintageTable(spark, str(tmp_path / "state"))
+    b0 = spark.createDataFrame(
+        [("a", 1.0, "insert"), ("a", 2.0, "insert"), ("b", 5.0, "insert")],
+        "g string, v double, _change_type string",
+    )
+    fold_cdc_batch(state, b0, 0, ["g"], "v")
+    fold_cdc_batch(state, b0, 0, ["g"], "v")  # replay: must not double-fold
+    rows = sorted((r["g"], r["n"], float(r["total"])) for r in state.read().collect())
+    assert rows == [("a", 2, 3.0), ("b", 1, 5.0)]
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0, "delete"), ("c", 7.0, "insert")],
+        "g string, v double, _change_type string",
+    )
+    fold_cdc_batch(state, b1, 1, ["g"], "v")
+    fold_cdc_batch(state, b1, 1, ["g"], "v")  # replay again
+    rows = sorted((r["g"], r["n"], float(r["total"])) for r in state.read().collect())
+    assert rows == [("a", 1, 2.0), ("b", 1, 5.0), ("c", 1, 7.0)]
