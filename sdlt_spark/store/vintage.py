@@ -723,6 +723,7 @@ class VintageTable:
         schema_evolution: bool = False,
         on_duplicate_source: str = "error",
         order_col: str | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Upsert: whenMatched updateAll / whenNotMatched insertAll on key
         equality (README.md:125-130). With ``schema_evolution`` new source
@@ -880,6 +881,9 @@ class VintageTable:
         params = {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)}
         if change_dir:
             params["changeData"] = change_dir
+        if txn_id is not None:
+            # idempotence token for replay-prone sinks (see write(txn_id=))
+            params["txnId"] = str(txn_id)
         return self._commit("MERGE", params, add, touched, schema_json=schema_json)
 
     @_retry_conflicts

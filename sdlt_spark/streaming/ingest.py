@@ -182,12 +182,26 @@ def stream_into_vintage(
     def _sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # exactly-once guard (Delta's txnVersion pattern): a batch replayed
+        # after a crash between table commit and stream checkpoint would be
+        # value-idempotent for an upsert, but it would still append a
+        # phantom commit — and with change_feed=True, phantom CDC rows that
+        # downstream consumers would double-apply. Skip folded batches.
+        if table.exists():
+            last = table.last_txn_id()
+            if last is not None and int(last) >= batch_id:
+                return
         deduped = _dedup(batch_df)
         if not table.exists():
-            table.write(deduped, mode="errorifexists")
+            table.write(deduped, mode="errorifexists", txn_id=str(batch_id))
         else:
             # batch already deduped above — skip merge's validation agg job
-            table.merge(deduped, key_cols, on_duplicate_source="assume_unique")
+            table.merge(
+                deduped,
+                key_cols,
+                on_duplicate_source="assume_unique",
+                txn_id=str(batch_id),
+            )
 
     raw = (
         spark.readStream.schema(event_schema(source_dir))
