@@ -1769,6 +1769,73 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_q18_shape",
+    # Large-volume-customer shape (TPC-H Q18): HAVING over a fact
+    # aggregation, then join the surviving order keys back to orders and
+    # the customer dim. DECIMAL sums keep the HAVING boundary exact.
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 260
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: the big-orders aggregate is tiny after HAVING, so AQE
+    turns both back-joins into broadcasts — the fact table is scanned once
+    and never re-shuffled."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 260)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "scalar_regex",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           regexp_matches(c_name, '^Customer#') AS well_formed
+    FROM customer
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 regex functions: extraction + predicate, both JVM-side."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.col("c_name").rlike("^Customer#").alias("well_formed"),
+    )
+
+
+@_q(
     "string_distance",
     """
     SELECT p_partkey, p_name,
