@@ -175,3 +175,15 @@ def test_salted_groupby_two_phase(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 4  # (key,salt) partial+final, then key partial+final
     assert "__salt" not in df.columns
+
+
+def test_q18_back_joins_broadcast(spark):
+    """After the HAVING filter the big-orders set is tiny; AQE must turn
+    both back-joins into broadcasts — re-shuffling the fact output into a
+    SortMergeJoin is the plan that stops scaling."""
+    fn, _ = q.registry()["tpch_q18_shape"]
+    df = fn(spark, SF)
+    df.collect()  # AQE finalizes join strategies at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
