@@ -284,6 +284,53 @@ def correlate_streams(
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The :func:`running_user_totals` aggregation on PySpark 4's
+    ``transformWithStateInPandas`` — the current-generation stateful API
+    (typed named state slots via ``StatefulProcessorHandle``, timers,
+    multiple state variables per key; ``applyInPandasWithState`` is its
+    single-slot predecessor). Same O(users) two-scalar state, same update
+    output; kept alongside the older form so both API generations stay
+    covered.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the protobuf
+    package (TWS's state-server wire format). The test harness container
+    lacks protobuf, so the test for this operator import-skips there —
+    gate deployments on both being present."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events LONG, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + value total maintained across micro-batches.

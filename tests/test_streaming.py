@@ -193,6 +193,65 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_tws_running_totals_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (the PySpark 4 stateful API) must carry
+    named ValueState across micro-batches, matching the batch aggregation —
+    the TWS twin of the applyInPandasWithState test above."""
+    import pyarrow.parquet as pq
+
+    # TWS's state-server protocol needs protobuf, which this container
+    # lacks (no pip installs allowed) — the operator is still the correct
+    # production shape; skip only where the dependency is absent.
+    pytest.importorskip("google.protobuf")
+    # transformWithState also requires the RocksDB state store; the default
+    # HDFS-backed provider fails state-schema validation for this operator
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    tbl = pq.read_table(f"{SF}/events.parquet")
+    half = tbl.num_rows // 2
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, half), src / "part0.parquet")
+    pq.write_table(tbl.slice(half), src / "part1.parquet")
+
+    raw = (
+        spark.readStream.schema(ingest.event_schema(str(src)))
+        .format("parquet")
+        .option("path", str(src))
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    out = ingest.running_user_totals_tws(ingest.normalize_events(raw))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM t_tws").collect()
+    assert emitted
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in tables.load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert abs(final[u][1] - batch[u][1]) < 0.02
+
+
 # --------------------------------------------------------------- vintage CDC
 
 
