@@ -1769,6 +1769,70 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ohlc_resample",
+    # open/close = value at the (ts, event_id)-min/max row. Spark computes
+    # them with min_by/max_by over a struct ordering key (pure aggregate,
+    # map-side partial, ONE shuffle); DuckDB lacks composite arg_min, so
+    # the oracle states the same semantics as a window + group. round(sum)
+    # at 2 dp follows the established events-value pattern (sessionize).
+    """
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bkt, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bkt
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bkt
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, strftime(bkt, '%Y-%m-%d %H:%M:%S') AS bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           max(value) AS high, min(value) AS low,
+           count(*) AS n, round(sum(value), 2) AS volume
+    FROM r GROUP BY event_type, bkt
+    """,
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series bar aggregation (OHLC candlesticks) per event type and
+    hour: deterministic open/close via min_by/max_by on a (ts, event_id)
+    struct key — a single partial-aggregated shuffle, no window sort."""
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.struct("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bkt"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max_by("value", ordk).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bkt", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "close",
+            "high",
+            "low",
+            "n",
+            "volume",
+        )
+    )
+
+
+@_q(
     "tpch_q18_shape",
     # Large-volume-customer shape (TPC-H Q18): HAVING over a fact
     # aggregation, then join the surviving order keys back to orders and
