@@ -1769,6 +1769,51 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunks",
+    # Sliding-window chunking with an end-anchored final window so no tail
+    # tokens are lost: starts = {1, 1+s, 1+2s, ...} ∪ {len-size+1}, each
+    # chunk exactly `size` tokens (short docs -> one whole-doc chunk).
+    # DuckDB list slices are 1-based end-inclusive; range() end-exclusive.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             list_distinct(list_append(
+               range(1, greatest(len(t) - 32 + 1, 1) + 1, 24),
+               greatest(len(t) - 32 + 1, 1))) AS ss
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_start,
+           array_to_string(t[i : i + 31], ' ') AS chunk
+    FROM starts, LATERAL unnest(ss) u(i)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, stride 24) — the
+    embedding-prep staple. All JVM expressions (sequence/slice/explode), a
+    pure map over the scan: no shuffle, no UDF, linear at any corpus size.
+    The final window anchors at the document end so tail tokens always
+    land in exactly one chunk."""
+    size, stride = 32, 24
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    max0 = F.greatest(F.size(t) - size, F.lit(0))
+    starts0 = F.array_distinct(
+        F.concat(F.sequence(F.lit(0), max0, F.lit(stride)), F.array(max0))
+    )
+    return (
+        docs.select("doc_id", t.alias("__t"), F.explode(starts0).alias("__s0"))
+        .select(
+            "doc_id",
+            (F.col("__s0") + 1).cast("int").alias("chunk_start"),
+            F.concat_ws(" ", F.slice("__t", F.col("__s0") + 1, size)).alias("chunk"),
+        )
+    )
+
+
+@_q(
     "ohlc_resample",
     # open/close = value at the (ts, event_id)-min/max row. Spark computes
     # them with min_by/max_by over a struct ordering key (pure aggregate,
