@@ -1404,6 +1404,55 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("approx_percentile", None)  # sketch values differ across engines -> rows-only
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx's mergeable sketch
+    keeps the shuffle O(groups x sketch), where the exact percentile above
+    must gather every value per group. Rows-only (Spark's and DuckDB's
+    sketches legitimately disagree in low digits)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 1000), 2).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", 0.9, 1000), 2).alias("p90"),
+    )
+
+
+@_q(
+    "null_semantics",
+    # Three-valued logic corners: count() skips NULLs, count(*) doesn't;
+    # null-safe equality (Spark <=>, SQL IS NOT DISTINCT FROM); COALESCE.
+    """
+    WITH w AS (
+      SELECT o_orderpriority, nullif(o_orderstatus, 'O') AS st, o_totalprice
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           count(st) AS n_nonnull,
+           CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_null,
+           count(DISTINCT coalesce(st, '?')) AS n_status_kinds
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 NULL corners on a manufactured nullable column: count vs
+    count(*), null-safe equality (<=>), COALESCE — the semantics merge and
+    dedup rely on, driver-checked explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderpriority",
+        F.nullif("o_orderstatus", F.lit("O")).alias("st"),
+        "o_totalprice",
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.sum(F.col("st").eqNullSafe(F.lit(None)).cast("int")).alias("n_nullsafe_null"),
+        F.countDistinct(F.coalesce("st", F.lit("?"))).alias("n_status_kinds"),
+    )
+
+
 @_q(
     "sessionize",
     # session_window as gaps-and-islands: two events share a session iff
