@@ -140,3 +140,45 @@ def test_restore_after_vacuum_refuses_cleanly(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(version=0)
     assert t.read().count() == 5  # table unharmed
+
+
+def test_vintage_batch_source_reads_snapshots(spark, tmp_path):
+    """spark.read.format('vintage'): latest snapshot, versionAsOf time
+    travel, and schema-evolved tables (padded NULLs) must all match the
+    VintageTable.read() API."""
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    spark.dataSource.register(VintageSnapshotDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)
+    t.write(
+        spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    )
+    t.delete("k < 10")  # v1
+    t.merge(  # v2: schema evolution adds a column
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(-1.0).alias("v"), F.lit("x").alias("tag")
+        ),
+        ["k"],
+        schema_evolution=True,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = spark.read.format("vintage").option("path", path).load()
+    assert rows(got) == rows(t.read())
+    assert got.schema.fieldNames() == ["k", "v", "tag"]
+
+    for v in (0, 1):
+        got_v = (
+            spark.read.format("vintage")
+            .option("path", path)
+            .option("versionAsOf", v)
+            .load()
+        )
+        assert rows(got_v) == rows(t.read(version=v)), f"version {v}"
+
+    # SQL-only access path: the source works without any Python table object
+    got.createOrReplaceTempView("vintage_snapshot")
+    assert spark.sql("SELECT count(*) n FROM vintage_snapshot").head()["n"] == 95
