@@ -865,6 +865,24 @@ def vintage_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_where("o_orderkey", 1000, 2000)
 
 
+@_q("vintage_sql_scan", _ORDERS_PROJ_SQL)
+def vintage_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 through the registered batch data source: the same snapshot read
+    as vintage_scan, but via spark.read.format('vintage') — the SQL-first
+    access path (store/batch_source.py) — rather than the VintageTable
+    API."""
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    spark.dataSource.register(VintageSnapshotDataSource)
+    t = _fresh_vintage(spark, sf_dir)
+    return (
+        spark.read.format("vintage")
+        .option("path", t.path)
+        .load()
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
 @_q(
     "vintage_incremental_agg",
     # Oracle recomputes the FINAL snapshot's aggregate relationally
