@@ -41,6 +41,30 @@ def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
     return bounds
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by md5 order over the seeded key — the balanced-corpus
+    draw (equal docs per language, per source...) with every property
+    deterministic_split has: re-runnable, append-stable per id, and
+    auditable in portable SQL (md5 hex ordering is engine-independent,
+    unlike seeded sampleBy). One window shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,

@@ -2113,6 +2113,29 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat_ws(':', 'sample-v1', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language draw: exactly 20 docs per lang by seeded md5
+    order — deterministic and engine-portable where sampleBy's RNG is not
+    (operators/sampling.py)."""
+    from sdlt_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, "lang", "doc_id", 20)
+
+
+@_q(
     "dataset_split",
     """
     SELECT split, count(*) AS n, count(DISTINCT doc_id) AS n_ids
