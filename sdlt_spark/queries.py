@@ -357,6 +357,46 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+@_q(
+    "join_full",
+    # FULL OUTER over a deliberately partial overlap (only even custkeys on
+    # the orders side): rows surviving from each side alone carry NULLs.
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 2 = 0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 2 == 0)
+    c = _t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@_q(
+    "join_cross",
+    """
+    SELECT a.r_name AS name_a, b.r_name AS name_b
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the 5-row region dim with itself (25 rows) —
+    the explicit crossJoin API; any large side would broadcast-nested-loop
+    the small one."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("name_a"))
+    b = r.select(F.col("r_name").alias("name_b"))
+    return a.crossJoin(b)
+
+
 # §2.5 J5 — as-of join: latest click at-or-before each purchase, per user.
 @_q(
     "asof_join",
