@@ -496,6 +496,34 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg"))
 
 
+@_q(
+    "window_time_range",
+    # RANGE frame over event TIME, not row position: everything within the
+    # trailing hour. Spark expresses interval ranges on an epoch-seconds
+    # ordering key; DuckDB on the timestamp directly — same window set.
+    # count() (not avg) keeps the check integer-exact.
+    """
+    SELECT event_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 time-variant: trailing-hour event count per user — a RANGE frame
+    keyed on event time (rows frames count positions; range frames honor
+    gaps and ties in the time axis)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select("event_id", F.count(F.lit(1)).over(w).alias("n_last_hour"))
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sorts / top-k
 # ---------------------------------------------------------------------------
