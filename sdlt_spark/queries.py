@@ -2013,6 +2013,40 @@ def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "scalar_map",
+    # DuckDB map['k'] yields a one-element LIST (hence the [1]); Spark's
+    # element_at yields the scalar directly. Output scalars, never map
+    # cells — the driver canonicalizer hashes scalar/array columns only.
+    """
+    SELECT o_orderkey,
+           map(['status', 'prio'],
+               [o_orderstatus, o_orderpriority])['status'][1] AS status_v,
+           map(['status', 'prio'],
+               [o_orderstatus, o_orderpriority])['prio'][1] AS prio_v,
+           CAST(cardinality(map(['status', 'prio'],
+               [o_orderstatus, o_orderpriority])) AS INTEGER) AS m_size
+    FROM orders
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 map-typed columns: construct, key lookup, cardinality — all
+    JVM expressions."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("prio"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.element_at(m, "prio").alias("prio_v"),
+        F.size(m).alias("m_size"),
+    )
+
+
+@_q(
     "tpch_q18_shape",
     # Large-volume-customer shape (TPC-H Q18): HAVING over a fact
     # aggregation, then join the surviving order keys back to orders and
