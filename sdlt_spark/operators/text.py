@@ -174,3 +174,63 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     normalized text. Used as the exact-dedup key at scale (fixed-width key
     shuffles far cheaper than full documents)."""
     return df.withColumn(out_col, F.md5(F.lower(F.trim(F.col(text_col)))))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    high duplicate-n-gram fraction marks boilerplate/spam for pre-training
+    filters):
+
+    - ``dup_token_frac``  — fraction of token occurrences whose token occurs
+      more than once in the document;
+    - ``token_entropy``   — Shannon entropy (bits) of the unigram
+      distribution, via the shuffle-free identity
+      H = log2(n) - sum(c*log2(c))/n over per-token counts;
+    - ``top_bigram_frac`` — fraction of bigram occurrences taken by the most
+      frequent bigram.
+
+    Shape for 100 TB: tokens/bigrams are exploded then counted with
+    map-side-combinable groupBys keyed on (doc, gram) — no per-doc window,
+    no Python, and the per-doc reductions that follow operate on the tiny
+    count tables, not the corpus. Documents with fewer than two tokens are
+    excluded (bigram stats undefined)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    uc = (
+        base.select(id_col, F.explode("__toks").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_uni = uc.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 4
+        ).alias("dup_token_frac"),
+        F.sum(F.col("c") * F.log2("c")).alias("__slc"),
+    )
+    per_uni = per_uni.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.round(F.log2("n_tokens") - F.col("__slc") / F.col("n_tokens"), 4).alias(
+            "token_entropy"
+        ),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )
+    per_bi = (
+        base.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+        )
+    )
+    return per_uni.join(per_bi, id_col)

@@ -2641,3 +2641,389 @@ def having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
         "o_orderkey", F.round("o_totalprice", 2).alias("price")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.4 — round-4 TPC-H shape batch: the remaining canonical access
+# patterns (EXISTS-group, nation-pair volume, promo ratio, distinct-supplier
+# count with NOT IN, disjunctive join predicate, anti-join + scalar AVG).
+# The reference's own workload is single-table (README.md:86,235-236); these
+# cover the join/subquery shapes its users would run against the same star
+# schema at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q4_shape",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape (order-priority checking): EXISTS decorrelates to a left-semi
+    join; the date filter pushes to the orders scan, the returnflag filter to
+    the lineitem scan. The semi join's build side is lineitem keys only
+    (column-pruned to l_orderkey), and the 5-group count is a two-phase
+    hash aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q7_shape",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape (volume shipping between two nations): the nation table is
+    joined twice under different roles — supplier side and customer side —
+    with a disjunctive pair filter. Both nation copies and supplier/customer
+    broadcast; the only shuffle is lineitem⋈orders, then the 3-key group.
+    At 100 TB the pair filter cuts the fact stream before the group-by
+    because Catalyst pushes the residual OR below the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue"),
+        )
+        .select("supp_nation", "cust_nation", "l_year", "revenue")
+    )
+
+
+@_q(
+    "tpch_q14_shape",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-03-01'
+    """,
+)
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): conditional-aggregate ratio over a
+    fact⋈dim join. The ship-date window pushes to the lineitem scan; part
+    broadcasts, so the whole query is one broadcast-join map stage plus a
+    single-row final aggregate (partial aggs combine map-side)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "tpch_q16_shape",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): NOT IN over a never-NULL key
+    decorrelates to a left-anti join against the excluded-supplier list
+    (tiny → broadcast), the part predicate trio pushes into the broadcast
+    build side, and count(DISTINCT) expands to the standard two-shuffle
+    distinct-then-count plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad_s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_s), li.l_suppkey == bad_s.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q19_shape",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape (discounted revenue, disjunctive predicate): the OR spans
+    both join sides so it can't fully push down, but Catalyst derives the
+    single-side implications (brand IN (...) onto part, quantity <= 30 onto
+    lineitem) and pushes those; the residual OR evaluates inside the
+    broadcast-join stage — no shuffle at all before the single-row agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "tpch_q22_shape",
+    """
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal) + 1e-6, 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global-sales-opportunity): scalar AVG subquery (computed
+    once, broadcast as a literal-sized 1-row frame) gates the customer scan;
+    NOT EXISTS decorrelates to a left-anti join against the order keys
+    (column-pruned to o_custkey before the shuffle). Group-by nation is a
+    25-group two-phase aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    o_keys = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal") + 1e-6, 2).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
+    "doc_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    uc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS g FROM base) GROUP BY doc_id, g
+    ),
+    per_uni AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+               AS dup_token_frac,
+             round(log2(CAST(sum(c) AS DOUBLE))
+                   - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4)
+               AS token_entropy
+      FROM uc GROUP BY doc_id
+    ),
+    bc AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)),
+                                         i -> l[i] || ' ' || l[i + 1])) AS bg
+            FROM base)
+      GROUP BY doc_id, bg
+    ),
+    per_bi AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, dup_token_frac, token_entropy, top_bigram_frac
+    FROM per_uni JOIN per_bi USING (doc_id)
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — Gopher-repetition signals (duplicate-token fraction,
+    unigram entropy, top-bigram share) per document; see
+    operators/text.py:repetition_stats for the scale analysis."""
+    from sdlt_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "mode_agg",
+    """
+    WITH cnt AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity) AS rn
+      FROM cnt
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 extension — deterministic MODE per group. Built as count + window
+    argmax with an explicit (count DESC, value ASC) tiebreak instead of the
+    native mode() aggregate, whose tie choice is engine-dependent — the same
+    determinism rule array_agg applies to collect_list. Two-phase agg on
+    (group, value) then a per-group window over the tiny count table."""
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_quantity"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_n"),
+        )
+    )
+
+
+@_q(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 extension — FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit
+    unbounded frame (the default frame would stop LAST_VALUE at the current
+    row — the classic window-frame trap, made explicit here so both engines
+    agree). Single shuffle on the partition key; (date, key) ordering makes
+    every value deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@_q("orc_scan", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: ORC sink + source (the other columnar interchange
+    format Spark ships a vectorized reader for). Stages documents as ORC,
+    reads them back; lossless roundtrip -> identity-projection oracle, the
+    same scan-back pattern json_scan uses. ORC carries its own schema, so
+    no explicit schema on re-read — and unlike inferSchema on text formats
+    that costs no extra scan."""
+    import tempfile
+
+    from sdlt_spark import sources as _src
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = tempfile.mkdtemp(prefix="sdlt_orc_scan_")
+    _src.write_orc(docs, stage)
+    return _src.read_orc(spark, stage).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
