@@ -3027,3 +3027,58 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _src.read_orc(spark, stage).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@_q(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT source, doc_id % 16 AS shard, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, shard, doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source, shard
+                                          ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - 1)
+                        / 256) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, seq_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY source, shard, seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — training-sequence packing (GPT-style concat-then-chunk):
+    documents are concatenated in deterministic (doc_id) order within a
+    (source, shard) stream and the token stream is chunked into 256-token
+    training sequences; a doc belongs to the sequence its first token lands
+    in. Emits per-sequence doc and token counts (the packing manifest).
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards and
+    inherently sequential WITHIN one — so the operator keys the cumsum
+    window by (source, shard), the same layout a 100 TB pipeline uses
+    (one packer per input shard, no global order). One shuffle on the
+    shard key; the window is a running sum, not a re-sort per row."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % 16).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - 1) / 256).cast("long"),
+    )
+    return packed.groupBy("source", "shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("seq_tokens"),
+    )

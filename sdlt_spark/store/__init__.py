@@ -9,6 +9,10 @@ plus a JSON commit log, with Delta-style copy-on-write that rewrites only
 the files actually touched by a mutation.
 """
 
-from sdlt_spark.store.vintage import VintageTable
+from sdlt_spark.store.vintage import (
+    CommitConflictError,
+    ConstraintViolationError,
+    VintageTable,
+)
 
-__all__ = ["VintageTable"]
+__all__ = ["VintageTable", "CommitConflictError", "ConstraintViolationError"]

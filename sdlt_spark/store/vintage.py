@@ -99,6 +99,14 @@ class CommitConflictError(RuntimeError):
     removed."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write produced rows that fail a table CHECK constraint.
+
+    Mirrors Delta's InvariantViolationException: the transaction is aborted
+    (no commit entry is published; the attempt's data files are cleaned up
+    by the mutation wrapper) and the first offending row is reported."""
+
+
 def _link_cas_publish(tmp: str, final: str) -> None:
     """Default commit publisher: atomic compare-and-swap on a POSIX
     filesystem. ``os.link`` fails with EEXIST when the version file already
@@ -418,7 +426,12 @@ class VintageTable:
         return the relative paths of the produced data files."""
         commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         abs_dir = os.path.join(self.path, commit_dir)
-        df.write.mode("errorifexists").parquet(abs_dir)
+        try:
+            self._with_constraint_checks(df).write.mode("errorifexists").parquet(abs_dir)
+        except Exception as exc:  # unwrap the in-flight CHECK failure
+            if "CHECK constraint" in str(exc):
+                raise ConstraintViolationError(str(exc).split("\n")[0]) from exc
+            raise
         files = [
             f"{commit_dir}/{fname}"
             for fname in sorted(os.listdir(abs_dir))
@@ -636,6 +649,68 @@ class VintageTable:
         return self.spark.createDataFrame(
             rows, "version LONG, timestamp STRING, operation STRING, operationParameters STRING, dataChange BOOLEAN"
         )
+
+    # ---------------------------------------------------------- constraints
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name -> SQL predicate), derived by
+        replaying the commit log. The log is metadata-sized and never
+        truncated, so a full replay is O(commits) driver work — the same
+        cost class as listing versions; no checkpoint integration needed."""
+        out: dict[str, str] = {}
+        for c in self._commits():
+            if c.operation == "ADD CONSTRAINT":
+                out[c.operation_parameters["name"]] = c.operation_parameters["expr"]
+            elif c.operation == "DROP CONSTRAINT":
+                out.pop(c.operation_parameters["name"], None)
+        return out
+
+    @_retry_conflicts
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Delta's ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: the
+        predicate must hold on every EXISTING row (validated with one scan
+        here, exactly as Delta does) and every future write enforces it
+        in-flight (see ``_write_files``). SQL-standard CHECK semantics: a
+        row passes when the predicate is TRUE or NULL (unknown)."""
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        n_bad = self.read().filter(~ok).count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r}: {n_bad} existing row(s) "
+                f"violate CHECK ({expr})"
+            )
+        return self._commit(
+            "ADD CONSTRAINT", {"name": name, "expr": expr}, [], [], data_change=False
+        )
+
+    @_retry_conflicts
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise KeyError(f"no constraint {name!r}")
+        return self._commit(
+            "DROP CONSTRAINT", {"name": name}, [], [], data_change=False
+        )
+
+    def _with_constraint_checks(self, df: DataFrame) -> DataFrame:
+        """Fold CHECK enforcement into the write pipeline itself: each
+        constraint becomes a ``filter(assert_true(ok).isNull())`` stage that
+        passes every valid row through and throws on the first violation —
+        so enforcement runs inside the write job (Delta's
+        InvariantCheckerExec), costs one predicate eval per row, and adds
+        ZERO extra scans of the input lineage. The error message (offending
+        row as JSON) is only evaluated on the failing row."""
+        if not self.exists():
+            return df
+        for name, expr in self.constraints().items():
+            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            msg = F.concat(
+                F.lit(f"CHECK constraint {name} ({expr}) violated by row: "),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+            )
+            df = df.filter(F.assert_true(ok, msg).isNull())
+        return df
 
     # --------------------------------------------------------------- writes
 

@@ -187,3 +187,71 @@ def test_q18_back_joins_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """At 100 TB the selective side of a shuffle join should runtime-filter
+    the big side's scan (Spark's runtime bloom filter, SPARK-32268) so most
+    fact rows die before the exchange. Local fixture sizes are below the
+    injection thresholds, so lower them to zero and force the shuffle join
+    path; the point is asserting the rewrite fires when sizes warrant it."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        import sdlt_spark.tables as tables
+
+        o = tables.load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = tables.load(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q19_pushes_derived_single_side_predicates(spark):
+    """The disjunctive Q19 predicate spans both join sides; Catalyst must
+    still derive and push the single-side implications (brand IN (...) on
+    the part scan) instead of scanning everything into the join."""
+    plan = plan_of(spark, "tpch_q19_shape")
+    # brand/size disjunction lands in the part scan's PushedFilters …
+    assert "Or(Or(And(EqualTo(p_brand" in plan, plan
+    # … and the derived quantity disjunction in the lineitem scan's
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+
+
+def test_q4_exists_becomes_semi_join_with_pushdown(spark):
+    plan = plan_of(spark, "tpch_q4_shape")
+    assert "LeftSemi" in plan
+    # both scans keep their pushed filters
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q22_anti_join_prunes_order_columns(spark):
+    """NOT EXISTS side must be column-pruned to the join key before its
+    shuffle — at 100 TB shipping whole order rows to an anti join is the
+    difference between a key exchange and a table exchange."""
+    plan = plan_of(spark, "tpch_q22_shape")
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing must shuffle once on the shard key; the running sum and the
+    final per-sequence aggregate reuse that partitioning (the aggregate
+    keys are a superset of the window keys)."""
+    plan = plan_of(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
