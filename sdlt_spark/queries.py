@@ -3082,3 +3082,266 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("seq_tokens"),
     )
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, g AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents)
+      GROUP BY doc_id, g
+    ),
+    dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / dfreq.dfq), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — corpus TF-IDF with top-3 characteristic terms per
+    document (the classic keyword-extraction / topic-signal op). Term
+    frequencies and document frequencies are map-side-combinable aggregates
+    on (doc, term) / (term); the corpus size N joins in as a broadcast
+    1-row frame (never a driver constant — on a cluster the count is a
+    job); document-frequency joins back by term (AQE broadcasts it when the
+    vocabulary is small, shuffles when it isn't). Deterministic tiebreak
+    (score DESC, term ASC) for the top-3 window."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfq")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@_q(
+    "event_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_sign,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(CASE WHEN t_sign IS NULL THEN 0
+                     WHEN t_view IS NULL OR t_view < t_sign THEN 1
+                     WHEN t_buy IS NULL OR t_buy < t_view THEN 2
+                     ELSE 3 END AS INTEGER) AS funnel_depth,
+           count(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension — first-touch funnel (signup → view → purchase):
+    users grouped by how far their FIRST occurrences progress in order.
+    One shuffle on user_id with conditional-min partial aggregation (the
+    funnel stages are three CASE-wrapped mins in a single pass — no
+    per-stage self-joins, which is what makes it survive 100 TB of
+    events); the depth histogram is a 4-group rollup."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_sign"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    depth = (
+        F.when(F.col("t_sign").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") < F.col("t_sign")), 1)
+        .when(F.col("t_buy").isNull() | (F.col("t_buy") < F.col("t_view")), 2)
+        .otherwise(3)
+    )
+    return (
+        per_user.groupBy(depth.cast("int").alias("funnel_depth"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(avg(CAST(v AS DOUBLE)), 4) + 0.0 AS centroid_v,
+           count(*) AS n
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 extension — per-label centroid vectors (the training step of
+    IVF/k-means curation, and the class-prototype op for embedding-space
+    analysis). posexplode keys the aggregate by (label, dimension), so the
+    shuffle carries one float per dimension per row and partial aggregation
+    collapses it executor-side; no vector ever materializes on the driver.
+    Emitted exploded (label, pos, value) — the relational form of a vector
+    result, and exactly what the oracle can check."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 4) + 0.0).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "interpolate_gaps",
+    """
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    spans AS (
+      SELECT event_id, user_id, ts, v,
+             last(CASE WHEN v IS NOT NULL
+                       THEN {'t': epoch_us(ts), 'x': v} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS pv,
+             first(CASE WHEN v IS NOT NULL
+                        THEN {'t': epoch_us(ts), 'x': v} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM masked
+    )
+    SELECT event_id, user_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN struct_extract(nv, 'x')
+             WHEN nv IS NULL THEN struct_extract(pv, 'x')
+             WHEN struct_extract(nv, 't') = struct_extract(pv, 't')
+               THEN struct_extract(pv, 'x')
+             ELSE struct_extract(pv, 'x')
+                  + (struct_extract(nv, 'x') - struct_extract(pv, 'x'))
+                    * (epoch_us(ts) - struct_extract(pv, 't'))
+                    / (struct_extract(nv, 't') - struct_extract(pv, 't'))
+           END, 4) AS filled,
+           (v IS NULL) AS was_gap
+    FROM spans
+    """,
+)
+def interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension — linear interpolation of missing values between the
+    nearest valid neighbors (time-weighted), the standard sensor/timeseries
+    gap-fill. A deterministic mask (event_id % 5) synthesizes the gaps so
+    the oracle can reproduce them. IGNORE NULLS last/first over
+    prev/next-unbounded frames carry (ts, value) structs of the bracketing
+    valid points — one shuffle on user_id, two frames over the same sort,
+    no self-join against the valid subset (which at 100 TB would be a
+    second shuffle of the whole series)."""
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    point = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.unix_micros("ts").alias("t"), F.col("v").alias("x")),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    spans = masked.withColumns(
+        {
+            "pv": F.last(point, ignorenulls=True).over(wp),
+            "nv": F.first(point, ignorenulls=True).over(wn),
+        }
+    )
+    pv_t, pv_x = F.col("pv.t"), F.col("pv.x")
+    nv_t, nv_x = F.col("nv.t"), F.col("nv.x")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), nv_x)
+        .when(F.col("nv").isNull(), pv_x)
+        .when(nv_t == pv_t, pv_x)
+        .otherwise(
+            pv_x
+            + (nv_x - pv_x)
+            * (F.unix_micros("ts") - pv_t)
+            / (nv_t - pv_t)
+        )
+    )
+    return spans.select(
+        "event_id",
+        "user_id",
+        F.round(filled, 4).alias("filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@_q(
+    "logical_bit_agg",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_orderstatus = 'F') AS any_final,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           arg_max(o_orderkey,
+                   printf('%015.2f|%012d', o_totalprice, o_orderkey)) AS top_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def logical_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extension — logical (bool_and/bool_or), bitwise (bit_xor) and
+    argmax (max_by) aggregates. max_by's tiebreak is engine-dependent, so
+    the ordering key is a zero-padded sortable string embedding the
+    (price, key) pair — the deterministic-argmax pattern when the native
+    tuple ordering isn't portable. All four are single-pass partial
+    aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    sort_key = F.format_string("%015.2f|%012d", "o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.expr("bit_xor(o_orderkey)").cast("long").alias("key_xor"),
+        F.max_by("o_orderkey", sort_key).alias("top_order"),
+    )
