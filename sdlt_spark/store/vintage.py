@@ -704,7 +704,14 @@ class VintageTable:
         if not self.exists():
             return df
         for name, expr in self.constraints().items():
-            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            try:
+                ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                df.select(ok)  # analyze now: fail fast with a clear message
+            except Exception as exc:
+                raise ConstraintViolationError(
+                    f"write schema is incompatible with CHECK constraint "
+                    f"{name!r} ({expr}): {exc}"
+                ) from exc
             msg = F.concat(
                 F.lit(f"CHECK constraint {name} ({expr}) violated by row: "),
                 F.to_json(F.struct(*[F.col(c) for c in df.columns])),

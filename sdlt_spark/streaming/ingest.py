@@ -361,3 +361,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a stream with dimension
+    attributes from a batch table. The static side needs NO watermark and
+    holds NO streaming state — Spark re-plans it per micro-batch (so a
+    dimension refresh is picked up on the next batch) and broadcasts it
+    when it fits, which is the 100 TB shape: the fact stream never
+    shuffles for the join. Left join keeps unmatched events (late dim
+    arrivals enrich as NULL rather than dropping facts). Works identically
+    on static frames for the batch-parity oracle."""
+    d = dim
+    if dim_cols is not None:
+        d = dim.select(on, *dim_cols)
+    return events.join(F.broadcast(d), on, "left")

@@ -107,3 +107,17 @@ def test_survives_checkpoint_and_dropped_stays_dropped(spark, tmp_path):
         mode="append",
     )
     assert t.read().filter(F.col("v") == 2000.0).count() == 1
+
+
+def test_schema_dropping_constrained_column_fails_clearly(spark, tmp_path):
+    """Overwriting with a schema that no longer carries a constrained
+    column must fail with a constraint error naming the constraint, not a
+    raw analysis error from deep inside the write job (Delta equivalently
+    blocks dropping/renaming constrained columns)."""
+    t = _base(spark, str(tmp_path / "t"))
+    t.add_constraint("v_nonneg", "v >= 0")
+    no_v = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        t.write(no_v, mode="overwrite")
+    # table unchanged
+    assert t.read().count() == 20

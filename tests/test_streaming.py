@@ -528,3 +528,39 @@ def test_table_changes_compose_to_snapshots(spark, tmp_path):
         derived = before.exceptAll(dels).unionAll(ins)
         assert derived.exceptAll(after).count() == 0, f"v{v}: extra rows"
         assert after.exceptAll(derived).count() == 0, f"v{v}: missing rows"
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static left join: every streamed event carries its user's
+    dimension attributes; events without a dim row survive with NULLs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (tmp_path / "events.parquet").symlink_to(f"{SF}/events.parquet")
+
+    dim = (
+        tables.load(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have dim rows
+        .withColumn("segment", F.concat(F.lit("seg_"), (F.col("user_id") % 3)))
+    )
+
+    streamed = ingest.run_stream_once(
+        spark,
+        str(tmp_path),
+        lambda ev: ingest.enrich_stream(ev, dim, on="user_id", dim_cols=["segment"]),
+        query_name="t_enrich",
+        output_mode="append",
+    )
+    batch = ingest.enrich_stream(
+        tables.load(spark, SF, "events"), dim, on="user_id", dim_cols=["segment"]
+    )
+    got = {(r.event_id, r.segment) for r in streamed.select("event_id", "segment").collect()}
+    want = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
+    assert got == want and got
+    # odd users enriched as NULL, not dropped
+    assert (
+        streamed.filter(F.col("user_id") % 2 == 1)
+        .filter(F.col("segment").isNull())
+        .count()
+        > 0
+    )
