@@ -3345,3 +3345,139 @@ def logical_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(o_orderkey)").cast("long").alias("key_xor"),
         F.max_by("o_orderkey", sort_key).alias("top_order"),
     )
+
+
+@_q(
+    "contamination_check",
+    """
+    WITH split_docs AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(concat_ws(':', 'split-v1',
+                              CAST(doc_id AS STRING))), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(concat_ws(':', 'split-v1',
+                              CAST(doc_id AS STRING))), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, split,
+             md5(unnest(list_transform(range(1, len(l) - 3),
+                                       i -> array_to_string(l[i:i+4], ' ')))) AS fp
+      FROM (SELECT doc_id, split, string_split(text, ' ') AS l FROM split_docs)
+      WHERE len(l) >= 5
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM shingled WHERE split = 'train'),
+    eval_docs AS (SELECT DISTINCT doc_id FROM shingled WHERE split = 'test'),
+    dirty AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingled s JOIN train_fps t USING (fp)
+      WHERE s.split = 'test'
+    )
+    SELECT (SELECT count(*) FROM eval_docs) AS n_eval_docs,
+           (SELECT count(*) FROM dirty) AS n_contaminated,
+           round((SELECT count(*) FROM dirty) * 1.0
+                 / (SELECT count(*) FROM eval_docs), 4) AS contamination_rate
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — train/eval decontamination report: an eval ('test'
+    split) document is contaminated when it shares any 5-gram with the
+    train split (the n-gram-overlap rule used for pre-training eval
+    hygiene). Splits come from the same deterministic md5 bucketing as
+    `dataset_split`; shingles are md5'd so the overlap join shuffles
+    16-byte fingerprints, never text. Train fingerprints are distinct'ed
+    map-side before the semi join; at 100 TB this is the standard
+    fingerprint-intersection shape (two compact-key exchanges), and the
+    report is a 1-row reduction."""
+    from sdlt_spark.operators.sampling import deterministic_split
+
+    docs = deterministic_split(_t(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "split", F.split("text", " ").alias("l")
+    ).filter(F.size("l") >= 5)
+    shingled = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 4),"
+                " i -> concat_ws(' ', slice(l, i, 5)))"
+            )
+        ).alias("sh"),
+    ).select("doc_id", "split", F.md5("sh").alias("fp"))
+    train_fps = shingled.filter(F.col("split") == "train").select("fp").distinct()
+    eval_side = shingled.filter(F.col("split") == "test")
+    # one distributed pass: left join marks hits, per-doc max(flag) folds
+    # shingles to a dirty bit, and the report is a 1-row reduction — no
+    # separate count jobs, nothing driver-side
+    flags = (
+        eval_side.join(train_fps.withColumn("__hit", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.max(F.coalesce("__hit", F.lit(0))).alias("dirty"))
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_eval_docs"),
+        F.sum("dirty").alias("n_contaminated"),
+        F.round(F.sum("dirty") / F.count(F.lit(1)), 4).alias("contamination_rate"),
+    )
+
+
+@_q(
+    "mixture_weights",
+    """
+    WITH targets AS (
+      SELECT * FROM (VALUES ('src0', 3.0), ('src1', 2.0), ('src2', 2.0))
+        t(source, raw_w)
+    ),
+    weighted AS (
+      SELECT d.source, count(*) AS n_docs,
+             coalesce(max(t.raw_w), 1.0) AS raw_w
+      FROM documents d LEFT JOIN targets t USING (source)
+      GROUP BY d.source
+    ),
+    totals AS (
+      SELECT sum(n_docs) AS total_docs, sum(raw_w) AS total_w FROM weighted
+    )
+    SELECT source, n_docs,
+           round(n_docs * 1.0 / total_docs, 4) AS actual_frac,
+           round(raw_w / total_w, 4) AS target_frac,
+           round((raw_w / total_w) / (n_docs * 1.0 / total_docs), 4)
+             AS sample_weight
+    FROM weighted CROSS JOIN totals
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — domain-mixture reweighting (the Pile/DoReMi-style
+    sampling-weight table): given target mixture weights per source
+    (upweight src0..src2, default 1.0 elsewhere), emit each source's
+    actual corpus share and the sampling weight (target share / actual
+    share) a weighted sampler applies. The config joins in as a broadcast
+    literal table; corpus shares are one partial-agg pass; the totals row
+    broadcasts back — no shuffle touches documents themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    targets = spark.createDataFrame(
+        [("src0", 3.0), ("src1", 2.0), ("src2", 2.0)], "source string, raw_w double"
+    )
+    weighted = (
+        docs.join(F.broadcast(targets), "source", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.max("raw_w"), F.lit(1.0)).alias("raw_w"),
+        )
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("raw_w").alias("total_w")
+    )
+    actual = F.col("n_docs") / F.col("total_docs")
+    target = F.col("raw_w") / F.col("total_w")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.round(actual, 4).alias("actual_frac"),
+            F.round(target, 4).alias("target_frac"),
+            F.round(target / actual, 4).alias("sample_weight"),
+        )
+    )
