@@ -82,11 +82,35 @@ def main() -> None:
         f"({row['avg_bpe_tokens']:.1f}/doc)"
     )
 
-    # 5. versioned publish — curation runs become reproducible snapshots
+    # 4b. repetition gate (Gopher-style boilerplate/spam signals)
+    rep = text.repetition_stats(canonical)
+    clean = canonical.join(
+        rep.filter(
+            (F.col("dup_token_frac") <= 0.95) & (F.col("top_bigram_frac") <= 0.5)
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 4c. decontamination + mixture + packing manifests (see queries.py:
+    # contamination_check / mixture_weights / pack_sequences for the
+    # oracle-checked formulations of these stages)
+    from sdlt_spark.operators.sampling import deterministic_split
+
+    splits = deterministic_split(clean, "doc_id")
+    per_split = splits.groupBy("split").count().orderBy("split")
+    print(f"split sizes:              {[tuple(r) for r in per_split.collect()]}")
+
+    # 5. versioned publish — curation runs become reproducible snapshots,
+    # with a CHECK constraint guarding the quality gate at the storage layer
     out_dir = tempfile.mkdtemp() + "/curated_docs"
     table = VintageTable(spark, out_dir)
-    table.write(canonical.select("doc_id", "text", "lang", "quality"))
-    print(f"published v{table.latest_version()} -> {out_dir}")
+    table.write(clean.select("doc_id", "text", "lang", "quality"))
+    table.add_constraint("quality_floor", "quality >= 0.7")
+    print(
+        f"published v{table.latest_version()} -> {out_dir} "
+        f"(constraints: {table.constraints()})"
+    )
 
     # 6. embedding side: IVF cells for ANN serving + exact near-dup pairs
     emb = tables.load(spark, sf_dir, "embeddings")

@@ -3481,3 +3481,30 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / actual, 4).alias("sample_weight"),
         )
     )
+
+
+@_q(
+    "variant_json_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+             AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — semi-structured aggregation through Spark 4's
+    VARIANT type: ``parse_json`` decodes each props payload ONCE into the
+    binary variant encoding, and ``variant_get`` extracts typed fields
+    without re-parsing text per access — the modern engine answer to JSON
+    string columns (repeated ``get_json_object`` calls re-parse the string
+    every time). At 100 TB the parse happens in the scan-side project and
+    only the extracted 8-byte value reaches the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
