@@ -99,21 +99,56 @@ def doc_ngrams(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -
 
 
 # ------------------------------------------------------------------ minhash
+#
+# Engine-portable hashing: every hash in the MinHash/LSH path is derived
+# from md5 (available and byte-identical in Spark, DuckDB, Postgres, ...)
+# followed by pure 64-bit-safe integer arithmetic mod the Mersenne prime
+# 2^31 - 1. Working in a 31-bit space keeps every intermediate product
+# (coeff * hash < 2^62) inside BIGINT in BOTH engines — no 128-bit types,
+# no overflow divergence — which is what lets the DuckDB oracle recompute
+# signatures, band buckets, candidate pairs, and jaccard values EXACTLY
+# (see minhash_oracle_sql). The permutation family h_i = (a_i*h + b_i) mod p
+# is the classical universal-hash construction; coefficients come from a
+# fixed LCG so both engines embed identical literals.
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_BAND_K = 1000003  # polynomial-combine base for band bucket hashes
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) permutation coefficients, identical on every
+    call — embedded as literals in both the Spark plan and the oracle SQL."""
+    a, b, out = 1, 0, []
+    for _ in range(k):
+        a = (a * 1103515245 + 12345) % MINHASH_PRIME
+        b = (b * 1103515245 + 54321) % MINHASH_PRIME
+        out.append((a or 1, b))
+    return out
+
+
+def portable_hash31(col):
+    """String -> [0, 2^31-1): first 8 md5 hex chars parsed as an integer.
+    Spark spelling: conv(substr(md5(x),1,8),16,10); DuckDB spelling:
+    CAST('0x' || substr(md5(x),1,8) AS BIGINT). Both yield the same value
+    for the same UTF-8 bytes."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MINHASH_PRIME
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32
 ) -> DataFrame:
-    """k-permutation MinHash signature per document: h_i = min over tokens of
-    xxhash64(i, token) — the multi-argument hash seeds each permutation with
-    the constant int column, giving k independent hash functions WITHOUT
-    building a salted string per (token, i): the concat formulation
-    allocates k strings per token and was ~3x slower. One shuffle (groupBy
-    id) with partial aggregation; signature width is k longs."""
-    tok = doc_tokens(df, id_col, text_col)
+    """k-permutation MinHash signature per document: h_i = min over tokens
+    of (a_i * base + b_i) mod p, base = portable_hash31(token). ONE md5 per
+    token row feeds all k permutations via arithmetic (cheaper than k
+    independent string hashes, and — unlike xxhash64 — reproducible in the
+    DuckDB oracle). One shuffle (groupBy id) with partial aggregation;
+    signature width is k longs."""
+    tok = doc_tokens(df, id_col, text_col).withColumn(
+        "__h", portable_hash31(F.col("token"))
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return tok.groupBy(id_col).agg(*aggs)
 
@@ -126,13 +161,17 @@ def lsh_candidate_pairs(
     1 - (1 - j^r)^b for true Jaccard j — the standard S-curve.
 
     One posexplode pass emits (id, band, band_hash) — no b-way union, no
-    re-computation of the signature lineage per band."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
+    re-computation of the signature lineage per band. Band bucket ids are a
+    polynomial combine mod 2^31-1 of the band's signature components
+    (engine-portable; see the module note above minhash_coeffs)."""
+
+    def _bh(b: int):
+        acc = F.col(f"h{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            acc = (acc * _BAND_K + F.col(f"h{b * rows_per_band + r}")) % MINHASH_PRIME
+        return acc
+
+    band_hashes = F.array(*[_bh(b) for b in range(bands)])
     banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -175,6 +214,141 @@ def jaccard_verify(
     )
 
 
+def tune_bands(num_hashes: int, threshold: float) -> int:
+    """Smallest band count b dividing num_hashes whose S-curve knee
+    (1/b)^(1/r) sits at or below the threshold — high thresholds get few
+    wide bands (selective buckets), low ones many narrow bands."""
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b == 0 and (1.0 / b) ** (b / num_hashes) <= threshold:
+            return b
+    return num_hashes
+
+
+def estimate_min_eq(num_hashes: int, threshold: float) -> int:
+    """Signature-estimate prefilter cut: keep a candidate when >= this many
+    of the k signature components agree (threshold minus two binomial
+    sigmas, so the estimator can't drop a pair the exact check would
+    keep)."""
+    import math
+
+    margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
+    return math.ceil((threshold - margin) * num_hashes)
+
+
+def minhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int | None = None,
+) -> str:
+    """DuckDB SQL that recomputes minhash_dedup EXACTLY — same md5-derived
+    31-bit hashes, same permutation coefficients, same band buckets, same
+    estimate prefilter, same distinct-hash jaccard. Generated from the same
+    Python constants the Spark plan embeds, so the two can't drift."""
+    p = MINHASH_PRIME
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
+    r = num_hashes // bands
+    min_eq = estimate_min_eq(num_hashes, threshold)
+    coeffs = minhash_coeffs(num_hashes)
+    sig_cols = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+
+    def _bh(b: int) -> str:
+        acc = f"h{b * r}"
+        for j in range(1, r):
+            acc = f"(({acc}) * {_BAND_K} + h{b * r + j}) % {p}"
+        return acc
+
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, {_bh(b)} AS bh FROM sig" for b in range(bands)
+    )
+    n_eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(num_hashes))
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT {id_col}, u.token
+      FROM {table}, LATERAL unnest(string_split({text_col}, ' ')) AS u(token)
+    ),
+    th AS (
+      SELECT {id_col}, token,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {p} AS h
+      FROM tok
+    ),
+    sig AS (
+      SELECT {id_col},
+    {sig_cols}
+      FROM th GROUP BY {id_col}
+    ),
+    band AS (
+    {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.{id_col} = c.id_a
+      JOIN sig sb ON sb.{id_col} = c.id_b
+      WHERE {n_eq} >= {min_eq}
+    ),
+    hs AS (SELECT DISTINCT {id_col}, h FROM th),
+    sz AS (SELECT {id_col}, count(*) AS sz FROM hs GROUP BY {id_col}),
+    scored AS (
+      SELECT e.id_a, e.id_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (any_value(za.sz) + any_value(zb.sz) - count(*)), 4) AS jaccard
+      FROM est e
+      JOIN hs a ON a.{id_col} = e.id_a
+      JOIN hs b ON b.{id_col} = e.id_b AND b.h = a.h
+      JOIN sz za ON za.{id_col} = e.id_a
+      JOIN sz zb ON zb.{id_col} = e.id_b
+      GROUP BY e.id_a, e.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def cluster_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+) -> str:
+    """DuckDB SQL reproducing minhash_dedup -> dedup_clusters exactly:
+    the portable minhash pair SQL feeds a recursive-CTE transitive closure
+    whose min-reachable-label per node IS the min-id connected-component
+    label the Spark fixpoint converges to. Closure size is bounded by
+    sum(cluster_size^2) — fine at oracle scale; the Spark side stays the
+    join-based label propagation that scales."""
+    inner = minhash_oracle_sql(table, id_col, text_col, threshold, num_hashes)
+    return f"""
+    WITH RECURSIVE pairs AS ({inner}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT d.{id_col} AS {id_col},
+           coalesce(c.cluster, d.{id_col}) AS cluster,
+           d.{id_col} = coalesce(c.cluster, d.{id_col}) AS is_canonical
+    FROM {table} d LEFT JOIN comp c ON c.id = d.{id_col}
+    """
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -197,13 +371,13 @@ def minhash_dedup(
     Verification is fused into ONE pass over the candidate list: a cheap
     signature-component estimate (>= threshold - 2 sigma, so the binomial
     estimator can't drop a pair the exact check would keep) short-circuits
-    the exact Jaccard, computed by array_intersect over per-doc arrays of
-    xxhash64(token). Hashing tokens to longs makes the intersect a native
-    long comparison instead of string hashing (~2x at sf0.1); a 64-bit
-    collision would need two distinct tokens of one document pair to
-    collide — P < 1e-15 per pair — so the jaccard values are exact in any
-    realistic corpus, and no pair can be MISSED (collisions only merge
-    tokens, and only within the pair's union set).
+    the exact Jaccard, computed by array_intersect over per-doc DISTINCT
+    arrays of portable_hash31(token). Hashing tokens to longs makes the
+    intersect a native long comparison instead of string hashing (~2x at
+    sf0.1). The whole path — signatures, band buckets, estimate, jaccard —
+    uses only md5 + BIGINT arithmetic, so the DuckDB oracle
+    (minhash_oracle_sql) reproduces the output EXACTLY, including the rare
+    31-bit token-hash collisions (both engines hash, then distinct).
 
     Scale notes (this shape is deliberate — an earlier variant that carried
     the 32-long signature array through BOTH sides of the banding self-join
@@ -227,15 +401,8 @@ def minhash_dedup(
       zip_with/filter HOF pair — higher-order functions evaluate their
       lambda interpreted per element (~100M evals at sf0.1, measured ~2x
       slower than the flat comparison chain)."""
-    import math
-
     if bands is None:
-        # smallest b (most selective buckets) whose S-curve knee <= threshold
-        bands = num_hashes
-        for b in range(1, num_hashes + 1):
-            if num_hashes % b == 0 and (1.0 / b) ** (b / num_hashes) <= threshold:
-                bands = b
-                break
+        bands = tune_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
 
     if _scan_underparallel(df):
@@ -251,8 +418,7 @@ def minhash_dedup(
     sb = sig.select(
         F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(num_hashes)]
     )
-    margin = 2.0 * math.sqrt(threshold * (1 - threshold) / num_hashes)
-    min_eq = math.ceil((threshold - margin) * num_hashes)
+    min_eq = estimate_min_eq(num_hashes, threshold)
     n_eq = sum(
         [(F.col(f"__ha{i}") == F.col(f"__hb{i}")).cast("int") for i in range(num_hashes)],
         F.lit(0),
@@ -260,9 +426,16 @@ def minhash_dedup(
 
     toks_arr = df.select(
         F.col(id_col),
-        F.transform(F.array_distinct(F.split(text_col, " ")), lambda t: F.xxhash64(t)).alias(
-            "__toks"
-        ),
+        # distinct tokens -> portable 31-bit hashes -> distinct again: if two
+        # distinct tokens of one doc collide in the 31-bit space (P ~ n^2/2^32
+        # per doc — rare but real), the doc's hash SET shrinks by one, and the
+        # oracle (count DISTINCT of the same hash) shrinks identically, so
+        # jaccard stays bit-equal across engines.
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(F.split(text_col, " ")), lambda t: portable_hash31(t)
+            )
+        ).alias("__toks"),
     ).persist()
     toks_arr.count()  # materialize: see sig note above
     ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))

@@ -1348,7 +1348,14 @@ def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only declared ops (LSH/ANN randomness or non-SQL plumbing) -------
 
 
-@_q("minhash_lsh_dedup", None)
+@_q(
+    "minhash_lsh_dedup",
+    # Exact oracle: every hash in the operator is md5 + BIGINT arithmetic
+    # mod 2^31-1, so DuckDB recomputes signatures, band buckets, candidate
+    # pairs, the estimate prefilter, and jaccard bit-identically. The SQL is
+    # generated from the SAME Python constants the Spark plan embeds.
+    _dedup.minhash_oracle_sql("documents", "doc_id", "text", threshold=0.9),
+)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: MinHash -> LSH banding (auto-tuned S-curve) -> estimate prefilter
     -> exact-Jaccard verification. Threshold 0.9: the fixture corpus is
@@ -2201,7 +2208,14 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "metric", F.round("val", 2).alias("val"))
 
 
-@_q("dedup_pipeline", None)  # iterative fixpoint -> rows-only check
+@_q(
+    "dedup_pipeline",
+    # The Spark side is an iterative label-propagation fixpoint, but its
+    # converged answer is exactly the min-id connected component — which the
+    # oracle computes non-iteratively via a recursive-CTE transitive closure
+    # over the (portable-hash) minhash pair list.
+    _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9),
+)
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup dedup pipeline: MinHash+LSH pairs ->
     connected-component clusters -> canonical representative per cluster.
@@ -2272,7 +2286,12 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_cluster_sizes", None)  # depends on minhash pairs -> rows-only
+@_q(
+    "dedup_cluster_sizes",
+    "SELECT cluster, count(*) AS size FROM ("
+    + _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9)
+    + ") GROUP BY cluster HAVING count(*) >= 2",
+)
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level view of the dedup pipeline: one row per NON-SINGLETON
     duplicate cluster with its size. Unlike dedup_pipeline (one row per
