@@ -458,21 +458,32 @@ def minhash_dedup(
 # ------------------------------------------------------------------ simhash
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: token hash bits vote +1/-1 weighted by
+def portable_hash60(col):
+    """String -> [0, 2^60): first 15 md5 hex chars as hi-28 * 2^32 + lo-32.
+    Pure positive BIGINT arithmetic (no shifts past the sign bit, no
+    overflow) so Spark and DuckDB produce identical values — the SimHash
+    analogue of portable_hash31."""
+    hi = F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(col), 8, 8), 16, 10).cast("long")
+    return hi * F.lit(4294967296) + lo
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document: token hash bits vote +1/-1 weighted by
     term frequency; the sign vector is packed back into one long.
 
-    Token hashing is JVM-side (one codegen'd transform+xxhash64 over the
-    split array — duplicates kept, so term frequency still weights votes);
-    the 64-lane bit voting runs vectorized in an Arrow-batched UDF. The
-    all-expression form (64 sum(when(bit)) aggregates) evaluated
+    Token hashing is JVM-side (one codegen'd transform+portable_hash60 over
+    the split array — duplicates kept, so term frequency still weights
+    votes; md5-derived so the DuckDB oracle reproduces every bit); the
+    per-lane bit voting runs vectorized in an Arrow-batched UDF. The
+    all-expression form (60 sum(when(bit)) aggregates) evaluated
     tokens*bits interpreted branches — ~17M for a 5k-doc corpus — and was
     several times slower; the numpy form is two matrix ops per document."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    token_hashes = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
+    token_hashes = F.transform(F.split(text_col, " "), lambda t: portable_hash60(t))
     lanes = np.arange(bits, dtype=np.uint64)
 
     @pandas_udf("long")
@@ -527,13 +538,16 @@ def simhash_neardup(
     More chunks = better recall at smaller distances but more bucket
     collisions to verify.
 
-    ``num_chunks`` defaults to the smallest divisor of 64 exceeding
-    ``max_hamming``, so the pigeonhole recall guarantee always covers the
-    requested distance; passing a smaller value explicitly trades recall
-    for fewer candidates."""
+    ``num_chunks`` defaults to the smallest divisor of the hash width
+    exceeding ``max_hamming``, so the pigeonhole recall guarantee always
+    covers the requested distance; passing a smaller value explicitly
+    trades recall for fewer candidates."""
+    bits = 60  # simhash() width; 60 keeps every value positive-BIGINT portable
     if num_chunks is None:
-        num_chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
-    width = 64 // num_chunks
+        num_chunks = next(
+            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
+        )
+    width = bits // num_chunks
     mask = (1 << width) - 1
     # simhash() is a pure map, so it inherits the scan's partitioning; only
     # when that is too narrow (1-file fixture = 1 partition) does the banding
@@ -580,6 +594,69 @@ def simhash_neardup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int | None = None,
+) -> str:
+    """DuckDB SQL recomputing simhash_neardup exactly: same md5-derived
+    60-bit token hashes (duplicates kept — term frequency weights votes),
+    same strict-majority bit votes, same chunk buckets, same
+    bit_count(xor) verify. Everything is positive-BIGINT arithmetic, so no
+    sign/overflow divergence between engines."""
+    bits = 60
+    if num_chunks is None:
+        num_chunks = next(
+            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
+        )
+    width = bits // num_chunks
+    mask = (1 << width) - 1
+    o_cols = ",\n      ".join(
+        f"sum((h >> {i}) & 1) AS o{i}" for i in range(bits)
+    )
+    sh_expr = " + ".join(
+        f"CAST(2 * o{i} > n AS BIGINT) * {1 << i}" for i in range(bits)
+    )
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {c} AS chunk,"
+        f" (simhash >> {width * c}) & {mask} AS cv FROM sh"
+        for c in range(num_chunks)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, u.token
+      FROM {table}, LATERAL unnest(string_split({text_col}, ' ')) AS u(token)
+    ),
+    th AS (
+      SELECT {id_col},
+             CAST(('0x' || substr(md5(token), 1, 7)) AS BIGINT) * 4294967296
+             + CAST(('0x' || substr(md5(token), 8, 8)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT {id_col}, count(*) AS n,
+      {o_cols}
+      FROM th GROUP BY {id_col}
+    ),
+    sh AS (
+      SELECT {id_col}, {sh_expr} AS simhash FROM votes
+    ),
+    chunks AS (
+      {chunk_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col}
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 # ------------------------------------------------------------- ngram jaccard

@@ -1366,7 +1366,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("simhash_neardup", None)
+@_q(
+    "simhash_neardup",
+    # Exact oracle: the 60-bit simhash is md5 + positive-BIGINT arithmetic
+    # end to end, so DuckDB recomputes bit votes, chunk buckets, candidate
+    # pairs, and hamming distances identically.
+    _dedup.simhash_oracle_sql("documents", "doc_id", "text", max_hamming=10),
+)
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_neardup(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=10)
 
