@@ -234,3 +234,137 @@ def repetition_stats(
         )
     )
     return per_uni.join(per_bi, id_col)
+
+
+# ----------------------------------------------------------- PII redaction
+
+# Patterns deliberately restricted to syntax Java regex (Spark) and RE2
+# (DuckDB) interpret identically: char classes, bounded repetition, \b, \d.
+# No lookaround, no backreferences. Order matters: email first (it would
+# otherwise leave '@' orphans when its host part looks like a bare domain),
+# then phone, then IPv4.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses, replacing each match
+    with a typed placeholder (<EMAIL>, <PHONE>, <IPV4>), and count matches
+    per type (counted on the ORIGINAL text, so counts are independent of
+    replacement order). Pure regexp expressions — map-only, codegen'd, no
+    shuffle; at 100 TB this is a free rider on whatever scan feeds it.
+
+    Redaction must run BEFORE near-dup hashing in a curation pipeline:
+    redacted placeholders normalize documents that differ only in contact
+    details, which is exactly the duplicate class PII scrubbing exists to
+    expose."""
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS
+    }
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.withColumns({**counts, out_col: red})
+
+
+# ------------------------------------------------- corpus-level segment dedup
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    seg_len: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """RefinedWeb-style corpus-frequency segment removal: split every doc
+    into consecutive ``seg_len``-token segments, drop each segment that
+    occurs in more than ``max_docs`` DISTINCT documents (boilerplate:
+    headers, footers, licence blocks), and reassemble the survivors in
+    order. Returns (id, n_segs, n_kept, cleaned) for every document —
+    ``cleaned`` is '' when everything was boilerplate.
+
+    Scale shape: the corpus-frequency aggregation shuffles a 16-byte md5
+    fingerprint per segment (never segment text); the removal anti-join is
+    an equi join on the same fingerprint; reassembly is a bounded-size
+    collect_list per document (a document's own segments), sorted by
+    position. Three shuffles total, all on compact keys."""
+    toks = F.split(text_col, " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+    )
+    segs = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "seg")).withColumn(
+        "fp", F.md5("seg")
+    )
+    boiler = (
+        segs.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") > max_docs)
+        .select("fp")
+    )
+    kept = segs.join(boiler, "fp", "left_anti")
+    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return tot.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+# ------------------------------------------------------------------- URLs
+
+URL_PATTERN = r"[hH][tT][tT][pP][sS]?://[^ ]+"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """One row per URL occurrence: (id, url, host) with the URL normalized
+    (lowercase, scheme and leading www. stripped, trailing slash stripped)
+    — the canonical form a blocklist or frequency analysis keys on.
+    Map-only regexp expressions + one explode; no shuffle."""
+    raw = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    ).alias("raw")
+    ex = df.select(F.col(id_col), raw)
+    url = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("raw")), r"^https?://", ""),
+            r"^www\.",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return ex.select(
+        F.col(id_col),
+        url.alias("url"),
+        F.regexp_extract(url, r"^([^/?]+)", 1).alias("host"),
+    )
+
+
+def blocklist_filter(urls: DataFrame, blocklist: DataFrame, host_col: str = "host") -> DataFrame:
+    """Tag each URL row with whether its host is blocklisted. The blocklist
+    side is broadcast — real blocklists (millions of hosts, a few hundred
+    MB) still fit executor memory, and broadcasting turns the check into a
+    map-side hash probe with zero shuffle of the (huge) URL table."""
+    b = F.broadcast(blocklist.select(F.col(host_col)).distinct().withColumn("__blocked", F.lit(True)))
+    return (
+        urls.join(b, host_col, "left")
+        .withColumn("blocked", F.coalesce("__blocked", F.lit(False)))
+        .drop("__blocked")
+    )

@@ -1108,6 +1108,169 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
+@_q(
+    "pii_redact",
+    # Identical note construction + regexes on both sides. DuckDB
+    # regexp_replace needs the 'g' flag to match Spark's replace-all; the
+    # patterns stick to syntax Java regex and RE2 agree on (classes,
+    # bounded repetition, \b) — no lookaround, no backreferences.
+    r"""
+    WITH base AS (
+      SELECT c_custkey,
+             'Customer ' || c_name || ' (' || c_mktsegment || ') mail '
+             || lower(replace(c_name, '#', '.')) || '@example.com or call '
+             || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
+             || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+             || ', last seen from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.0.' || CAST(c_custkey % 100 AS VARCHAR) AS note
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(note,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(note,
+             '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(note,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(note,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted
+    FROM base
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — PII scrubbing (operators/text.py redact_pii): emails,
+    phone numbers, and IPv4 addresses replaced by typed placeholders, with
+    per-type match counts. The fixture tables carry no real PII, so the
+    query synthesizes a deterministic contact note per customer from key
+    digits — the regex work is real, the data is not. Map-only expression
+    pipeline: at scale this rides the scan for free."""
+    cust = _t(spark, sf_dir, "customer")
+    phone = F.concat(
+        (F.col("c_custkey") % 90 + 10).cast("string"), F.lit("-"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") * 13 % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") * 31 % 10000).cast("string"), 4, "0"),
+    )
+    note = F.concat(
+        F.lit("Customer "), F.col("c_name"),
+        F.lit(" ("), F.col("c_mktsegment"), F.lit(") mail "),
+        F.lower(F.translate(F.col("c_name"), "#", ".")), F.lit("@example.com or call "),
+        phone,
+        F.lit(", last seen from 10."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."), (F.col("c_custkey") % 100).cast("string"),
+    )
+    return _text.redact_pii(
+        cust.select("c_custkey", note.alias("note")), "note", "redacted"
+    ).select("c_custkey", "n_email", "n_phone", "n_ipv4", "redacted")
+
+
+@_q(
+    "boilerplate_dedup",
+    # Oracle groups by the segment STRING where Spark groups by md5(seg) —
+    # identical partitions absent an md5 collision. Slices: DuckDB t[a:b] is
+    # 1-based end-inclusive; Spark slice(arr, start, len) — both clamp the
+    # final partial segment.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+      FROM toks, LATERAL unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT s.* FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+      WHERE b.seg IS NULL
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segs,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.cleaned, '') AS cleaned
+    FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X extension — corpus-frequency segment removal (the line-dedup step
+    of RefinedWeb-style curation, with fixed 8-token segments standing in
+    for lines on the single-line fixture): segments appearing in 3+
+    distinct documents are boilerplate and removed; documents are
+    reassembled in order (operators/text.py remove_boilerplate)."""
+    return _text.remove_boilerplate(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", seg_len=8, max_docs=2
+    )
+
+
+_URL_BLOCKLIST = (
+    "mirror.src0.example.net",
+    "mirror.src7.example.net",
+    "src2.example.com",
+    "src13.example.com",
+)
+
+
+@_q(
+    "url_blocklist",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'see HTTPS://www.' || source || '.Example.COM/' || lang || '/'
+             || CAST(doc_id AS VARCHAR)
+             || '/ plus mirror http://Mirror.' || source || '.example.NET/d/'
+             || CAST(doc_id AS VARCHAR) AS note
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, u.raw
+      FROM base,
+           LATERAL unnest(regexp_extract_all(note,
+             '[hH][tT][tT][pP][sS]?://[^ ]+')) AS u(raw)
+    ),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(lower(raw),
+               '^https?://', ''), '^www\\.', ''), '/$', '') AS url
+      FROM ex
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([^/?]+)', 1) AS host,
+           regexp_extract(url, '^([^/?]+)', 1) IN
+             ('mirror.src0.example.net', 'mirror.src7.example.net',
+              'src2.example.com', 'src13.example.com') AS blocked
+    FROM n
+    """,
+)
+def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X extension — URL extraction + normalization + blocklist tagging
+    (operators/text.py extract_urls / blocklist_filter). URLs are
+    synthesized deterministically per document (the fixture has none); the
+    blocklist is a broadcast dim so the check is a map-side hash probe —
+    the pattern that scales to million-host blocklists against a 100 TB
+    URL table with zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    note = F.concat(
+        F.lit("see HTTPS://www."), F.col("source"), F.lit(".Example.COM/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("/ plus mirror http://Mirror."), F.col("source"),
+        F.lit(".example.NET/d/"), F.col("doc_id").cast("string"),
+    )
+    urls = _text.extract_urls(docs.select("doc_id", note.alias("note")), "doc_id", "note")
+    block = spark.createDataFrame([(h,) for h in _URL_BLOCKLIST], "host string")
+    return _text.blocklist_filter(urls, block).select("doc_id", "url", "host", "blocked")
+
+
 @_q("lang_histogram", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
 def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -1693,6 +1856,42 @@ def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _src.write_jsonl(docs, stage)
     return _src.read_jsonl(spark, stage, docs.schema).select(
         "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "binary_scan",
+    # Identity oracle: each staged file is the doc's UTF-8 text, so size and
+    # md5 are recomputable from the source table. strlen = BYTE length in
+    # DuckDB (length() is chars), matching binaryFile's file size.
+    """
+    SELECT doc_id,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S extension — the multimodal ingestion path: stage every document's
+    text as a standalone .bin file, scan the directory with Spark's
+    binaryFile source (parallel list + read, content as BINARY), and
+    project per-file metadata + content digest. This is the entry point a
+    real image/audio corpus uses before the decode UDFs in
+    operators/multimodal.py take over."""
+    import tempfile
+
+    from sdlt_spark import sources as _src
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sdlt_binary_scan_")
+    _src.stage_binary_corpus(docs, "doc_id", "text", stage)
+    files = _src.read_binary_files(spark, stage, glob="*.bin")
+    return files.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
     )
 
 

@@ -36,3 +36,34 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """The multimodal ingestion source: one row per file with (path,
+    modificationTime, length, content BINARY). Spark's binaryFile source
+    lists and reads files in parallel across executors — at 100 TB the
+    listing comes from the object store and each task streams its own
+    files; nothing round-trips the driver. Pair with
+    maxPartitionBytes-sized batching and the decode UDFs in
+    operators/multimodal.py."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def stage_binary_corpus(df: DataFrame, id_col: str, payload_col: str, out_dir: str) -> None:
+    """Test scaffolding: materialize (id, payload-string) rows as one
+    UTF-8 file per row named <id>.bin so binaryFile can scan them. Runs on
+    the executors via foreachPartition (works on any shared filesystem);
+    production data already sits in the object store and never needs this."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(rows):
+        for row in rows:
+            with open(os.path.join(out_dir, f"doc_{row[id_col]}.bin"), "wb") as f:
+                f.write(str(row[payload_col]).encode("utf-8"))
+
+    df.select(id_col, payload_col).foreachPartition(_write)

@@ -106,3 +106,22 @@ def test_resample_ffill_gaps(spark):
     assert rows[(1, "2024-01-04")] == 9.0
     assert rows[(2, "2024-02-10")] == 1.0
     assert len(rows) == 5  # user 2 contributes exactly its own 1-day grid
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from sdlt_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org or b_c%d@y.co.uk, call 25-989-741-2988"),
+            (2, "host 192.168.0.1 and 10.0.0.255; no contacts"),
+            (3, "plain text without identifiers"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 0)
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 2)
+    assert out[2]["redacted"] == "host <IPV4> and <IPV4>; no contacts"
+    assert out[3]["redacted"] == "plain text without identifiers"
