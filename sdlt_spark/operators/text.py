@@ -130,43 +130,86 @@ def winnow_fingerprints(
     Emits (id, fp) exploded — ready for an equi self-join to find local
     (passage-level) overlap that whole-document MinHash misses.
 
-    Split: token hashing stays JVM-side (one codegen'd transform+xxhash64
-    pass); the rolling k-gram combine and sliding-window min run as
-    vectorized numpy over the int64 hash arrays in an Arrow-batched UDF.
-    (A pure-expression formulation — slice+concat per shingle, then
-    array_min(slice) per window — is interpreted per element and was ~50x
-    slower: O(n*(k+w)) object churn per document.) Documents shorter than
-    k+w-1 tokens yield no fingerprints."""
+    Split: token hashing stays JVM-side (one codegen'd transform +
+    portable_hash31 pass — md5-derived, so the DuckDB oracle reproduces
+    every fingerprint); the rolling k-gram combine (polynomial mod 2^31-1,
+    the same arithmetic the minhash band hashes use) and sliding-window
+    min run as vectorized numpy over the int64 hash arrays in an
+    Arrow-batched UDF. (A pure-expression formulation — slice+concat per
+    shingle, then array_min(slice) per window — is interpreted per element
+    and was ~50x slower: O(n*(k+w)) object churn per document.) Documents
+    shorter than k+w-1 tokens yield no fingerprints."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    from sdlt_spark.operators.dedup import _BAND_K, MINHASH_PRIME, portable_hash31
+
+    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: portable_hash31(t))
 
     @pandas_udf("array<bigint>")
     def _winnow(col):
-        # Karp-Rabin polynomial combine in wrapping uint64, then window min
-        base = np.uint64(1099511628211)  # FNV-1a prime
-        weights = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
         out = []
-        with np.errstate(over="ignore"):
-            for v in col:
-                if v is None:  # NULL text -> NULL token-hash array: no fps
-                    out.append([])
-                    continue
-                a = np.asarray(v, dtype=np.int64).view(np.uint64)
-                if len(a) < k + w - 1:
-                    out.append([])
-                    continue
-                sw = np.lib.stride_tricks.sliding_window_view(a, k)
-                kh = (sw * weights).sum(axis=1, dtype=np.uint64)
-                wins = np.lib.stride_tricks.sliding_window_view(kh, w).min(axis=1)
-                out.append(np.unique(wins).view(np.int64).tolist())
+        for v in col:
+            if v is None:  # NULL text -> NULL token-hash array: no fps
+                out.append([])
+                continue
+            a = np.asarray(v, dtype=np.int64)
+            if len(a) < k + w - 1:
+                out.append([])
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(a, k)
+            # fold mod p: intermediates < p * _BAND_K ~ 2^51, exact in int64
+            kh = np.zeros(len(sw), dtype=np.int64)
+            for j in range(k):
+                kh = (kh * _BAND_K + sw[:, j]) % MINHASH_PRIME
+            wins = np.lib.stride_tricks.sliding_window_view(kh, w).min(axis=1)
+            out.append(np.unique(wins).tolist())
         return pd.Series(out)
 
     return df.select(
         F.col(id_col), F.explode(_winnow(token_hashes)).alias("fp")
     )
+
+
+def winnow_oracle_sql(
+    table: str, id_col: str, text_col: str = "text", k: int = 5, w: int = 4
+) -> str:
+    """DuckDB SQL recomputing winnow_fingerprints exactly: per-position
+    portable 31-bit token hashes, the k-term polynomial fold via lead()
+    windows, the w-wide window min, then DISTINCT per document (matching
+    the kernel's np.unique)."""
+    from sdlt_spark.operators.dedup import _BAND_K, MINHASH_PRIME
+
+    p = MINHASH_PRIME
+    fold = "h"
+    for j in range(1, k):
+        fold = f"(({fold}) * {_BAND_K} + lead(h, {j}) OVER win) % {p}"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    th AS (
+      SELECT {id_col}, u.i,
+             CAST(('0x' || substr(md5(t[u.i]), 1, 8)) AS BIGINT) % {p} AS h
+      FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kh AS (
+      SELECT {id_col}, i, {fold} AS kh,
+             lead(h, {k - 1}) OVER win AS last_tok
+      FROM th
+      WINDOW win AS (PARTITION BY {id_col} ORDER BY i)
+    ),
+    valid AS (SELECT {id_col}, i, kh FROM kh WHERE last_tok IS NOT NULL),
+    wins AS (
+      SELECT {id_col},
+             min(kh) OVER (PARTITION BY {id_col} ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+             lead(kh, {w - 1}) OVER (PARTITION BY {id_col} ORDER BY i) AS wlast
+      FROM valid
+    )
+    SELECT DISTINCT {id_col}, fp FROM wins WHERE wlast IS NOT NULL
+    """
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:

@@ -2754,10 +2754,15 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("winnow_fingerprint", None)  # xxhash64 values are Spark-specific
+@_q(
+    "winnow_fingerprint",
+    _text.winnow_oracle_sql("documents", "doc_id", "text", k=5, w=4),
+)
 def winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: rolling-hash winnowing fingerprints (MOSS) — passage-level
-    overlap detection; (doc_id, fp) pairs ready for a self-join."""
+    overlap detection; (doc_id, fp) pairs ready for a self-join. Portable
+    md5-derived hashing end to end, so the oracle recomputes every
+    fingerprint (operators/text.py winnow_oracle_sql)."""
     return _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id")
 
 
