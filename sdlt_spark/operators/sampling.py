@@ -106,3 +106,40 @@ def deterministic_split_sql(
         for name, bound in split_boundaries(weights)
     ]
     return "CASE " + " ".join(parts) + " END"
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    text_col: str = "text",
+    budget: int = 2000,
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Greedy per-stratum sampling to a token budget: order each stratum's
+    documents by a seeded md5 key (deterministic, engine-portable — the
+    same keying deterministic_split uses) and keep documents while the
+    running token total stays within ``budget``. The standard mixture-
+    construction step: 'take ~N tokens per domain, stably'.
+
+    One shuffle (the per-stratum sort window). At 100 TB a stratum's rows
+    share a window partition, so strata must be finer than executor memory
+    — the natural fix is sub-bucketing big strata by a hash prefix and
+    budgeting per sub-bucket (the window never needs the whole corpus).
+    Returns (id, stratum, n_tokens, cum_tokens) for kept documents."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    ntok = F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy(stratum_col).orderBy(key, id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            ntok.alias("n_tokens"),
+            F.sum(ntok).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )

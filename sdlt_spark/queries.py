@@ -2492,6 +2492,32 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "token_budget_sample",
+    """
+    SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source
+               ORDER BY md5(concat_ws(':', 'budget-v1', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS BIGINT) AS cum_tokens
+      FROM documents)
+    WHERE cum_tokens <= 500
+    """,
+)
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — mixture construction: stable greedy draw of ~500
+    tokens per source by seeded md5 order (operators/sampling.py
+    token_budget_sample). Deterministic under re-partitioning, appends
+    outside the budget frontier, and engine swaps."""
+    from sdlt_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", "text", budget=500
+    )
+
+
+@_q(
     "dedup_cluster_sizes",
     "SELECT cluster, count(*) AS size FROM ("
     + _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9)
