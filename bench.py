@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "cube_agg",
     "percentile_agg",
     "stats_agg",
+    "pii_redact",
+    "boilerplate_dedup",
+    "url_blocklist",
+    "token_budget_sample",
 ]
 
 
