@@ -2492,6 +2492,51 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "passage_overlap",
+    # Self-join of the (portable) winnowing fingerprints: doc pairs sharing
+    # >= 3 selected passages. Stop-fingerprints (in > 50 docs) are dropped
+    # first — standard winnowing practice, and the skew/blowup guard: one
+    # boilerplate passage in n docs would otherwise emit n^2/2 pairs.
+    "WITH fp AS (" + _text.winnow_oracle_sql("documents", "doc_id", "text", k=5, w=4)
+    + """),
+    df AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50
+    ),
+    keep AS (SELECT f.doc_id, f.fp FROM fp f JOIN df USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — passage-level (local) overlap detection: documents
+    sharing >= 3 winnowing fingerprints, i.e. multiple >= 8-token runs in
+    common, which whole-document MinHash misses when the rest of the pair
+    diverges. The fingerprint self-join is an equi join on a 8-byte key;
+    fingerprints occurring in > 50 documents are dropped first (boilerplate
+    passages — each would contribute O(n^2) candidate pairs AND a hot
+    shuffle key; the frequency cut is the same move dedup makes with
+    stop-shingles)."""
+    fps = _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id").persist()
+    common = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") <= 50)
+        .select("fp")
+    )
+    keep = fps.join(common, "fp")
+    a = keep.select(F.col("doc_id").alias("id_a"), "fp")
+    b = keep.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+@_q(
     "token_budget_sample",
     """
     SELECT doc_id, source, n_tokens, cum_tokens FROM (

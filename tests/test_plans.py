@@ -255,3 +255,37 @@ def test_pack_sequences_single_shard_shuffle(spark):
     keys are a superset of the window keys)."""
     plan = plan_of(spark, "pack_sequences")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_url_blocklist_broadcasts_blocklist(spark):
+    """The blocklist probe must be a broadcast hash join: a shuffle of the
+    URL table to check membership in a small dim is the classic scale bug."""
+    plan = plan_of(spark, "url_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """Redaction is pure projection work — any Exchange means something
+    snuck a shuffle into a scan-riding operator."""
+    plan = plan_of(spark, "pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_dedup_shuffles_fingerprints_not_segments(spark):
+    """The corpus-frequency agg must key on the md5 fingerprint (fp), never
+    raw segment text: hashpartitioning on fp is the 16-byte-key shuffle."""
+    plan = plan_of(spark, "boilerplate_dedup")
+    assert "hashpartitioning(fp" in plan
+
+
+def test_passage_overlap_prefilters_hot_fingerprints(spark):
+    """The stop-fingerprint cut must happen BEFORE the self-join: the plan
+    joins two filtered sides, so no > 50-doc fingerprint ever reaches the
+    pair-generating join."""
+    fn, _ = q.registry()["passage_overlap"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the ndocs <= 50 aggregate-filter feeds the join (appears as a
+    # frequency aggregate upstream of the final pair count)
+    assert plan.count("Aggregate") >= 3  # freq cut + pair count (+partials)
