@@ -2634,8 +2634,8 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
            count(*) AS n
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate <  TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -2648,8 +2648,8 @@ def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -2673,7 +2673,7 @@ def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bands(band, lo, hi) AS (VALUES
       ('early', TIMESTAMP '1992-01-01', TIMESTAMP '1995-01-01'),
       ('mid',   TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
-      ('late',  TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-01'))
+      ('late',  TIMESTAMP '1997-01-01', TIMESTAMP '2002-01-01'))
     SELECT band, count(*) AS n, round(sum(o_totalprice) + 1e-6, 2) AS total
     FROM orders JOIN bands ON o_orderdate >= lo AND o_orderdate < hi
     GROUP BY band
@@ -2694,7 +2694,7 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT band, CAST(lo AS TIMESTAMP_NTZ) AS lo, CAST(hi AS TIMESTAMP_NTZ) AS hi
         FROM VALUES ('early', '1992-01-01', '1995-01-01'),
                     ('mid',   '1995-01-01', '1997-01-01'),
-                    ('late',  '1997-01-01', '2000-01-01') AS t(band, lo, hi)
+                    ('late',  '1997-01-01', '2002-01-01') AS t(band, lo, hi)
         """
     )
     o = _t(spark, sf_dir, "orders")
@@ -3807,4 +3807,288 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 2).alias("avg_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3: remaining TPC-H access-pattern shapes (adapted to the
+# fixture star schema — no partsupp table, so the part/supplier relationships
+# come through lineitem). Reference parity: the reference's merge is the only
+# join it ships (README.md:127); these shapes document that the engine's join
+# planner covers the full TPC-H subquery/decorrelation spectrum.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "tpch_q2_shape",
+    """
+    WITH m AS (SELECT l_partkey AS m_partkey, min(l_extendedprice) AS min_price
+               FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, s_suppkey, s_name, round(min_price, 2) AS min_price
+    FROM lineitem JOIN m ON l_partkey = m_partkey AND l_extendedprice = min_price
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5
+    """,
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost-supplier shape (TPC-H Q2): for every small part, the
+    supplier(s) whose lineitem hit the per-part minimum price — a correlated
+    MIN subquery decorrelated into a group-agg + re-join. min() is
+    order-independent (unlike sum), so the float equality is deterministic
+    across engines. The per-part agg shuffles compact (partkey, min) pairs;
+    part and supplier join in via broadcast at this dimension size."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(
+            m,
+            (li.l_partkey == m.m_partkey) & (li.l_extendedprice == m.min_price),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+    )
+
+
+@_q(
+    "tpch_q12_shape",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority split (TPC-H Q12): fact-fact equi join with the
+    selective date filter pushed to the lineitem scan, then conditional
+    counts folded into one agg pass (no per-branch scans). The join shuffles
+    only (orderkey, priority) x (orderkey, linestatus) after pruning."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q13_shape",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): outer join with the
+    filter INSIDE the join condition (so customers with zero qualifying
+    orders survive with count 0), then a second aggregation over the first's
+    output. The second agg's input is one row per customer — tiny — so the
+    expensive shuffle happens once, on the join key."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "tpch_q15_shape",
+    """
+    WITH sq AS (SELECT l_suppkey, sum(l_quantity) AS total_qty FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-07-01'
+                GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_qty, 2) AS total_qty
+    FROM supplier JOIN sq ON s_suppkey = l_suppkey
+    WHERE total_qty = (SELECT max(total_qty) FROM sq)
+    """,
+)
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier view (TPC-H Q15): windowed supplier volume, keep the
+    argmax via a scalar-subquery comparison. The half-year quantity sums are
+    integer-valued doubles (exact in IEEE), so the max-equality is
+    engine-deterministic. The scalar max is one row crossed back in
+    (broadcast); the supplier dim joins broadcast too — the only real
+    shuffle is the per-supplier partial agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    sq = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
+    mx = sq.agg(F.max("total_qty").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sq.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_qty") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+@_q(
+    "tpch_q17_shape",
+    """
+    WITH pa AS (SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS thresh
+                FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN pa ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < thresh
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): a correlated AVG subquery
+    (per-part mean quantity) decorrelated into a group-agg joined back to
+    the fact rows. Quantities are integers, so avg = exact-sum/exact-count
+    is bit-identical across engines and the `<` threshold cannot flip. The
+    brand filter prunes the part side before the join; the per-part agg
+    and the fact re-join share the l_partkey shuffle key, which AQE reuses."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thresh")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0 + 1e-6, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20_shape",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300)
+    """,
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume suppliers (TPC-H Q20): an IN-subquery whose inner query
+    is itself an aggregate with HAVING — planned as agg -> filter ->
+    left-semi join. The semi join carries only supplier keys (the agg output
+    is <= |suppliers| rows), so the dim side probes a tiny hash table. The
+    integer-valued quantity sum keeps the HAVING threshold deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        qualified, s.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "tpch_q21_shape",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-blamed-supplier shape (TPC-H Q21): the hardest reference query —
+    one EXISTS and one NOT EXISTS, both correlated on the join key plus a
+    non-equi suppkey inequality. Spark plans them as a left-semi and a
+    left-anti join on l_orderkey with the inequality as a residual
+    condition, so each is one hash join, not a per-row subquery. Both probe
+    sides project only (orderkey, suppkey[, returnflag]) — compact shuffles
+    regardless of fact width."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l1")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2"))
+            & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3"))
+            & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
