@@ -4092,3 +4092,185 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3: analysis / profiling operators. The reference's only
+# "profiling" is count-after-every-step (README.md:86 etc.); these give the
+# engine the standard column-profile / distribution / normalization surface
+# an analytics user expects.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "profile_table",
+    """
+    SELECT 'c_custkey' AS col, count(*) AS n_rows,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS DOUBLE) AS min_v,
+           CAST(max(c_custkey) AS DOUBLE) AS max_v
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*),
+           CAST(count(*) - count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*),
+           CAST(count(*) - count(c_acctbal) AS BIGINT),
+           CAST(count(DISTINCT c_acctbal) AS BIGINT),
+           CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE)
+    FROM customer
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the `ANALYZE TABLE` / data-quality pass every engine
+    ships): one scan computes null counts, distinct counts, and min/max for
+    each profiled column, then unpivots to one row per column. Spark plans
+    the multi-distinct agg with one Expand — still a single pass over the
+    data, and the shuffle carries only partial aggregates. min/max stay
+    numeric (DOUBLE) on both sides: string-rendering floats would hash
+    differently per engine."""
+    c = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(col).alias(f"cnt_{col}") for col in cols],
+        *[F.countDistinct(col).alias(f"nd_{col}") for col in cols],
+        *[F.min(col).cast("double").alias(f"min_{col}") for col in cols],
+        *[F.max(col).cast("double").alias(f"max_{col}") for col in cols],
+    )
+    stack = ", ".join(
+        f"'{col}', cast(n_rows - cnt_{col} as bigint), cast(nd_{col} as bigint),"
+        f" min_{col}, max_{col}"
+        for col in cols
+    )
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("col", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+@_q(
+    "histogram_fixed",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket without relying on the function
+    existing in every engine): bucket index from exact floor arithmetic, so
+    the boundaries are engine-deterministic. One partial-agg pass; the
+    shuffle carries <= 10 rows per task."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "grouped_normalize",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment),
+                 4) AS z
+    FROM customer
+    """,
+)
+def grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature standardization): unbounded
+    group windows for mean/stddev, one shuffle on the group key. At scale
+    the same result comes cheaper from a two-pass groupBy+broadcast-join
+    (tiny stats table), but the window form keeps it one declarative plan;
+    both shapes shuffle the fact once."""
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp(
+        "c_acctbal"
+    ).over(w)
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round(z, 4).alias("z")
+    )
+
+
+@_q(
+    "window_cume_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal), 4) AS cd,
+           CAST(dense_rank() OVER
+                (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS BIGINT)
+             AS drank
+    FROM customer
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 extension: cumulative distribution + dense rank per group. Both
+    are count-ratio functions of the ORDER BY value alone (peer rows share
+    values), so results are deterministic under any partition-internal sort
+    order — no tiebreak key needed."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+@_q(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM freq)
+    SELECT doc_id,
+           round(avg(-ln(cnt / total)), 3) AS avg_neg_logprob,
+           count(*) AS n_tokens
+    FROM toks JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean negative log
+    probability under the corpus's own unigram distribution — the cheap
+    statistical stand-in for LM-based quality filtering (high score = rare
+    vocabulary = often noise). Two shuffles: the token histogram (compact
+    (token, count) pairs) and the per-doc agg; the histogram joins back onto
+    the exploded tokens by token key — AQE broadcasts it while the vocab is
+    small and falls back to a shuffle join when it isn't. The corpus total
+    is a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 3).alias(
+                "avg_neg_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
