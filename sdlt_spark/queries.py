@@ -4274,3 +4274,80 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3: embedding clustering (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "kmeans_assign",
+    """
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                                           i -> (e.embedding[i] - c.cvec[i]) ^ 2),
+                            'sum') AS dist
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    a AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT cid AS cluster, count(*) AS n, round(avg(sqrt(dist)), 4) AS avg_dist
+    FROM a WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment pass with fixed centroids (the embeddings of
+    vec_id < 8), entirely in JVM expressions: the 8-row centroid side
+    broadcasts, squared-L2 comes from an index-ordered zip_with fold (both
+    engines sum in list order, keeping the float result deterministic), and
+    argmin is min(struct(dist, cid)) — lexicographic struct comparison gives
+    the cid tiebreak for free. The corpus never shuffles; only the final
+    <=8-group agg does. The iterative path (operators/clustering.kmeans_fit)
+    swaps this expression for an Arrow GEMM — same plan shape."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    diff_sq = F.zip_with("embedding", "cvec", lambda x, y: (x - y) * (x - y))
+    dist = F.aggregate(
+        diff_sq, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    best = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", F.struct(dist.alias("dist"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"))
+    )
+    return (
+        best.select(F.col("dc.cid").alias("cluster"), F.col("dc.dist").alias("dist"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.sqrt("dist")), 4).alias("avg_dist"),
+        )
+    )
+
+
+@_q("kmeans_fit", None)
+def kmeans_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed Lloyd k-means (k=8, 3 iterations, seeded init) over
+    the embedding corpus — assignment via Arrow GEMM map-only stages, centroid
+    updates via k*dim partial-sum rows, driver traffic bounded at k*dim
+    scalars per iteration (operators/clustering.py). Rows-only: the iterative
+    float path is not ANSI-SQL-expressible, but the output (cluster sizes +
+    mean distance) is deterministic for a fixed seed."""
+    from sdlt_spark.operators import clustering
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = clustering.kmeans_fit(
+        e, "embedding", "vec_id", k=8, iters=3, seed=42
+    )
+    return clustering.cluster_profile(assigned)
