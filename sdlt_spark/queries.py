@@ -4351,3 +4351,38 @@ def kmeans_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", "vec_id", k=8, iters=3, seed=42
     )
     return clustering.cluster_profile(assigned)
+
+
+@_q(
+    "vintage_sync",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'S' AS o_orderstatus,
+             round(o_totalprice * 0.5 + 1e-6, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    WHERE NOT (o.o_orderstatus = 'F')
+    """,
+)
+def vintage_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 extension — Delta's whenNotMatchedBySourceDelete as one real
+    commit: upsert the source AND delete unmatched target rows satisfying
+    the condition, atomically (store/vintage.py merge
+    not_matched_by_source_delete=). Oracle = src UNION (target ANTI src,
+    minus condition rows)."""
+    t = _fresh_vintage(spark, sf_dir)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("S").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 0.5 + 1e-6, 2).alias("o_totalprice"),
+        )
+    )
+    t.merge(src, ["o_orderkey"], not_matched_by_source_delete="o_orderstatus = 'F'")
+    return t.read()

@@ -806,10 +806,19 @@ class VintageTable:
         on_duplicate_source: str = "error",
         order_col: str | None = None,
         txn_id: str | None = None,
+        not_matched_by_source_delete: bool | str = False,
     ) -> int:
         """Upsert: whenMatched updateAll / whenNotMatched insertAll on key
         equality (README.md:125-130). With ``schema_evolution`` new source
         columns are added, like Delta's autoMerge (README.md:330).
+
+        ``not_matched_by_source_delete`` is Delta's
+        ``whenNotMatchedBySourceDelete``: target rows whose key does NOT
+        appear in the source are deleted — everywhere (``True``) or only
+        where a SQL condition holds (a condition string). ``merge(src, keys,
+        not_matched_by_source_delete=True)`` is therefore a full table sync
+        to the source within one commit. Rows where the condition evaluates
+        NULL are kept (SQL delete semantics, same as ``delete()``).
 
         Duplicate source keys (``on_duplicate_source``): ``"error"`` (the
         default, Delta parity — Delta's MERGE raises when several source rows
@@ -897,6 +906,27 @@ class VintageTable:
         else:
             touched = []
 
+        nmbs = not_matched_by_source_delete
+        nmbs_cond = None
+        if nmbs:
+            nmbs_cond = F.expr(nmbs) if isinstance(nmbs, str) else F.lit(True)
+        if nmbs and live:
+            # whenNotMatchedBySource: any live file may hold deletable rows,
+            # so this scan runs over ALL live files (key-range pruning is
+            # only sound for the matched side). Catalyst prunes the read to
+            # the key + condition columns; a selective condition string can
+            # additionally be zone-map-pruned by callers via delete().
+            snap_all = self._with_file(self._read_files(live))
+            del_uris = [
+                r["__file"]
+                for r in snap_all.filter(nmbs_cond)
+                .join(src.select(*key_cols), key_cols, "left_anti")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            touched = sorted(set(touched) | {self._rel(u) for u in del_uris})
+
         target_schema = self._schema_at() if self.exists() else src.schema
 
         def _pad_to(frame: DataFrame, schema) -> DataFrame:
@@ -911,6 +941,11 @@ class VintageTable:
         if touched:
             touched_rows = self._read_files(touched)
             kept = touched_rows.join(src.select(*key_cols), key_cols, "left_anti")
+            if nmbs_cond is not None:
+                # keep unmatched rows only where the delete condition is NOT
+                # true; NULL-condition rows survive (coalesce), matching
+                # SQL DELETE and Delta's whenNotMatchedBySourceDelete
+                kept = kept.filter(F.coalesce(~nmbs_cond, F.lit(True)))
             if schema_evolution:
                 new_data = src.unionByName(kept, allowMissingColumns=True)
             else:
@@ -940,6 +975,14 @@ class VintageTable:
                     matched_old.withColumn("_change_type", F.lit("delete")),
                     allowMissingColumns=True,
                 )
+                if nmbs_cond is not None:
+                    removed = touched_rows.join(
+                        src.select(*key_cols), key_cols, "left_anti"
+                    ).filter(nmbs_cond)
+                    changes = changes.unionByName(
+                        removed.withColumn("_change_type", F.lit("delete")),
+                        allowMissingColumns=True,
+                    )
             change_dir = self._write_change_data(changes)
 
         # Untouched files keep their old schema; mergeSchema on read surfaces
@@ -961,6 +1004,10 @@ class VintageTable:
             )
             schema_json = merged.json()
         params = {"predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols)}
+        if nmbs:
+            params["notMatchedBySourceDelete"] = (
+                nmbs if isinstance(nmbs, str) else "true"
+            )
         if change_dir:
             params["changeData"] = change_dir
         if txn_id is not None:
