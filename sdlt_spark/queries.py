@@ -4386,3 +4386,192 @@ def vintage_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(src, ["o_orderkey"], not_matched_by_source_delete="o_orderstatus = 'F'")
     return t.read()
+
+
+@_q(
+    "tpch_q8_shape",
+    """
+    WITH sales AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = (SELECT min(r_name) FROM region)
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = (SELECT min(n_name) FROM nation)
+                          THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): a 6-table snowflake join (nation
+    joined twice, once per role) feeding a conditional-sum ratio. Every dim
+    side broadcasts; the two fact tables meet in the single real shuffle.
+    The target region/nation come from 1-row scalar aggregates crossed in
+    as broadcasts — no driver round-trip, no hardcoded fixture values."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    r_min = r.agg(F.min("r_name").alias("rm"))
+    n_min = n.agg(F.min("n_name").alias("nm"))
+    target_region = (
+        r.crossJoin(F.broadcast(r_min))
+        .filter(F.col("r_name") == F.col("rm"))
+        .select("r_regionkey")
+    )
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(target_region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.crossJoin(F.broadcast(n_min))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == F.col("nm"), F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_shape",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1) + 1e-6, 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE contains(p_name, 'a')
+    GROUP BY n_name, o_year
+    """,
+)
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-profit rollup (TPC-H Q9, supply cost proxied by
+    p_retailprice*qty*0.1 — the fixtures carry no partsupp): the widest
+    join tree in the suite. The substring filter prunes part before its
+    broadcast; lineitem joins orders in the one real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.contains("p_name", F.lit("a")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit) + 1e-6, 2).alias("profit"))
+    )
+
+
+@_q(
+    "tpch_q10_shape",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue top-20 (TPC-H Q10): filter -> join -> agg ->
+    TakeOrderedAndProject. Ordering on the ROUNDED revenue (plus custkey
+    tiebreak) keeps the limit boundary engine-deterministic — raw float
+    sums could order near-ties differently per engine. Spark plans the
+    limit as a per-partition top-k + single-reduce merge, never a full
+    sort."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "tpch_q11_shape",
+    """
+    WITH nb AS (
+      SELECT n_name, sum(s_acctbal) AS bal
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, round(bal + 1e-6, 2) AS bal
+    FROM nb
+    WHERE bal > (SELECT 0.02 * sum(bal) FROM nb)
+    """,
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11, supplier balances standing in for
+    partsupp value): a grouped sum filtered against a fraction of the
+    grand total — the HAVING-vs-global-scalar pattern. The grouped result
+    is reused for both the threshold and the output (Spark computes nb
+    once; the 1-row total crosses back in as a broadcast)."""
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nb = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("bal"))
+    )
+    tot = nb.agg((F.lit(0.02) * F.sum("bal")).alias("thresh"))
+    return (
+        nb.crossJoin(F.broadcast(tot))
+        .filter(F.col("bal") > F.col("thresh"))
+        .select("n_name", F.round(F.col("bal") + 1e-6, 2).alias("bal"))
+    )
