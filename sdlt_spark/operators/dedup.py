@@ -134,23 +134,38 @@ def portable_hash31(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MINHASH_PRIME
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32
-) -> DataFrame:
-    """k-permutation MinHash signature per document: h_i = min over tokens
-    of (a_i * base + b_i) mod p, base = portable_hash31(token). ONE md5 per
-    token row feeds all k permutations via arithmetic (cheaper than k
-    independent string hashes, and — unlike xxhash64 — reproducible in the
-    DuckDB oracle). One shuffle (groupBy id) with partial aggregation;
-    signature width is k longs."""
-    tok = doc_tokens(df, id_col, text_col).withColumn(
-        "__h", portable_hash31(F.col("token"))
+def token_hashes(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, __h) rows: each document's distinct tokens hashed to the
+    portable 31-bit space. The md5 runs ONCE here, in a codegen'd projection
+    over the exploded token table (an ``F.transform`` lambda would evaluate
+    it interpreted per element), and both the signature aggregate and the
+    exact-jaccard token sets derive from this single table."""
+    return doc_tokens(df, id_col, text_col).select(
+        id_col, portable_hash31(F.col("token")).alias("__h")
     )
+
+
+def _signatures_from_hashes(
+    th: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """k-permutation MinHash signature from the (id, __h) token-hash table:
+    h_i = min over tokens of (a_i*h + b_i) mod p. One shuffle (groupBy id)
+    with map-side partial aggregation; signature width is k longs."""
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return tok.groupBy(id_col).agg(*aggs)
+    return th.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 32
+) -> DataFrame:
+    """k-permutation MinHash signature per document (see
+    :func:`_signatures_from_hashes`; ONE md5 per token row feeds all k
+    permutations via arithmetic — cheaper than k independent string hashes,
+    and — unlike xxhash64 — reproducible in the DuckDB oracle)."""
+    return _signatures_from_hashes(token_hashes(df, id_col, text_col), id_col, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -386,17 +401,31 @@ def minhash_dedup(
 
     - Under-parallel scans (one small file = one task) are repartitioned
       before the token explode so signature compute uses every core.
-    - ``sig`` and the (id, token-hash[]) projection are **persisted AND
-      materialized** (MEMORY_AND_DISK, spillable — persisting is NOT
-      broadcasting; both are O(docs), far smaller than the corpus). The
-      count() that fills each cache (a) stops the self-join/verify consumers
-      from re-running the explode+agg lineage once per side, and (b) gives
-      Catalyst the *actual* cached size, so the four per-doc side joins
-      become broadcast-hash joins exactly when the side truly fits under
-      autoBroadcastJoinThreshold — no manual F.broadcast of O(corpus) state
-      (the round-1 OOM hazard), no blind shuffle of the pair list either.
+    - Token md5 runs ONCE: the (id, __h) table is persisted and BOTH the
+      signature aggregate and the exact-jaccard token sets derive from it.
+      A previous form recomputed the hash per consumer, and computed the
+      token-set copy inside an ``F.transform`` lambda — higher-order
+      functions evaluate their lambda INTERPRETED per element, so the md5
+      ran outside codegen for the whole corpus.
+    - Intermediates are **persisted AND materialized** (MEMORY_AND_DISK,
+      spillable — persisting is NOT broadcasting; all are O(docs) or
+      O(candidates), far smaller than the corpus). The count() that fills
+      each cache (a) stops consumers from re-running lineage per join side,
+      and (b) gives Catalyst the *actual* cached size, so per-doc side
+      joins become broadcast-hash joins exactly when the side truly fits
+      under autoBroadcastJoinThreshold — no manual F.broadcast of O(corpus)
+      state (the round-1 OOM hazard).
     - The banding self-join shuffles only compact ``(id, band, bh)`` rows
       (reuses :func:`lsh_candidate_pairs`).
+    - The estimate filter runs as its OWN small stage whose survivors are
+      persisted, and the exact-jaccard verify is a second small stage. An
+      earlier form fused banding + both signature joins + the 32-equality
+      estimate + both token-array joins + array_intersect into ONE
+      whole-stage-codegen region; Janino compilation of that ~70-column
+      generated class took minutes on a cold JVM (measured 120-170 s cold
+      vs ~9 s warm at sf0.1 — the compiled-class cache made every rerun
+      fast and hid the cost from in-session measurements). Two small
+      stages compile in seconds and run just as fast warm.
     - The estimate is a codegen'd sum of 32 column equalities, not a
       zip_with/filter HOF pair — higher-order functions evaluate their
       lambda interpreted per element (~100M evals at sf0.1, measured ~2x
@@ -408,7 +437,8 @@ def minhash_dedup(
     if _scan_underparallel(df):
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).persist()
+    th = token_hashes(df, id_col, text_col).persist()
+    sig = _signatures_from_hashes(th, id_col, num_hashes).persist()
     sig.count()  # materialize: single signature compute + true size stats
     cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
 
@@ -423,34 +453,33 @@ def minhash_dedup(
         [(F.col(f"__ha{i}") == F.col(f"__hb{i}")).cast("int") for i in range(num_hashes)],
         F.lit(0),
     )
+    # stage 1: banding candidates -> signature-estimate prefilter. Persisted
+    # so the verify stage starts from compact (id_a, id_b) pairs instead of
+    # extending one giant codegen region (see docstring).
+    est = (
+        cand.join(sa, "id_a").join(sb, "id_b").filter(n_eq >= min_eq)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    est.count()
 
-    toks_arr = df.select(
-        F.col(id_col),
-        # distinct tokens -> portable 31-bit hashes -> distinct again: if two
-        # distinct tokens of one doc collide in the 31-bit space (P ~ n^2/2^32
-        # per doc — rare but real), the doc's hash SET shrinks by one, and the
-        # oracle (count DISTINCT of the same hash) shrinks identically, so
-        # jaccard stays bit-equal across engines.
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(F.split(text_col, " ")), lambda t: portable_hash31(t)
-            )
-        ).alias("__toks"),
-    ).persist()
-    toks_arr.count()  # materialize: see sig note above
+    # collect_set of the already-distinct tokens' hashes: if two distinct
+    # tokens of one doc collide in the 31-bit space (P ~ n^2/2^32 per doc —
+    # rare but real), the doc's hash SET shrinks by one, and the oracle
+    # (count DISTINCT of the same hash) shrinks identically, so jaccard
+    # stays bit-equal across engines.
+    toks_arr = th.groupBy(id_col).agg(F.collect_set("__h").alias("__toks")).persist()
+    toks_arr.count()  # materialize: see note above
     ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
     tb = toks_arr.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
     inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
     union = F.size("__toks_a") + F.size("__toks_b") - inter
+    # stage 2: exact-jaccard verify over the estimate's survivors only
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .join(ta, "id_a")
+        est.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
-        # n_eq first: the AND short-circuits the array intersect for the
-        # (majority of) candidates the free estimate already rejects
-        .filter((n_eq >= min_eq) & (F.col("jaccard") >= threshold))
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -459,12 +488,14 @@ def minhash_dedup(
 
 
 def portable_hash60(col):
-    """String -> [0, 2^60): first 15 md5 hex chars as hi-28 * 2^32 + lo-32.
-    Pure positive BIGINT arithmetic (no shifts past the sign bit, no
-    overflow) so Spark and DuckDB produce identical values — the SimHash
-    analogue of portable_hash31."""
-    hi = F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
-    lo = F.conv(F.substring(F.md5(col), 8, 8), 16, 10).cast("long")
+    """String-md5-hex -> [0, 2^60): first 15 md5 hex chars as
+    hi-28 * 2^32 + lo-32. Pure positive BIGINT arithmetic (no shifts past
+    the sign bit, no overflow) so Spark and DuckDB produce identical
+    values — the SimHash analogue of portable_hash31. Takes the md5 HEX
+    column (not the raw string) so callers hash each token once and feed
+    both substrings from it."""
+    hi = F.conv(F.substring(col, 1, 7), 16, 10).cast("long")
+    lo = F.conv(F.substring(col, 8, 8), 16, 10).cast("long")
     return hi * F.lit(4294967296) + lo
 
 
@@ -472,10 +503,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
     """60-bit SimHash per document: token hash bits vote +1/-1 weighted by
     term frequency; the sign vector is packed back into one long.
 
-    Token hashing is JVM-side (one codegen'd transform+portable_hash60 over
-    the split array — duplicates kept, so term frequency still weights
-    votes; md5-derived so the DuckDB oracle reproduces every bit); the
-    per-lane bit voting runs vectorized in an Arrow-batched UDF. The
+    Token hashing is JVM-side in a codegen'd projection over the EXPLODED
+    token rows — duplicates kept, so term frequency still weights votes;
+    md5-derived (one md5 per token occurrence, both hash halves substring
+    the same hex) so the DuckDB oracle reproduces every bit. An earlier
+    form hashed inside an ``F.transform`` lambda, which higher-order
+    functions evaluate INTERPRETED per element — two non-codegen md5 calls
+    per token occurrence over the whole corpus (~7 s of the cold sf0.1
+    run). The collect_list regroup this costs is one shuffle of
+    (id, 8-byte hash) rows; vote order is irrelevant (bit sums).
+    The per-lane bit voting runs vectorized in an Arrow-batched UDF. The
     all-expression form (60 sum(when(bit)) aggregates) evaluated
     tokens*bits interpreted branches — ~17M for a 5k-doc corpus — and was
     several times slower; the numpy form is two matrix ops per document."""
@@ -483,7 +520,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    token_hashes = F.transform(F.split(text_col, " "), lambda t: portable_hash60(t))
     lanes = np.arange(bits, dtype=np.uint64)
 
     @pandas_udf("long")
@@ -520,7 +556,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
         res[isnull] = pd.NA
         return pd.Series(res)
 
-    return df.select(F.col(id_col), _simhash(token_hashes).alias("simhash")).filter(
+    # explode WITHOUT distinct (term frequency weights votes). NULL text:
+    # split -> NULL -> explode emits no row, so the doc is absent — same as
+    # the previous form's post-UDF NULL filter. Empty text splits to [""],
+    # one token, as before.
+    tok = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("__t"))
+    th = tok.select(id_col, portable_hash60(F.md5("__t")).alias("__h"))
+    arrs = th.groupBy(id_col).agg(F.collect_list("__h").alias("__hs"))
+    return arrs.select(F.col(id_col), _simhash("__hs").alias("simhash")).filter(
         F.col("simhash").isNotNull()
     )
 

@@ -130,28 +130,41 @@ def winnow_fingerprints(
     Emits (id, fp) exploded — ready for an equi self-join to find local
     (passage-level) overlap that whole-document MinHash misses.
 
-    Split: token hashing stays JVM-side (one codegen'd transform +
-    portable_hash31 pass — md5-derived, so the DuckDB oracle reproduces
-    every fingerprint); the rolling k-gram combine (polynomial mod 2^31-1,
-    the same arithmetic the minhash band hashes use) and sliding-window
-    min run as vectorized numpy over the int64 hash arrays in an
-    Arrow-batched UDF. (A pure-expression formulation — slice+concat per
-    shingle, then array_min(slice) per window — is interpreted per element
-    and was ~50x slower: O(n*(k+w)) object churn per document.) Documents
-    shorter than k+w-1 tokens yield no fingerprints."""
+    Split: token hashing stays JVM-side — a codegen'd portable_hash31
+    projection over posexploded token rows (md5-derived, so the DuckDB
+    oracle reproduces every fingerprint; an earlier ``F.transform`` lambda
+    form evaluated the md5 INTERPRETED per element), reassembled in token
+    order by sorting the collected (pos, hash) structs; the rolling k-gram
+    combine (polynomial mod 2^31-1, the same arithmetic the minhash band
+    hashes use) and sliding-window min run as vectorized numpy over the
+    int64 hash arrays in an Arrow-batched UDF. (A pure-expression
+    formulation — slice+concat per shingle, then array_min(slice) per
+    window — is interpreted per element and was ~50x slower: O(n*(k+w))
+    object churn per document.) Documents shorter than k+w-1 tokens yield
+    no fingerprints."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from sdlt_spark.operators.dedup import _BAND_K, MINHASH_PRIME, portable_hash31
 
-    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: portable_hash31(t))
+    # NULL text: tokens(NULL) is NULL -> posexplode emits no row -> the doc
+    # is absent, matching the previous form's empty-fingerprint output.
+    tk = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__i", "__t")
+    )
+    th = tk.select(id_col, "__i", portable_hash31(F.col("__t")).alias("__h"))
+    ordered = th.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__h"))), lambda s: s["__h"]
+        ).alias("__hs")
+    )
 
     @pandas_udf("array<bigint>")
     def _winnow(col):
         out = []
         for v in col:
-            if v is None:  # NULL text -> NULL token-hash array: no fps
+            if v is None:  # defensive: groups always carry >= 1 token now
                 out.append([])
                 continue
             a = np.asarray(v, dtype=np.int64)
@@ -167,8 +180,8 @@ def winnow_fingerprints(
             out.append(np.unique(wins).tolist())
         return pd.Series(out)
 
-    return df.select(
-        F.col(id_col), F.explode(_winnow(token_hashes)).alias("fp")
+    return ordered.select(
+        F.col(id_col), F.explode(_winnow("__hs")).alias("fp")
     )
 
 

@@ -1119,12 +1119,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey,
              'Customer ' || c_name || ' (' || c_mktsegment || ') mail '
              || lower(replace(c_name, '#', '.')) || '@example.com or call '
-             || CAST(10 + c_custkey % 90 AS VARCHAR) || '-'
-             || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-'
-             || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-'
-             || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
-             || ', last seen from 10.' || CAST(c_custkey % 256 AS VARCHAR)
-             || '.0.' || CAST(c_custkey % 100 AS VARCHAR) AS note
+             || CAST(10 + c_custkey % 90 AS STRING) || '-'
+             || lpad(CAST(c_custkey * 7 % 1000 AS STRING), 3, '0') || '-'
+             || lpad(CAST(c_custkey * 13 % 1000 AS STRING), 3, '0') || '-'
+             || lpad(CAST(c_custkey * 31 % 10000 AS STRING), 4, '0')
+             || ', last seen from 10.' || CAST(c_custkey % 256 AS STRING)
+             || '.0.' || CAST(c_custkey % 100 AS STRING) AS note
       FROM customer
     )
     SELECT c_custkey,
@@ -1227,9 +1227,9 @@ _URL_BLOCKLIST = (
     WITH base AS (
       SELECT doc_id,
              'see HTTPS://www.' || source || '.Example.COM/' || lang || '/'
-             || CAST(doc_id AS VARCHAR)
+             || CAST(doc_id AS STRING)
              || '/ plus mirror http://Mirror.' || source || '.example.NET/d/'
-             || CAST(doc_id AS VARCHAR) AS note
+             || CAST(doc_id AS STRING) AS note
       FROM documents
     ),
     ex AS (
@@ -1866,7 +1866,7 @@ def json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB (length() is chars), matching binaryFile's file size.
     """
     SELECT doc_id,
-           'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           'doc_' || CAST(doc_id AS STRING) || '.bin' AS fname,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
@@ -2440,7 +2440,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY md5(concat_ws(':', 'sample-v1', CAST(doc_id AS VARCHAR))),
+               ORDER BY md5(concat_ws(':', 'sample-v1', CAST(doc_id AS STRING))),
                         doc_id) AS rn
       FROM documents)
     WHERE rn <= 20
@@ -2544,7 +2544,7 @@ def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              CAST(sum(len(string_split(text, ' '))) OVER (
                PARTITION BY source
-               ORDER BY md5(concat_ws(':', 'budget-v1', CAST(doc_id AS VARCHAR))),
+               ORDER BY md5(concat_ws(':', 'budget-v1', CAST(doc_id AS STRING))),
                         doc_id) AS BIGINT) AS cum_tokens
       FROM documents)
     WHERE cum_tokens <= 500
@@ -4574,4 +4574,198 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.crossJoin(F.broadcast(tot))
         .filter(F.col("bal") > F.col("thresh"))
         .select("n_name", F.round(F.col("bal") + 1e-6, 2).alias("bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3 additions: skewed join path, entity resolution,
+# inverted index, Hive-partitioned interop, time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "skew_join",
+    """
+    WITH d AS (
+      SELECT event_type, round(avg(value), 6) AS w FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(max(e.value * d.w), 6) AS max_weighted
+    FROM events e JOIN d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension: the SALTED equi join (operators/skew.py::salted_join)
+    driver-checked. events.event_type has ~5 hot keys — the worst case for
+    a shuffle join (every row of one key lands on one reducer). The salted
+    form replicates the small side num_salts times and fans the big side by
+    hash(event_id) % num_salts, so each hot key spreads over 8 tasks.
+
+    Same answer as the plain join by construction (the oracle IS the plain
+    join). On real clusters AQE's skew-join splitting handles this when the
+    small side can't broadcast; the manual transform is for engines/configs
+    without AQE and for aggregation-free pipelines where AQE's split points
+    don't help. max() (order-independent) rather than sum() keeps the float
+    result bit-stable across engines and task orders."""
+    from sdlt_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("w"))
+    joined = salted_join(ev, dim, on="event_type", salt_source="event_id", num_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.col("value") * F.col("w")), 6).alias("max_weighted"),
+    )
+
+
+@_q(
+    "entity_resolution",
+    """
+    WITH lft AS (
+      SELECT p_partkey AS cand_id, p_name AS cand_name,
+             substr(regexp_replace(p_name, '[aeiou]', '', 'g'), 1, 4) AS blk
+      FROM part
+    ),
+    rgt AS (
+      SELECT p_partkey AS right_id,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS dirty,
+             substr(regexp_replace(p_name, '[aeiou]', '', 'g'), 1, 4) AS blk
+      FROM part
+    ),
+    scored AS (
+      SELECT r.right_id, l.cand_id, l.cand_name,
+             CAST(levenshtein(l.cand_name, r.dirty) AS INTEGER) AS score,
+             row_number() OVER (PARTITION BY r.right_id
+                                ORDER BY levenshtein(l.cand_name, r.dirty), l.cand_id) AS rn
+      FROM rgt r JOIN lft l USING (blk)
+    )
+    SELECT right_id, cand_id, cand_name, score FROM scored WHERE rn = 1
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: block -> score -> best-match-per-record. The "dirty"
+    side is a deterministic corruption of part names (vowels stripped); the
+    blocking key (first 4 chars of the consonant skeleton) guarantees the
+    true match shares a block, so candidate generation is an EQUI join on
+    the block key — never the all-pairs cross join naive ER does. Scoring
+    is classic Levenshtein (built-in, both engines); the best match is the
+    min-score (ties: min id) row per dirty record via a ranking window.
+
+    100 TB story: candidates = sum over blocks of |L_b| x |R_b|, controlled
+    by block-key selectivity rather than corpus size; both the join and the
+    per-record top-1 window shuffle on keys with bounded fan-in. Hot blocks
+    (skewed key distributions) are the known failure mode — cap block size
+    or salt, same as any skewed join."""
+    p = _t(spark, sf_dir, "part")
+    skel = F.regexp_replace("p_name", "[aeiou]", "")
+    left = p.select(
+        F.col("p_partkey").alias("cand_id"),
+        F.col("p_name").alias("cand_name"),
+        F.substring(skel, 1, 4).alias("blk"),
+    )
+    right = p.select(
+        F.col("p_partkey").alias("right_id"),
+        skel.alias("dirty"),
+        F.substring(skel, 1, 4).alias("blk"),
+    )
+    scored = right.join(left, "blk").withColumn(
+        "score", F.levenshtein("cand_name", "dirty")
+    )
+    w = Window.partitionBy("right_id").orderBy("score", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("right_id", "cand_id", "cand_name", "score")
+    )
+
+
+@_q(
+    "inverted_index",
+    """
+    WITH td AS (
+      SELECT DISTINCT u.term, doc_id
+      FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(term)
+    )
+    SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM td GROUP BY term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: term -> document frequency + sorted posting
+    list. distinct (term, doc) pairs -> one hash aggregate per term; the
+    shuffle carries (term, doc_id) pairs, never document bodies, and the
+    posting array is assembled by the aggregate itself (collect_set ->
+    sort), so the driver never touches data.
+
+    100 TB story: this is the map-reduce indexing shape — partial
+    (term, doc) dedup map-side, one shuffle keyed by term. Skewed terms
+    (stopwords) produce giant postings; production layouts shard postings
+    by (term, doc_id range) — here the fixture vocabulary is small, so
+    plain per-term rows are the honest shape."""
+    docs = _t(spark, sf_dir, "documents")
+    td = docs.select(
+        F.explode(F.split("text", " ")).alias("term"), "doc_id"
+    ).distinct()
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+@_q(
+    "partitioned_write_scan",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def partitioned_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet interop (SURVEY §2.1 note): write orders
+    partitioned by o_orderstatus (directory-per-value layout), read the
+    tree back, filter one status. The filter value never scans the other
+    partitions — Catalyst's PartitioningAwareFileIndex prunes directories
+    before any IO (asserted in tests/test_plans.py). This is the layout
+    the VintageTable deliberately does NOT use internally (zone maps +
+    clustering instead), but 100 TB lakes are full of Hive-partitioned
+    inputs, so the read AND write paths stay exercised."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"{tempfile.gettempdir()}/sdlt_partitioned_orders_{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"),
+        "o_orderstatus",
+    )
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "price", "o_orderstatus")
+    )
+
+
+@_q(
+    "multi_grain_rollup",
+    """
+    SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: one pass produces month, year,
+    and grand-total aggregates via ROLLUP on the derived time hierarchy —
+    Spark expands the grouping sets in a single Expand + hash aggregate
+    (partial map-side), not one scan per grain. This is the batch half of
+    the continuous-aggregate pattern (vintage_incremental_agg maintains
+    the same rollup incrementally from CDC deltas)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.year("ts").cast("int").alias("y"), F.month("ts").cast("int").alias("m"),
+        "value",
+    )
+    return ev.rollup("y", "m").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )

@@ -142,7 +142,12 @@ def test_minhash_dedup_broadcasts_side_tables(spark):
     plan = plan_of(spark, "minhash_lsh_dedup")
     try:
         assert "SortMergeJoin" not in plan, plan
-        assert plan.count("BroadcastHashJoin") >= 4, plan
+        # the final (verify) stage joins the persisted estimate survivors
+        # against the two token-array sides; the estimate stage's own
+        # signature joins ran during construction (its survivors appear
+        # here as an InMemoryTableScan)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "InMemoryTableScan" in plan, plan
         # no manual broadcast hints anywhere in the operator
         import inspect
 
@@ -289,3 +294,43 @@ def test_passage_overlap_prefilters_hot_fingerprints(spark):
     # the ndocs <= 50 aggregate-filter feeds the join (appears as a
     # frequency aggregate upstream of the final pair count)
     assert plan.count("Aggregate") >= 3  # freq cut + pair count (+partials)
+
+
+def test_partitioned_write_scan_prunes_directories(spark):
+    """The status filter must prune at the directory level: every file the
+    scan reads lives under the o_orderstatus=F partition directory, and the
+    plan carries it as a PartitionFilter (no data IO for other statuses)."""
+    fn, _ = q.registry()["partitioned_write_scan"]
+    df = fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must appear as a PartitionFilter on the scan
+    # (directory-level pruning), not (only) a post-scan Filter. NB
+    # df.inputFiles() deliberately lists the unpruned file index, so the
+    # plan string is the right oracle here.
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+    assert "(o_orderstatus" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_skew_join_salts_big_side(spark):
+    """The salted join must fan the big side by a deterministic salt
+    (pmod(xxhash64(event_id))) and replicate the small side — visible as
+    the salt expression in the optimized plan."""
+    fn, _ = q.registry()["skew_join"]
+    plan = fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan, plan
+
+
+def test_inverted_index_partial_aggregates(spark):
+    """Posting-list assembly must partial-aggregate map-side and shuffle on
+    the term key only — never document bodies."""
+    plan = plan_of(spark, "inverted_index")
+    assert "hashpartitioning(term" in plan, plan
+    # collect_set runs as ObjectHashAggregate with a partial phase
+    assert plan.count("ObjectHashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
+
+
+def test_entity_resolution_blocks_not_cross_join(spark):
+    """Candidate generation must be an equi join on the blocking key —
+    a CartesianProduct/BroadcastNestedLoopJoin here means all-pairs ER."""
+    plan = plan_of(spark, "entity_resolution")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
