@@ -4769,3 +4769,157 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rollup("y", "m").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+@_q(
+    "bm25_topk",
+    # Per-term scores are computed with IDENTICALLY parenthesized double
+    # arithmetic on both engines (IEEE ops are deterministic given the same
+    # expression tree), then summed in a FIXED order (term columns added
+    # left-to-right, never a GROUP BY whose accumulation order could
+    # differ). avgdl is exact (BIGINT sum / count). Ordering uses the
+    # unrounded total with doc_id tiebreak.
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM d
+    ),
+    tf AS (
+      SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+      FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(term)
+      WHERE u.term IN ('join', 'filter', 'scan')
+      GROUP BY doc_id, u.term
+    ),
+    idf AS (
+      SELECT term, ln((((SELECT n_docs FROM stats) - count(*)) + 0.5)
+                      / (count(*) + 0.5) + 1.0) AS idf
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             idf.idf * (tf.tf * 2.5)
+               / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM stats)))
+               AS s
+      FROM tf JOIN idf USING (term) JOIN d USING (doc_id)
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN term = 'join' THEN s END), 0.0)
+             + coalesce(sum(CASE WHEN term = 'filter' THEN s END), 0.0)
+             + coalesce(sum(CASE WHEN term = 'scan' THEN s END), 0.0) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(total, 4) AS bm25
+    FROM pivoted ORDER BY total DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval scoring on top of the inverted-index statistics: BM25
+    (k1=1.5, b=0.75) for the fixed query {join, filter, scan}, top-10 docs.
+
+    Plan shape: one token explode filtered to the query terms (predicate
+    applied BEFORE the aggregate, so the shuffle carries only query-term
+    hits), a per-term doc-frequency aggregate (|terms| rows — broadcast),
+    the corpus stats as a 1-row broadcast, and a TakeOrderedAndProject for
+    the top-k — never a full sort. At 100 TB the tf table is the only
+    corpus-sized intermediate, and it's (doc_id, term, count) triples for
+    query terms only."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin("join", "filter", "scan"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(((F.col("n_docs") - F.col("df")) + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf") * (F.col("tf") * 2.5)
+                / (F.col("tf") + 1.5 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("term") == "join", F.col("s"))), F.lit(0.0))
+            + F.coalesce(F.sum(F.when(F.col("term") == "filter", F.col("s"))), F.lit(0.0))
+            + F.coalesce(F.sum(F.when(F.col("term") == "scan", F.col("s"))), F.lit(0.0))
+        ).alias("total")
+    )
+    return (
+        pivoted.orderBy(F.col("total").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("total", 4).alias("bm25"))
+    )
+
+
+@_q(
+    "window_running_distinct",
+    # Running COUNT(DISTINCT) is not a legal window aggregate in either
+    # engine; the standard rewrite marks each user's first occurrence per
+    # event_type and cumulatively sums the markers. (ts, event_id) makes
+    # the ordering total, so every intermediate row is deterministic.
+    """
+    WITH marked AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS users_so_far
+    FROM marked
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extension: running distinct-user count per event type — the
+    audience-growth curve. Two window passes: first-occurrence markers
+    (partitioned by (type, user) — high cardinality, well-spread), then a
+    cumulative sum partitioned by type only. The second pass serializes per
+    type within a task; at 100 TB the standard mitigation is bucketing time
+    into a pre-aggregated (type, hour, new_users) table and cumsum-ing the
+    tiny rollup instead — that variant is multi_grain_rollup + this same
+    window over far fewer rows."""
+    ev = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return marked.select(
+        "event_id",
+        "event_type",
+        F.sum("first_seen").over(w2).cast("bigint").alias("users_so_far"),
+    )

@@ -334,3 +334,12 @@ def test_entity_resolution_blocks_not_cross_join(spark):
     a CartesianProduct/BroadcastNestedLoopJoin here means all-pairs ER."""
     plan = plan_of(spark, "entity_resolution")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_bm25_topk_plan(spark):
+    """BM25 must end in TakeOrderedAndProject (per-partition top-k, no full
+    sort) with the idf/stats sides broadcast onto the tf table."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
