@@ -4923,3 +4923,89 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_seen").over(w2).cast("bigint").alias("users_so_far"),
     )
+
+
+@_q(
+    "dpp_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderstatus AS st, 'status-' || o_orderstatus AS label
+      FROM orders
+    )
+    SELECT o.o_orderstatus, d.label, count(*) AS n
+    FROM orders o JOIN dim d ON o.o_orderstatus = d.st
+    WHERE d.label = 'status-F'
+    GROUP BY o.o_orderstatus, d.label
+    """,
+)
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a Hive-partitioned fact joined to a
+    filtered dim on the partition column. Catalyst injects the dim's
+    surviving keys as a runtime PartitionFilter subquery on the fact scan
+    (plan-asserted in tests/test_plans.py), so only matching partition
+    DIRECTORIES are listed and read — the join-driven cousin of static
+    partition pruning, and the feature that makes star joins over
+    date-partitioned 100 TB facts read one day instead of all of them.
+    Both sides are written as parquet here (DPP requires file-source scans
+    on fact AND a selective predicate on the dim)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fact_dir = f"{tempfile.gettempdir()}/sdlt_dpp_fact_{tag}"
+    dim_dir = f"{tempfile.gettempdir()}/sdlt_dpp_dim_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_dir)
+    (
+        o.select("o_orderstatus").distinct()
+        .select(
+            F.col("o_orderstatus").alias("st"),
+            F.concat(F.lit("status-"), "o_orderstatus").alias("label"),
+        )
+        .write.mode("overwrite").parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("label") == "status-F")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.st)
+        .groupBy("o_orderstatus", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "mad_robust_stats",
+    # Exact medians in both engines (full-sort + interpolate for even
+    # counts: (a+b)/2 of the same doubles). The deviation pass re-reads the
+    # fact joined to the 5-row per-type median table.
+    """
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_type, round(min(med), 6) AS med, round(median(d), 6) AS mad
+    FROM dev GROUP BY event_type
+    """,
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scale per group: median + median-absolute-deviation
+    (the robust sigma ~ 1.4826*MAD). Two exact-median aggregations with the
+    5-row median table broadcast back onto the fact — the robust cousin of
+    stats_agg's mean/stddev, used to score outliers without the mean's
+    sensitivity to the outliers themselves.
+
+    Scale note: exact median sorts within groups; at 100 TB swap
+    F.median for percentile_approx (t-digest-style sketch, one pass, no
+    sort) — the approx path is declared separately (approx_percentile)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    m = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.median("d"), 6).alias("mad"),
+    )

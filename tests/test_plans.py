@@ -343,3 +343,11 @@ def test_bm25_topk_plan(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The fact scan must carry a dynamicpruning PartitionFilter fed by the
+    dim's filtered keys — only matching partition directories are read."""
+    fn, _ = q.registry()["dpp_join"]
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

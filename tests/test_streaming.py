@@ -564,3 +564,23 @@ def test_enrich_stream_static_join(spark, tmp_path):
         .count()
         > 0
     )
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    """True-stream session windows (watermarked session_window state) must
+    produce exactly the batch sessionization of the same closed input."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (tmp_path / "events.parquet").symlink_to(f"{SF}/events.parquet")
+    streamed = ingest.run_stream_once(
+        spark,
+        str(tmp_path),
+        lambda ev: ingest.sessionize(ev, gap="30 minutes"),
+        query_name="t_sess_stream",
+    ).collect()
+    batch = ingest.sessionize(
+        tables.load(spark, SF, "events"), gap="30 minutes"
+    ).collect()
+    key = lambda r: (r["user_id"], r["session_start"])
+    s = {key(r): (r["session_end"], r["n_events"], r["session_value"]) for r in streamed}
+    b = {key(r): (r["session_end"], r["n_events"], r["session_value"]) for r in batch}
+    assert len(s) == len(streamed) and s == b
