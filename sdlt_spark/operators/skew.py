@@ -87,3 +87,26 @@ def salted_join(
     )
     out = salted_big.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top-N heaviest keys with their row
+    count, share of the table, and skew factor (count / mean-per-key) — the
+    numbers that decide between broadcast, AQE skew split, and salting.
+    One partial-agg shuffle of (key, count); the 1-row stats frame comes
+    back as a broadcast."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("total"), F.avg("n").alias("avg_n")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("skew"),
+        )
+        .orderBy(F.col("n").desc(), key_col)
+        .limit(top_n)
+    )

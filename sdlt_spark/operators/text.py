@@ -424,3 +424,88 @@ def blocklist_filter(urls: DataFrame, blocklist: DataFrame, host_col: str = "hos
         .withColumn("blocked", F.coalesce("__blocked", F.lit(False)))
         .drop("__blocked")
     )
+
+
+def bpe_merge_table(
+    df: DataFrame, text_col: str = "text", num_merges: int = 5
+) -> DataFrame:
+    """Byte-pair-encoding-style vocabulary induction over the token corpus:
+    repeatedly find the most frequent ADJACENT token pair and fuse it into
+    one unit, recording (rank, left, right, merged, n) — the merge-table
+    half of training a BPE tokenizer (here on whitespace tokens; character
+    BPE is the same loop with `split(text, '')`).
+
+    Distribution shape per iteration:
+    - adjacent-pair counting is an explode + hash aggregate (one shuffle of
+      (pair, count) with map-side combine — never sequence bodies);
+    - the argmax pair is ONE collected row (count desc, then lexicographic
+      tiebreak — deterministic), the same bounded-scalar driver traffic as
+      k-means centroids or IVF training;
+    - the merge application is an Arrow-batched pandas UDF doing the greedy
+      left-to-right non-overlapping fuse per sequence (map-only, no
+      shuffle), persisted so the next iteration starts from materialized
+      sequences instead of a growing lineage.
+
+    Iterative by nature (each merge changes the pair distribution), so this
+    is declared rows-only — the unit test pins exact merges on a
+    hand-computed corpus."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    seqs = df.select(tokens(F.col(text_col)).alias("toks")).persist()
+    seqs.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs = seqs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(0, size(toks) - 2), "
+                    "j -> struct(toks[j] AS a, toks[j + 1] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merged = f"{a} {b}"
+        merges.append((rank, a, b, merged, n))
+
+        def _make_fuse(_a: str, _b: str, _m: str):
+            @pandas_udf("array<string>")
+            def _fuse(col):
+                out = []
+                for toks in col:
+                    if toks is None:
+                        out.append(None)
+                        continue
+                    res, i, L = [], 0, len(toks)
+                    while i < L:
+                        if i + 1 < L and toks[i] == _a and toks[i + 1] == _b:
+                            res.append(_m)
+                            i += 2
+                        else:
+                            res.append(toks[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return _fuse
+
+        nxt = seqs.select(_make_fuse(a, b, merged)("toks").alias("toks")).persist()
+        nxt.count()
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, n bigint"
+    )

@@ -5009,3 +5009,40 @@ def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("med"), 6).alias("med"),
         F.round(F.median("d"), 6).alias("mad"),
     )
+
+
+@_q(
+    "skew_report",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    s AS (SELECT sum(n) AS total, avg(n) AS avg_n FROM c)
+    SELECT user_id, n,
+           round(n / (SELECT total FROM s), 6) AS share,
+           round(n / (SELECT avg_n FROM s), 4) AS skew
+    FROM c ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops diagnostics (operators/skew.py::skew_report): the top-20
+    heaviest join keys with row count, table share, and skew factor
+    (count / mean-per-key) — the numbers that decide between broadcast,
+    AQE skew split, and salting before a 100 TB join. One (key, count)
+    partial-agg shuffle + a broadcast 1-row stats frame +
+    TakeOrderedAndProject."""
+    from sdlt_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+@_q("bpe_merges", None)  # iterative (each merge reshapes the pair counts)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the first 5 BPE-style merges over the document
+    corpus (operators/text.py::bpe_merge_table). Rows-only by nature —
+    every iteration's pair distribution depends on the previous merge — but
+    fully deterministic (count-desc, lexicographic tiebreak), and the unit
+    test pins exact merges on a hand-computed corpus."""
+    return _text.bpe_merge_table(
+        _t(spark, sf_dir, "documents"), "text", num_merges=5
+    )

@@ -125,3 +125,35 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 2)
     assert out[2]["redacted"] == "host <IPV4> and <IPV4>; no contacts"
     assert out[3]["redacted"] == "plain text without identifiers"
+
+
+def test_bpe_merge_table_exact(spark):
+    """Hand-computed corpus: 'a b' occurs 5x (most frequent pair), and after
+    fusing it, ('a b', 'c') is the next most frequent. Greedy non-overlap:
+    'a a a' contributes only one ('a','a') pair after the first fuse scan."""
+    from sdlt_spark.operators.text import bpe_merge_table
+
+    rows = [
+        ("a b c",), ("a b c",), ("a b c",),
+        ("a b d",), ("a b",),
+        ("x y",), ("x y",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = bpe_merge_table(df, "text", num_merges=3).collect()
+    assert [(r["rank"], r["left"], r["right"], r["n"]) for r in out] == [
+        (0, "a", "b", 5),
+        (1, "a b", "c", 3),
+        (2, "x", "y", 2),
+    ]
+
+
+def test_bpe_merge_greedy_non_overlapping(spark):
+    from sdlt_spark.operators.text import bpe_merge_table
+
+    # 'a a a a' = three adjacent (a,a) pairs, but greedy fuse keeps 2 units;
+    # with two such docs the first merge counts 6 pairs
+    df = spark.createDataFrame([("a a a a",), ("a a a a",)], "text string")
+    out = bpe_merge_table(df, "text", num_merges=2).collect()
+    assert (out[0]["left"], out[0]["right"], out[0]["n"]) == ("a", "a", 6)
+    # second round: each doc is now ['a a', 'a a'] -> pair ('a a','a a') x2
+    assert (out[1]["left"], out[1]["right"], out[1]["n"]) == ("a a", "a a", 2)
