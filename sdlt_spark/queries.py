@@ -5046,3 +5046,58 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.bpe_merge_table(
         _t(spark, sf_dir, "documents"), "text", num_merges=5
     )
+
+
+@_q("xml_scan", "SELECT doc_id, text, lang, source, n_chars FROM documents")
+def xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: XML sink + source roundtrip (Spark 4 ships the former
+    spark-xml datasource natively; the SDMX world's native interchange
+    format is SDMX-ML, so an XML path belongs in this engine's surface).
+    Explicit schema on read — never inference, which costs an extra full
+    scan. Lossless roundtrip => identity oracle."""
+    import tempfile
+
+    from sdlt_spark import sources as _src
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = tempfile.mkdtemp(prefix="sdlt_xml_scan_")
+    _src.write_xml(docs, stage, row_tag="doc")
+    return _src.read_xml(spark, stage, docs.schema, row_tag="doc").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "text_scan",
+    """
+    SELECT CAST(split_part(line, chr(9), 1) AS BIGINT) AS doc_id,
+           split_part(line, chr(9), 2) AS text
+    FROM (
+      SELECT doc_id || chr(9) || text AS line FROM documents
+    )
+    """,
+)
+def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: line-oriented text sink + source (spark.read.text — the
+    rawest corpus interchange). Documents stage as one `doc_id\\ttext` line
+    each (fixture texts contain no tabs/newlines); the read splits on the
+    first tab. The oracle applies the same encode/decode to the source
+    table, so any lossy step would hash-mismatch."""
+    import tempfile
+
+    from sdlt_spark import sources as _src
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")).alias("value")
+    )
+    stage = tempfile.mkdtemp(prefix="sdlt_text_scan_")
+    _src.write_text_lines(lines, stage)
+    back = _src.read_text_lines(spark, stage)
+    tab = F.instr("value", "\t")
+    return back.select(
+        F.substring("value", F.lit(1), tab - 1).cast("bigint").alias("doc_id"),
+        F.substring("value", tab + 1, F.length("value") - tab).alias("text"),
+    )

@@ -67,3 +67,27 @@ def stage_binary_corpus(df: DataFrame, id_col: str, payload_col: str, out_dir: s
                 f.write(str(row[payload_col]).encode("utf-8"))
 
     df.select(id_col, payload_col).foreachPartition(_write)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Stage as XML (Spark 4 ships the former spark-xml natively)."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType, row_tag: str = "row") -> DataFrame:
+    """XML source with an explicit schema (no inference scan)."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )
+
+
+def write_text_lines(df: DataFrame, path: str) -> None:
+    """Stage a single string column as line-oriented text (one row per
+    line) — the rawest interchange format. The caller is responsible for
+    the column containing no newlines."""
+    df.write.mode("overwrite").text(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source: one row per line in column ``value``."""
+    return spark.read.text(path)
