@@ -5101,3 +5101,70 @@ def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("value", F.lit(1), tab - 1).cast("bigint").alias("doc_id"),
         F.substring("value", tab + 1, F.length("value") - tab).alias("text"),
     )
+
+
+@_q(
+    "udtf_sentences",
+    """
+    WITH p AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS idx, parts[u.i] AS sentence
+    FROM p, LATERAL unnest(range(1, len(parts) + 1)) AS u(i)
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-surface completeness: a Python UDTF (PySpark 4 table function)
+    expanding each document into (idx, sentence) rows via SQL LATERAL.
+
+    Scale note: a UDTF runs row-at-a-time Python — the right tool when the
+    expansion logic genuinely needs Python (stateful parsers, external
+    libraries). THIS particular split is expressible as
+    posexplode(split(...)) (JVM, codegen) and the oracle proves the
+    equivalence; the entry exists to keep the UDTF path tested, not to
+    recommend it for string splitting."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: int, sentence: string")
+    class _SplitSentences:
+        def eval(self, doc_id, text: str):  # noqa: ANN001 - Spark infers
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register("sdlt_split_sentences", _SplitSentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.idx, s.sentence "
+        "FROM __udtf_docs, LATERAL sdlt_split_sentences(doc_id, text) s"
+    )
+
+
+@_q(
+    "lateral_topk",
+    # DuckDB supports the same correlated-LATERAL-LIMIT syntax, so the
+    # oracle is syntactically the twin of the Spark SQL.
+    """
+    SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension: correlated LATERAL subquery with ORDER BY + LIMIT (the
+    SQL spelling of best-record-per-key). Catalyst decorrelates this into
+    a window/aggregate over one join — never a per-row re-execution — so
+    the plan is the same shuffle-once shape as topk_per_group; the entry
+    keeps the decorrelation path itself regression-tested."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        FROM __lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM __lat_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )
