@@ -783,6 +783,23 @@ def vintage_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vintage_delete_dv",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE NOT (o_orderstatus = 'F')",
+)
+def vintage_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 through the MERGE-ON-READ path: delete(mode='dv') records matched
+    row positions as a deletion-vector sidecar (store/vintage.py::_delete_dv,
+    Delta's deletion vectors) — zero data files rewritten — and read()
+    applies it as an anti-join. Same relational answer as vintage_delete by
+    construction; the oracle is shared. The point-delete shape for 100 TB
+    tables where copy-on-write would rewrite a 128 MB file per row."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.delete("o_orderstatus = 'F'", mode="dv")
+    return t.read()
+
+
+@_q(
     "vintage_update",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -53,6 +53,11 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_vintage_log"
 _DATA_DIR = "data"
 _CHANGE_DIR = "_change_data"
+# Deletion-vector sidecars (merge-on-read deletes): parquet files of
+# (file, pos) pairs naming deleted row positions of live data files.
+# Tracked in commits' add/remove like data files; the "dv/" prefix is what
+# distinguishes them in a live-file list.
+_DV_DIR = "dv"
 # Delta checkpoints every 10 commits by default; same cadence here.
 _CHECKPOINT_EVERY = 10
 # Bounded optimistic-concurrency retries, like Delta's
@@ -603,15 +608,167 @@ class VintageTable:
                 p = p[1:]
         return os.path.relpath(p, self.path)
 
+    # ------------------------------------------------- deletion vectors
+
+    @staticmethod
+    def _split_live(files: list[str]) -> tuple[list[str], list[str]]:
+        """Partition a live-file list into (data files, deletion-vector
+        files) — DVs are tracked in the same commit add/remove lists and
+        distinguished by their ``dv/`` prefix."""
+        data = [f for f in files if not f.startswith(f"{_DV_DIR}/")]
+        dvs = [f for f in files if f.startswith(f"{_DV_DIR}/")]
+        return data, dvs
+
+    def _rel_path_col(self):
+        """Table-relative path of the row's source file as a Column (the
+        executor-side twin of :meth:`_rel`): strip the file: scheme, then
+        the table root prefix."""
+        import re as _re
+
+        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        root = self.path.rstrip("/") + "/"
+        return F.regexp_replace(fp, "^" + _re.escape(root), "")
+
+    def _with_dv_key(self, df: DataFrame) -> DataFrame:
+        """Attach the (relative file, row position) identity columns the
+        deletion-vector anti-join keys on. ``_metadata.row_index`` is
+        stable for immutable parquet files — the same contract Delta's DVs
+        rely on."""
+        return df.withColumn("__dv_file", self._rel_path_col()).withColumn(
+            "__dv_pos", F.col("_metadata.row_index")
+        )
+
+    def _apply_dvs(self, df: DataFrame, dv_files: list[str]) -> DataFrame:
+        """Filter out rows named by the given deletion-vector files. The DV
+        side is O(deleted rows) — typically tiny next to the table — and
+        carries 16-byte pairs; no broadcast hint (AQE broadcasts iff it
+        fits). No-op (and no plan change) when no DVs are live."""
+        if not dv_files:
+            return df
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in dv_files]
+        ).select("file", "pos")
+        keyed = self._with_dv_key(df)
+        return keyed.join(
+            dv,
+            (keyed["__dv_file"] == dv["file"]) & (keyed["__dv_pos"] == dv["pos"]),
+            "left_anti",
+        ).drop("__dv_file", "__dv_pos")
+
+    def _write_dv_files(self, dv_rows: DataFrame) -> list[str]:
+        """Persist (file, pos) deletion-vector rows under dv/ and return
+        their relative paths (op-file-tracked for failure cleanup)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        rel_dir = f"{_DV_DIR}/c{uuid.uuid4().hex}"
+        abs_dir = os.path.join(self.path, rel_dir)
+        # one sidecar per delete (Delta's shape): DV row counts are the
+        # op's matched rows — small next to the table — and a single file
+        # keeps the read-path dv listing O(delete ops)
+        dv_rows.coalesce(1).write.mode("errorifexists").parquet(abs_dir)
+        files = []
+        for f in sorted(os.listdir(abs_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            if pq.read_metadata(os.path.join(abs_dir, f)).num_rows == 0:
+                os.remove(os.path.join(abs_dir, f))  # no-match delete
+            else:
+                files.append(f"{rel_dir}/{f}")
+        self._op_files.extend(files)
+        if not files:
+            shutil.rmtree(abs_dir, ignore_errors=True)
+        return files
+
+    def _delete_dv(self, condition: str) -> int:
+        """Merge-on-read delete: record matched row positions as a
+        deletion-vector sidecar instead of rewriting data files — Delta's
+        deletion-vector write path. O(matched rows) written, zero data
+        files touched; readers apply the DV as an anti-join until a
+        mutation or compact() materializes it."""
+        live = self._live_files()
+        data, dvs = self._split_live(live)
+        cond = F.expr(condition)
+        if not data:
+            return self._commit(
+                "DELETE", {"predicate": condition, "deletionVectors": "true"}, [], []
+            )
+        # already-deleted rows are excluded first, so re-deleting is a no-op
+        snap = self._with_dv_key(self._read_files(data))
+        if dvs:
+            prior = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
+            ).select("file", "pos")
+            snap = snap.join(
+                prior,
+                (snap["__dv_file"] == prior["file"])
+                & (snap["__dv_pos"] == prior["pos"]),
+                "left_anti",
+            )
+        matched = snap.filter(cond)
+        if self.change_feed:
+            matched = matched.localCheckpoint(eager=False)
+        add = self._write_dv_files(
+            matched.select(
+                F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+            )
+        )
+        change_dir = self._write_change_data(
+            matched.drop("__dv_file", "__dv_pos").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            if self.change_feed
+            else None
+        )
+        params = {"predicate": condition, "deletionVectors": "true"}
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit("DELETE", params, add, [])
+
+    def materialize_deletion_vectors(self) -> int | None:
+        """Rewrite the data files covered by live deletion vectors with
+        their deleted rows dropped, and retire the DV sidecars — Delta's
+        REORG TABLE APPLY (PURGE). Logical content is unchanged, so the
+        commit is dataChange=false (CDC readers skip it). Returns the new
+        version, or None when no DVs are live. Copy-on-write mutations and
+        clone() call this implicitly so their file-level row handling never
+        resurrects DV-deleted rows; cost is O(covered files), not O(table)."""
+        live = self._live_files()
+        data, dvs = self._split_live(live)
+        if not dvs:
+            return None
+        dv = self.spark.read.parquet(*[os.path.join(self.path, f) for f in dvs])
+        covered_set = {r["file"] for r in dv.select("file").distinct().collect()}
+        covered = sorted(covered_set & set(data))
+        add = (
+            self._write_files(self._apply_dvs(self._read_files(covered), dvs))
+            if covered
+            else []  # DVs referencing no live file (e.g. all-empty) just retire
+        )
+        return self._commit(
+            "WRITE",
+            {"mode": "Overwrite", "dataChange": "false", "materializeDeletionVectors": "true"},
+            add,
+            covered + dvs,
+            data_change=False,
+        )
+
     # ---------------------------------------------------------------- reads
 
     def read(
         self, version: int | None = None, timestamp: float | None = None
     ) -> DataFrame:
         """Snapshot read; ``version``/``timestamp`` give time travel
-        (README.md:169 ``versionAsOf`` / README.md:166 ``timestampAsOf``)."""
+        (README.md:169 ``versionAsOf`` / README.md:166 ``timestampAsOf``).
+        Live deletion vectors (``delete(mode='dv')``) are applied as an
+        anti-join — zero plan change when none exist."""
         files = self._live_files(version=version, timestamp=timestamp)
-        return self._read_files(files, version=version)
+        data, dvs = self._split_live(files)
+        df = self._read_files(data, version=version)
+        # empty-table reads have no _metadata columns to key on (and no
+        # rows a DV could remove)
+        return self._apply_dvs(df, dvs) if data else df
 
     def read_where(self, col: str, lo=None, hi=None, version: int | None = None) -> DataFrame:
         """Data-skipping range read (Delta's read-path file skipping): only
@@ -624,8 +781,12 @@ class VintageTable:
         reorganized by ``compact(sort_by/zorder_by)`` a narrow range
         touches O(matching) files regardless of table size — the property
         that makes point-ish reads on a 100 TB table not be table scans."""
-        files = self._prune_by_range(self._live_files(version=version), col, lo, hi)
+        data, dvs = self._split_live(self._live_files(version=version))
+        files = self._prune_by_range(data, col, lo, hi)
         df = self._read_files(files, version=version)
+        # DV entries for pruned-out files simply never match the anti-join
+        if files:
+            df = self._apply_dvs(df, dvs)
         c = F.col(col)
         if lo is not None:
             df = df.filter(c >= F.lit(lo))
@@ -858,6 +1019,9 @@ class VintageTable:
             # record one row in the change feed while landing another in the
             # table — CDC consumers would reconstruct divergent state
             src = src.localCheckpoint(eager=False)
+        # merge reasons about raw file contents (zone-map skip + rewrite),
+        # so outstanding deletion vectors are folded in first
+        self.materialize_deletion_vectors()
         live = self._live_files()
         key0 = key_cols[0]
         validate = on_duplicate_source == "error" and order_col is None
@@ -1016,9 +1180,26 @@ class VintageTable:
         return self._commit("MERGE", params, add, touched, schema_json=schema_json)
 
     @_retry_conflicts
-    def delete(self, condition: str) -> int:
-        """Logical predicate delete (README.md:281). Rewrites only files that
-        contain matching rows; a file left empty is simply removed."""
+    def delete(self, condition: str, mode: str = "copy_on_write") -> int:
+        """Logical predicate delete (README.md:281).
+
+        ``mode="copy_on_write"`` (default): rewrites only files that contain
+        matching rows; a file left empty is simply removed.
+
+        ``mode="dv"``: merge-on-read — records matched row positions as a
+        deletion-vector sidecar (Delta's deletion vectors). O(matched rows)
+        written, zero data files rewritten: the right shape for point/GDPR
+        deletes on a 100 TB table where copy-on-write would rewrite a
+        128 MB file per deleted row. Readers apply DVs automatically;
+        compact() or materialize_deletion_vectors() folds them back in."""
+        if mode == "dv":
+            return self._delete_dv(condition)
+        if mode != "copy_on_write":
+            raise ValueError(f"mode={mode!r}; expected 'copy_on_write' or 'dv'")
+        # the file-level rewrite below reasons about raw file contents, so
+        # outstanding DVs must be folded in first (no-op commit-free when
+        # none are live)
+        self.materialize_deletion_vectors()
         live = self._live_files()
         cond = F.expr(condition)
         touched = (
@@ -1058,6 +1239,7 @@ class VintageTable:
     def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
         """Predicate update, e.g. series-level attribute fan-out
         (README.md:290). Rewrites only files containing matching rows."""
+        self.materialize_deletion_vectors()  # see delete(): raw-file rewrite
         live = self._live_files()
         cond = F.expr(condition)
         touched = (
@@ -1236,10 +1418,36 @@ class VintageTable:
         identically on both sides and would cancel in the exceptAll anyway
         — so skipping them is exact, and the diff cost is O(changed files),
         not O(table). A merge that rewrote 1% of a 100 TB table diffs ~1 TB."""
-        live_before = set(self._live_files(version=from_version))
-        live_after = set(self._live_files(version=to_version))
-        before = self._read_files(sorted(live_before - live_after), version=from_version)
-        after = self._read_files(sorted(live_after - live_before), version=to_version)
+        data_before, dv_before = self._split_live(self._live_files(version=from_version))
+        data_after, dv_after = self._split_live(self._live_files(version=to_version))
+        live_before, live_after = set(data_before), set(data_after)
+        read_before = live_before - live_after
+        read_after = live_after - live_before
+        # Deletion vectors that differ between the snapshots logically
+        # change their covered data files without touching the file list,
+        # so those covered files must enter BOTH read sets (each side then
+        # applies its own DV state; identically-covered common files still
+        # cancel). Cost stays O(changed): only the changed DV sidecars are
+        # opened to find coverage.
+        changed_dv = set(dv_before).symmetric_difference(dv_after)
+        if changed_dv:
+            cov = {
+                r["file"]
+                for r in self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in sorted(changed_dv)]
+                )
+                .select("file")
+                .distinct()
+                .collect()
+            }
+            read_before |= cov & live_before
+            read_after |= cov & live_after
+        before = self._read_files(sorted(read_before), version=from_version)
+        if read_before:
+            before = self._apply_dvs(before, dv_before)
+        after = self._read_files(sorted(read_after), version=to_version)
+        if read_after:
+            after = self._apply_dvs(after, dv_after)
         # Compare on the UNION of the two snapshot schemas, padding either
         # side's missing columns with typed nulls (CDC semantics, like
         # Delta's change feed): an update that only sets a newly-evolved
@@ -1384,10 +1592,18 @@ class VintageTable:
         know its clones exist, so vacuuming or overwriting the source can
         delete files a live clone still references — after which the
         clone's reads fail. Deep-copy (write the clone's read() into a new
-        table) before vacuuming the source if clones must outlive it."""
+        table) before vacuuming the source if clones must outlive it.
+        One exception to "source never touched": live deletion vectors are
+        materialized on the source first (a dataChange=false commit) so the
+        clone never carries DV sidecars whose data-file references only
+        resolve against the source root."""
         dest = VintageTable(self.spark, dest_path, commit_hook=self._publish)
         if dest.exists():
             raise FileExistsError(f"clone destination {dest.path} already exists")
+        # DV sidecars record SOURCE-relative data paths, which would not
+        # resolve against the clone root; fold them into data files first
+        # (one dataChange=false commit on the source, O(covered files))
+        self.materialize_deletion_vectors()
         files = self._live_files()
         rel_add = [
             os.path.relpath(os.path.join(self.path, f), dest.path) for f in files
@@ -1471,7 +1687,31 @@ class VintageTable:
                     shutil.rmtree(abs_d, ignore_errors=True)
                     deleted.append(rel)
         referenced = {f for c in commits for f in c.add}
-        data_root = os.path.join(self.path, _DATA_DIR)
+        # deletion-vector sidecars follow the same rules as data files:
+        # retired DVs are removed via removed_at above, crash-orphaned ones
+        # by the same walk (dv/ shares the referenced/current/mtime guards)
+        for root_dir in (_DATA_DIR, _DV_DIR):
+            data_root = os.path.join(self.path, root_dir)
+            self._sweep_orphans(data_root, referenced, current, cutoff, deleted)
+        if deleted:
+            # keep the zone-map file bounded: dead files need no stats
+            stats = self._file_stats()
+            for f in deleted:
+                stats.pop(f, None)
+            tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.rename(tmp, self._stats_path())
+        return sorted(deleted)
+
+    def _sweep_orphans(
+        self,
+        data_root: str,
+        referenced: set[str],
+        current: set[str],
+        cutoff: float,
+        deleted: list[str],
+    ) -> None:
         for dirpath, _dirs, fnames in os.walk(data_root):
             for fname in fnames:
                 abs_f = os.path.join(dirpath, fname)
@@ -1493,13 +1733,3 @@ class VintageTable:
                     except OSError:
                         continue
                     deleted.append(rel)
-        if deleted:
-            # keep the zone-map file bounded: dead files need no stats
-            stats = self._file_stats()
-            for f in deleted:
-                stats.pop(f, None)
-            tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                json.dump(stats, fh)
-            os.rename(tmp, self._stats_path())
-        return sorted(deleted)

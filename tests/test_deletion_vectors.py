@@ -1,0 +1,167 @@
+"""Deletion vectors (merge-on-read deletes): delete(mode='dv') records row
+positions instead of rewriting files; readers apply them as an anti-join;
+mutations/compaction/clone materialize them. Mirrors Delta's DV semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.store.vintage import VintageTable
+
+
+def _mk(spark, path, n=100, files=4, change_feed=False):
+    t = VintageTable(spark, path, change_feed=change_feed)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.write(df.repartition(files))
+    return t
+
+
+def _dv_files(t):
+    return [f for f in t._live_files() if f.startswith("dv/")]
+
+
+def _data_files(t):
+    return [f for f in t._live_files() if not f.startswith("dv/")]
+
+
+def test_dv_delete_filters_reads_without_rewriting(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    data_before = set(_data_files(t))
+    t.delete("grp = 3", mode="dv")
+    assert set(_data_files(t)) == data_before  # zero data files rewritten
+    assert _dv_files(t)  # a DV sidecar landed
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == sorted(k for k in range(100) if k % 10 != 3)
+
+
+def test_dv_delete_is_time_travelable(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    t.delete("k < 50", mode="dv")
+    assert t.read(version=v0).count() == 100  # pre-DV snapshot intact
+    assert t.read().count() == 50
+
+
+def test_dv_redelete_and_second_dv_compose(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 1", mode="dv")
+    first = set(_dv_files(t))
+    t.delete("grp in (1, 2)", mode="dv")  # overlap: grp=1 already gone
+    assert t.read().count() == 80
+    # second DV only recorded the NEW deletions (10 rows, not 20)
+    second = sorted(set(_dv_files(t)) - first)
+    dv = spark.read.parquet(*[os.path.join(t.path, f) for f in second])
+    assert dv.count() == 10
+
+
+def test_dv_read_where_composes_with_pruning(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("k = 7", mode="dv")
+    got = sorted(r["k"] for r in t.read_where("k", 0, 9).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_materialize_retires_dvs_and_preserves_content(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 0", mode="dv")
+    before = sorted(r["k"] for r in t.read().collect())
+    v = t.materialize_deletion_vectors()
+    assert v is not None and not _dv_files(t)
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    assert t.materialize_deletion_vectors() is None  # idempotent no-op
+    # the materialize commit is dataChange=false (CDC-invisible)
+    hist = {r["version"]: r for r in t.history().collect()}
+    assert hist[v]["operation"] == "WRITE"
+
+
+def test_compact_materializes_dvs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 5", mode="dv")
+    t.compact(num_files=2)
+    assert not _dv_files(t)
+    assert t.read().count() == 90
+
+
+def test_cow_mutations_fold_dvs_first(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 9", mode="dv")
+    # COW update must not resurrect DV-deleted rows
+    t.update("grp = 8", {"v": F.lit(-1)})
+    assert not _dv_files(t)
+    rows = t.read()
+    assert rows.count() == 90
+    assert rows.filter(F.col("grp") == 9).count() == 0
+    assert rows.filter(F.col("v") == -1).count() == 10
+
+
+def test_merge_folds_dvs_first(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("k < 10", mode="dv")
+    src = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp"),
+        F.lit(999).cast("long").alias("v"),
+    )
+    t.merge(src, ["k"])
+    rows = t.read()
+    # k in [0,5) re-inserted by the merge; k in [5,10) stays deleted
+    assert rows.count() == 95
+    assert rows.filter((F.col("k") < 5) & (F.col("v") == 999)).count() == 5
+    assert rows.filter((F.col("k") >= 5) & (F.col("k") < 10)).count() == 0
+
+
+def test_dv_diff_reports_deletes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    t.delete("grp = 4", mode="dv")
+    d = t.diff(v0).collect()
+    assert len(d) == 10
+    assert all(r["_change_type"] == "delete" and r["grp"] == 4 for r in d)
+
+
+def test_dv_change_feed_emits_delete_rows(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), change_feed=True)
+    v = t.delete("grp = 2", mode="dv")
+    ch = t.table_changes(v, v).collect()
+    assert len(ch) == 10
+    assert all(r["_change_type"] == "delete" for r in ch)
+
+
+def test_clone_materializes_source_dvs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    c = t.clone(str(tmp_path / "c"))
+    assert not _dv_files(t)  # source materialized
+    assert c.read().count() == 90
+
+
+def test_vacuum_reclaims_retired_dvs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 7", mode="dv")
+    dv_rel = _dv_files(t)
+    t.materialize_deletion_vectors()
+    removed = t.vacuum(retention_hours=0.0)
+    assert set(dv_rel) <= set(removed)
+    assert not any(
+        os.path.exists(os.path.join(t.path, f)) for f in dv_rel
+    )
+    assert t.read().count() == 90
+
+
+def test_dv_delete_matching_nothing_is_noop_commit(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    v = t.delete("k > 1000", mode="dv")
+    assert v == t.latest_version()
+    assert not _dv_files(t)  # empty DV write drops its dir
+    assert t.read().count() == 100
+
+
+def test_delete_mode_validation(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="mode"):
+        t.delete("k = 1", mode="bogus")
