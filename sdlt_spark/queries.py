@@ -862,6 +862,20 @@ def vintage_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@_q("vintage_optimize", _ORDERS_PROJ_SQL)
+def vintage_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 extension: OPTIMIZE-style small-file bin-packing
+    (store/vintage.py::optimize) — only under-half-target files are
+    rewritten into ~target-size bins (coalesce, no shuffle), dataChange=
+    false. Reading back must be bit-for-bit the plain projection. The
+    steady-state answer to the reference's >300-small-files problem
+    (README.md:392) without compact()'s full rewrite."""
+    t = _fresh_vintage(spark, sf_dir)
+    # the clone's 8 small files all fall under target/2 and pack together
+    t.optimize(target_file_bytes=64 * 1024 * 1024)
+    return t.read()
+
+
 @_q(
     "vintage_vacuum",
     "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "

@@ -1407,6 +1407,53 @@ class VintageTable:
             data_change=False,
         )
 
+    @_retry_conflicts
+    def optimize(self, target_file_bytes: int = 128 * 1024 * 1024) -> int | None:
+        """Small-file bin-packing compaction (Delta's OPTIMIZE): rewrite
+        ONLY files under half the target size into ~target-sized files,
+        leaving well-sized files alone — the steady-state maintenance op
+        for tables fed by streaming/micro-batch appends (the reference's
+        >300-small-files problem, README.md:392, without compact()'s full
+        rewrite). Logical content is unchanged: dataChange=false, CDC
+        readers skip it, and time travel still sees the old layout.
+
+        Returns the new version, or None when fewer than two small files
+        exist (nothing to gain). Cost is O(small files), not O(table):
+        a 100 TB table with a day of streaming dribble rewrites only the
+        dribble. Outstanding deletion vectors are folded into the rewrite
+        for covered files (read path applies them)."""
+        # DVs covering the files being rewritten must fold in; covering
+        # retained files must stay — materializing globally keeps both
+        # invariants with one simple rule
+        self.materialize_deletion_vectors()
+        data, _ = self._split_live(self._live_files())
+        sized = []
+        for f in data:
+            try:
+                sized.append((f, os.path.getsize(os.path.join(self.path, f))))
+            except OSError:
+                return None  # missing file: let the normal read path raise
+        small = [(f, s) for f, s in sized if s < target_file_bytes // 2]
+        if len(small) < 2:
+            return None
+        total = sum(s for _, s in small)
+        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        rows = self._read_files([f for f, _ in small])
+        # coalesce, not repartition: merging small files is map-side
+        # concatenation — a shuffle would move the same bytes twice
+        add = self._write_files(rows.coalesce(int(n_out)))
+        return self._commit(
+            "OPTIMIZE",
+            {
+                "targetFileBytes": str(target_file_bytes),
+                "filesCompacted": str(len(small)),
+                "dataChange": "false",
+            },
+            add,
+            [f for f, _ in small],
+            data_change=False,
+        )
+
     def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level changes between two versions (CDC-style read): rows in
         ``to_version`` not present in ``from_version`` tagged 'insert', rows

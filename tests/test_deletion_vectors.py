@@ -165,3 +165,60 @@ def test_delete_mode_validation(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     with pytest.raises(ValueError, match="mode"):
         t.delete("k = 1", mode="bogus")
+
+
+# ---- optimize(): small-file bin-packing (lives here with the other
+# maintenance-op coverage) ----
+
+
+def test_optimize_packs_small_files_only(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    big = spark.range(50000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t.write(big.coalesce(1))
+    for i in range(5):  # streaming-style dribble: 5 tiny appended files
+        t.write(
+            spark.range(50000 + i * 10, 50000 + i * 10 + 10).select(
+                F.col("id").alias("k"), F.col("id").alias("v")
+            ).coalesce(1),
+            mode="append",
+        )
+    files_before = set(t._live_files())
+    assert len(files_before) == 6
+    import os as _os
+
+    big_file = max(
+        files_before, key=lambda f: _os.path.getsize(_os.path.join(t.path, f))
+    )
+    # target sized so the 50k-row file (~400 KB) exceeds target/2 and the
+    # 10-row dribble files do not
+    v = t.optimize(target_file_bytes=1 << 18)
+    assert v is not None
+    after = set(t._live_files())
+    assert big_file in after  # well-sized file untouched
+    assert len(after) == 2  # big + one packed file
+    assert t.read().count() == 50050
+    hist = {r["version"]: r for r in t.history().collect()}
+    assert hist[v]["operation"] == "OPTIMIZE" and hist[v]["dataChange"] is False
+
+
+def test_optimize_noop_when_nothing_to_pack(spark, tmp_path):
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(100).select(F.col("id").alias("k")).coalesce(1))
+    assert t.optimize(target_file_bytes=1 << 20) is None
+
+
+def test_optimize_folds_dvs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), files=6)
+    t.delete("grp = 3", mode="dv")
+    v = t.optimize(target_file_bytes=1 << 20)
+    assert v is not None
+    assert not _dv_files(t)
+    assert t.read().count() == 90
+
+
+def test_optimize_preserves_time_travel(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), files=6)
+    v0 = t.latest_version()
+    t.optimize(target_file_bytes=1 << 20)
+    assert t.read(version=v0).count() == 100
+    assert t.read().count() == 100
