@@ -5199,3 +5199,26 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         """
     )
+
+
+@_q("hll_distinct_merge", None)  # DataSketches HLL has no DuckDB twin
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scale path: per-partition DataSketches HLL sketches UNIONED into
+    a global distinct estimate — the mergeable-sketch pattern that lets a
+    100 TB distinct-count run as one pass of bounded-size partial states
+    (each sketch is KBs regardless of input rows), and lets per-day /
+    per-source sketches be stored and re-merged later without rescanning.
+    Deterministic for fixed input (the sketch is order-insensitive);
+    accuracy vs exact is pinned in tests/test_properties.py."""
+    ev = _t(spark, sf_dir, "events")
+    per_src = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_rows = per_src.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("distinct_users")
+    )
+    total = per_src.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("distinct_users"),
+    )
+    return per_rows.unionByName(total)

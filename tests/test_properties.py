@@ -251,3 +251,27 @@ def test_incremental_fold_equals_recompute(spark, tmp_path_factory, base, ops):
         )
     )
     assert got == want
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """The unioned-sketch estimate must match the exact distinct count
+    within HLL's expected error (default lgK=12 => ~1.6% sigma; assert 5%),
+    and per-group estimates must each be within 5% too."""
+    import sdlt_spark.queries as q
+    from pyspark.sql import functions as F
+    from sdlt_spark import tables
+
+    sf = "/root/testdata/sf0.01"
+    fn, _ = q.registry()["hll_distinct_merge"]
+    got = {r["event_type"]: r["distinct_users"] for r in fn(spark, sf).collect()}
+    ev = tables.load(spark, sf, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(got["__all__"] - exact_total) / exact_total < 0.05
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact_per.items():
+        assert abs(got[k] - n) / n < 0.05, (k, got[k], n)
