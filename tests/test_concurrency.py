@@ -216,3 +216,39 @@ def test_checkpoint_failure_does_not_destroy_committed_files(spark, tmp_path, mo
     assert set(_data_files(t)) <= _referenced(t)
     for f in t._live_files():
         assert os.path.exists(os.path.join(t.path, f)), f
+
+
+def test_dv_delete_races_with_append_both_land(spark, tmp_path):
+    """A deletion-vector delete derived against v0 races an append that
+    wins the version number. The DV delete's CAS publish fails, the retry
+    re-derives against the appended state (its positions must reference the
+    CURRENT live files), and the final table equals sequential application:
+    append landed, matching rows gone — including any matching rows the
+    append introduced (re-derivation, not blind replay)."""
+    path = str(tmp_path / "t")
+    reader = _base(spark, path)  # k in [0, 100), v = k * 1.0
+    other = VintageTable(spark, path)
+
+    state = {"injected": False}
+
+    def racing_publish(tmp, final):
+        if not state["injected"]:
+            state["injected"] = True
+            # appends k in [100, 105): k=102 also matches the delete below
+            other.write(
+                spark.range(100, 105).select(
+                    F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+                ).coalesce(1),
+                mode="append",
+            )
+        _link_cas_publish(tmp, final)
+
+    writer = VintageTable(spark, path, commit_hook=racing_publish)
+    writer.delete("k % 10 = 2", mode="dv")
+
+    got = sorted(r["k"] for r in reader.read().collect())
+    expect = sorted(k for k in range(105) if k % 10 != 2)
+    assert got == expect
+    # no leaked sidecars: every live dv file is referenced by a commit
+    live_dv = [f for f in reader._live_files() if f.startswith("dv/")]
+    assert set(live_dv) <= _referenced(reader)
