@@ -103,10 +103,22 @@ def main() -> None:
     # multi-minute external load bursts that inflate wall time 3-10x, and a
     # single pass can't distinguish engine cost from host weather; the
     # second pass also reuses Spark's compiled-codegen class cache, which
-    # is how a long-lived cluster session runs these plans).
+    # is how a long-lived cluster session runs these plans). Later passes
+    # only re-run queries that measured above RERUN_FLOOR — sub-second
+    # numbers are already at the fixed-overhead floor and re-running them
+    # just risks tripping an external runner's overall timeout — and stop
+    # entirely once the suite has spent BUDGET seconds.
+    RERUN_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_FLOOR", "1.5"))
+    BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    suite_t0 = time.time()
     timings: dict[str, float] = {}
-    for _ in range(PASSES):
+    for p in range(PASSES):
         for name in BENCH_QUERIES:
+            if p > 0 and (
+                timings.get(name, RERUN_FLOOR + 1) <= RERUN_FLOOR
+                or time.time() - suite_t0 > BUDGET
+            ):
+                continue
             fn, _sql = registry[name]
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
