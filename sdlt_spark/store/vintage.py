@@ -129,19 +129,33 @@ def _link_cas_publish(tmp: str, final: str) -> None:
 
 
 def resolve_commit_changes(
-    commit: "_Commit", skip_change_commits: bool = False
-) -> tuple[str, object] | None:
+    commit: "_Commit",
+    skip_change_commits: bool = False,
+    table: "VintageTable | None" = None,
+) -> tuple | None:
     """The ONE encoding of per-commit CDC semantics, shared by the batch
     reader (``VintageTable.table_changes``) and the streaming source
     (``streaming/vintage_source.py``) so the two can never drift:
 
     - ``None``: nothing to emit (dataChange=false, or a skipped/empty op);
     - ``("dir", rel_dir)``: materialized change rows (carry _change_type);
-    - ``("files", [(rel_path, tag), ...])``: file-level derivation —
-      added files are inserts, removed files are deletes;
+    - ``("files", [(rel_path, tag), ...], dv_ctx)``: file-level derivation —
+      added DATA files are inserts, removed DATA files are deletes.
+      ``dv_ctx = {"insert": [dv...], "delete": [dv...]}`` names the
+      deletion-vector sidecars the reader must apply: removed files are
+      read as of version-1 minus the DVs retired by this commit, added
+      files as of version minus the DVs it introduces (a CLONE carrying
+      translated DVs). DV sidecars are never emitted as rows themselves;
     - raises ``ValueError`` for a row-level op without materialized change
-      data unless ``skip_change_commits``.
-    """
+      data — or a commit whose DV changes aren't expressible as file
+      actions (e.g. a RESTORE that un-deletes rows by retiring a DV while
+      keeping its covered file) — unless ``skip_change_commits``.
+
+    ``table`` supplies the root for the (tiny, metadata-plane) DV coverage
+    reads; without it any DV-bearing file-level commit is treated as
+    row-level. Exactness rests on the table invariant that a live DV's
+    covered data files are live (every mutation either retires DVs with
+    their files or materializes them first)."""
     if not commit.data_change:
         return None
     change_dir = commit.operation_parameters.get("changeData")
@@ -156,8 +170,43 @@ def resolve_commit_changes(
             "change_feed=True, or skip such commits (skip_change_commits / "
             ".option('skipChangeCommits', 'true'))"
         )
-    actions = [(f, "insert") for f in commit.add] + [(f, "delete") for f in commit.remove]
-    return ("files", actions) if actions else None
+    add_data, add_dvs = VintageTable._split_live(commit.add)
+    rem_data, rem_dvs = VintageTable._split_live(commit.remove)
+    dv_ctx = {"insert": [], "delete": []}
+    if add_dvs or rem_dvs:
+        if table is None:
+            if skip_change_commits:
+                return None
+            raise ValueError(
+                f"version {commit.version} ({commit.operation}) touches "
+                "deletion-vector sidecars; resolving its changes needs table "
+                "context (pass table=) or skip_change_commits"
+            )
+        # A DV introduced here must only cover files added here (else it
+        # row-deletes from pre-existing files with no file action); a DV
+        # retired here must only cover files removed here (else it
+        # un-deletes rows with no file action). Both checks normalize to
+        # absolute paths because clone-translated DV refs are absolute.
+        add_abs = {table._abs(f) for f in add_data}
+        rem_abs = {table._abs(f) for f in rem_data}
+        cov_add = table._dv_coverage(add_dvs)
+        cov_rem = table._dv_coverage(rem_dvs)
+        expressible = all(cov <= add_abs for cov in cov_add.values()) and all(
+            cov <= rem_abs for cov in cov_rem.values()
+        )
+        if not expressible:
+            if skip_change_commits:
+                return None
+            raise ValueError(
+                f"version {commit.version} ({commit.operation}) changes "
+                "deletion vectors on files it does not add/remove — its "
+                "row-level effect is not derivable from file actions; "
+                "create the table with change_feed=True, or skip such "
+                "commits (skip_change_commits / skipChangeCommits)"
+            )
+        dv_ctx = {"insert": sorted(add_dvs), "delete": sorted(rem_dvs)}
+    actions = [(f, "insert") for f in add_data] + [(f, "delete") for f in rem_data]
+    return ("files", actions, dv_ctx) if actions else None
 
 
 def _read_footer_stats(abs_path: str) -> dict:
@@ -619,6 +668,32 @@ class VintageTable:
         dvs = [f for f in files if f.startswith(f"{_DV_DIR}/")]
         return data, dvs
 
+    def _abs(self, rel: str) -> str:
+        """Canonical absolute path for a table-relative file reference
+        (shallow-clone entries contain ``..`` segments; normpath folds them
+        so paths compare equal however they were derived)."""
+        return os.path.normpath(os.path.join(self.path, rel))
+
+    def _dv_coverage(self, dv_files: list[str]) -> dict[str, set[str]]:
+        """Absolute paths of the data files each deletion-vector sidecar
+        covers. Metadata-plane: DV files are O(deleted rows) tiny, read
+        with pyarrow so session-less contexts (the streaming source's
+        driver) can call it. DV ``file`` refs are table-relative, except
+        clone-translated ones which are absolute (see :meth:`clone`)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, set[str]] = {}
+        for f in dv_files:
+            refs = (
+                pq.read_table(self._abs(f), columns=["file"])
+                .column("file")
+                .to_pylist()
+            )
+            out[f] = {
+                r if os.path.isabs(r) else self._abs(r) for r in set(refs)
+            }
+        return out
+
     def _rel_path_col(self):
         """Table-relative path of the row's source file as a Column (the
         executor-side twin of :meth:`_rel`): strip the file: scheme, then
@@ -726,21 +801,23 @@ class VintageTable:
             params["changeData"] = change_dir
         return self._commit("DELETE", params, add, [])
 
+    @_retry_conflicts
     def materialize_deletion_vectors(self) -> int | None:
         """Rewrite the data files covered by live deletion vectors with
         their deleted rows dropped, and retire the DV sidecars — Delta's
         REORG TABLE APPLY (PURGE). Logical content is unchanged, so the
         commit is dataChange=false (CDC readers skip it). Returns the new
-        version, or None when no DVs are live. Copy-on-write mutations and
-        clone() call this implicitly so their file-level row handling never
-        resurrects DV-deleted rows; cost is O(covered files), not O(table)."""
+        version, or None when no DVs are live. Copy-on-write mutations call
+        this implicitly (before writing any files of their own, which is
+        what makes the nested ``_retry_conflicts`` safe) so their
+        file-level row handling never resurrects DV-deleted rows; cost is
+        O(covered files), not O(table)."""
         live = self._live_files()
         data, dvs = self._split_live(live)
         if not dvs:
             return None
-        dv = self.spark.read.parquet(*[os.path.join(self.path, f) for f in dvs])
-        covered_set = {r["file"] for r in dv.select("file").distinct().collect()}
-        covered = sorted(covered_set & set(data))
+        covered_abs = set().union(*self._dv_coverage(dvs).values())
+        covered = sorted(f for f in data if self._abs(f) in covered_abs)
         add = (
             self._write_files(self._apply_dvs(self._read_files(covered), dvs))
             if covered
@@ -1431,8 +1508,14 @@ class VintageTable:
         for f in data:
             try:
                 sized.append((f, os.path.getsize(os.path.join(self.path, f))))
-            except OSError:
-                return None  # missing file: let the normal read path raise
+            except OSError as exc:
+                # a live file that can't be stat'ed means the table state is
+                # inconsistent (vacuumed too aggressively / external delete);
+                # surfacing it beats silently degrading to a maintenance no-op
+                raise FileNotFoundError(
+                    f"live file {f} is unreadable; table at {self.path} is "
+                    "inconsistent (vacuumed beyond retention?)"
+                ) from exc
         small = [(f, s) for f, s in sized if s < target_file_bytes // 2]
         if len(small) < 2:
             return None
@@ -1478,17 +1561,9 @@ class VintageTable:
         # opened to find coverage.
         changed_dv = set(dv_before).symmetric_difference(dv_after)
         if changed_dv:
-            cov = {
-                r["file"]
-                for r in self.spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in sorted(changed_dv)]
-                )
-                .select("file")
-                .distinct()
-                .collect()
-            }
-            read_before |= cov & live_before
-            read_after |= cov & live_after
+            cov_abs = set().union(*self._dv_coverage(sorted(changed_dv)).values())
+            read_before |= {f for f in live_before if self._abs(f) in cov_abs}
+            read_after |= {f for f in live_after if self._abs(f) in cov_abs}
         before = self._read_files(sorted(read_before), version=from_version)
         if read_before:
             before = self._apply_dvs(before, dv_before)
@@ -1551,30 +1626,34 @@ class VintageTable:
         for c in self._commits(after=from_version - 1):
             if c.version > hi:
                 break
-            resolved = resolve_commit_changes(c, skip_change_commits)
+            resolved = resolve_commit_changes(c, skip_change_commits, table=self)
             if resolved is None:
                 continue
-            kind, payload = resolved
+            kind, payload = resolved[0], resolved[1]
             if kind == "dir":
                 df = self.spark.read.option("mergeSchema", "true").parquet(
                     os.path.join(self.path, payload)
                 )
             else:
+                dv_ctx = resolved[2]
                 frames = []
                 inserts = [f for f, tag in payload if tag == "insert"]
                 deletes = [f for f, tag in payload if tag == "delete"]
                 if inserts:
-                    frames.append(
-                        self._read_files(inserts, version=c.version).withColumn(
-                            "_change_type", F.lit("insert")
-                        )
-                    )
+                    ins = self._read_files(inserts, version=c.version)
+                    # e.g. a CLONE whose v0 carries translated DVs: the
+                    # cloned rows minus what the DVs delete ARE the inserts
+                    ins = self._apply_dvs(ins, dv_ctx["insert"])
+                    frames.append(ins.withColumn("_change_type", F.lit("insert")))
                 if deletes:
-                    frames.append(
-                        self._read_files(
-                            deletes, version=max(c.version - 1, 0)
-                        ).withColumn("_change_type", F.lit("delete"))
-                    )
+                    dels = self._read_files(deletes, version=max(c.version - 1, 0))
+                    # DV sidecars retired along with their covered files
+                    # (overwrite/restore of a DV-bearing table): the deleted
+                    # rows are the files' rows as of version-1, i.e. minus
+                    # the DV-deleted ones — reading them raw would re-emit
+                    # rows a DV delete already emitted
+                    dels = self._apply_dvs(dels, dv_ctx["delete"])
+                    frames.append(dels.withColumn("_change_type", F.lit("delete")))
                 df = frames[0]
                 if len(frames) == 2:
                     df = df.unionByName(frames[1], allowMissingColumns=True)
@@ -1640,35 +1719,55 @@ class VintageTable:
         delete files a live clone still references — after which the
         clone's reads fail. Deep-copy (write the clone's read() into a new
         table) before vacuuming the source if clones must outlive it.
-        One exception to "source never touched": live deletion vectors are
-        materialized on the source first (a dataChange=false commit) so the
-        clone never carries DV sidecars whose data-file references only
-        resolve against the source root."""
+
+        The source is truly never touched — not even a metadata commit:
+        live deletion vectors are TRANSLATED into the clone's v0 (their
+        table-relative data-file references rewritten to absolute source
+        paths, which is exactly what the read path's ``_rel_path_col``
+        yields for out-of-root files). The translation writes O(deleted
+        rows) — the only bytes a shallow clone ever writes."""
         dest = VintageTable(self.spark, dest_path, commit_hook=self._publish)
         if dest.exists():
             raise FileExistsError(f"clone destination {dest.path} already exists")
-        # DV sidecars record SOURCE-relative data paths, which would not
-        # resolve against the clone root; fold them into data files first
-        # (one dataChange=false commit on the source, O(covered files))
-        self.materialize_deletion_vectors()
         files = self._live_files()
+        data, dvs = self._split_live(files)
         rel_add = [
-            os.path.relpath(os.path.join(self.path, f), dest.path) for f in files
+            os.path.relpath(os.path.join(self.path, f), dest.path) for f in data
         ]
         os.makedirs(dest._log_path(), exist_ok=True)
-        src_stats = self._file_stats()
-        stats = {r: src_stats[f] for f, r in zip(files, rel_add) if f in src_stats}
-        tmp = dest._stats_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(stats, fh)
-        os.rename(tmp, dest._stats_path())
-        dest._commit(
-            "CLONE",
-            {"source": self.path, "sourceVersion": str(self.latest_version())},
-            rel_add,
-            [],
-            schema_json=self._schema_at().json(),
-        )
+        try:
+            dv_add: list[str] = []
+            if dvs:
+                src_dv = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in dvs]
+                )
+                # rewrite refs to canonical absolute source paths; already-
+                # absolute refs (the source being itself a clone) pass through
+                root = self.path.rstrip("/") + "/"
+                abs_ref = F.when(
+                    F.col("file").startswith("/"), F.col("file")
+                ).otherwise(F.concat(F.lit(root), F.col("file")))
+                dv_add = dest._write_dv_files(
+                    src_dv.select(abs_ref.alias("file"), "pos")
+                )
+            src_stats = self._file_stats()
+            stats = {r: src_stats[f] for f, r in zip(data, rel_add) if f in src_stats}
+            tmp = dest._stats_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.rename(tmp, dest._stats_path())
+            dest._commit(
+                "CLONE",
+                {"source": self.path, "sourceVersion": str(self.latest_version())},
+                rel_add + dv_add,
+                [],
+                schema_json=self._schema_at().json(),
+            )
+        except BaseException:
+            # the clone owns its half-written dv/ translations; reclaim them
+            # (the source was never touched, so there is nothing else to undo)
+            dest._cleanup_op_files()
+            raise
         return dest
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:

@@ -77,6 +77,13 @@ class _ChangeFilePartition(InputPartition):
     # materialized change data carrying its own _change_type column
     tag: str | None
     version: int
+    # deletion-vector sidecars to apply to this file's rows (absolute
+    # paths); rows whose position a DV names are filtered out, so e.g. an
+    # overwrite of a DV-bearing table never re-emits already-deleted rows
+    dv_paths: tuple[str, ...] = ()
+    # canonical absolute path used to match DV 'file' refs (refs are
+    # table-relative, or absolute for clone-translated sidecars)
+    table_root: str | None = None
 
 
 class VintageStreamReader(DataSourceStreamReader):
@@ -120,10 +127,10 @@ class VintageStreamReader(DataSourceStreamReader):
             c = commits.get(v)
             if c is None:
                 continue
-            resolved = resolve_commit_changes(c, self._skip_change_commits)
+            resolved = resolve_commit_changes(c, self._skip_change_commits, table=t)
             if resolved is None:
                 continue
-            kind, payload = resolved
+            kind, payload = resolved[0], resolved[1]
             if kind == "dir":
                 abs_dir = os.path.join(self._path, payload)
                 parts += [
@@ -132,9 +139,18 @@ class VintageStreamReader(DataSourceStreamReader):
                     if f.endswith(".parquet")
                 ]
             else:
+                dv_ctx = resolved[2]
+                root = os.path.abspath(self._path)
                 parts += [
                     _ChangeFilePartition(
-                        os.path.normpath(os.path.join(self._path, rel)), tag, v
+                        os.path.normpath(os.path.join(self._path, rel)),
+                        tag,
+                        v,
+                        tuple(
+                            os.path.normpath(os.path.join(self._path, d))
+                            for d in dv_ctx[tag]
+                        ),
+                        root,
                     )
                     for rel, tag in payload
                 ]
@@ -155,6 +171,27 @@ class VintageStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(partition.abs_path)
+        if partition.dv_paths:
+            # drop rows whose (file, pos) a deletion-vector sidecar names;
+            # DV refs are table-relative or (clone-translated) absolute
+            me = os.path.normpath(partition.abs_path)
+            drop: set[int] = set()
+            for dv_path in partition.dv_paths:
+                dv = pq.read_table(dv_path)
+                for ref, pos in zip(
+                    dv.column("file").to_pylist(), dv.column("pos").to_pylist()
+                ):
+                    ref_abs = (
+                        ref
+                        if os.path.isabs(ref)
+                        else os.path.normpath(os.path.join(partition.table_root, ref))
+                    )
+                    if ref_abs == me:
+                        drop.add(pos)
+            if drop:
+                tbl = tbl.take(
+                    [i for i in range(tbl.num_rows) if i not in drop]
+                )
         n = tbl.num_rows
         arrays, names = [], []
         for field in self._schema.fields:

@@ -132,12 +132,111 @@ def test_dv_change_feed_emits_delete_rows(spark, tmp_path):
     assert all(r["_change_type"] == "delete" for r in ch)
 
 
-def test_clone_materializes_source_dvs(spark, tmp_path):
+def test_clone_translates_dvs_without_touching_source(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    versions_before = t._commit_versions()
+    c = t.clone(str(tmp_path / "c"))
+    # the source gained NO commit (a read-only source stays cloneable) and
+    # keeps its own DV state
+    assert t._commit_versions() == versions_before
+    assert _dv_files(t)
+    # the clone carries a translated DV sidecar and reads identically
+    assert _dv_files(c)
+    assert c.read().count() == 90
+    assert sorted(r["k"] for r in c.read().collect()) == sorted(
+        r["k"] for r in t.read().collect()
+    )
+
+
+def test_cloned_dv_table_supports_further_mutation(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
     t.delete("grp = 6", mode="dv")
     c = t.clone(str(tmp_path / "c"))
-    assert not _dv_files(t)  # source materialized
-    assert c.read().count() == 90
+    # a second DV delete on the clone composes with the translated one
+    c.delete("grp = 7", mode="dv")
+    assert c.read().count() == 80
+    assert t.read().count() == 90  # source untouched
+    # materializing on the clone rewrites into the clone and drops both DVs
+    c.materialize_deletion_vectors()
+    assert not _dv_files(c)
+    assert c.read().count() == 80
+    assert t.read().count() == 90
+
+
+def test_clone_of_clone_carries_dvs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    c1 = t.clone(str(tmp_path / "c1"))
+    c2 = c1.clone(str(tmp_path / "c2"))
+    assert c2.read().count() == 90
+    assert t._commit_versions() == [0, 1]  # write + dv delete, nothing else
+
+
+def test_clone_v0_cdc_excludes_dv_deleted_rows(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    c = t.clone(str(tmp_path / "c"))
+    ch = c.table_changes(0, 0)
+    assert ch.count() == 90  # inserts = cloned snapshot minus DV deletes
+    assert ch.filter(F.col("grp") == 6).count() == 0
+    assert ch.filter(F.col("_change_type") != "insert").count() == 0
+
+
+def test_overwrite_of_dv_table_cdc_is_dv_aware(spark, tmp_path):
+    # regression (round-4 advice): overwrite used to put dv/ sidecars into
+    # the remove list and file-level CDC then (a) read the sidecar's
+    # (file,pos) rows as data -> phantom all-null rows, (b) read removed
+    # data files raw -> re-emitted DV-deleted rows as deletes
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    v = t.write(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 3).alias("v"),
+        )
+    )
+    ch = t.table_changes(v, v)
+    assert ch.filter(F.col("k").isNull()).count() == 0  # no phantom rows
+    dels = ch.filter(F.col("_change_type") == "delete")
+    assert dels.count() == 90  # DV-deleted rows NOT re-emitted
+    assert dels.filter(F.col("grp") == 6).count() == 0
+    assert ch.filter(F.col("_change_type") == "insert").count() == 5
+
+
+def test_restore_reintroducing_dv_state_is_row_level(spark, tmp_path):
+    # restoring ACROSS a DV boundary changes row content without matching
+    # file actions -> not derivable file-level; the reader must raise (or
+    # skip with skipChangeCommits) instead of emitting wrong rows
+    import pytest as _pytest
+
+    t = _mk(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    t.delete("grp = 6", mode="dv")
+    v_restore = t.restore(version=v0)  # retires the DV, keeps its file
+    with _pytest.raises(ValueError, match="deletion vector"):
+        t.table_changes(v_restore, v_restore).collect()
+    assert (
+        t.table_changes(v_restore, v_restore, skip_change_commits=True).count() == 0
+    )
+
+
+def test_restore_across_overwrite_of_dv_table_is_exact(spark, tmp_path):
+    # restore whose add/remove carries a DV together with all its covered
+    # files IS expressible file-level and must be exact
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 6", mode="dv")
+    v_dv = t.latest_version()
+    t.write(spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("grp"),
+        F.col("id").alias("v"),
+    ))
+    v_back = t.restore(version=v_dv)  # re-adds old data files + their DV
+    ch = t.table_changes(v_back, v_back)
+    ins = ch.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 90
+    assert ins.filter(F.col("grp") == 6).count() == 0
+    assert ch.filter(F.col("_change_type") == "delete").count() == 3
 
 
 def test_vacuum_reclaims_retired_dvs(spark, tmp_path):

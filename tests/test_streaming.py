@@ -388,6 +388,51 @@ def test_vintage_cdc_requires_change_feed_for_row_ops(spark, tmp_path):
         q2.stop()
 
 
+def test_vintage_cdc_stream_applies_dvs_on_overwrite(spark, tmp_path):
+    """Streaming twin of the batch DV-aware CDC test: an overwrite of a
+    DV-bearing table must emit neither phantom sidecar rows nor
+    already-DV-deleted rows (round-4 advice regression)."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)
+    t.write(
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(2)
+    )  # v0
+    t.delete("k >= 8", mode="dv")  # v1: DV sidecar, skipped (no change feed)
+    t.write(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    )  # v2: overwrite removes data files + the DV sidecar
+
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .option("skipChangeCommits", "true")  # v1 (DV delete) is row-level
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_dv_overwrite")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from cdc_dv_overwrite")
+        assert rows.filter(F.col("k").isNull()).count() == 0  # no phantom rows
+        got = _cdc_rows(rows)
+        assert got == sorted(
+            [(k, float(k), "insert", 0) for k in range(10)]
+            # deletes at v2 = the v1 snapshot (DV applied): k in [0, 8) only
+            + [(k, float(k), "delete", 2) for k in range(8)]
+            + [(k, -1.0, "insert", 2) for k in range(3)]
+        )
+    finally:
+        q.stop()
+
+
 def test_table_changes_batch(spark, tmp_path):
     """Batch CDC: table_changes attributes rows to commits; file-level ops
     need no materialized feed; compaction is silent."""
