@@ -168,6 +168,49 @@ def minhash_signatures(
     return _signatures_from_hashes(token_hashes(df, id_col, text_col), id_col, num_hashes)
 
 
+def _signature_array_udf(num_hashes: int):
+    """Arrow-batched pandas UDF: token-hash array -> the k MinHash mins as
+    ``array<long>``. Mathematically identical to the k min-aggregate form
+    (same coefficients, same mod-p arithmetic, int64-safe products), but
+    generates NO whole-stage-codegen class: the k-wide HashAggregate's
+    Janino compile was the single biggest cold-JVM cost of the pipeline
+    (measured ~4-6 s at k=32), while the numpy form is two vectorized ops
+    per permutation over the flattened batch. Used when the token arrays
+    are being materialized anyway (the no-prefilter path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(col):
+        n = len(col)
+        if not n:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(v) for v in col), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in col])
+            if total
+            else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        out = np.zeros((n, len(A)), dtype=np.int64)
+        for i in range(len(A)):
+            # a*h < 2^62 (both < 2^31): safe in int64, identical to the SQL
+            vals = (A[i] * flat + B[i]) % MINHASH_PRIME
+            if total:
+                out[nonempty, i] = np.minimum.reduceat(vals, offsets[nonempty])
+        return pd.Series([row.tolist() if ne else None for row, ne in zip(out, nonempty)])
+
+    return _sig
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -257,11 +300,14 @@ def minhash_oracle_sql(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int | None = None,
+    estimate_prefilter: bool = True,
 ) -> str:
     """DuckDB SQL that recomputes minhash_dedup EXACTLY — same md5-derived
     31-bit hashes, same permutation coefficients, same band buckets, same
-    estimate prefilter, same distinct-hash jaccard. Generated from the same
-    Python constants the Spark plan embeds, so the two can't drift."""
+    estimate prefilter (when enabled), same distinct-hash jaccard.
+    Generated from the same Python constants the Spark plan embeds, so the
+    two can't drift. ``estimate_prefilter`` must match the Spark call — it
+    changes the answer (the estimator can drop borderline true pairs)."""
     p = MINHASH_PRIME
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
@@ -282,6 +328,19 @@ def minhash_oracle_sql(
         f"SELECT {id_col}, {b} AS band, {_bh(b)} AS bh FROM sig" for b in range(bands)
     )
     n_eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(num_hashes))
+    est_cte = (
+        f""",
+    est AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.{id_col} = c.id_a
+      JOIN sig sb ON sb.{id_col} = c.id_b
+      WHERE {n_eq} >= {min_eq}
+    )"""
+        if estimate_prefilter
+        else ""
+    )
+    verified_src = "est" if estimate_prefilter else "cand"
     return f"""
     WITH tok AS (
       SELECT DISTINCT {id_col}, u.token
@@ -304,21 +363,14 @@ def minhash_oracle_sql(
       SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
       FROM band a JOIN band b
         ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
-    ),
-    est AS (
-      SELECT c.id_a, c.id_b
-      FROM cand c
-      JOIN sig sa ON sa.{id_col} = c.id_a
-      JOIN sig sb ON sb.{id_col} = c.id_b
-      WHERE {n_eq} >= {min_eq}
-    ),
+    ){est_cte},
     hs AS (SELECT DISTINCT {id_col}, h FROM th),
     sz AS (SELECT {id_col}, count(*) AS sz FROM hs GROUP BY {id_col}),
     scored AS (
       SELECT e.id_a, e.id_b,
              round(CAST(count(*) AS DOUBLE)
                    / (any_value(za.sz) + any_value(zb.sz) - count(*)), 4) AS jaccard
-      FROM est e
+      FROM {verified_src} e
       JOIN hs a ON a.{id_col} = e.id_a
       JOIN hs b ON b.{id_col} = e.id_b AND b.h = a.h
       JOIN sz za ON za.{id_col} = e.id_a
@@ -335,6 +387,7 @@ def cluster_oracle_sql(
     text_col: str = "text",
     threshold: float = 0.7,
     num_hashes: int = 32,
+    estimate_prefilter: bool = True,
 ) -> str:
     """DuckDB SQL reproducing minhash_dedup -> dedup_clusters exactly:
     the portable minhash pair SQL feeds a recursive-CTE transitive closure
@@ -342,7 +395,10 @@ def cluster_oracle_sql(
     label the Spark fixpoint converges to. Closure size is bounded by
     sum(cluster_size^2) — fine at oracle scale; the Spark side stays the
     join-based label propagation that scales."""
-    inner = minhash_oracle_sql(table, id_col, text_col, threshold, num_hashes)
+    inner = minhash_oracle_sql(
+        table, id_col, text_col, threshold, num_hashes,
+        estimate_prefilter=estimate_prefilter,
+    )
     return f"""
     WITH RECURSIVE pairs AS ({inner}),
     edges AS (
@@ -371,6 +427,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int | None = None,
+    estimate_prefilter: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> LSH banding -> signature-estimate
     prefilter -> exact-Jaccard verify on token arrays.
@@ -429,13 +486,63 @@ def minhash_dedup(
     - The estimate is a codegen'd sum of 32 column equalities, not a
       zip_with/filter HOF pair — higher-order functions evaluate their
       lambda interpreted per element (~100M evals at sf0.1, measured ~2x
-      slower than the flat comparison chain)."""
+      slower than the flat comparison chain).
+
+    ``estimate_prefilter`` (round-5 knob; changes the ANSWER, so the oracle
+    takes the same flag): the estimator is a binomial approximation that can
+    drop borderline true pairs (3226 of 908310 at sf0.1/t=0.9), and it only
+    pays for itself when per-doc token sets are LARGE relative to the
+    signature (it intersects 2 x num_hashes longs instead of two token
+    arrays). On short-doc corpora (fixture: avg 23 distinct tokens < k=32)
+    it is strictly wasteful — the no-prefilter path skips the two 33-column
+    signature joins AND the k-wide min-aggregate entirely: the signature is
+    derived from the (anyway-materialized) token arrays by a vectorized
+    pandas UDF, so the whole pipeline is two shuffles (groupBy id, candidate
+    distinct) plus broadcast joins, and the cold-JVM wall time halves
+    (measured 17.2 s -> 9.6 s at sf0.1; the retired k-wide HashAggregate and
+    64-column estimate join were the two slowest Janino compiles)."""
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
 
     if _scan_underparallel(df):
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    if not estimate_prefilter:
+        th = token_hashes(df, id_col, text_col)
+        toks = th.groupBy(id_col).agg(F.collect_set("__h").alias("__toks"))
+        sig_arr = _signature_array_udf(num_hashes)
+        combined = (
+            # __sig in its own projection: the Arrow UDF evaluates ONCE per
+            # row; element_at over 32 aliases would otherwise risk 32 calls
+            toks.withColumn("__sig", sig_arr("__toks"))
+            .select(
+                F.col(id_col),
+                F.col("__toks"),
+                *[
+                    F.element_at("__sig", i + 1).alias(f"h{i}")
+                    for i in range(num_hashes)
+                ],
+            )
+            .persist()
+        )
+        combined.count()  # one materialization feeds banding AND verify
+        cand = lsh_candidate_pairs(combined, id_col, bands, rows_per_band)
+        ta = combined.select(
+            F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a")
+        )
+        tb = combined.select(
+            F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b")
+        )
+        inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
+        union = F.size("__toks_a") + F.size("__toks_b") - inter
+        return (
+            cand.join(ta, "id_a")
+            .join(tb, "id_b")
+            .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     th = token_hashes(df, id_col, text_col).persist()
     sig = _signatures_from_hashes(th, id_col, num_hashes).persist()

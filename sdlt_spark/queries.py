@@ -982,6 +982,78 @@ def vintage_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-build a REAL Delta table (JSON ``_delta_log``) holding the
+    orders projection: v0 loads a full file, v1 'compacts' it into two
+    files (remove + adds) — so reading the latest snapshot exercises
+    genuine log replay (an ignored remove would double every row)."""
+    import tempfile
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+
+    def _write(sub: str, frame: DataFrame) -> list[str]:
+        import os as _os
+
+        abs_dir = _os.path.join(root, sub)
+        frame.write.mode("errorifexists").parquet(abs_dir)
+        return [
+            f"{sub}/{f}"
+            for f in sorted(_os.listdir(abs_dir))
+            if f.endswith(".parquet")
+        ]
+
+    full = _write("c0", proj.coalesce(1))
+    lo = _write("c1a", proj.filter(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    hi = _write("c1b", proj.filter(F.col("o_orderkey") % 2 != 0).coalesce(1))
+    w = DeltaLogWriter(root)
+    w.commit(adds=[(f, {}) for f in full], schema_json=proj.schema.json())
+    w.commit(
+        adds=[(f, {}) for f in lo + hi], removes=full, operation="OPTIMIZE"
+    )
+    return root
+
+
+@_q("delta_scan", _ORDERS_PROJ_SQL)
+def delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake read interop (the reference's actual on-disk format —
+    README.md:92 writes ``format("delta")``): replay a real ``_delta_log``
+    (store/delta_read.py) and scan the snapshot. The fixture's v1 removed
+    v0's file, so a replay bug surfaces as a row-count/hash mismatch."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    return DeltaTableReader(spark, _delta_fixture(spark, sf_dir)).read()
+
+
+@_q("delta_time_travel", _ORDERS_PROJ_SQL)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``versionAsOf`` on a replayed ``_delta_log`` (README.md:169):
+    v0 pre-dates the compaction commit and must read bit-for-bit the same
+    projection from the original file."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    return DeltaTableReader(spark, _delta_fixture(spark, sf_dir)).read(version=0)
+
+
+@_q("delta_export", _ORDERS_PROJ_SQL)
+def delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VintageTable -> Delta export round-trip: publish the snapshot as a
+    spec-shaped Delta table (store/delta_write.py) and read it back through
+    the independent log-replay reader — the bridge for downstream systems
+    that only speak Delta."""
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import export_vintage_to_delta
+
+    t = _fresh_vintage(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="sdlt_delta_export_") + "/orders"
+    export_vintage_to_delta(t, dest)
+    return DeltaTableReader(spark, dest).read()
+
+
 @_q(
     "vintage_incremental_agg",
     # Oracle recomputes the FINAL snapshot's aggregate relationally
@@ -1548,15 +1620,21 @@ def quantized_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mod 2^31-1, so DuckDB recomputes signatures, band buckets, candidate
     # pairs, the estimate prefilter, and jaccard bit-identically. The SQL is
     # generated from the SAME Python constants the Spark plan embeds.
-    _dedup.minhash_oracle_sql("documents", "doc_id", "text", threshold=0.9),
+    _dedup.minhash_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+    ),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash -> LSH banding (auto-tuned S-curve) -> estimate prefilter
-    -> exact-Jaccard verification. Threshold 0.9: the fixture corpus is
-    globally similar (31-token vocabulary, median pairwise jaccard 0.65), so
-    lower thresholds have inherently quadratic answers."""
+    """X2: MinHash -> LSH banding (auto-tuned S-curve) -> exact-Jaccard
+    verification. Threshold 0.9: the fixture corpus is globally similar
+    (31-token vocabulary, median pairwise jaccard 0.65), so lower thresholds
+    have inherently quadratic answers. estimate_prefilter=False: with ~23
+    distinct tokens/doc the signature-estimate costs more than the exact
+    verify it would skip (see minhash_dedup's docstring) — and it no longer
+    silently drops borderline true pairs."""
     return _dedup.minhash_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.9
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.9,
+        estimate_prefilter=False,
     )
 
 
@@ -2450,14 +2528,18 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # converged answer is exactly the min-id connected component — which the
     # oracle computes non-iteratively via a recursive-CTE transitive closure
     # over the (portable-hash) minhash pair list.
-    _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9),
+    _dedup.cluster_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+    ),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup dedup pipeline: MinHash+LSH pairs ->
     connected-component clusters -> canonical representative per cluster.
     Returns (doc_id, cluster, is_canonical) for every document."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dedup.minhash_dedup(docs, "doc_id", threshold=0.9)
+    pairs = _dedup.minhash_dedup(
+        docs, "doc_id", threshold=0.9, estimate_prefilter=False
+    )
     clusters = _dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
     return clusters.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_canonical")

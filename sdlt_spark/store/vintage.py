@@ -128,6 +128,40 @@ def _link_cas_publish(tmp: str, final: str) -> None:
     os.remove(tmp)
 
 
+class ObjectStoreCasPublisher:
+    """Commit publisher for stores WITHOUT atomic hard links (S3/GCS):
+    the conditional-PUT contract. ``put_if_absent(key, data) -> bool``
+    must atomically create ``key`` iff it does not exist (S3
+    ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, or a catalog/DynamoDB
+    conditional write) and return False when it already does — that single
+    primitive is all the commit protocol needs.
+
+    The commit CONTENT travels inside the conditional put (not as a
+    separate rename), so a writer crashing mid-publish can never claim a
+    version number without its entry being readable — the failure mode a
+    CAS-then-copy design would have. ``on_success`` (optional) mirrors the
+    accepted entry to the locally-listable log (tests use it to keep the
+    filesystem log authoritative; a real object-store deployment lists the
+    store itself instead)."""
+
+    def __init__(self, put_if_absent, on_success=None):
+        self._put_if_absent = put_if_absent
+        self._on_success = on_success
+
+    def __call__(self, tmp: str, final: str) -> None:
+        with open(tmp, "rb") as f:
+            data = f.read()
+        key = os.path.basename(final)
+        won = self._put_if_absent(key, data)
+        os.remove(tmp)
+        if not won:
+            raise CommitConflictError(
+                f"concurrent writer already committed {key}"
+            )
+        if self._on_success is not None:
+            self._on_success(final, data)
+
+
 def resolve_commit_changes(
     commit: "_Commit",
     skip_change_commits: bool = False,
@@ -501,6 +535,21 @@ class VintageTable:
                 os.remove(os.path.join(self.path, f))
             else:
                 keep.append(f)
+        if not keep:
+            # an all-empty write (e.g. a delete that emptied every touched
+            # file) leaves only _SUCCESS markers: no commit references the
+            # dir, so drop it rather than accrete garbage dirs
+            import shutil
+
+            shutil.rmtree(abs_dir, ignore_errors=True)
+            stats2 = self._file_stats()
+            if any(f in stats2 for f in files):
+                for f in files:
+                    stats2.pop(f, None)
+                tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as fh:
+                    json.dump(stats2, fh)
+                os.rename(tmp, self._stats_path())
         self._op_files.extend(keep)
         return keep
 

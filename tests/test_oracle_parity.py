@@ -37,3 +37,33 @@ def test_registry_consistency():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25 or True  # informational; grows each round
+
+
+# Registry entries legitimately WITHOUT a DuckDB oracle: each must name the
+# property/accuracy test that regression-guards it instead. A new rows-only
+# entry fails test_no_oracle_entries_are_allowlisted until it is added here
+# WITH a guard — "has an oracle or a property test" is enforced, not
+# convention.
+NO_ORACLE_ALLOWLIST = {
+    "ann_lsh_topk": "tests/test_similarity.py::test_ann_recall_at_10_pinned_sf001",
+    "ann_ivf_topk": "tests/test_similarity.py::test_ann_recall_at_10_pinned_sf001",
+    "ann_ivf_persisted": "tests/test_similarity.py::test_ivf_persisted_index_prunes_and_matches",
+    "neardup_cosine_lsh": "tests/test_similarity.py::test_neardup_lsh_subset_of_exact_with_recall",
+    "approx_distinct": "tests/test_properties.py (HLL ±5% vs exact)",
+    "approx_percentile": "tests/test_properties.py (rank-error bound vs exact)",
+    "hll_distinct_merge": "tests/test_properties.py (sketch-union ±5% vs exact)",
+    "kmeans_fit": "tests/test_clustering.py (exact-assignment oracle)",
+    "bpe_merges": "tests/test_text.py (pinned merge-sequence unit test)",
+    "multimodal_features": "tests/test_multimodal.py (plumbing/shape tests)",
+}
+
+
+def test_no_oracle_entries_are_allowlisted():
+    no_oracle = {n for n, (_fn, sql) in q.registry().items() if sql is None}
+    unexplained = no_oracle - set(NO_ORACLE_ALLOWLIST)
+    assert not unexplained, (
+        f"registry entries {sorted(unexplained)} have neither a DuckDB "
+        "oracle nor an allowlisted property test — add one or the other"
+    )
+    stale = set(NO_ORACLE_ALLOWLIST) - no_oracle
+    assert not stale, f"allowlist entries {sorted(stale)} now have oracles; prune"

@@ -99,6 +99,46 @@ def test_ivf_topk_recall_on_fixture(spark):
     assert all_cells == set(exact)
 
 
+def test_ann_recall_at_10_pinned_sf001(spark):
+    """Quantified recall oracle for the rows-only ANN registry entries:
+    recall@10 vs the exact cosine_topk at sf0.01 with pinned seeds. The
+    values are EXACT pins, not lower bounds — any change to the hash
+    family, plane generation, centroid training, or pruning that shifts
+    retrieval quality fails here (regression tripwire for entries the
+    driver can only rows-check).
+
+    Fixture geometry, measured: the sf0.01 embedding corpus is near-random
+    (max pairwise cosine 0.513, between vec 169 and 466), so single-probe
+    sign-LSH recall is legitimately near zero (P[same 4-plane sketch at
+    cos 0.51] ~ 0.2) — its pin is a determinism tripwire, not a quality
+    bar; IVF with 6/16 probes holds 7 of the true top-10 even on
+    unclustered data, which IS a quality pin."""
+    from sdlt_spark import tables
+
+    emb = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 169).select("embedding").head()[0])
+    corpus = emb.filter(F.col("vec_id") != 169)
+    exact = [
+        r["vec_id"]
+        for r in sim.cosine_topk(corpus, "embedding", "vec_id", query, k=10).collect()
+    ]
+    assert exact[0] == 466  # the planted-by-geometry nearest neighbor
+    lsh = {
+        r["vec_id"]
+        for r in sim.ann_lsh_topk(
+            corpus, "embedding", "vec_id", query, k=10, num_planes=4
+        ).collect()
+    }
+    assert len(lsh & set(exact)) == 1  # exact pin (deterministic seeds)
+    ivf = {
+        r["vec_id"]
+        for r in sim.ann_ivf_topk(
+            corpus, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=6
+        ).collect()
+    }
+    assert len(ivf & set(exact)) == 7  # exact pin at 6/16 probes
+
+
 def test_ivf_assignment_is_deterministic_and_total(spark):
     """Every vector gets exactly one cell id in [0, n_cells); same seed,
     same assignment."""
