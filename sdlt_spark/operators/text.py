@@ -509,3 +509,58 @@ def bpe_merge_table(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, n bigint"
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection: count, per training document, the
+    distinct word ``n``-grams it shares with a held-out benchmark corpus —
+    the standard pre-training decontamination step (strip eval questions
+    that leaked into the crawl).
+
+    Returns ``(id_col, n_hits, contaminated)`` for EVERY input document
+    (``n_hits`` = distinct shared shingles, 0 for clean docs), so callers
+    can either filter or audit.
+
+    Scale shape: the benchmark side reduces to a DISTINCT shingle set —
+    tiny next to a 100 TB corpus (a full eval suite is MBs) — so Catalyst
+    broadcasts it and the corpus side stays a map-only scan + explode with
+    NO corpus-wide shuffle: the only aggregation groups the (broadcast-)
+    joined hits by doc id, and the left join back to ``docs`` keys on the
+    id. Shingles compare as md5 fingerprints is NOT done here — exact
+    strings keep the oracle trivial and the join still broadcasts; switch
+    the key to ``md5(ngram)`` if benchmark shingle bytes ever matter."""
+    from sdlt_spark.operators.dedup import doc_ngrams
+
+    bench_col = bench_text_col or text_col
+    bench_grams = (
+        doc_ngrams(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_col)),
+            "__bid",
+            bench_col,
+            n,
+        )
+        .select("ngram")
+        .distinct()
+    )
+    hits = (
+        doc_ngrams(docs, id_col, text_col, n)
+        .join(bench_grams, "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

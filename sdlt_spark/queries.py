@@ -1686,6 +1686,46 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "decontaminate",
+    # Exact recompute: the benchmark is the doc_id % 47 slice of the same
+    # corpus; DuckDB regenerates the word-5-grams with 1-based end-INCLUSIVE
+    # list slicing (t[i : i+4] = a 5-gram) and range() end-EXCLUSIVE.
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS ngram
+      FROM toks, LATERAL unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    bench AS (
+      SELECT DISTINCT ngram FROM grams WHERE doc_id % 47 = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_hits
+      FROM grams g JOIN bench USING (ngram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py::decontaminate): per
+    training doc, distinct word-5-grams shared with a 'benchmark' slice of
+    the corpus. The benchmark shingle set broadcasts; the corpus side is a
+    map-only explode + one per-doc aggregation — no corpus-wide shuffle."""
+    from sdlt_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 47 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", n=5)
+
+
 @_q("ann_lsh_topk", None)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -60,6 +60,9 @@ class _Snapshot:
     partition_columns: list[str]
     # add-action path (relative, URL-decoded) -> partitionValues dict
     files: dict[str, dict] = field(default_factory=dict)
+    # add-action path -> parsed stats JSON ({numRecords, minValues,
+    # maxValues, nullCount}) when the writer recorded them
+    stats: dict[str, dict] = field(default_factory=dict)
 
 
 class DeltaTableReader:
@@ -185,6 +188,12 @@ class DeltaTableReader:
             # pyarrow surfaces map values as (key, value) tuple lists
             pvals = dict(pvals)
         snap.files[path] = pvals
+        raw_stats = add.get("stats")
+        if raw_stats:
+            try:
+                snap.stats[path] = json.loads(raw_stats)
+            except (TypeError, json.JSONDecodeError):
+                pass  # malformed stats: skip the skip, never the file
 
     # --------------------------------------------------------------- replay
 
@@ -224,6 +233,7 @@ class DeltaTableReader:
                     elif "remove" in action:
                         rel = urllib.parse.unquote(action["remove"]["path"])
                         snap.files.pop(rel, None)
+                        snap.stats.pop(rel, None)
                     # commitInfo / txn / cdc / domainMetadata: no read effect
         if not snap.schema.fields:
             raise ValueError(f"no metaData action found replaying {self.path}")
@@ -244,17 +254,20 @@ class DeltaTableReader:
         table with pathological partition cardinality, read partitions
         selectively instead (this is a shim, not a planner)."""
         snap = self.snapshot(version=version, timestamp=timestamp)
+        return self._read_file_subset(snap, sorted(snap.files))
+
+    def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
         out_cols = [f.name for f in snap.schema.fields]
         part_types = {
             f.name: f.dataType
             for f in snap.schema.fields
             if f.name in snap.partition_columns
         }
-        if not snap.files:
+        if not rels:
             return self.spark.createDataFrame([], snap.schema)
         groups: dict[tuple, list[str]] = {}
-        for rel, pvals in snap.files.items():
-            key = tuple(sorted(pvals.items()))
+        for rel in rels:
+            key = tuple(sorted(snap.files[rel].items()))
             groups.setdefault(key, []).append(os.path.join(self.path, rel))
         frames = []
         for key, paths in sorted(groups.items()):
@@ -269,6 +282,52 @@ class DeltaTableReader:
         for f in frames[1:]:
             base = base.unionByName(f)
         return base
+
+    def read_where(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Data-skipping range read over a Delta table, using the add
+        actions' ``stats`` zone maps (minValues/maxValues — what Delta's
+        own reader prunes with) AND partitionValues when ``col`` is a
+        partition column. Files without usable stats are always kept
+        (over-approximation preserves correctness); the exact row predicate
+        still applies after the file-list cut."""
+        snap = self.snapshot(version=version)
+        keep: list[str] = []
+        is_part = col in snap.partition_columns
+        part_type = (
+            {f.name: f.dataType for f in snap.schema.fields}[col] if is_part else None
+        )
+        for rel in sorted(snap.files):
+            if is_part:
+                raw = snap.files[rel].get(col)
+                if raw is not None:
+                    # compare in the column's type space via a 1-row cast
+                    try:
+                        v = json.loads(raw) if part_type.simpleString() in (
+                            "int", "bigint", "smallint", "tinyint", "double", "float"
+                        ) else raw
+                    except (TypeError, json.JSONDecodeError):
+                        v = raw
+                    if (lo is not None and v < lo) or (hi is not None and v > hi):
+                        continue
+                keep.append(rel)
+                continue
+            st = snap.stats.get(rel) or {}
+            mn = (st.get("minValues") or {}).get(col)
+            mx = (st.get("maxValues") or {}).get(col)
+            if mn is None or mx is None:
+                keep.append(rel)  # no zone: must read
+                continue
+            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                keep.append(rel)
+        df = self._read_file_subset(snap, keep)
+        c = F.col(col)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
 
     def history(self) -> list[dict]:
         """Commit metadata (version, timestamp, operation) from commitInfo

@@ -55,12 +55,22 @@ class DeltaLogWriter:
         schema_json: str | None = None,
         partition_columns: list[str] | None = None,
         operation: str = "WRITE",
+        collect_stats: bool = True,
+        stats_override: dict[str, dict] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths. The first commit must carry
         ``schema_json`` (a Spark StructType json) — it becomes the
         metaData action; later commits repeat metaData only when the
-        schema changes (pass it again to evolve)."""
+        schema changes (pass it again to evolve).
+
+        ``collect_stats`` records Delta's per-file zone maps (numRecords +
+        minValues/maxValues from the parquet footer — metadata-only reads)
+        in each add action's ``stats`` field, so stock Delta readers AND
+        :class:`~sdlt_spark.store.delta_read.DeltaTableReader.read_where`
+        can file-skip. ``stats_override`` maps relative path to an
+        already-known ``{"rows", "min", "max"}`` zone (the VintageTable
+        stats shape) to avoid re-reading footers on export."""
         version = self._next_version()
         ts = int(time.time() * 1000)
         actions: list[dict] = []
@@ -85,18 +95,31 @@ class DeltaLogWriter:
             )
         for rel, pvals in adds or []:
             abs_f = os.path.join(self.path, rel)
-            actions.append(
-                {
-                    "add": {
-                        # Delta URL-encodes paths (spaces, '#', ...)
-                        "path": urllib.parse.quote(rel),
-                        "partitionValues": {k: str(v) for k, v in (pvals or {}).items()},
-                        "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
-                        "modificationTime": ts,
-                        "dataChange": True,
+            add = {
+                # Delta URL-encodes paths (spaces, '#', ...)
+                "path": urllib.parse.quote(rel),
+                "partitionValues": {k: str(v) for k, v in (pvals or {}).items()},
+                "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
+                "modificationTime": ts,
+                "dataChange": True,
+            }
+            zone = (stats_override or {}).get(rel)
+            if zone is None and collect_stats and os.path.exists(abs_f):
+                try:
+                    from sdlt_spark.store.vintage import _read_footer_stats
+
+                    zone = _read_footer_stats(abs_f)
+                except Exception:
+                    zone = None  # stats are an optimization, never a blocker
+            if zone is not None:
+                add["stats"] = json.dumps(
+                    {
+                        "numRecords": zone.get("rows", 0),
+                        "minValues": zone.get("min", {}),
+                        "maxValues": zone.get("max", {}),
                     }
-                }
-            )
+                )
+            actions.append({"add": add})
         for rel in removes or []:
             actions.append(
                 {
@@ -142,8 +165,10 @@ def export_vintage_to_delta(vintage, dest_path: str) -> int:
         raise FileExistsError(f"{dest} is already a Delta table")
     vintage.materialize_deletion_vectors()
     files = vintage._live_files()
+    src_stats = vintage._file_stats()
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
     adds: list[tuple[str, dict]] = []
+    stats_override: dict[str, dict] = {}
     for i, rel in enumerate(sorted(files)):
         src = os.path.normpath(os.path.join(vintage.path, rel))
         out_rel = f"data/part-{i:05d}-{uuid.uuid4().hex}.parquet"
@@ -153,10 +178,14 @@ def export_vintage_to_delta(vintage, dest_path: str) -> int:
         except OSError:
             shutil.copy2(src, out_abs)
         adds.append((out_rel, {}))
+        if rel in src_stats:
+            # carry the vintage zone maps across (no footer re-reads)
+            stats_override[out_rel] = src_stats[rel]
     writer = DeltaLogWriter(dest)
     return writer.commit(
         adds=adds,
         schema_json=vintage._schema_at().json(),
         partition_columns=[],
         operation="WRITE",
+        stats_override=stats_override,
     )

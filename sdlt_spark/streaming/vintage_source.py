@@ -104,6 +104,15 @@ class VintageStreamReader(DataSourceStreamReader):
         self._initial = (
             int(start) - 1 if start is not None else _table(self._path).latest_version()
         )
+        # admission control (Delta's maxFilesPerTrigger, per commit here):
+        # bound each micro-batch to N commits so a stream resuming behind a
+        # long backlog processes it as N-commit batches instead of one
+        # giant catch-up batch (bounded executor memory / checkpoint cost)
+        mcpt = options.get("maxcommitspertrigger")
+        self._max_commits = int(mcpt) if mcpt is not None else None
+        if self._max_commits is not None and self._max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self._last_end = self._initial
 
     # ------------------------------------------------------- driver: offsets
 
@@ -111,11 +120,27 @@ class VintageStreamReader(DataSourceStreamReader):
         return {"version": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"version": _table(self._path).latest_version()}
+        latest = _table(self._path).latest_version()
+        if self._max_commits is None:
+            self._last_end = latest
+            return {"version": latest}
+        # rate-limited: advance at most max_commits past the last end this
+        # reader handed out. partitions() re-syncs _last_end to the batch
+        # end Spark actually runs (covers checkpoint-recovery replay, where
+        # the true offset is behind this reader's construction state);
+        # correctness never depends on this counter — partitions(start,
+        # end) always gets the true checkpointed start.
+        end = min(latest, self._last_end + self._max_commits)
+        self._last_end = max(self._last_end, end)
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         from sdlt_spark.store.vintage import resolve_commit_changes
 
+        if self._max_commits is not None:
+            # sync the admission-control counter to the batch Spark is
+            # actually running (see latestOffset)
+            self._last_end = end["version"]
         t = _table(self._path)
         # parse only the commits in (start, end] — a long-lived table has
         # O(history) log entries and this runs every micro-batch. Change

@@ -239,6 +239,55 @@ def test_column_mapping_and_reader_features_rejected(spark, tmp_path):
         DeltaTableReader(spark, root2).read()
 
 
+def test_read_where_skips_files_via_add_stats(spark, tmp_path):
+    """Add-action stats (the zone maps real Delta writers record) drive
+    file skipping in read_where: a narrow range must list only the
+    overlapping file, and files lacking stats are always kept."""
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/lo.parquet", [1, 2, 3])
+    _write_part(f"{root}/hi.parquet", [100, 101])
+    _write_part(f"{root}/nostats.parquet", [7])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("lo.parquet", {}), ("hi.parquet", {})], schema_json=_SCHEMA)
+    w.commit(adds=[("nostats.parquet", {})], collect_stats=False)
+    # the emitted stats are spec-shaped
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as f:
+        adds = [json.loads(l)["add"] for l in f if '"add"' in l]
+    st = json.loads(adds[0]["stats"])
+    assert st["numRecords"] == 3 and st["minValues"]["k"] == 1 and st["maxValues"]["k"] == 3
+    r = DeltaTableReader(spark, root)
+    df = r.read_where("k", 100, 200)
+    scanned = {os.path.basename(p) for p in df.inputFiles()}
+    # hi overlaps; nostats has no zone so must be read; lo is skipped
+    assert scanned == {"hi.parquet", "nostats.parquet"}
+    assert sorted(x["k"] for x in df.collect()) == [100, 101]
+
+
+def test_read_where_prunes_partition_values(spark, tmp_path):
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/r=0/a.parquet", [1])
+    _write_part(f"{root}/r=1/b.parquet", [2])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=0/a.parquet", {"r": "0"}), ("r=1/b.parquet", {"r": "1"})],
+        schema_json=schema,
+        partition_columns=["r"],
+    )
+    df = DeltaTableReader(spark, root).read_where("r", 1, 1)
+    assert {os.path.basename(p) for p in df.inputFiles()} == {"b.parquet"}
+    assert [x["k"] for x in df.collect()] == [2]
+
+
 def test_export_vintage_to_delta_round_trip(spark, tmp_path):
     t = VintageTable(spark, str(tmp_path / "vt"))
     df = spark.range(50).select(

@@ -433,6 +433,43 @@ def test_vintage_cdc_stream_applies_dvs_on_overwrite(spark, tmp_path):
         q.stop()
 
 
+def test_vintage_cdc_max_commits_per_trigger(spark, tmp_path):
+    """Admission control (Delta's maxFilesPerTrigger analogue): a stream
+    resuming behind a 4-commit backlog with maxCommitsPerTrigger=1 must
+    process it as multiple bounded micro-batches, same total rows."""
+    from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)
+    for i in range(4):  # backlog of 4 append commits before the stream starts
+        t.write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            mode="append" if i else "overwrite",
+        )
+    q = (
+        spark.readStream.format("vintage_cdc")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_rate_limited")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from cdc_rate_limited")
+        assert rows.count() == 40
+        assert sorted(r["k"] for r in rows.collect()) == list(range(40))
+        # one commit per batch: versions arrive in >= 4 separate batches
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 4, [p["numInputRows"] for p in q.recentProgress]
+    finally:
+        q.stop()
+
+
 def test_table_changes_batch(spark, tmp_path):
     """Batch CDC: table_changes attributes rows to commits; file-level ops
     need no materialized feed; compaction is silent."""
