@@ -982,6 +982,34 @@ def vintage_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("vintage_sql_write", _ORDERS_PROJ_SQL)
+def vintage_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through the registered data source WRITE path — the reference's
+    actual write UX (README.md:92 ``df.write.format("delta")``):
+    df.write.format('vintage').mode('overwrite') stages Arrow batches as
+    parquet on executors and publishes ONE atomic commit, then the same
+    source reads the snapshot back."""
+    import tempfile
+
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    spark.dataSource.register(VintageSnapshotDataSource)
+    path = tempfile.mkdtemp(prefix="sdlt_sqlwrite_") + "/orders"
+    (
+        _orders_proj(spark, sf_dir)
+        .write.format("vintage")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    return (
+        spark.read.format("vintage")
+        .option("path", path)
+        .load()
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Hand-build a REAL Delta table (JSON ``_delta_log``) holding the
     orders projection: v0 loads a full file, v1 'compacts' it into two

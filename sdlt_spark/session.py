@@ -36,6 +36,9 @@ def get_spark(app_name: str = "sdlt_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SDLT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python Data Source filter pushdown (Spark 4.1): lets the vintage
+        # batch source turn pushed comparisons into zone-map file skipping
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # The driver fixtures are single ~1-10 MB parquet files; the 128 MB
         # default would scan each as 1 task on a 32-core box. 4 MB splits
         # align scan parallelism with cores at local test scale. On a real

@@ -195,28 +195,13 @@ class VintageStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
+        from sdlt_spark.store.batch_source import apply_dv_mask
+
         tbl = pq.read_table(partition.abs_path)
-        if partition.dv_paths:
-            # drop rows whose (file, pos) a deletion-vector sidecar names;
-            # DV refs are table-relative or (clone-translated) absolute
-            me = os.path.normpath(partition.abs_path)
-            drop: set[int] = set()
-            for dv_path in partition.dv_paths:
-                dv = pq.read_table(dv_path)
-                for ref, pos in zip(
-                    dv.column("file").to_pylist(), dv.column("pos").to_pylist()
-                ):
-                    ref_abs = (
-                        ref
-                        if os.path.isabs(ref)
-                        else os.path.normpath(os.path.join(partition.table_root, ref))
-                    )
-                    if ref_abs == me:
-                        drop.add(pos)
-            if drop:
-                tbl = tbl.take(
-                    [i for i in range(tbl.num_rows) if i not in drop]
-                )
+        # drop rows whose (file, pos) a deletion-vector sidecar names
+        tbl = apply_dv_mask(
+            tbl, partition.abs_path, partition.dv_paths, partition.table_root
+        )
         n = tbl.num_rows
         arrays, names = [], []
         for field in self._schema.fields:
