@@ -816,6 +816,26 @@ def vintage_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vintage_update_dv",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN 0.0 ELSE round(o_totalprice, 2) END
+             AS o_totalprice
+    FROM orders
+    """,
+)
+def vintage_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 through the MERGE-ON-READ path: update(mode='dv') hides matched
+    rows behind a deletion-vector sidecar and appends their updated copies
+    (store/vintage.py::_update_dv, Delta's DV-backed UPDATE) — zero data
+    files rewritten. Same relational answer as vintage_update; shared
+    oracle. The point-update shape for 100 TB tables."""
+    t = _fresh_vintage(spark, sf_dir)
+    t.update("o_orderstatus = 'P'", {"o_totalprice": F.lit(0.0)}, mode="dv")
+    return t.read()
+
+
+@_q(
     "vintage_history",
     # timestamps are run-dependent, but the (version, operation, dataChange)
     # projection is exact: the clone bootstrap plus the three mutations

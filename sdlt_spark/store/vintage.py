@@ -1361,10 +1361,80 @@ class VintageTable:
             params["changeData"] = change_dir
         return self._commit("DELETE", params, add, touched)
 
+    def _update_dv(self, condition: str, assignments: dict) -> int:
+        """Merge-on-read update: record the matched rows' positions as a
+        deletion-vector sidecar and APPEND their updated copies — Delta's
+        DV-backed UPDATE. O(matched rows) written, zero data files
+        rewritten: the point-update shape for a 100 TB table where
+        copy-on-write would rewrite a 128 MB file per touched row. Readers
+        see the update immediately (DV anti-join hides the old rows, the
+        appended file supplies the new ones)."""
+        live = self._live_files()
+        data, dvs = self._split_live(live)
+        cond = F.expr(condition)
+        if not data:
+            return self._commit(
+                "UPDATE", {"predicate": condition, "deletionVectors": "true"}, [], []
+            )
+        snap = self._with_dv_key(self._read_files(data))
+        if dvs:
+            prior = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
+            ).select("file", "pos")
+            snap = snap.join(
+                prior,
+                (snap["__dv_file"] == prior["file"])
+                & (snap["__dv_pos"] == prior["pos"]),
+                "left_anti",
+            )
+        matched = snap.filter(cond)
+        if self.change_feed:
+            matched = matched.localCheckpoint(eager=False)
+        add_dv = self._write_dv_files(
+            matched.select(
+                F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+            )
+        )
+        before = matched.drop("__dv_file", "__dv_pos")
+        after = before.withColumns(
+            {
+                col: F.expr(val) if isinstance(val, str) else val
+                for col, val in assignments.items()
+            }
+        )
+        if self.change_feed:
+            after = after.localCheckpoint(eager=False)
+        add_data = self._write_files(after)
+        change_dir = self._write_change_data(
+            before.withColumn("_change_type", F.lit("delete")).unionByName(
+                after.withColumn("_change_type", F.lit("insert"))
+            )
+            if self.change_feed
+            else None
+        )
+        params = {"predicate": condition, "deletionVectors": "true"}
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit("UPDATE", params, add_dv + add_data, [])
+
     @_retry_conflicts
-    def update(self, condition: str, assignments: dict[str, "F.Column | str"]) -> int:
+    def update(
+        self,
+        condition: str,
+        assignments: dict[str, "F.Column | str"],
+        mode: str = "copy_on_write",
+    ) -> int:
         """Predicate update, e.g. series-level attribute fan-out
-        (README.md:290). Rewrites only files containing matching rows."""
+        (README.md:290).
+
+        ``mode="copy_on_write"`` (default) rewrites only files containing
+        matching rows; ``mode="dv"`` is merge-on-read (see
+        :meth:`_update_dv`): a deletion-vector sidecar hides the old rows
+        and the updated copies are appended — O(matched rows) written."""
+        if mode == "dv":
+            return self._update_dv(condition, assignments)
+        if mode != "copy_on_write":
+            raise ValueError(f"mode={mode!r}; expected 'copy_on_write' or 'dv'")
         self.materialize_deletion_vectors()  # see delete(): raw-file rewrite
         live = self._live_files()
         cond = F.expr(condition)

@@ -266,6 +266,49 @@ def test_delete_mode_validation(spark, tmp_path):
         t.delete("k = 1", mode="bogus")
 
 
+def test_dv_update_rewrites_nothing_and_reads_updated(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    data_before = set(_data_files(t))
+    v0 = t.latest_version()
+    t.update("grp = 4", {"v": F.lit(-7.0).cast("long")}, mode="dv")
+    # no pre-existing data file rewritten; DV + one appended file
+    assert data_before <= set(_data_files(t))
+    assert _dv_files(t)
+    rows = t.read()
+    assert rows.count() == 100
+    assert rows.filter(F.col("grp") == 4).count() == 10
+    assert rows.filter(F.col("v") == -7).count() == 10
+    assert t.read(version=v0).filter(F.col("v") == -7).count() == 0
+
+
+def test_dv_update_composes_with_dv_delete_and_materialize(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.delete("grp = 1", mode="dv")
+    t.update("grp = 2", {"v": F.lit(0).cast("long")}, mode="dv")
+    rows = t.read()
+    assert rows.count() == 90
+    assert rows.filter((F.col("grp") == 2) & (F.col("v") != 0)).count() == 0
+    before = sorted((r["k"], r["v"]) for r in rows.collect())
+    t.materialize_deletion_vectors()
+    assert not _dv_files(t)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == before
+
+
+def test_dv_update_change_feed_emits_pairs(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"), change_feed=True)
+    v = t.update("grp = 5", {"v": F.lit(1).cast("long")}, mode="dv")
+    ch = t.table_changes(v, v).collect()
+    assert len(ch) == 20  # 10 deletes + 10 inserts
+    assert sum(1 for r in ch if r["_change_type"] == "insert") == 10
+    assert all(r["v"] == 1 for r in ch if r["_change_type"] == "insert")
+
+
+def test_dv_update_mode_validation(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="mode"):
+        t.update("k = 1", {"v": F.lit(0)}, mode="bogus")
+
+
 # ---- optimize(): small-file bin-packing (lives here with the other
 # maintenance-op coverage) ----
 

@@ -55,7 +55,7 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 18):
 
     for step in range(n_ops):
         op = rng.choice(
-            ["append", "merge", "delete", "delete_dv", "update",
+            ["append", "merge", "delete", "delete_dv", "update", "update_dv",
              "compact", "optimize", "restore", "vacuum", "checkpoint", "overwrite"]
         )
         ctx = f"seed={seed} step={step} op={op}"
@@ -78,10 +78,13 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 18):
             g = rng.randrange(5)
             t.delete(f"grp = {g}", mode="dv" if op == "delete_dv" else "copy_on_write")
             model = [r for r in model if r[1] != g]
-        elif op == "update":
+        elif op in ("update", "update_dv"):
             g = rng.randrange(5)
             c = float(rng.randrange(1000))
-            t.update(f"grp = {g}", {"v": F.lit(c)})
+            t.update(
+                f"grp = {g}", {"v": F.lit(c)},
+                mode="dv" if op == "update_dv" else "copy_on_write",
+            )
             model = [(k, grp, c if grp == g else v) for (k, grp, v) in model]
         elif op == "compact":
             t.compact(num_files=rng.randrange(1, 4))
