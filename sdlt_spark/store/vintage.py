@@ -1094,6 +1094,10 @@ class VintageTable:
         order_col: str | None = None,
         txn_id: str | None = None,
         not_matched_by_source_delete: bool | str = False,
+        matched_update: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        matched_delete: bool | str = False,
+        insert_condition: str | None = None,
     ) -> int:
         """Upsert: whenMatched updateAll / whenNotMatched insertAll on key
         equality (README.md:125-130). With ``schema_evolution`` new source
@@ -1119,7 +1123,41 @@ class VintageTable:
         Copy-on-write: only files containing a matched key are rewritten;
         scanning for matches reads just the key columns (column pruning) +
         file metadata.
+
+        **Conditional clauses** (Delta's full MERGE surface, subset):
+        passing any of ``matched_update`` / ``matched_delete`` /
+        ``insert_condition`` switches the matched/not-matched handling from
+        updateAll/insertAll to clause semantics:
+
+        - ``matched_delete`` (bool or SQL condition): matched target rows
+          where the condition holds are DELETED. Evaluated first, like a
+          leading ``whenMatchedDelete`` clause.
+        - ``matched_update`` (col -> SQL expr) with optional
+          ``matched_condition``: surviving matched rows where the condition
+          holds get the listed columns reassigned; other columns keep their
+          target values. Matched rows matching NO clause stay unchanged
+          (Delta semantics — note the contrast with default updateAll).
+        - ``insert_condition``: not-matched source rows are inserted only
+          where it holds (evaluated on source columns, bare names).
+
+        Conditions/update expressions see TARGET columns by bare name and
+        SOURCE columns as ``src_<name>`` (e.g. ``"o_totalprice <
+        src_o_totalprice"``). Clause mode currently excludes
+        ``schema_evolution`` (raises), composes with
+        ``not_matched_by_source_delete``.
         """
+        clause_mode = (
+            matched_update is not None
+            or bool(matched_delete)
+            or insert_condition is not None
+        )
+        if matched_condition is not None and matched_update is None:
+            raise ValueError("matched_condition requires matched_update")
+        if clause_mode and schema_evolution:
+            raise NotImplementedError(
+                "conditional merge clauses with schema_evolution are not "
+                "supported; evolve the schema with a separate merge first"
+            )
         if order_col is not None:
             from pyspark.sql import Window
 
@@ -1227,6 +1265,119 @@ class VintageTable:
                 if f.name not in have:
                     frame = frame.withColumn(f.name, F.lit(None).cast(f.dataType))
             return frame.select(*[f.name for f in schema.fields])
+
+        if clause_mode:
+            # ---- Delta conditional-clause semantics (see docstring) ----
+            tcols = [f.name for f in target_schema.fields]
+            # inserts = source rows whose key exists NOWHERE in the target;
+            # every matched key's rows live in touched files by construction
+            ins_src = src.select(*tcols)
+            src_extra = src.select(
+                *key_cols,
+                *[
+                    F.col(c).alias(f"src_{c}")
+                    for c in src.columns
+                    if c not in key_cols
+                ],
+                F.lit(True).alias("__m"),
+            )
+            del_expr = (
+                F.expr(matched_delete)
+                if isinstance(matched_delete, str)
+                else F.lit(bool(matched_delete))
+            )
+            upd_frames = None  # (before, after) for the change feed
+            del_frame = None
+            if touched:
+                touched_rows = self._read_files(touched)
+                tgt = _pad_to(touched_rows, target_schema)
+                joined = tgt.join(src_extra, key_cols, "left")
+                matched = F.coalesce(F.col("__m"), F.lit(False))
+                # NULL conditions act as not-satisfied (SQL WHEN semantics)
+                del_mask = matched & F.coalesce(
+                    del_expr.cast("boolean"), F.lit(False)
+                )
+                upd_gate = (
+                    F.coalesce(F.expr(matched_condition).cast("boolean"), F.lit(False))
+                    if matched_condition is not None
+                    else F.lit(True)
+                )
+                upd_mask = (
+                    matched & ~del_mask & upd_gate
+                    if matched_update is not None
+                    else F.lit(False)
+                )
+                survivors = joined.filter(~del_mask)
+                if nmbs_cond is not None:
+                    survivors = survivors.filter(
+                        ~(~matched & F.coalesce(nmbs_cond, F.lit(False)))
+                    )
+                assigned = {
+                    c: F.when(upd_mask, F.expr(matched_update[c])).otherwise(F.col(c))
+                    for c in (matched_update or {})
+                }
+                rewritten = survivors.select(
+                    *[assigned.get(c, F.col(c)).alias(c) for c in tcols]
+                )
+                ins_src = ins_src.join(
+                    touched_rows.select(*key_cols), key_cols, "left_anti"
+                )
+                if self.change_feed:
+                    del_all = joined.filter(del_mask)
+                    if nmbs_cond is not None:
+                        del_all = del_all.unionByName(
+                            joined.filter(~matched & F.coalesce(nmbs_cond, F.lit(False)))
+                        )
+                    del_frame = del_all.select(*tcols)
+                    if matched_update is not None:
+                        upd_rows = joined.filter(upd_mask)
+                        upd_frames = (
+                            upd_rows.select(*tcols),
+                            upd_rows.select(
+                                *[
+                                    (F.expr(matched_update[c]) if c in matched_update else F.col(c)).alias(c)
+                                    for c in tcols
+                                ]
+                            ),
+                        )
+            else:
+                rewritten = None
+            if insert_condition is not None:
+                ins_src = ins_src.filter(
+                    F.coalesce(F.expr(insert_condition).cast("boolean"), F.lit(False))
+                )
+            new_data = (
+                rewritten.unionByName(ins_src) if rewritten is not None else ins_src
+            )
+            change_dir = None
+            if self.change_feed:
+                changes = ins_src.withColumn("_change_type", F.lit("insert"))
+                if del_frame is not None:
+                    changes = changes.unionByName(
+                        del_frame.withColumn("_change_type", F.lit("delete"))
+                    )
+                if upd_frames is not None:
+                    before, after = upd_frames
+                    changes = changes.unionByName(
+                        before.withColumn("_change_type", F.lit("delete"))
+                    ).unionByName(after.withColumn("_change_type", F.lit("insert")))
+                change_dir = self._write_change_data(changes)
+            add = self._write_files(new_data)
+            params = {
+                "predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols),
+                "clauses": "true",
+            }
+            if change_dir:
+                params["changeData"] = change_dir
+            if txn_id is not None:
+                params["txnId"] = str(txn_id)
+            return self._commit(
+                "MERGE",
+                params,
+                add,
+                touched,
+                schema_json=None if self.exists() else new_data.schema.json(),
+            )
 
         if touched:
             touched_rows = self._read_files(touched)
