@@ -257,9 +257,27 @@ class VintageWriter(DataSourceArrowWriter):
         sess = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         return VintageTable(sess, self._path)
 
+    def _prune_orphans(self, committed: list[str]) -> None:
+        """Delete staged parquet in the commit dir that no task commit
+        message references — failed/speculative task attempts write files
+        Spark never reports to commit(); without this they'd sit forever
+        as unreferenced data (vacuum would sweep them eventually, but the
+        committer should not leak in the first place)."""
+        abs_dir = os.path.join(self._path, self._commit_dir)
+        if not os.path.isdir(abs_dir):
+            return
+        keep = {os.path.basename(f) for f in committed}
+        for f in os.listdir(abs_dir):
+            if f.endswith(".parquet") and f not in keep:
+                try:
+                    os.remove(os.path.join(abs_dir, f))
+                except OSError:
+                    pass  # best-effort hygiene; vacuum sweeps stragglers
+
     def commit(self, messages):
         t = self._spark_table()
         files = sorted(m.rel_path for m in messages if m.rel_path)
+        self._prune_orphans(files)
         mode = "overwrite" if self._overwrite else "append"
         if mode == "append" and t.exists():
             # same contract as VintageTable.write / Delta: appends must
@@ -293,13 +311,27 @@ class VintageWriter(DataSourceArrowWriter):
         t._op_files = list(files)
         try:
             t._collect_stats(files)
-            remove = t._live_files() if (self._overwrite and t.exists()) else []
             params = {"mode": "Overwrite" if self._overwrite else "Append"}
             if self._txn_id is not None:
                 params["txnId"] = str(self._txn_id)
-            t._commit(
-                "WRITE", params, files, remove, schema_json=self._schema.json()
-            )
+            # Delta's discipline: a blind append commutes with any concurrent
+            # commit, so losing the version race is retryable — re-resolve
+            # the log and re-publish at the new version (the staged files are
+            # untouched). Overwrite does NOT retry: its remove-set was
+            # derived from a snapshot a concurrent writer just changed, and
+            # blindly replacing the NEW state is a lost update.
+            from sdlt_spark.store.vintage import CommitConflictError, _COMMIT_RETRIES
+
+            for attempt in range(_COMMIT_RETRIES):
+                try:
+                    remove = t._live_files() if (self._overwrite and t.exists()) else []
+                    t._commit(
+                        "WRITE", params, files, remove, schema_json=self._schema.json()
+                    )
+                    break
+                except CommitConflictError:
+                    if self._overwrite or attempt == _COMMIT_RETRIES - 1:
+                        raise
         except BaseException:
             t._cleanup_op_files()
             raise

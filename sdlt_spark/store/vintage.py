@@ -267,7 +267,14 @@ def _read_footer_stats(abs_path: str) -> dict:
             st = col.statistics
             lo = hi = None
             if st is not None and st.has_min_max:
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow can't decode stats for every physical/logical
+                    # type combination (e.g. some decimals); stats are an
+                    # optimization — an unusable column must never fail the
+                    # write that triggered collection
+                    lo = hi = None
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
@@ -1538,18 +1545,32 @@ class VintageTable:
                 & (snap["__dv_pos"] == prior["pos"]),
                 "left_anti",
             )
-        matched = snap.filter(cond)
-        if self.change_feed:
-            matched = matched.localCheckpoint(eager=False)
+        # pin the matched row set BEFORE any write: the DV sidecar and the
+        # appended copies are separate jobs, and a non-deterministic
+        # condition (rand(), current_timestamp()) re-evaluated per job
+        # could hide one row set and append a different one — silent row
+        # loss/duplication. localCheckpoint makes both jobs read the same
+        # materialized rows.
+        matched = snap.filter(cond).localCheckpoint(eager=False)
         add_dv = self._write_dv_files(
             matched.select(
                 F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
             )
         )
         before = matched.drop("__dv_file", "__dv_pos")
+        # cast each assignment back to the column's existing type: the
+        # copy-on-write path coerces via when().otherwise(col) (literal
+        # 1.0 assigned to a double column stays double); the append path
+        # must not let the expression's own type (decimal!) leak into the
+        # table's files and fork the schema
+        col_types = {f.name: f.dataType for f in before.schema.fields}
         after = before.withColumns(
             {
-                col: F.expr(val) if isinstance(val, str) else val
+                col: (F.expr(val) if isinstance(val, str) else val).cast(
+                    col_types[col]
+                )
+                if col in col_types
+                else (F.expr(val) if isinstance(val, str) else val)
                 for col, val in assignments.items()
             }
         )

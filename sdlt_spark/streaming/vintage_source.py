@@ -124,12 +124,17 @@ class VintageStreamReader(DataSourceStreamReader):
         if self._max_commits is None:
             self._last_end = latest
             return {"version": latest}
-        # rate-limited: advance at most max_commits past the last end this
-        # reader handed out. partitions() re-syncs _last_end to the batch
-        # end Spark actually runs (covers checkpoint-recovery replay, where
-        # the true offset is behind this reader's construction state);
-        # correctness never depends on this counter — partitions(start,
-        # end) always gets the true checkpointed start.
+        # Rate-limited: advance at most max_commits past the stream's
+        # position. The position is construction state (`_initial`) only
+        # for a FRESH query's first trigger; on a restart Spark replays the
+        # last offset-log batch — partitions(ckptStart, ckptEnd) — BEFORE
+        # the first latestOffset (verified empirically against this Spark
+        # build: fresh order is latestOffset -> initialOffset ->
+        # partitions; restart order is partitions -> latestOffset), so
+        # _last_end is synced to the true checkpointed position before any
+        # capping decision. Correctness never depends on this counter —
+        # partitions(start, end) always gets the true checkpointed start;
+        # the cap only bounds how far each batch's END advances.
         end = min(latest, self._last_end + self._max_commits)
         self._last_end = max(self._last_end, end)
         return {"version": end}
@@ -139,8 +144,15 @@ class VintageStreamReader(DataSourceStreamReader):
 
         if self._max_commits is not None:
             # sync the admission-control counter to the batch Spark is
-            # actually running (see latestOffset)
-            self._last_end = end["version"]
+            # actually running — Spark's offset log is authoritative, so
+            # this may move the counter DOWN (restart behind a backlog:
+            # the construction-time seed is the table head, the replayed
+            # batch reveals the true, older position — without the
+            # down-sync the first post-restart latestOffset would cap
+            # relative to the head and hand Spark the whole backlog as
+            # one unbounded batch). max(start, end) only guards against a
+            # pathological backwards range within one batch.
+            self._last_end = max(start["version"], end["version"])
         t = _table(self._path)
         # parse only the commits in (start, end] — a long-lived table has
         # O(history) log entries and this runs every micro-batch. Change

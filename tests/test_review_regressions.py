@@ -260,3 +260,223 @@ def test_global_rank_null_heavy_recursion_matches_window(spark):
     )
     mism = ranked.join(expected, "uid").filter(F.col("grank") != F.col("wrank")).count()
     assert mism == 0
+
+
+def test_update_dv_nondeterministic_condition_consistent(spark, tmp_path):
+    """Round-6 advice: _update_dv must pin the matched row set before the
+    two write jobs (DV sidecar, appended copies) — a non-deterministic
+    condition re-evaluated per job would hide one row set and append a
+    different one (silent loss/duplication)."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(200).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+    )
+    t.update("rand() < 0.5", {"v": "1.0"}, mode="dv")
+    out = t.read()
+    # the literal 1.0 parses as DECIMAL(2,1); the appended copies must be
+    # cast back to the column's double type (as copy-on-write coerces)
+    assert out.schema["v"].dataType.simpleString() == "double"
+    rows = out.collect()
+    assert len(rows) == 200  # every key exactly once, none lost or doubled
+    assert sorted(r["k"] for r in rows) == list(range(200))
+
+
+def test_batch_source_append_retries_commit_conflict(spark, tmp_path):
+    """Round-6 advice: the DataSource write path must retry a blind append
+    that loses the version race (appends commute), instead of aborting and
+    deleting the staged files. (commit() is invoked directly: the real
+    writer runs it in the data source worker process, out of monkeypatch
+    reach.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.batch_source import VintageWriter, _StagedFile
+    from sdlt_spark.store.vintage import CommitConflictError
+
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)
+    t.write(spark.range(5).select(F.col("id").alias("k")))
+    schema = t.read().schema
+
+    w = VintageWriter(schema, {"path": path}, overwrite=False)
+    abs_dir = os.path.join(path, w._commit_dir)
+    os.makedirs(abs_dir)
+    pq.write_table(
+        pa.table({"k": pa.array(range(5, 10), pa.int64())}),
+        os.path.join(abs_dir, "part-0.parquet"),
+    )
+    msgs = [_StagedFile(f"{w._commit_dir}/part-0.parquet")]
+
+    # inject one conflict: first _commit attempt loses the race
+    orig = VintageTable._commit
+    state = {"raised": False}
+
+    def flaky_commit(self, *args, **kwargs):
+        if not state["raised"]:
+            state["raised"] = True
+            raise CommitConflictError("injected concurrent writer")
+        return orig(self, *args, **kwargs)
+
+    VintageTable._commit = flaky_commit
+    try:
+        w.commit(msgs)
+    finally:
+        VintageTable._commit = orig
+    assert state["raised"]
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(10))
+
+    # OVERWRITE must NOT retry: its remove-set came from a snapshot a
+    # concurrent writer just changed — surface the conflict
+    w2 = VintageWriter(schema, {"path": path}, overwrite=True)
+    abs_dir2 = os.path.join(path, w2._commit_dir)
+    os.makedirs(abs_dir2)
+    pq.write_table(
+        pa.table({"k": pa.array([99], pa.int64())}),
+        os.path.join(abs_dir2, "part-0.parquet"),
+    )
+    state["raised"] = False
+    VintageTable._commit = flaky_commit
+    try:
+        with pytest.raises(CommitConflictError):
+            w2.commit([_StagedFile(f"{w2._commit_dir}/part-0.parquet")])
+    finally:
+        VintageTable._commit = orig
+
+
+def test_batch_source_commit_prunes_speculative_orphans(spark, tmp_path):
+    """Round-6 advice: staged parquet from failed/speculative task attempts
+    (present in the commit dir but absent from the task commit messages)
+    must be deleted at commit, not leaked as unreferenced data."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    spark.dataSource.register(VintageSnapshotDataSource)
+    path = str(tmp_path / "t")
+    (
+        spark.range(3)
+        .select(F.col("id").alias("k"))
+        .coalesce(1)
+        .write.format("vintage")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    t = VintageTable(spark, path)
+    commit_dirs = {os.path.dirname(f) for f in t._live_files()}
+    assert len(commit_dirs) == 1
+    cdir = commit_dirs.pop()
+    # plant a speculative-attempt orphan, then run another committed write
+    orphan_dirs_before = set()
+    abs_dir = os.path.join(path, cdir)
+    pq.write_table(pa.table({"k": pa.array([99], pa.int64())}),
+                   os.path.join(abs_dir, "orphan-attempt.parquet"))
+    # a NEW write gets its own commit dir; its commit must prune only its
+    # own orphans — the planted one is swept by vacuum, not this commit
+    (
+        spark.range(3, 6)
+        .select(F.col("id").alias("k"))
+        .coalesce(1)
+        .write.format("vintage")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    live = t._live_files()
+    # every staged parquet on disk under data/ commit dirs is either live
+    # in the log or the planted foreign orphan
+    on_disk = []
+    for root, _, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.append(os.path.relpath(os.path.join(root, f), path))
+    extras = set(on_disk) - set(live)
+    assert extras == {f"{cdir}/orphan-attempt.parquet"}
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(6))
+
+
+def test_stream_reader_restart_caps_backlog(spark, tmp_path):
+    """Round-6 advice: a rate-limited reader restarting behind a backlog
+    must cap from the TRUE (checkpointed) position, not its
+    construction-time seed. Spark's restart sequence (verified against
+    this build) replays the last offset-log batch — partitions(ckptStart,
+    ckptEnd) — before the first latestOffset, so the down-sync there is
+    what bounds the catch-up batches."""
+    from pyspark.sql.types import StructType
+
+    from sdlt_spark.streaming.vintage_source import VintageStreamReader
+
+    path = str(tmp_path / "t")
+    t = VintageTable(spark, path)
+    for i in range(12):
+        t.write(
+            spark.range(i, i + 1).select(F.col("id").alias("k")),
+            mode="append" if i else "overwrite",
+        )
+    # no startingVersion: the construction seed is the CURRENT head (11).
+    # Simulate a restart whose checkpoint is far behind (position 3): Spark
+    # replays the last planned batch first...
+    r = VintageStreamReader(
+        StructType([]), {"path": path, "maxcommitspertrigger": "2"}
+    )
+    list(r.partitions({"version": 3}, {"version": 3}))
+    # ...and the next latestOffset must cap from 3, not from the seed 11
+    # (the advice's bug: seed-relative capping returns the whole backlog)
+    assert r.latestOffset() == {"version": 5}
+    assert r.latestOffset() == {"version": 7}
+    # fresh-query path still caps from initialOffset's floor
+    r2 = VintageStreamReader(
+        StructType([]),
+        {"path": path, "startingversion": "0", "maxcommitspertrigger": "2"},
+    )
+    assert r2.initialOffset() == {"version": -1}
+    assert r2.latestOffset() == {"version": 1}
+
+
+def test_vintage_cdc_restart_behind_backlog_e2e(spark, tmp_path):
+    """End-to-end restart: stop a checkpointed rate-limited stream, land a
+    commit backlog, restart — the backlog must arrive complete, duplicate-
+    free, and in multiple capped micro-batches."""
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
+
+    spark.dataSource.register(VintageChangeDataSource)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = VintageTable(spark, path)
+    t.write(spark.range(10).select(F.col("id").alias("k")))
+
+    def run():
+        q = (
+            spark.readStream.format("vintage_cdc")
+            .option("path", path)
+            .option("startingVersion", 0)
+            .option("maxCommitsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        progress = [p["numInputRows"] for p in q.recentProgress]
+        q.stop()
+        return progress
+
+    run()
+    for i in range(4):  # 4-commit backlog while the stream is down
+        t.write(
+            spark.range(10 + i * 10, 20 + i * 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    progress = run()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 50  # complete, no duplicates
+    assert sorted(r["k"] for r in rows.collect()) == list(range(50))
+    # capped: the backlog arrived as >= 4 one-commit batches
+    assert len([n for n in progress if n > 0]) >= 4, progress
