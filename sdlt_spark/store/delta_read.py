@@ -18,15 +18,27 @@ Scope (documented, checked, honest):
 - ``versionAsOf`` / ``timestampAsOf`` time travel (timestamp resolution by
   commit-file modification time, exactly delta-spark's fallback when no
   in-commit timestamps exist).
-- Partitioned tables: partition values live in the log, not the data files;
-  they're re-attached as typed literal columns per add-action group.
-- NOT supported, rejected loudly rather than read wrong: deletion vectors
-  (roaring-bitmap sidecars), column mapping (id/name modes), and any
-  reader feature beyond protocol minReaderVersion 1 that the table
-  actually uses.
+- Partitioned tables: partition values live in the log, not the data
+  files; they're re-attached via a broadcast (file -> values) map join —
+  ONE scan node however many partitions the table has, and null partition
+  values (JSON null per spec) work.
+- Deletion vectors: ``deletionVector`` descriptors on add actions are
+  honored — the roaring-bitmap sidecars (storageType u/i/p, Delta
+  PROTOCOL.md "Deletion Vectors") are parsed executor-side and applied as
+  a (file, row_index) anti-join, so DV-bearing tables (the default shape
+  from modern writers) read correctly instead of resurrecting deleted
+  rows.
+- Column mapping, ``name`` mode: data is scanned under the physical
+  column names recorded in the schema metadata and presented under the
+  logical names (struct casts rename nested fields positionally).
+  ``id`` mode (parquet field-id matching) is still refused loudly.
+- Anything else beyond the implemented reader feature set is rejected
+  loudly rather than read wrong.
 
-Everything here is driver-side metadata work (the log is KB-MB scale);
-data reads stay one ``spark.read.parquet`` per partition-value group, so
+Everything driver-side is metadata work (the log is KB-MB scale); data
+reads are one ``spark.read.parquet`` over the live file list with the
+snapshot schema supplied explicitly — schema-evolved tables read
+early files' missing columns as typed nulls, matching delta-spark, and
 Catalyst still gets pushdown/pruning over the listed files.
 """
 
@@ -39,30 +51,75 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StructField,
+    StructType,
+)
 
 _LOG = "_delta_log"
 
 # reader features this shim implements; a protocol v3 table listing
-# anything else is rejected (reading it anyway would silently drop rows —
-# e.g. ignoring deletionVectors resurrects deleted rows)
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
+# anything else is rejected (reading it anyway would silently drop rows)
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "deletionVectors",
+    "columnMapping",
+}
+
+_PHYS_KEY = "delta.columnMapping.physicalName"
 
 
 class DeltaProtocolError(NotImplementedError):
     """The table uses a Delta reader feature this shim does not implement."""
 
 
+def _physical_type(dt):
+    """Recursively rewrite a Spark type so nested struct fields carry
+    their PHYSICAL names (column mapping stores the mapping in each
+    field's metadata, at every nesting level)."""
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    f.metadata.get(_PHYS_KEY, f.name),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 @dataclass
 class _Snapshot:
     version: int
-    schema: StructType
-    partition_columns: list[str]
+    schema: StructType  # logical schema
+    partition_columns: list[str]  # logical names
     # add-action path (relative, URL-decoded) -> partitionValues dict
+    # (keyed by PHYSICAL name when column mapping is on)
     files: dict[str, dict] = field(default_factory=dict)
     # add-action path -> parsed stats JSON ({numRecords, minValues,
     # maxValues, nullCount}) when the writer recorded them
     stats: dict[str, dict] = field(default_factory=dict)
+    # add-action path -> deletionVector descriptor for files with live DVs
+    dvs: dict[str, dict] = field(default_factory=dict)
+    # logical top-level column name -> physical name ({} = no mapping)
+    mapping: dict[str, str] = field(default_factory=dict)
+
+    def physical_name(self, logical: str) -> str:
+        return self.mapping.get(logical, logical)
 
 
 class DeltaTableReader:
@@ -136,7 +193,10 @@ class DeltaTableReader:
             if "protocol" in cols and row.get("protocol"):
                 self._check_protocol(row["protocol"])
             if "metaData" in cols and row.get("metaData"):
-                self._apply_metadata(snap, row["metaData"])
+                meta = dict(row["metaData"])
+                if isinstance(meta.get("configuration"), list):
+                    meta["configuration"] = dict(meta["configuration"])
+                self._apply_metadata(snap, meta)
             if "add" in cols and row.get("add"):
                 self._apply_add(snap, row["add"])
             # a checkpoint's remove actions are tombstones for VACUUM only;
@@ -147,11 +207,9 @@ class DeltaTableReader:
     @staticmethod
     def _check_protocol(proto: dict) -> None:
         reader = proto.get("minReaderVersion", 1)
-        if reader <= 1:
-            return
-        if reader == 2:
-            # reader v2 is column mapping's gate; the mode check in
-            # _apply_metadata decides, so a v2 table without mapping reads
+        if reader <= 2:
+            # v2 gates column mapping; v3 DVs etc. arrive via readerFeatures.
+            # Both paths funnel through _apply_metadata / _apply_add checks.
             return
         features = set(proto.get("readerFeatures") or [])
         unsupported = features - _SUPPORTED_READER_FEATURES
@@ -164,23 +222,27 @@ class DeltaTableReader:
 
     def _apply_metadata(self, snap: _Snapshot, meta: dict) -> None:
         config = meta.get("configuration") or {}
-        mapping = config.get("delta.columnMapping.mode", "none")
-        if mapping not in ("none", None):
+        mapping_mode = config.get("delta.columnMapping.mode", "none")
+        if mapping_mode not in ("none", "name", None):
             raise DeltaProtocolError(
-                f"delta.columnMapping.mode={mapping!r} is not supported "
-                "(physical column names would not match the logical schema)"
+                f"delta.columnMapping.mode={mapping_mode!r} is not supported "
+                "('id' mode matches by parquet field id, which this shim "
+                "does not read; 'name'/'none' are)"
             )
         schema_str = meta.get("schemaString")
         if schema_str:
             snap.schema = StructType.fromJson(json.loads(schema_str))
+            snap.mapping = (
+                {
+                    f.name: f.metadata.get(_PHYS_KEY, f.name)
+                    for f in snap.schema.fields
+                }
+                if mapping_mode == "name"
+                else {}
+            )
         snap.partition_columns = list(meta.get("partitionColumns") or [])
 
     def _apply_add(self, snap: _Snapshot, add: dict) -> None:
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                "this Delta table has deletion vectors; reading the raw "
-                "files would resurrect deleted rows"
-            )
         path = urllib.parse.unquote(add["path"])
         pvals = add.get("partitionValues") or {}
         if isinstance(pvals, list):
@@ -188,12 +250,21 @@ class DeltaTableReader:
             # pyarrow surfaces map values as (key, value) tuple lists
             pvals = dict(pvals)
         snap.files[path] = pvals
+        dv = add.get("deletionVector")
+        if dv:
+            snap.dvs[path] = dict(dv)
+        else:
+            # a re-add without a descriptor clears any prior DV (that is
+            # how Delta drops a DV: re-add the file without it)
+            snap.dvs.pop(path, None)
         raw_stats = add.get("stats")
         if raw_stats:
             try:
                 snap.stats[path] = json.loads(raw_stats)
             except (TypeError, json.JSONDecodeError):
                 pass  # malformed stats: skip the skip, never the file
+        else:
+            snap.stats.pop(path, None)
 
     # --------------------------------------------------------------- replay
 
@@ -234,6 +305,7 @@ class DeltaTableReader:
                         rel = urllib.parse.unquote(action["remove"]["path"])
                         snap.files.pop(rel, None)
                         snap.stats.pop(rel, None)
+                        snap.dvs.pop(rel, None)
                     # commitInfo / txn / cdc / domainMetadata: no read effect
         if not snap.schema.fields:
             raise ValueError(f"no metaData action found replaying {self.path}")
@@ -245,43 +317,157 @@ class DeltaTableReader:
         self, version: int | None = None, timestamp: float | None = None
     ) -> DataFrame:
         """Snapshot read with Delta semantics: ``version``/``timestamp``
-        time-travel like delta-spark's ``versionAsOf``/``timestampAsOf``.
-
-        Partitioned tables group add-actions by partition values — one
-        parquet scan per group with the partition columns re-attached as
-        typed literals (they are absent from the data files, per the Delta
-        spec), then a by-name union. Group count = live partitions; for a
-        table with pathological partition cardinality, read partitions
-        selectively instead (this is a shim, not a planner)."""
+        time-travel like delta-spark's ``versionAsOf``/``timestampAsOf``."""
         snap = self.snapshot(version=version, timestamp=timestamp)
         return self._read_file_subset(snap, sorted(snap.files))
 
+    @staticmethod
+    def _norm_path_col(col):
+        """file:///x -> /x so ``_metadata.file_path`` compares equal to
+        os.path strings (same normalization the vintage store uses)."""
+        return F.regexp_replace(col, "^file:/+", "/")
+
     def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
-        out_cols = [f.name for f in snap.schema.fields]
-        part_types = {
-            f.name: f.dataType
-            for f in snap.schema.fields
-            if f.name in snap.partition_columns
-        }
+        """ONE parquet scan over the live files (snapshot schema supplied
+        explicitly — early files of a schema-evolved table read missing
+        columns as typed nulls, and Catalyst gets pushdown over the whole
+        list), partition columns re-attached via a broadcast (file ->
+        values) map join, deletion vectors applied as an anti-join on
+        (file, row position). No per-partition plan fan-out: a table with
+        10k partitions still produces a single scan node."""
+        part_set = set(snap.partition_columns)
+        data_fields = [f for f in snap.schema.fields if f.name not in part_set]
+        part_fields = [f for f in snap.schema.fields if f.name in part_set]
         if not rels:
             return self.spark.createDataFrame([], snap.schema)
-        groups: dict[tuple, list[str]] = {}
-        for rel in rels:
-            key = tuple(sorted(snap.files[rel].items()))
-            groups.setdefault(key, []).append(os.path.join(self.path, rel))
-        frames = []
-        for key, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(*paths)
-            for col, raw in key:
-                # partitionValues are strings ("" = empty string, null =
-                # NULL per spec); cast through the schema's type
-                lit = F.lit(raw).cast(part_types[col])
-                df = df.withColumn(col, lit)
-            frames.append(df.select(*out_cols))
-        base = frames[0]
-        for f in frames[1:]:
-            base = base.unionByName(f)
-        return base
+
+        scan_schema = StructType(
+            [
+                StructField(
+                    snap.physical_name(f.name),
+                    _physical_type(f.dataType),
+                    True,
+                )
+                for f in data_fields
+            ]
+        )
+        paths = [os.path.join(self.path, rel) for rel in rels]
+        df = self.spark.read.schema(scan_schema).parquet(*paths)
+        df = df.withColumn(
+            "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
+        ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+
+        # logical projection; struct casts rename nested physical fields
+        # positionally, so column mapping round-trips at every depth
+        data_cols = [
+            F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
+            for f in data_fields
+        ]
+
+        if part_fields:
+            # partition values live only in the log: build the (file ->
+            # values) map — O(live files) driver work, the same cost class
+            # as replaying the log — and broadcast-join it on the scan's
+            # file path. Values are built as the spec's strings ("" =
+            # empty string, null = NULL) and cast through the schema's
+            # types; null partition values stay null (and can't crash a
+            # sort, since nothing is sorted here).
+            from pyspark.sql.types import StringType
+
+            rows = []
+            for rel in rels:
+                pvals = snap.files[rel]
+                raw = [
+                    pvals.get(snap.physical_name(f.name)) for f in part_fields
+                ]
+                rows.append((os.path.join(self.path, rel), *raw))
+
+            pmap = self.spark.createDataFrame(
+                rows,
+                StructType(
+                    [StructField("__delta_path", StringType(), False)]
+                    + [
+                        StructField(f"__pv_{f.name}", StringType(), True)
+                        for f in part_fields
+                    ]
+                ),
+            ).select(
+                "__delta_path",
+                *[
+                    F.col(f"__pv_{f.name}")
+                    .cast(f.dataType)
+                    .alias(f"__pv_{f.name}")
+                    for f in part_fields
+                ],
+            )
+            df = df.join(F.broadcast(pmap), "__delta_path", "left")
+            part_cols = {
+                f.name: F.col(f"__pv_{f.name}").alias(f.name)
+                for f in part_fields
+            }
+        else:
+            part_cols = {}
+
+        live_dvs = {rel: snap.dvs[rel] for rel in rels if rel in snap.dvs}
+        if live_dvs:
+            df = self._anti_join_dvs(df, live_dvs)
+
+        out_cols = [
+            part_cols[f.name] if f.name in part_cols else None
+            for f in snap.schema.fields
+        ]
+        ordered = []
+        di = 0
+        for f, pc in zip(snap.schema.fields, out_cols):
+            if pc is not None:
+                ordered.append(pc)
+            else:
+                ordered.append(data_cols[di])
+                di += 1
+        return df.select(*ordered)
+
+    def _anti_join_dvs(self, df: DataFrame, live_dvs: dict[str, dict]) -> DataFrame:
+        """Expand deletion-vector descriptors to (file, row position) rows
+        EXECUTOR-side (the driver only ships the O(#DVs) descriptor list;
+        a table with billions of DV'd rows never materializes them on the
+        driver) and anti-join against the scan. DV row indexes are
+        positions within the parquet file — exactly ``_metadata.row_index``
+        (the same contract delta-spark relies on)."""
+        import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+        table_root = self.path
+        desc_rows = [
+            (
+                os.path.join(self.path, rel),
+                json.dumps(desc),
+            )
+            for rel, desc in live_dvs.items()
+        ]
+        desc_df = self.spark.createDataFrame(
+            desc_rows, "abs_path string, descriptor string"
+        ).repartition(min(len(desc_rows), 64))
+
+        def expand(batches):
+            import pandas as pd
+
+            from sdlt_spark.store.delta_dv import dv_positions
+
+            for pdf in batches:
+                for abs_path, desc_json in zip(pdf["abs_path"], pdf["descriptor"]):
+                    pos = dv_positions(json.loads(desc_json), table_root)
+                    yield pd.DataFrame(
+                        {"__del_path": abs_path, "__del_pos": pos}
+                    )
+
+        deleted = desc_df.mapInPandas(
+            expand, "__del_path string, __del_pos long"
+        )
+        return df.join(
+            deleted,
+            (df["__delta_path"] == deleted["__del_path"])
+            & (df["__delta_pos"] == deleted["__del_pos"]),
+            "left_anti",
+        )
 
     def read_where(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -290,17 +476,19 @@ class DeltaTableReader:
         actions' ``stats`` zone maps (minValues/maxValues — what Delta's
         own reader prunes with) AND partitionValues when ``col`` is a
         partition column. Files without usable stats are always kept
-        (over-approximation preserves correctness); the exact row predicate
-        still applies after the file-list cut."""
+        (over-approximation preserves correctness; a DV'd file's stats may
+        overcount deleted rows, which also only over-keeps); the exact row
+        predicate still applies after the file-list cut."""
         snap = self.snapshot(version=version)
         keep: list[str] = []
         is_part = col in snap.partition_columns
+        phys = snap.physical_name(col)
         part_type = (
             {f.name: f.dataType for f in snap.schema.fields}[col] if is_part else None
         )
         for rel in sorted(snap.files):
             if is_part:
-                raw = snap.files[rel].get(col)
+                raw = snap.files[rel].get(phys)
                 if raw is not None:
                     # compare in the column's type space via a 1-row cast
                     try:
@@ -314,8 +502,8 @@ class DeltaTableReader:
                 keep.append(rel)
                 continue
             st = snap.stats.get(rel) or {}
-            mn = (st.get("minValues") or {}).get(col)
-            mx = (st.get("maxValues") or {}).get(col)
+            mn = (st.get("minValues") or {}).get(phys)
+            mx = (st.get("maxValues") or {}).get(phys)
             if mn is None or mx is None:
                 keep.append(rel)  # no zone: must read
                 continue

@@ -57,12 +57,19 @@ class DeltaLogWriter:
         operation: str = "WRITE",
         collect_stats: bool = True,
         stats_override: dict[str, dict] | None = None,
+        dvs: dict[str, dict] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths. The first commit must carry
         ``schema_json`` (a Spark StructType json) — it becomes the
         metaData action; later commits repeat metaData only when the
         schema changes (pass it again to evolve).
+
+        ``dvs`` maps a relative path to a ``deletionVector`` descriptor
+        (see :mod:`sdlt_spark.store.delta_dv`) attached to that add action
+        — how Delta's DELETE records row-level deletes without rewriting
+        the file. A table carrying DVs needs reader protocol v3, emitted
+        automatically.
 
         ``collect_stats`` records Delta's per-file zone maps (numRecords +
         minValues/maxValues from the parquet footer — metadata-only reads)
@@ -74,12 +81,26 @@ class DeltaLogWriter:
         version = self._next_version()
         ts = int(time.time() * 1000)
         actions: list[dict] = []
-        if version == 0:
+        if dvs:
+            # DV-bearing tables are protocol (3, 7) with the feature named
+            # — emitted as an upgrade action when the first DV arrives
+            # after table creation (spec-legal in any commit)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+        elif version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-            if schema_json is None:
-                raise ValueError("first Delta commit needs schema_json")
+        if version == 0 and schema_json is None:
+            raise ValueError("first Delta commit needs schema_json")
         if schema_json is not None:
             actions.append(
                 {
@@ -98,11 +119,18 @@ class DeltaLogWriter:
             add = {
                 # Delta URL-encodes paths (spaces, '#', ...)
                 "path": urllib.parse.quote(rel),
-                "partitionValues": {k: str(v) for k, v in (pvals or {}).items()},
+                # spec: values are strings, a null partition value is JSON
+                # null (not the string "None")
+                "partitionValues": {
+                    k: (None if v is None else str(v))
+                    for k, v in (pvals or {}).items()
+                },
                 "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
                 "modificationTime": ts,
                 "dataChange": True,
             }
+            if dvs and rel in dvs:
+                add["deletionVector"] = dvs[rel]
             zone = (stats_override or {}).get(rel)
             if zone is None and collect_stats and os.path.exists(abs_f):
                 try:
