@@ -45,9 +45,12 @@ def test_decode_features_null_payload(spark):
     assert out[0]["features"] is None
 
 
-def test_decode_image_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(media)
+def test_decode_image_flags_non_image_payloads(media):
+    # documents-as-media payloads are text, not images: every row must
+    # surface a decode_error instead of raising (formerly a stub that
+    # raised NotImplementedError; the decoder is real now)
+    out = mm.decode_image(media).collect()
+    assert out and all(r["decode_error"] is not None for r in out)
 
 
 def test_frame_sample(media):
@@ -78,3 +81,74 @@ def test_resize_output_schema_stable(spark):
     out = mm.resize(media)
     assert [f.name for f in out.schema.fields] == ["media_id", "payload", "meta"]
     assert out.schema["meta"].dataType == mm.MEDIA_SCHEMA["meta"].dataType
+
+
+# ---------------------------------------------------------- real image codec
+
+
+def test_imagecodec_bmp_round_trips():
+    import numpy as np
+
+    from sdlt_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (4, 5), (7, 3)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for top_down in (False, True):
+            W, H, C, out = ic.decode_bmp(ic.encode_bmp(px, top_down=top_down))
+            assert (W, H, C) == (w, h, 3)
+            assert np.array_equal(out, px)
+
+
+def test_imagecodec_png_all_filters_and_channels():
+    import numpy as np
+
+    from sdlt_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (6, 5, channels), dtype=np.uint8)
+        for ftype in range(5):  # None/Sub/Up/Average/Paeth
+            W, H, C, out = ic.decode_png(ic.encode_png(px, filter_type=ftype))
+            assert (W, H, C) == (5, 6, channels), (channels, ftype)
+            assert np.array_equal(out, px), (channels, ftype)
+
+
+def test_imagecodec_rejects_garbage():
+    import pytest as _pytest
+
+    from sdlt_spark.operators import imagecodec as ic
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        ic.decode(b"JFIF not supported here")
+    with _pytest.raises(ValueError, match="truncated"):
+        # valid header claiming more pixel data than present
+        import numpy as np
+
+        good = ic.encode_bmp(np.zeros((4, 4, 3), np.uint8))
+        ic.decode_bmp(good[:-8])
+
+
+def test_decode_image_real_bmp_and_error_rows(spark):
+    import numpy as np
+
+    from sdlt_spark.operators import imagecodec as ic
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    rows = [
+        (1, bytearray(ic.encode_bmp(px))),
+        (2, bytearray(ic.encode_png(px, filter_type=4))),
+        (3, bytearray(b"not an image")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.decode_image(media).collect()}
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (5, 4, 3)
+        assert r["topleft"] == [0, 1, 2]
+        assert r["decode_error"] is None
+        # channel means identical across formats (same pixels)
+        assert got[1]["ch_mean"] == got[2]["ch_mean"]
+    assert got[3]["width"] is None and "unrecognized" in got[3]["decode_error"]
+    assert got[4]["width"] is None and got[4]["decode_error"] == "null payload"
