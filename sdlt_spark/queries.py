@@ -1180,30 +1180,17 @@ def delta_scan_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
-@_q(
-    "delta_cdc_scan",
-    # CDF over (v0 insert-all, v1 DV-delete of o_orderkey%7==0): every row
-    # as insert@0 plus the deleted subset as delete@1
-    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
-    "'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM orders "
-    "UNION ALL "
-    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
-    "'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM orders "
-    "WHERE o_orderkey % 7 = 0",
-)
-def delta_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change Data Feed read over a REAL Delta log: file-level derivation
-    (add=insert) for v0, deletion-vector DIFF derivation for v1 (the
-    newly-covered positions — and only those — emit as deletes, exactly
-    delta-spark's DV CDF rule). The oracle reconstructs both change sets
-    relationally."""
+def _delta_dv_history_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two-commit Delta fixture shared by the batch and streaming CDF
+    queries: v0 adds the orders projection, v1 DV-deletes the rows with
+    o_orderkey % 7 == 0 (roaring sidecars, positions derived from the
+    written files' actual row order)."""
     import os as _os
     import tempfile
 
     import pyarrow.parquet as _pq
 
     from sdlt_spark.store.delta_dv import write_dv_file
-    from sdlt_spark.store.delta_read import DeltaTableReader
     from sdlt_spark.store.delta_write import DeltaLogWriter
 
     root = tempfile.mkdtemp(prefix="sdlt_delta_cdc_") + "/orders"
@@ -1232,7 +1219,71 @@ def delta_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.commit(
         adds=[(r, {}) for r in rels if r in dvs], dvs=dvs, operation="DELETE"
     )
+    return root
+
+
+@_q(
+    "delta_cdc_scan",
+    # CDF over (v0 insert-all, v1 DV-delete of o_orderkey%7==0): every row
+    # as insert@0 plus the deleted subset as delete@1
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
+    "'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
+    "'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM orders "
+    "WHERE o_orderkey % 7 = 0",
+)
+def delta_cdc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed read over a REAL Delta log: file-level derivation
+    (add=insert) for v0, deletion-vector DIFF derivation for v1 (the
+    newly-covered positions — and only those — emit as deletes, exactly
+    delta-spark's DV CDF rule). The oracle reconstructs both change sets
+    relationally."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_dv_history_fixture(spark, sf_dir)
     return DeltaTableReader(spark, root).table_changes(0)
+
+
+@_q(
+    "delta_cdc_stream",
+    # identical change history to delta_cdc_scan, consumed through the
+    # STREAMING source instead of the batch reader — same oracle proves
+    # the two paths agree (they share walk_changes by construction)
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
+    "'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version FROM orders "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice, "
+    "'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version FROM orders "
+    "WHERE o_orderkey % 7 = 0",
+)
+def delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 x S10: Structured Streaming over a REAL ``_delta_log`` (the
+    delta-spark ``readStream.format("delta")`` UX without the jars) —
+    stream offsets are Delta versions, executors apply roaring DV masks
+    locally, and the memory-sink result hash-matches the same relational
+    oracle as the batch CDF read."""
+    import uuid as _uuid
+
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = _delta_dv_history_fixture(spark, sf_dir)
+    sink = f"delta_cdc_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
 
 
 @_q(

@@ -168,30 +168,56 @@ class DeltaTableReader:
 
     # ----------------------------------------------------------- checkpoints
 
+    def _checkpoint_files(self) -> dict[int, list[str]]:
+        """Complete classic checkpoints by version: single-file
+        ``<v>.checkpoint.parquet`` or multipart
+        ``<v>.checkpoint.<i>.<n>.parquet`` (usable only when all ``n``
+        parts are present — a partial multipart upload must not replay)."""
+        singles: dict[int, str] = {}
+        multi: dict[tuple[int, int], dict[int, str]] = {}
+        for f in os.listdir(self._log_dir):
+            if not f.endswith(".parquet") or ".checkpoint" not in f:
+                continue
+            bits = f[: -len(".parquet")].split(".")
+            if len(bits) == 2 and bits[1] == "checkpoint" and bits[0].isdigit():
+                singles[int(bits[0])] = f
+            elif (
+                len(bits) == 4
+                and bits[1] == "checkpoint"
+                and all(b.isdigit() for b in (bits[0], bits[2], bits[3]))
+            ):
+                v, part, n = int(bits[0]), int(bits[2]), int(bits[3])
+                multi.setdefault((v, n), {})[part] = f
+        out: dict[int, list[str]] = {v: [f] for v, f in singles.items()}
+        for (v, n), parts in multi.items():
+            if v not in out and len(parts) == n:
+                out[v] = [parts[i] for i in sorted(parts)]
+        return out
+
     def _last_checkpoint_version(self, at_or_before: int) -> int | None:
         """Newest usable checkpoint <= the target version. ``_last_checkpoint``
-        is only a hint to the newest one; older multipart-free checkpoints
-        remain discoverable by listing (Delta readers do the same when the
-        hint points past the requested version)."""
-        ckpts = []
-        for f in os.listdir(self._log_dir):
-            if f.endswith(".checkpoint.parquet"):
-                head = f.split(".", 1)[0]
-                if head.isdigit():
-                    ckpts.append(int(head))
-        usable = [v for v in sorted(ckpts) if v <= at_or_before]
+        is only a hint to the newest one; older checkpoints remain
+        discoverable by listing (Delta readers do the same when the hint
+        points past the requested version)."""
+        usable = [
+            v for v in sorted(self._checkpoint_files()) if v <= at_or_before
+        ]
         return usable[-1] if usable else None
 
     def _replay_checkpoint(self, snap: _Snapshot, version: int) -> None:
         """Fold a parquet checkpoint's actions into the snapshot state.
         Checkpoints are row-per-action parquet with struct columns
-        (add/remove/metaData/protocol) — PROTOCOL.md's checkpoint schema."""
+        (add/remove/metaData/protocol) — PROTOCOL.md's checkpoint schema;
+        multipart checkpoints concatenate row-wise (action order across
+        parts is immaterial: the state is a set fold)."""
         import pyarrow.parquet as pq
 
-        path = os.path.join(self._log_dir, f"{version:020d}.checkpoint.parquet")
-        tbl = pq.read_table(path)
-        cols = set(tbl.column_names)
-        rows = tbl.to_pylist()
+        rows: list[dict] = []
+        cols: set[str] = set()
+        for fname in self._checkpoint_files()[version]:
+            tbl = pq.read_table(os.path.join(self._log_dir, fname))
+            cols |= set(tbl.column_names)
+            rows.extend(tbl.to_pylist())
         for row in rows:
             if "protocol" in cols and row.get("protocol"):
                 self._check_protocol(row["protocol"])
@@ -332,18 +358,39 @@ class DeltaTableReader:
         return F.regexp_replace(col, "^file:/+", "/")
 
     def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
-        """ONE parquet scan over the live files (snapshot schema supplied
-        explicitly — early files of a schema-evolved table read missing
-        columns as typed nulls, and Catalyst gets pushdown over the whole
-        list), partition columns re-attached via a broadcast (file ->
-        values) map join, deletion vectors applied as an anti-join on
-        (file, row position). No per-partition plan fan-out: a table with
-        10k partitions still produces a single scan node."""
+        """One parquet scan over the DV-free live files (snapshot schema
+        supplied explicitly — early files of a schema-evolved table read
+        missing columns as typed nulls, and Catalyst gets pushdown over
+        the whole list) plus, when deletion vectors are live, a SECOND
+        scan restricted to the covered files with the (file, row position)
+        anti-join applied — so the anti-join never shuffles the uncovered
+        bulk of the table (DVs usually cover a small fraction of files; at
+        100 TB the difference is shuffling GBs vs the whole table, and AQE
+        broadcasts the deleted-positions side when it fits). Partition
+        columns re-attach via a broadcast (file -> values) map join: no
+        per-partition plan fan-out at any partition count."""
+        if not rels:
+            return self.spark.createDataFrame([], snap.schema)
+        plain = [r for r in rels if r not in snap.dvs]
+        covered = [r for r in rels if r in snap.dvs]
+        parts = []
+        if plain:
+            parts.append(self._scan_subset(snap, plain, with_dvs=False))
+        if covered:
+            parts.append(self._scan_subset(snap, covered, with_dvs=True))
+        if not parts:
+            return self.spark.createDataFrame([], snap.schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan_subset(
+        self, snap: _Snapshot, rels: list[str], with_dvs: bool
+    ) -> DataFrame:
         part_set = set(snap.partition_columns)
         data_fields = [f for f in snap.schema.fields if f.name not in part_set]
         part_fields = [f for f in snap.schema.fields if f.name in part_set]
-        if not rels:
-            return self.spark.createDataFrame([], snap.schema)
 
         scan_schema = StructType(
             [
@@ -412,9 +459,10 @@ class DeltaTableReader:
         else:
             part_cols = {}
 
-        live_dvs = {rel: snap.dvs[rel] for rel in rels if rel in snap.dvs}
-        if live_dvs:
-            df = self._anti_join_dvs(df, live_dvs)
+        if with_dvs:
+            df = self._anti_join_dvs(
+                df, {rel: snap.dvs[rel] for rel in rels}
+            )
 
         out_cols = [
             part_cols[f.name] if f.name in part_cols else None
@@ -537,6 +585,87 @@ class DeltaTableReader:
                     out.append(json.loads(line))
         return out
 
+    def walk_changes(
+        self, from_version: int, to_version: int, skip_underivable: bool = False
+    ):
+        """Per-commit change-unit resolution shared by batch
+        ``table_changes`` and the ``delta_cdc`` streaming source (one
+        resolver, so batch and streaming CDC can never drift). Yields
+        ``(version, cdc_paths, inserts, deletes, dv_grown)`` where
+        inserts = [(rel, pvals)], deletes = [(rel, prior_dv, pvals)],
+        dv_grown = [(rel, new_dv, old_dv, pvals)]. Commits with no
+        file-level derivation (un-deletes) raise
+        :class:`DeltaProtocolError` — or, with ``skip_underivable``
+        (Delta's ``skipChangeCommits``), yield nothing for that commit
+        while still folding its state."""
+        base = (
+            self.snapshot(version=from_version - 1)
+            if from_version > 0
+            else _Snapshot(version=-1, schema=StructType([]), partition_columns=[])
+        )
+        live: dict[str, dict] = dict(base.files)
+        dv_state: dict[str, dict] = dict(base.dvs)
+        for v in range(from_version, to_version + 1):
+            actions = self._commit_actions(v)
+            cdc_paths = [
+                urllib.parse.unquote(a["cdc"]["path"])
+                for a in actions
+                if "cdc" in a
+            ]
+            inserts: list[tuple[str, dict]] = []
+            deletes: list[tuple[str, dict | None, dict]] = []
+            dv_grown: list[tuple[str, dict, dict | None, dict]] = []
+            underivable: str | None = None
+            for a in actions:
+                if "add" in a:
+                    add = a["add"]
+                    rel = urllib.parse.unquote(add["path"])
+                    new_dv = add.get("deletionVector") or None
+                    prior_dv = dv_state.get(rel)
+                    was_live = rel in live
+                    pvals = add.get("partitionValues") or {}
+                    data_change = add.get("dataChange", True)
+                    if data_change and not cdc_paths:
+                        if not was_live:
+                            if new_dv:
+                                underivable = (
+                                    f"commit {v}: add of new file {rel} with a "
+                                    "deletion vector has no file-level CDF "
+                                    "derivation (writer should emit cdc actions)"
+                                )
+                            else:
+                                inserts.append((rel, pvals))
+                        elif new_dv and (
+                            prior_dv is None
+                            or new_dv.get("cardinality", 0)
+                            > prior_dv.get("cardinality", 0)
+                        ):
+                            dv_grown.append((rel, new_dv, prior_dv, pvals))
+                        elif (new_dv or {}) != (prior_dv or {}):
+                            underivable = (
+                                f"commit {v}: re-add of {rel} changes its "
+                                "deletion vector in a way with no file-level "
+                                "CDF derivation (un-delete); reading would "
+                                "emit wrong change rows"
+                            )
+                    live[rel] = pvals
+                    if new_dv:
+                        dv_state[rel] = new_dv
+                    else:
+                        dv_state.pop(rel, None)
+                elif "remove" in a:
+                    rem = a["remove"]
+                    rel = urllib.parse.unquote(rem["path"])
+                    if rem.get("dataChange", True) and not cdc_paths and rel in live:
+                        deletes.append((rel, dv_state.get(rel), live[rel]))
+                    live.pop(rel, None)
+                    dv_state.pop(rel, None)
+            if underivable:
+                if not skip_underivable:
+                    raise DeltaProtocolError(underivable)
+                continue  # state folded; commit dropped (skipChangeCommits)
+            yield v, cdc_paths, inserts, deletes, dv_grown
+
     def table_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -562,75 +691,16 @@ class DeltaTableReader:
         (the same shape as ``VintageTable.table_changes``)."""
         if to_version is None:
             to_version = self.latest_version()
-        # running file/DV state as of the PREVIOUS version: what removes
-        # and DV-diffs are resolved against
-        base = (
-            self.snapshot(version=from_version - 1)
-            if from_version > 0
-            else _Snapshot(version=-1, schema=StructType([]), partition_columns=[])
-        )
         snap = self.snapshot(version=to_version)  # schema for padding
-        live: dict[str, dict] = dict(base.files)
-        dv_state: dict[str, dict] = dict(base.dvs)
         frames: list[DataFrame] = []
-        for v in range(from_version, to_version + 1):
-            actions = self._commit_actions(v)
-            cdc_paths = [
-                urllib.parse.unquote(a["cdc"]["path"])
-                for a in actions
-                if "cdc" in a
-            ]
+        for v, cdc_paths, inserts, deletes, dv_grown in self.walk_changes(
+            from_version, to_version
+        ):
             if cdc_paths and snap.mapping:
                 raise DeltaProtocolError(
                     "change-data files on a column-mapped table are not "
                     "supported by this shim"
                 )
-            inserts: list[tuple[str, dict]] = []  # (rel, pvals)
-            deletes: list[tuple[str, dict | None, dict]] = []  # rel, prior dv, pvals
-            dv_grown: list[tuple[str, dict, dict | None, dict]] = []
-            for a in actions:
-                if "add" in a:
-                    add = a["add"]
-                    rel = urllib.parse.unquote(add["path"])
-                    new_dv = add.get("deletionVector") or None
-                    prior_dv = dv_state.get(rel)
-                    was_live = rel in live
-                    pvals = add.get("partitionValues") or {}
-                    data_change = add.get("dataChange", True)
-                    if data_change and not cdc_paths:
-                        if not was_live:
-                            if new_dv:
-                                raise DeltaProtocolError(
-                                    f"commit {v}: add of new file {rel} with a "
-                                    "deletion vector has no file-level CDF "
-                                    "derivation (writer should emit cdc actions)"
-                                )
-                            inserts.append((rel, pvals))
-                        elif new_dv and (
-                            prior_dv is None
-                            or new_dv.get("cardinality", 0)
-                            > prior_dv.get("cardinality", 0)
-                        ):
-                            dv_grown.append((rel, new_dv, prior_dv, pvals))
-                        elif (new_dv or {}) != (prior_dv or {}):
-                            raise DeltaProtocolError(
-                                f"commit {v}: re-add of {rel} changes its "
-                                "deletion vector in a way with no file-level "
-                                "CDF derivation (un-delete); reading would "
-                                "emit wrong change rows"
-                            )
-                    live[rel] = pvals
-                    if new_dv:
-                        dv_state[rel] = new_dv
-                    else:
-                        dv_state.pop(rel, None)
-                elif "remove" in a:
-                    rem = a["remove"]
-                    rel = urllib.parse.unquote(rem["path"])
-                    if rem.get("dataChange", True) and not cdc_paths and rel in live:
-                        deletes.append((rel, dv_state.get(rel), live[rel]))
-                    live.pop(rel, None)
-                    dv_state.pop(rel, None)
             if cdc_paths:
                 cdc_df = self.spark.read.parquet(
                     *[os.path.join(self.path, p) for p in cdc_paths]

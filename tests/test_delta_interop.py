@@ -757,3 +757,79 @@ def test_table_changes_refuses_undelete(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     with pytest.raises(DeltaProtocolError, match="un-delete"):
         r.table_changes(2).collect()
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """Classic MULTIPART checkpoints (<v>.checkpoint.<i>.<n>.parquet) —
+    what large real tables write — replay by concatenating all parts; a
+    checkpoint missing a part is unusable and replay falls back to JSON."""
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    _write_part(f"{root}/b.parquet", [2])
+    _write_part(f"{root}/c.parquet", [3])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {}), ("b.parquet", {})], schema_json=_SCHEMA)
+    log = os.path.join(root, "_delta_log")
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    def _add(path):
+        return {"path": path, "partitionValues": [], "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    # part 1: protocol + metaData + add a; part 2: add b
+    pq.write_table(
+        pa.table(
+            {
+                "protocol": pa.array([{"minReaderVersion": 1, "minWriterVersion": 2}, None], proto_t),
+                "metaData": pa.array(
+                    [None, {"id": "x", "schemaString": _SCHEMA,
+                            "partitionColumns": [], "configuration": []}],
+                    meta_t,
+                ),
+                "add": pa.array([_add("a.parquet"), None], add_t),
+            }
+        ),
+        os.path.join(log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "protocol": pa.array([None], proto_t),
+                "metaData": pa.array([None], meta_t),
+                "add": pa.array([_add("b.parquet")], add_t),
+            }
+        ),
+        os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": 3, "parts": 2}, f)
+    w.commit(adds=[("c.parquet", {})])  # v1 json
+    os.remove(os.path.join(log, f"{0:020d}.json"))  # cleanup: checkpoint is the base
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [1, 2, 3]
+
+    # now break the checkpoint (remove a part): replay must NOT use it —
+    # with v0 json gone, the missing-commit error surfaces loudly
+    os.remove(os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with pytest.raises(FileNotFoundError, match="missing Delta commit 0"):
+        DeltaTableReader(spark, root).read()

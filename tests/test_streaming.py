@@ -3,6 +3,8 @@ stream/batch-equivalence of the shared transformations."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -666,3 +668,132 @@ def test_stream_session_window_matches_batch(spark, tmp_path):
     s = {key(r): (r["session_end"], r["n_events"], r["session_value"]) for r in streamed}
     b = {key(r): (r["session_end"], r["n_events"], r["session_value"]) for r in batch}
     assert len(s) == len(streamed) and s == b
+
+
+def test_delta_cdc_stream_over_real_log(spark, tmp_path):
+    """Streaming CDC over a REAL _delta_log (no delta-spark): inserts from
+    adds, DV-growth deletes from roaring sidecar diffs (masked executor-
+    side), file removes minus their prior DV — whole commits per batch,
+    same resolver as batch table_changes."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    _pq.write_table(
+        pa.table({"k": pa.array([10, 11, 12, 13], pa.int64())}), f"{root}/a.parquet"
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=schema)  # v0: 4 inserts
+    d1 = write_dv_file(root, [1], "00000000-0000-4000-8000-0000000000aa")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d1})  # v1: delete k=11
+    w.commit(removes=["a.parquet"])  # v2: delete the remaining 3
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("delta_cdc_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["_change_type"], r["_commit_version"])
+            for r in spark.sql("select * from delta_cdc_mem").collect()
+        )
+        assert got == sorted(
+            [(10, "insert", 0), (11, "insert", 0), (12, "insert", 0), (13, "insert", 0),
+             (11, "delete", 1),
+             (10, "delete", 2), (12, "delete", 2), (13, "delete", 2)]
+        )
+    finally:
+        q.stop()
+
+
+def test_delta_cdc_stream_partition_columns_and_cdc_files(spark, tmp_path):
+    """Partition-column constants attach typed; commits with cdc actions
+    stream their _change_data verbatim."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = str(tmp_path / "dt")
+    os.makedirs(f"{root}/r=1")
+    _pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}), f"{root}/r=1/a.parquet"
+    )
+    os.makedirs(f"{root}/_change_data")
+    _pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2], pa.int64()),
+                "r": pa.array([1], pa.int32()),
+                "_change_type": pa.array(["update_postimage"], pa.string()),
+            }
+        ),
+        f"{root}/_change_data/cdc-0.parquet",
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=1/a.parquet", {"r": "1"})],
+        schema_json=schema,
+        partition_columns=["r"],
+    )  # v0
+    w.commit(
+        adds=[("r=1/a2.parquet", {"r": "1"})],
+        cdc=["_change_data/cdc-0.parquet"],
+        operation="UPDATE",
+    )  # v1: cdc wins over the add
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("delta_cdc_part")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["r"], r["_change_type"], r["_commit_version"])
+            for r in spark.sql("select * from delta_cdc_part").collect()
+        )
+        assert got == [
+            (1, 1, "insert", 0),
+            (2, 1, "insert", 0),
+            (2, 1, "update_postimage", 1),
+        ]
+    finally:
+        q.stop()
