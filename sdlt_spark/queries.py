@@ -966,6 +966,36 @@ def vintage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vintage_replace_where",
+    # rows outside the predicate untouched; rows inside replaced by the
+    # reload (here: the same P orders with price zeroed)
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE o_orderstatus <> 'P' "
+    "UNION ALL "
+    "SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice "
+    "FROM orders WHERE o_orderstatus = 'P'",
+)
+def vintage_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 extension — Delta's ``replaceWhere``: ONE commit swaps exactly
+    the predicate's rows for the incoming reload (the idempotent
+    date-range/partition recompute pattern). Only files containing
+    matching rows rewrite; incoming rows are validated against the
+    predicate from the staged parquet."""
+    t = _fresh_vintage(spark, sf_dir)
+    reload_df = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(0.0).cast("double").alias("o_totalprice"),
+        )
+    )
+    t.write(reload_df, mode="overwrite", replace_where="o_orderstatus = 'P'")
+    return t.read()
+
+
+@_q(
     "vintage_cluster_scan",
     "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
     "FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000",

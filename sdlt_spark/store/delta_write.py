@@ -486,3 +486,49 @@ def export_vintage_to_delta(
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         writer.write_checkpoint(version)
     return version
+
+
+def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[str]:
+    """Delta-style VACUUM for an exported table: physically delete data
+    files that are not referenced by the CURRENT snapshot and whose
+    modification time is older than the retention window (Delta's default
+    168 h). Time travel to versions needing those files stops working —
+    exactly Delta's documented trade-off. Returns the deleted relative
+    paths.
+
+    Metadata-plane driver work: one log replay + one directory listing;
+    never reads data. Hard-linked exports share inodes with the source
+    table, so deleting a link here never corrupts the source (the inode
+    lives until its last link drops)."""
+    import time as _time
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    dest = os.path.abspath(dest_path)
+    reader = DeltaTableReader.__new__(DeltaTableReader)
+    reader.spark = None
+    reader.path = dest
+    reader._log_dir = os.path.join(dest, _LOG)
+    if not os.path.isdir(reader._log_dir):
+        raise FileNotFoundError(f"no _delta_log under {dest}")
+    snap = reader.snapshot()
+    live = {os.path.normpath(os.path.join(dest, rel)) for rel in snap.files}
+    cutoff = _time.time() - retention_hours * 3600.0
+    deleted: list[str] = []
+    for dirpath, _, files in os.walk(dest):
+        if _LOG in dirpath or os.path.basename(dirpath).startswith(".staging-"):
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            abs_f = os.path.normpath(os.path.join(dirpath, f))
+            if abs_f in live:
+                continue
+            try:
+                if os.path.getmtime(abs_f) > cutoff:
+                    continue
+                os.remove(abs_f)
+                deleted.append(os.path.relpath(abs_f, dest))
+            except OSError:
+                pass  # raced with a concurrent sync; next vacuum sweeps it
+    return sorted(deleted)

@@ -1023,10 +1023,20 @@ class VintageTable:
         cluster_by: list[str] | None = None,
         num_files: int | None = None,
         txn_id: str | None = None,
+        replace_where: str | None = None,
     ) -> int:
         """Full write. ``overwrite`` = reference full replacement
         (README.md:175-199); history is preserved, old files stay for time
         travel until vacuumed.
+
+        ``replace_where`` (Delta's ``replaceWhere`` option) scopes the
+        overwrite to the predicate: rows matching it are replaced by
+        ``df``, everything else is untouched — the idempotent
+        partition/date-range reload pattern ("recompute yesterday") that a
+        full overwrite would turn into an O(table) rewrite. Only files
+        containing matching rows are rewritten; incoming rows must ALL
+        satisfy the predicate (Delta's constraint — a stray row outside
+        the reload window would silently corrupt untouched history).
 
         ``txn_id`` records an idempotence token in the commit's operation
         parameters (Delta's ``txnAppId/txnVersion`` pattern): a sink that
@@ -1044,6 +1054,12 @@ class VintageTable:
         ``num_files``, default the session shuffle parallelism)."""
         if mode not in ("overwrite", "append", "errorifexists"):
             raise ValueError(f"unsupported mode {mode!r}")
+        if replace_where is not None:
+            if mode != "overwrite":
+                raise ValueError("replace_where requires mode='overwrite'")
+            return self._replace_where(
+                df, replace_where, cluster_by, num_files, txn_id
+            )
         if cluster_by:
             nf = num_files or int(
                 self.spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -1077,6 +1093,110 @@ class VintageTable:
             add,
             remove,
             schema_json=df.schema.json(),
+        )
+
+    @_retry_conflicts
+    def _replace_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        cluster_by: list[str] | None,
+        num_files: int | None,
+        txn_id: str | None,
+    ) -> int:
+        """Predicate-scoped overwrite (Delta's ``replaceWhere``): ONE
+        commit that removes the predicate's rows and lands the new data.
+        Only files containing matching rows rewrite (zone maps + the scan
+        filter find them — O(selectivity), not O(table)); the incoming
+        rows are staged first and validated against the predicate from
+        the staged parquet (no recompute of the caller's pipeline, no
+        double scan of the input)."""
+        if not self.exists():
+            return self.write(
+                df, mode="overwrite", cluster_by=cluster_by,
+                num_files=num_files, txn_id=txn_id,
+            )
+        current = {f.name: f.dataType.simpleString() for f in self._schema_at().fields}
+        incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if incoming != current:
+            raise ValueError(
+                f"replace_where schema mismatch: table has "
+                f"{sorted(current.items())}, dataframe has "
+                f"{sorted(incoming.items())} (replaceWhere keeps the table "
+                "schema; use mode='overwrite' without replace_where to evolve)"
+            )
+        if cluster_by:
+            nf = num_files or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            df = df.repartitionByRange(nf, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        cond = F.expr(predicate)
+        # stage the incoming rows, then validate from the staged files —
+        # Delta raises when a row falls outside the replaced region
+        add_new = self._write_files(df)
+        if add_new:
+            staged = self._read_files(add_new)
+            n_bad = staged.filter(~F.coalesce(cond, F.lit(False))).count()
+            if n_bad:
+                raise ValueError(
+                    f"replace_where: {n_bad} incoming row(s) do not satisfy "
+                    f"the predicate {predicate!r}; writing them would "
+                    "corrupt rows outside the replaced region"
+                )
+        # file-level rewrite of the predicate region (same discipline as
+        # delete(): DVs folded first, NULL-evaluating rows survive)
+        self.materialize_deletion_vectors()
+        live = self._live_files()
+        touched = (
+            sorted(
+                {
+                    self._rel(r["__file"])
+                    for r in self._with_file(self._read_files(live))
+                    .filter(cond)
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                }
+            )
+            if live
+            else []
+        )
+        add_kept: list[str] = []
+        change_dir = None
+        if touched:
+            rows = self._read_files(touched)
+            survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+            if self.change_feed:
+                change_dir = self._write_change_data(
+                    rows.filter(cond)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        self._read_files(add_new).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                    if add_new
+                    else rows.filter(cond).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            add_kept = self._write_files(survivors)
+        elif self.change_feed and add_new:
+            change_dir = self._write_change_data(
+                self._read_files(add_new).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        params = {"mode": "Overwrite", "predicate": predicate}
+        if txn_id is not None:
+            params["txnId"] = str(txn_id)
+        if change_dir:
+            params["changeData"] = change_dir
+        return self._commit(
+            "WRITE", params, add_new + add_kept, touched,
+            schema_json=self._schema_at().json(),
         )
 
     def last_txn_id(self) -> str | None:

@@ -833,3 +833,30 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     os.remove(os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
     with pytest.raises(FileNotFoundError, match="missing Delta commit 0"):
         DeltaTableReader(spark, root).read()
+
+
+def test_vacuum_delta_export_sweeps_tombstones_only(spark, tmp_path):
+    """Export VACUUM: files tombstoned by a later sync and older than the
+    retention window are deleted; live files and fresh tombstones stay.
+    Deleting a hard link never touches the source table's copy."""
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.range(20).select(F.col("id").alias("k")))
+    dest = str(tmp_path / "d")
+    export_vintage_to_delta(t, dest)
+    r = DeltaTableReader(spark, dest)
+    old_files = set(r.snapshot().files)
+    # source rewrite -> next sync tombstones every old exported file
+    t.write(spark.range(20, 30).select(F.col("id").alias("k")), mode="overwrite")
+    export_vintage_to_delta(t, dest)
+    # within retention: nothing deleted
+    assert vacuum_delta_export(dest, retention_hours=1.0) == []
+    # age the tombstoned files past the cutoff
+    for rel in old_files:
+        os.utime(os.path.join(dest, rel), (1_000_000, 1_000_000))
+    gone = vacuum_delta_export(dest, retention_hours=1.0)
+    assert sorted(gone) == sorted(old_files)
+    # current snapshot unaffected; source table unaffected (hard links)
+    assert sorted(x["k"] for x in r.read().collect()) == list(range(20, 30))
+    assert sorted(x["k"] for x in t.read(version=0).collect()) == list(range(20))

@@ -351,3 +351,55 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     fn, _ = q.registry()["dpp_join"]
     plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_delta_dv_read_plan_splits_covered_files(spark, tmp_path):
+    """A DV-bearing Delta snapshot read must scan DV-free files WITHOUT
+    any join and route only the covered files through the anti-join (at
+    100 TB the difference is shuffling GBs vs the whole table); the
+    partition-value map must attach via broadcast, never a shuffle."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    adds = []
+    for r in range(4):
+        rel = f"r={r}/p.parquet"
+        os.makedirs(os.path.join(root, f"r={r}"), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array(range(r * 10, r * 10 + 10), pa.int64())}),
+            os.path.join(root, rel),
+        )
+        adds.append((rel, {"r": str(r)}))
+    w = DeltaLogWriter(root)
+    w.commit(adds=adds, schema_json=schema, partition_columns=["r"])
+    dv = write_dv_file(root, [0, 1], "00000000-0000-4000-8000-0000000000bb")
+    w.commit(adds=[("r=0/p.parquet", {"r": "0"})], dvs={"r=0/p.parquet": dv})
+    df = DeltaTableReader(spark, root).read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly two scans: the DV-free bulk and the covered subset
+    assert plan.count("Scan parquet") == 2, plan
+    # one anti-join (covered subset only)
+    assert plan.count("LeftAnti") == 1, plan
+    # partition map joins are broadcast (2 of them, one per branch)
+    assert "BroadcastHashJoin" in plan, plan
+    assert sorted(x["k"] for x in df.collect()) == sorted(
+        set(range(40)) - {0, 1}
+    )
