@@ -688,11 +688,24 @@ class DeltaTableReader:
           of emitting wrong rows.
 
         Output: the table's columns + ``_change_type`` + ``_commit_version``
-        (the same shape as ``VintageTable.table_changes``)."""
+        (the same shape as ``VintageTable.table_changes``).
+
+        Scale shape: change units are BATCHED across the whole version
+        range — one scan per category (cdc files / inserts / plain
+        deletes / DV'd deletes / DV diffs) with a broadcast (file ->
+        version, partition values) map attaching per-row provenance — so
+        reading the CDF of 1000 commits builds ~5 scan nodes, not
+        thousands of per-file union leaves. A path re-added across the
+        range (rare) falls into an extra batch per reuse."""
         if to_version is None:
             to_version = self.latest_version()
         snap = self.snapshot(version=to_version)  # schema for padding
-        frames: list[DataFrame] = []
+        cdc_units: list[tuple[str, dict, int]] = []
+        ins_units: list[tuple[str, dict, int]] = []
+        del_plain: list[tuple[str, dict, int]] = []
+        del_dv: list[tuple[str, dict, int]] = []
+        dv_by_rel_ver: dict[tuple[str, int], dict] = {}
+        grown_units: list[tuple[str, dict, dict | None, dict, int]] = []
         for v, cdc_paths, inserts, deletes, dv_grown in self.walk_changes(
             from_version, to_version
         ):
@@ -701,39 +714,26 @@ class DeltaTableReader:
                     "change-data files on a column-mapped table are not "
                     "supported by this shim"
                 )
-            if cdc_paths:
-                cdc_df = self.spark.read.parquet(
-                    *[os.path.join(self.path, p) for p in cdc_paths]
-                )
-                frames.append(
-                    cdc_df.withColumn("_commit_version", F.lit(v).cast("long"))
-                )
-                continue
-            for rel, pvals in inserts:
-                df = self._read_one_file(snap, rel, pvals)
-                frames.append(
-                    df.drop("__delta_path", "__delta_pos")
-                    .withColumn("_change_type", F.lit("insert"))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                )
+            cdc_units.extend((rel, {}, v) for rel in cdc_paths)
+            ins_units.extend((rel, pvals, v) for rel, pvals in inserts)
             for rel, prior_dv, pvals in deletes:
-                df = self._read_one_file(snap, rel, pvals)
                 if prior_dv:
-                    df = self._anti_join_dvs(df, {rel: prior_dv})
-                frames.append(
-                    df.drop("__delta_path", "__delta_pos")
-                    .withColumn("_change_type", F.lit("delete"))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                )
-            for rel, new_dv, old_dv, pvals in dv_grown:
-                df = self._read_one_file(snap, rel, pvals)
-                # rows deleted THIS commit = new DV minus old DV
-                df = self._semi_join_dv_diff(df, rel, new_dv, old_dv)
-                frames.append(
-                    df.withColumn("_change_type", F.lit("delete")).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
-                    )
-                )
+                    del_dv.append((rel, pvals, v))
+                    dv_by_rel_ver[(rel, v)] = prior_dv
+                else:
+                    del_plain.append((rel, pvals, v))
+            grown_units.extend(
+                (rel, new, old, pvals, v) for rel, new, old, pvals in dv_grown
+            )
+
+        frames: list[DataFrame] = []
+        frames += self._cdc_frames(cdc_units)
+        frames += self._change_frames(snap, ins_units, "insert")
+        frames += self._change_frames(snap, del_plain, "delete")
+        frames += self._change_frames(
+            snap, del_dv, "delete", dvs_by_rel_ver=dv_by_rel_ver
+        )
+        frames += self._dv_diff_frames(snap, grown_units)
         if not frames:
             from pyspark.sql.types import LongType, StringType
 
@@ -750,80 +750,257 @@ class DeltaTableReader:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def _read_one_file(self, snap: _Snapshot, rel: str, pvals: dict) -> DataFrame:
-        """One file under the snapshot schema with its partition values
-        attached and positions keyed (CDF building block — per-commit
-        change sets touch few files; the snapshot read path stays the
-        single-scan planner)."""
-        part_set = set(snap.partition_columns)
-        data_fields = [f for f in snap.schema.fields if f.name not in part_set]
-        scan_schema = StructType(
-            [
-                StructField(snap.physical_name(f.name), _physical_type(f.dataType), True)
+    @staticmethod
+    def _unique_rel_batches(items: list[tuple]) -> list[list[tuple]]:
+        """Split (rel, ...) tuples into batches with unique rels, so a
+        broadcast path->provenance map stays a function (a path re-added
+        in several commits lands in one batch per occurrence)."""
+        batches: list[list[tuple]] = []
+        remaining = list(items)
+        while remaining:
+            seen: set[str] = set()
+            batch, rest = [], []
+            for it in remaining:
+                if it[0] in seen:
+                    rest.append(it)
+                else:
+                    seen.add(it[0])
+                    batch.append(it)
+            batches.append(batch)
+            remaining = rest
+        return batches
+
+    def _cdc_frames(self, units: list[tuple[str, dict, int]]) -> list[DataFrame]:
+        """All cdc files of the range in one scan (mergeSchema: the change
+        schema may have evolved mid-range), version attached from a
+        broadcast path map."""
+        from pyspark.sql.types import LongType, StringType
+
+        out = []
+        for batch in self._unique_rel_batches(units):
+            paths = [os.path.join(self.path, rel) for rel, _, _ in batch]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = df.withColumn(
+                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
+            )
+            pmap = self.spark.createDataFrame(
+                [(os.path.join(self.path, rel), v) for rel, _, v in batch],
+                StructType(
+                    [
+                        StructField("__delta_path", StringType(), False),
+                        StructField("__ver", LongType(), False),
+                    ]
+                ),
+            )
+            out.append(
+                df.join(F.broadcast(pmap), "__delta_path", "left")
+                .withColumn("_commit_version", F.col("__ver"))
+                .drop("__delta_path", "__ver")
+            )
+        return out
+
+    def _change_frames(
+        self,
+        snap: _Snapshot,
+        units: list[tuple[str, dict, int]],
+        tag: str,
+        dvs_by_rel_ver: dict[tuple[str, int], dict] | None = None,
+    ) -> list[DataFrame]:
+        """File-level change units -> frames: one scan per unique-rel
+        batch under the snapshot schema, partition values AND commit
+        version from a broadcast map, optional prior-DV anti-join (a
+        removed DV-bearing file must not re-report already-deleted
+        rows)."""
+        from pyspark.sql.types import LongType, StringType
+
+        out = []
+        for batch in self._unique_rel_batches(units):
+            part_set = set(snap.partition_columns)
+            data_fields = [f for f in snap.schema.fields if f.name not in part_set]
+            part_fields = [f for f in snap.schema.fields if f.name in part_set]
+            scan_schema = StructType(
+                [
+                    StructField(
+                        snap.physical_name(f.name), _physical_type(f.dataType), True
+                    )
+                    for f in data_fields
+                ]
+            )
+            paths = [os.path.join(self.path, rel) for rel, _, _ in batch]
+            df = self.spark.read.schema(scan_schema).parquet(*paths)
+            df = df.withColumn(
+                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
+            ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+            if dvs_by_rel_ver:
+                covered = {
+                    rel: dvs_by_rel_ver[(rel, v)]
+                    for rel, _, v in batch
+                    if (rel, v) in dvs_by_rel_ver
+                }
+                if covered:
+                    df = self._anti_join_dvs(df, covered)
+            pmap_schema = StructType(
+                [
+                    StructField("__delta_path", StringType(), False),
+                    StructField("__ver", LongType(), False),
+                ]
+                + [
+                    StructField(f"__pv_{f.name}", StringType(), True)
+                    for f in part_fields
+                ]
+            )
+            rows = [
+                (
+                    os.path.join(self.path, rel),
+                    v,
+                    *[
+                        (pvals or {}).get(snap.physical_name(f.name))
+                        for f in part_fields
+                    ],
+                )
+                for rel, pvals, v in batch
+            ]
+            pmap = self.spark.createDataFrame(rows, pmap_schema).select(
+                "__delta_path",
+                "__ver",
+                *[
+                    F.col(f"__pv_{f.name}").cast(f.dataType).alias(f"__pv_{f.name}")
+                    for f in part_fields
+                ],
+            )
+            df = df.join(F.broadcast(pmap), "__delta_path", "left")
+            ordered = []
+            di = [
+                F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
                 for f in data_fields
             ]
-        )
-        df = self.spark.read.schema(scan_schema).parquet(
-            os.path.join(self.path, rel)
-        )
-        df = df.withColumn(
-            "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
-        ).withColumn("__delta_pos", F.col("_metadata.row_index"))
-        cols = [
-            F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
-            for f in data_fields
-        ]
-        out = []
-        for f in snap.schema.fields:
-            if f.name in part_set:
-                raw = pvals.get(snap.physical_name(f.name))
-                out.append(F.lit(raw).cast(f.dataType).alias(f.name))
-            else:
-                out.append(cols.pop(0))
-        return df.select(*out, "__delta_path", "__delta_pos")
-
-    def _semi_join_dv_diff(
-        self, df: DataFrame, rel: str, new_dv: dict, old_dv: dict | None
-    ) -> DataFrame:
-        """Keep only rows whose position is in new_dv but not old_dv —
-        the rows a DV-growing commit deleted. Expansion runs executor-side
-        (same plumbing as the snapshot anti-join)."""
-        table_root = self.path
-        rows = [
-            (
-                os.path.join(self.path, rel),
-                json.dumps(new_dv),
-                json.dumps(old_dv) if old_dv else None,
+            it = iter(di)
+            for f in snap.schema.fields:
+                if f.name in part_set:
+                    ordered.append(F.col(f"__pv_{f.name}").alias(f.name))
+                else:
+                    ordered.append(next(it))
+            out.append(
+                df.select(
+                    *ordered,
+                    F.lit(tag).alias("_change_type"),
+                    F.col("__ver").alias("_commit_version"),
+                )
             )
-        ]
-        desc_df = self.spark.createDataFrame(
-            rows, "abs_path string, new_desc string, old_desc string"
-        )
+        return out
 
-        def expand(batches):
-            import pandas as pd
-
-            from sdlt_spark.store.delta_dv import dv_positions
-
-            for pdf in batches:
-                for abs_path, nd, od in zip(
-                    pdf["abs_path"], pdf["new_desc"], pdf["old_desc"]
-                ):
-                    new_pos = set(dv_positions(json.loads(nd), table_root))
-                    old_pos = (
-                        set(dv_positions(json.loads(od), table_root)) if od else set()
+    def _dv_diff_frames(
+        self,
+        snap: _Snapshot,
+        units: list[tuple[str, dict, dict | None, dict, int]],
+    ) -> list[DataFrame]:
+        """DV-growth units -> frames of the newly-deleted rows: one scan
+        per unique-rel batch, inner-joined against executor-expanded
+        (path, pos, version) diff rows (new DV minus old DV — parsed
+        where the sidecars live, never on the driver)."""
+        table_root = self.path
+        out = []
+        for batch in self._unique_rel_batches(units):
+            # scan under the snapshot schema with partition values; reuse
+            # _change_frames' projection by joining the diff FIRST via a
+            # dedicated keyed scan here
+            part_set = set(snap.partition_columns)
+            data_fields = [f for f in snap.schema.fields if f.name not in part_set]
+            part_fields = [f for f in snap.schema.fields if f.name in part_set]
+            scan_schema = StructType(
+                [
+                    StructField(
+                        snap.physical_name(f.name), _physical_type(f.dataType), True
                     )
-                    diff = sorted(new_pos - old_pos)
-                    yield pd.DataFrame({"__del_path": abs_path, "__del_pos": diff})
+                    for f in data_fields
+                ]
+            )
+            paths = [os.path.join(self.path, rel) for rel, *_ in batch]
+            df = self.spark.read.schema(scan_schema).parquet(*paths)
+            df = df.withColumn(
+                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
+            ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+            desc_rows = [
+                (
+                    os.path.join(self.path, rel),
+                    json.dumps(new),
+                    json.dumps(old) if old else None,
+                    json.dumps(
+                        {
+                            f.name: (pvals or {}).get(snap.physical_name(f.name))
+                            for f in part_fields
+                        }
+                    ),
+                    v,
+                )
+                for rel, new, old, pvals, v in batch
+            ]
+            desc_df = self.spark.createDataFrame(
+                desc_rows,
+                "abs_path string, new_desc string, old_desc string, "
+                "pvals string, ver long",
+            ).repartition(min(len(desc_rows), 64))
 
-        diff_df = desc_df.mapInPandas(expand, "__del_path string, __del_pos long")
-        out = df.join(
-            diff_df,
-            (df["__delta_path"] == diff_df["__del_path"])
-            & (df["__delta_pos"] == diff_df["__del_pos"]),
-            "left_semi",
-        )
-        return out.drop("__delta_path", "__delta_pos")
+            def expand(batches):
+                import pandas as pd
+
+                from sdlt_spark.store.delta_dv import dv_positions
+
+                for pdf in batches:
+                    for abs_path, nd, od, pv, ver in zip(
+                        pdf["abs_path"], pdf["new_desc"], pdf["old_desc"],
+                        pdf["pvals"], pdf["ver"],
+                    ):
+                        new_pos = set(dv_positions(json.loads(nd), table_root))
+                        old_pos = (
+                            set(dv_positions(json.loads(od), table_root))
+                            if od
+                            else set()
+                        )
+                        diff = sorted(new_pos - old_pos)
+                        yield pd.DataFrame(
+                            {
+                                "__del_path": abs_path,
+                                "__del_pos": diff,
+                                "__pvals": pv,
+                                "__ver": ver,
+                            }
+                        )
+
+            diff_df = desc_df.mapInPandas(
+                expand,
+                "__del_path string, __del_pos long, __pvals string, __ver long",
+            )
+            joined = df.join(
+                diff_df,
+                (df["__delta_path"] == diff_df["__del_path"])
+                & (df["__delta_pos"] == diff_df["__del_pos"]),
+                "inner",
+            )
+            ordered = []
+            it = iter(
+                [
+                    F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
+                    for f in data_fields
+                ]
+            )
+            for f in snap.schema.fields:
+                if f.name in part_set:
+                    ordered.append(
+                        F.get_json_object(F.col("__pvals"), f"$.{f.name}")
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    ordered.append(next(it))
+            out.append(
+                joined.select(
+                    *ordered,
+                    F.lit("delete").alias("_change_type"),
+                    F.col("__ver").alias("_commit_version"),
+                )
+            )
+        return out
 
     def history(self) -> list[dict]:
         """Commit metadata (version, timestamp, operation) from commitInfo

@@ -860,3 +860,28 @@ def test_vacuum_delta_export_sweeps_tombstones_only(spark, tmp_path):
     # current snapshot unaffected; source table unaffected (hard links)
     assert sorted(x["k"] for x in r.read().collect()) == list(range(20, 30))
     assert sorted(x["k"] for x in t.read(version=0).collect()) == list(range(20))
+
+
+def test_table_changes_batches_scans_across_commits(spark, tmp_path):
+    """CDF over many commits must NOT build per-file plan leaves: 12
+    insert commits + 3 delete commits read as ~2 scans (one per change
+    category), version attached via broadcast map."""
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    for i in range(12):
+        rel = f"f{i}.parquet"
+        _write_part(os.path.join(root, rel), [i * 10, i * 10 + 1])
+        w.commit(adds=[(rel, {})], schema_json=_SCHEMA if i == 0 else None)
+    for i in range(3):
+        w.commit(removes=[f"f{i}.parquet"])
+    df = DeltaTableReader(spark, root).table_changes(0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+    got = sorted(
+        (x["k"], x["_change_type"], x["_commit_version"]) for x in df.collect()
+    )
+    want = sorted(
+        [(i * 10 + d, "insert", i) for i in range(12) for d in (0, 1)]
+        + [(i * 10 + d, "delete", 12 + i) for i in range(3) for d in (0, 1)]
+    )
+    assert got == want
