@@ -153,17 +153,58 @@ class DeltaTableReader:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:020d}.json")
 
+    def _commit_timestamp(self, version: int) -> float:
+        """The commit's clock for ``timestampAsOf``: the commitInfo's
+        ``inCommitTimestamp`` when the writer recorded one (the
+        inCommitTimestamp table feature — survives file copies/rsync,
+        which reset mtimes), else the commit file's modification time
+        (delta-spark's classic rule)."""
+        path = self._commit_path(version)
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        action = json.loads(line)
+                        if "commitInfo" in action:
+                            ict = action["commitInfo"].get("inCommitTimestamp")
+                            if ict is not None:
+                                return ict / 1000.0
+                            break
+        except OSError:
+            pass
+        return os.path.getmtime(path)
+
     def _resolve_timestamp(self, timestamp: float) -> int:
-        """Latest version whose commit-file mtime <= timestamp — the same
-        modification-time rule delta-spark applies for ``timestampAsOf``."""
+        """Latest version whose commit timestamp <= timestamp — the same
+        rule delta-spark applies for ``timestampAsOf``."""
         best = None
         for v in self._commit_versions():
-            if os.path.getmtime(self._commit_path(v)) <= timestamp:
+            if self._commit_timestamp(v) <= timestamp:
                 best = v
         if best is None:
             raise ValueError(
                 f"no Delta commit at or before timestamp {timestamp} in {self.path}"
             )
+        return best
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Newest ``txn`` action version for ``app_id`` (Delta's
+        SetTransaction / ``txnAppId``-``txnVersion`` idempotence contract):
+        a replaying streaming writer checks this to skip batches it
+        already committed. None when the app never wrote."""
+        best: int | None = None
+        for v in self._commit_versions():
+            with open(self._commit_path(v)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    txn = action.get("txn")
+                    if txn and txn.get("appId") == app_id:
+                        tv = txn.get("version")
+                        best = tv if best is None else max(best, tv)
         return best
 
     # ----------------------------------------------------------- checkpoints

@@ -59,6 +59,7 @@ class DeltaLogWriter:
         stats_override: dict[str, dict] | None = None,
         dvs: dict[str, dict] | None = None,
         cdc: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths. The first commit must carry
@@ -173,6 +174,13 @@ class DeltaLogWriter:
                         "dataChange": False,
                     }
                 }
+            )
+        if txn is not None:
+            # SetTransaction (Delta's txnAppId/txnVersion idempotence):
+            # lets a replaying streaming writer detect batches it already
+            # committed via DeltaTableReader.last_txn_version
+            actions.append(
+                {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": ts}}
             )
         actions.append(
             {
@@ -313,7 +321,10 @@ class DeltaLogWriter:
 
 
 def export_vintage_to_delta(
-    vintage, dest_path: str, checkpoint_interval: int = 10
+    vintage,
+    dest_path: str,
+    checkpoint_interval: int = 10,
+    dv_mode: str = "rewrite",
 ) -> int:
     """Publish the current snapshot of a ``VintageTable`` as a Delta table
     a stock Delta reader can open — and keep it in sync: re-exporting to
@@ -337,7 +348,18 @@ def export_vintage_to_delta(
     Every ``checkpoint_interval`` commits the export gets a parquet
     checkpoint + ``_last_checkpoint`` (Delta's own bounded-replay
     mechanism), so downstream readers of a long-lived export replay
-    O(interval) JSON commits, not O(history)."""
+    O(interval) JSON commits, not O(history).
+
+    ``dv_mode``:
+
+    - ``"rewrite"`` (default): DV-covered files are rewritten with their
+      deleted rows dropped — protocol (1,2), readable by every Delta
+      reader ever shipped. Cost O(covered bytes).
+    - ``"preserve"``: covered files hard-link too, and the vintage DV
+      rows are translated into REAL roaring sidecars (storageType ``u``,
+      the framed ``.bin`` format) attached to the add actions — cost
+      O(deleted rows), zero data rewritten, but the export becomes a
+      protocol (3,7) deletionVectors table (modern readers only)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -368,8 +390,14 @@ def export_vintage_to_delta(
             if vintage._abs(rel) in covered_abs:
                 covering[rel].append(dv_rel)
 
+    if dv_mode not in ("rewrite", "preserve"):
+        raise ValueError(f"dv_mode={dv_mode!r}; expected 'rewrite' or 'preserve'")
+
     def _token(rel: str) -> str:
-        key = rel + "|" + ",".join(sorted(covering[rel]))
+        # mode participates for covered files only, so flipping dv_mode
+        # re-exports exactly the DV-bearing files and nothing else
+        mode_tag = "dv|" if (dv_mode == "preserve" and covering[rel]) else ""
+        key = rel + "|" + mode_tag + ",".join(sorted(covering[rel]))
         return hashlib.md5(key.encode()).hexdigest()[:20]
 
     wanted: dict[str, str] = {
@@ -377,15 +405,44 @@ def export_vintage_to_delta(
     }
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
 
+    dvs_out: dict[str, dict] = {}
+    if dv_mode == "preserve" and dvs:
+        # translate vintage (file, pos) sidecar rows into REAL roaring
+        # descriptors per covered file — O(deleted rows) metadata work,
+        # zero data movement (DV sidecars are tiny by design; the same
+        # driver cost class as _dv_coverage)
+        import pyarrow.parquet as _pq
+
+        from sdlt_spark.store.delta_dv import write_dv_file
+
+        pos_by_abs: dict[str, set[int]] = {}
+        for dv_rel in dvs:
+            t = _pq.read_table(vintage._abs(dv_rel), columns=["file", "pos"])
+            for ref, pos in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                abs_ref = ref if os.path.isabs(ref) else vintage._abs(ref)
+                pos_by_abs.setdefault(os.path.normpath(abs_ref), set()).add(pos)
+        for out_rel, rel in wanted.items():
+            if not covering[rel] or out_rel in existing:
+                continue
+            positions = sorted(pos_by_abs.get(vintage._abs(rel), ()))
+            if positions:
+                dvs_out[out_rel] = write_dv_file(
+                    dest, positions, str(uuid.uuid4()), prefix="deletion_vectors"
+                )
+
     # rewrite every DV-covered file that isn't already exported — ONE
     # distributed job: scan covered files, anti-join the DV rows, write
     # partitioned by export token (each token lands in exactly one task
-    # via repartition-by-token, so one output file per source file)
+    # via repartition-by-token, so one output file per source file).
+    # (Skipped entirely in dv_mode='preserve': covered files hard-link
+    # and carry their roaring descriptor instead.)
     covered_new = sorted(
         out
         for out, rel in wanted.items()
         if covering[rel] and out not in existing
-    )
+    ) if dv_mode == "rewrite" else []
     produced: set[str] = set()
     if covered_new:
         spark = vintage.spark
@@ -482,6 +539,8 @@ def export_vintage_to_delta(
         partition_columns=[],
         operation="WRITE" if not is_sync else "SYNC",
         stats_override=stats_override,
+        dvs={k: v for k, v in dvs_out.items() if any(a[0] == k for a in adds)}
+        or None,
     )
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         writer.write_checkpoint(version)

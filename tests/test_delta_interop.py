@@ -885,3 +885,88 @@ def test_table_changes_batches_scans_across_commits(spark, tmp_path):
         + [(i * 10 + d, "delete", 12 + i) for i in range(3) for d in (0, 1)]
     )
     assert got == want
+
+
+def test_timestamp_travel_prefers_in_commit_timestamps(spark, tmp_path):
+    """inCommitTimestamp (modern Delta's time-travel clock) wins over
+    file mtimes — a copied/rsynced table (mtimes reset to 'now') still
+    time-travels correctly."""
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    _write_part(f"{root}/b.parquet", [2])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    w.commit(adds=[("b.parquet", {})])
+    log = os.path.join(root, "_delta_log")
+    # rewrite commitInfo with explicit in-commit timestamps (ms), then
+    # sabotage the mtimes the classic rule would use
+    for v, ict in ((0, 1_000_000_000), (1, 2_000_000_000)):
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        for line in open(p):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["inCommitTimestamp"] = ict * 1000
+            lines.append(json.dumps(a))
+        open(p, "w").write("\n".join(lines) + "\n")
+        os.utime(p, (5, 5))  # mtime says 1970 — must be ignored
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read(timestamp=1_500_000_000).collect()) == [1]
+    assert sorted(x["k"] for x in r.read(timestamp=2_500_000_000).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="no Delta commit"):
+        r.read(timestamp=500_000_000)
+
+
+def test_txn_actions_round_trip(spark, tmp_path):
+    """SetTransaction (txnAppId/txnVersion): the writer records it, the
+    reader surfaces the newest version per app — the idempotent-streaming
+    handshake."""
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    _write_part(f"{root}/b.parquet", [2])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA, txn=("job-x", 3))
+    w.commit(adds=[("b.parquet", {})], txn=("job-x", 7))
+    r = DeltaTableReader(spark, root)
+    assert r.last_txn_version("job-x") == 7
+    assert r.last_txn_version("job-y") is None
+
+
+def test_export_preserve_dv_mode(spark, tmp_path):
+    """dv_mode='preserve': covered files hard-link and carry REAL roaring
+    sidecars (no rewrite at all — O(deleted rows) export); the reader
+    applies them; the source is untouched; flipping modes re-exports only
+    the covered files."""
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(
+        spark.range(30).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g")),
+        num_files=3,
+        cluster_by=["g"],
+    )
+    t.delete("k IN (0, 3)", mode="dv")  # g=0 rows only: 1 covered file of 3
+    v_src = t.latest_version()
+    dest = str(tmp_path / "d")
+    export_vintage_to_delta(t, dest, dv_mode="preserve")
+    assert t.latest_version() == v_src  # source untouched
+    r = DeltaTableReader(spark, dest)
+    snap = r.snapshot()
+    assert snap.dvs, "expected deletionVector descriptors in the export"
+    got = sorted(x["k"] for x in r.read().collect())
+    assert got == [k for k in range(30) if k not in (0, 3)]
+    # the emitted log declares the DV reader feature (protocol 3,7)
+    raw = open(os.path.join(dest, "_delta_log", f"{0:020d}.json")).read()
+    assert '"deletionVectors"' in raw
+    # growing the DV and re-syncing advances the export
+    t.delete("k = 6", mode="dv")  # still g=0: same covered file grows
+    v1 = export_vintage_to_delta(t, dest, dv_mode="preserve")
+    assert v1 == 1
+    got = sorted(x["k"] for x in r.read().collect())
+    assert got == [k for k in range(30) if k not in (0, 3, 6)]
+    # re-export in rewrite mode: only covered files change names
+    before = set(r.snapshot().files)
+    v2 = export_vintage_to_delta(t, dest, dv_mode="rewrite")
+    after_snap = r.snapshot()
+    assert v2 == 2 and not after_snap.dvs  # rewritten: descriptors gone
+    assert before & set(after_snap.files), "uncovered files must keep their names"
+    got = sorted(x["k"] for x in r.read().collect())
+    assert got == [k for k in range(30) if k not in (0, 3, 6)]
