@@ -142,7 +142,10 @@ def decode_image(media: DataFrame) -> DataFrame:
                     rows["ch_mean"].append(flat.mean(axis=0).tolist())
                     rows["topleft"].append([int(v) for v in px[0, 0]])
                     rows["decode_error"].append(None)
-                except ValueError as exc:
+                except Exception as exc:  # noqa: BLE001 — any corrupt
+                    # payload (struct.error on a truncated header,
+                    # zlib.error on bad IDAT, TypeError on a non-bytes
+                    # cell) must become an error ROW, not a dead job
                     rows["width"].append(None)
                     rows["height"].append(None)
                     rows["channels"].append(None)

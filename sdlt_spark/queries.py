@@ -1168,46 +1168,10 @@ def delta_scan_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     roaring-bitmap sidecar (storageType 'u', Z85 uuid path, framed blob,
     store/delta_dv.py) hides the rows with o_orderkey % 7 == 0. Reading
     raw files would resurrect them; the oracle proves the DV is applied
-    exactly."""
-    import os as _os
-    import tempfile
-
-    import pyarrow.parquet as _pq
-
-    from sdlt_spark.store.delta_dv import write_dv_file
+    exactly. Shares the fixture with the batch/streaming CDF queries."""
     from sdlt_spark.store.delta_read import DeltaTableReader
-    from sdlt_spark.store.delta_write import DeltaLogWriter
 
-    root = tempfile.mkdtemp(prefix="sdlt_delta_dv_") + "/orders"
-    proj = _orders_proj(spark, sf_dir).coalesce(1)
-    abs_dir = _os.path.join(root, "full")
-    proj.write.mode("errorifexists").parquet(abs_dir)
-    rels = [
-        f"full/{f}"
-        for f in sorted(_os.listdir(abs_dir))
-        if f.endswith(".parquet")
-    ]
-    w = DeltaLogWriter(root)
-    w.commit(adds=[(r, {}) for r in rels], schema_json=proj.schema.json())
-    # DV positions are row indexes within each file — derived from the
-    # file's actual row order, so the fixture is exact however Spark
-    # ordered the write
-    dvs = {}
-    for i, rel in enumerate(rels):
-        keys = (
-            _pq.read_table(_os.path.join(root, rel), columns=["o_orderkey"])
-            .column("o_orderkey")
-            .to_pylist()
-        )
-        pos = [p for p, k in enumerate(keys) if k % 7 == 0]
-        if pos:
-            dvs[rel] = write_dv_file(
-                root, pos, f"00000000-0000-4000-8000-{i:012d}", prefix="ab"
-            )
-    w.commit(
-        adds=[(r, {}) for r in rels if r in dvs], dvs=dvs, operation="DELETE"
-    )
-    return DeltaTableReader(spark, root).read()
+    return DeltaTableReader(spark, _delta_dv_history_fixture(spark, sf_dir)).read()
 
 
 def _delta_dv_history_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -120,6 +120,10 @@ class _Snapshot:
     # the last metaData action verbatim (configuration normalized to a
     # dict) — checkpoint writers re-emit it
     metadata: dict = field(default_factory=dict)
+    # the last protocol action verbatim — checkpoint writers must re-emit
+    # it (a checkpoint defaulting to (1,2) on a DV table would let legacy
+    # readers resurrect deleted rows after log cleanup)
+    protocol: dict = field(default_factory=dict)
 
     def physical_name(self, logical: str) -> str:
         return self.mapping.get(logical, logical)
@@ -146,9 +150,13 @@ class DeltaTableReader:
 
     def latest_version(self) -> int:
         versions = self._commit_versions()
-        if not versions:
+        # a log whose every JSON commit was cleaned up to a checkpoint is
+        # still a valid table: the checkpoint IS version state
+        ckpts = self._checkpoint_files()
+        candidates = versions + sorted(ckpts)
+        if not candidates:
             raise FileNotFoundError(f"empty _delta_log under {self.path}")
-        return versions[-1]
+        return max(candidates)
 
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:020d}.json")
@@ -262,6 +270,9 @@ class DeltaTableReader:
         for row in rows:
             if "protocol" in cols and row.get("protocol"):
                 self._check_protocol(row["protocol"])
+                snap.protocol = {
+                    k: v for k, v in row["protocol"].items() if v is not None
+                }
             if "metaData" in cols and row.get("metaData"):
                 meta = dict(row["metaData"])
                 if isinstance(meta.get("configuration"), list):
@@ -368,6 +379,7 @@ class DeltaTableReader:
                     action = json.loads(line)
                     if "protocol" in action:
                         self._check_protocol(action["protocol"])
+                        snap.protocol = action["protocol"]
                     elif "metaData" in action:
                         self._apply_metadata(snap, action["metaData"])
                     elif "add" in action:
@@ -394,9 +406,17 @@ class DeltaTableReader:
 
     @staticmethod
     def _norm_path_col(col):
-        """file:///x -> /x so ``_metadata.file_path`` compares equal to
-        os.path strings (same normalization the vintage store uses)."""
-        return F.regexp_replace(col, "^file:/+", "/")
+        """``_metadata.file_path`` -> plain decoded os.path string, so it
+        compares equal to the python-side map keys (which are URL-DECODED
+        log paths). Spark reports the path URI-escaped (space -> %20,
+        # -> %23, a literal % -> %25 — verified empirically) but leaves
+        ``+`` and non-ASCII raw; ``url_decode`` is form-decoding
+        (+ -> space), so literal ``+`` is protected as %2B first. Without
+        this decode, any file name with an encodable character silently
+        missed the DV anti-join (resurrecting deleted rows) and the
+        partition/provenance maps."""
+        p = F.regexp_replace(col, "^file:/+", "/")
+        return F.url_decode(F.replace(p, F.lit("+"), F.lit("%2B")))
 
     def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
         """One parquet scan over the DV-free live files (snapshot schema
@@ -426,19 +446,19 @@ class DeltaTableReader:
             out = out.unionByName(p)
         return out
 
-    def _scan_subset(
-        self, snap: _Snapshot, rels: list[str], with_dvs: bool
-    ) -> DataFrame:
+    def _keyed_scan(self, snap: _Snapshot, rels: list[str]):
+        """The shared scan every read path builds on: the listed files
+        under the snapshot's PHYSICAL data schema (explicit — early files
+        of a schema-evolved table read missing columns as typed nulls)
+        with decoded (__delta_path, __delta_pos) identity keys attached.
+        Returns (df, data_fields, part_fields)."""
         part_set = set(snap.partition_columns)
         data_fields = [f for f in snap.schema.fields if f.name not in part_set]
         part_fields = [f for f in snap.schema.fields if f.name in part_set]
-
         scan_schema = StructType(
             [
                 StructField(
-                    snap.physical_name(f.name),
-                    _physical_type(f.dataType),
-                    True,
+                    snap.physical_name(f.name), _physical_type(f.dataType), True
                 )
                 for f in data_fields
             ]
@@ -448,13 +468,23 @@ class DeltaTableReader:
         df = df.withColumn(
             "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
         ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+        return df, data_fields, part_fields
 
-        # logical projection; struct casts rename nested physical fields
-        # positionally, so column mapping round-trips at every depth
-        data_cols = [
+    @staticmethod
+    def _logical_cols(snap: _Snapshot, data_fields) -> list:
+        """Physical -> logical projection; struct casts rename nested
+        physical fields positionally, so column mapping round-trips at
+        every depth."""
+        return [
             F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
             for f in data_fields
         ]
+
+    def _scan_subset(
+        self, snap: _Snapshot, rels: list[str], with_dvs: bool
+    ) -> DataFrame:
+        df, data_fields, part_fields = self._keyed_scan(snap, rels)
+        data_cols = self._logical_cols(snap, data_fields)
 
         if part_fields:
             # partition values live only in the log: build the (file ->
@@ -632,9 +662,12 @@ class DeltaTableReader:
         """Per-commit change-unit resolution shared by batch
         ``table_changes`` and the ``delta_cdc`` streaming source (one
         resolver, so batch and streaming CDC can never drift). Yields
-        ``(version, cdc_paths, inserts, deletes, dv_grown)`` where
-        inserts = [(rel, pvals)], deletes = [(rel, prior_dv, pvals)],
-        dv_grown = [(rel, new_dv, old_dv, pvals)]. Commits with no
+        ``(version, cdc_units, inserts, deletes, dv_grown)`` where
+        cdc_units = [(rel, pvals)] (change-data files are partitioned
+        like data files — their partition values live in the action, not
+        the parquet), inserts = [(rel, pvals)], deletes =
+        [(rel, prior_dv, pvals)], dv_grown =
+        [(rel, new_dv, old_dv, pvals)]. Commits with no
         file-level derivation (un-deletes) raise
         :class:`DeltaProtocolError` — or, with ``skip_underivable``
         (Delta's ``skipChangeCommits``), yield nothing for that commit
@@ -649,7 +682,10 @@ class DeltaTableReader:
         for v in range(from_version, to_version + 1):
             actions = self._commit_actions(v)
             cdc_paths = [
-                urllib.parse.unquote(a["cdc"]["path"])
+                (
+                    urllib.parse.unquote(a["cdc"]["path"]),
+                    a["cdc"].get("partitionValues") or {},
+                )
                 for a in actions
                 if "cdc" in a
             ]
@@ -755,7 +791,7 @@ class DeltaTableReader:
                     "change-data files on a column-mapped table are not "
                     "supported by this shim"
                 )
-            cdc_units.extend((rel, {}, v) for rel in cdc_paths)
+            cdc_units.extend((rel, pvals, v) for rel, pvals in cdc_paths)
             ins_units.extend((rel, pvals, v) for rel, pvals in inserts)
             for rel, prior_dv, pvals in deletes:
                 if prior_dv:
@@ -768,7 +804,7 @@ class DeltaTableReader:
             )
 
         frames: list[DataFrame] = []
-        frames += self._cdc_frames(cdc_units)
+        frames += self._cdc_frames(snap, cdc_units)
         frames += self._change_frames(snap, ins_units, "insert")
         frames += self._change_frames(snap, del_plain, "delete")
         frames += self._change_frames(
@@ -811,12 +847,19 @@ class DeltaTableReader:
             remaining = rest
         return batches
 
-    def _cdc_frames(self, units: list[tuple[str, dict, int]]) -> list[DataFrame]:
+    def _cdc_frames(
+        self, snap: _Snapshot, units: list[tuple[str, dict, int]]
+    ) -> list[DataFrame]:
         """All cdc files of the range in one scan (mergeSchema: the change
-        schema may have evolved mid-range), version attached from a
-        broadcast path map."""
+        schema may have evolved mid-range), version AND missing partition
+        columns attached from a broadcast path map (cdc files are
+        partitioned like data files — the partition values live in the
+        cdc action, not the parquet)."""
         from pyspark.sql.types import LongType, StringType
 
+        part_fields = [
+            f for f in snap.schema.fields if f.name in snap.partition_columns
+        ]
         out = []
         for batch in self._unique_rel_batches(units):
             paths = [os.path.join(self.path, rel) for rel, _, _ in batch]
@@ -824,19 +867,48 @@ class DeltaTableReader:
             df = df.withColumn(
                 "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
             )
+            # only partition columns the cdc parquet does NOT carry come
+            # from the map (a writer inlining them wins)
+            missing = [f for f in part_fields if f.name not in df.columns]
             pmap = self.spark.createDataFrame(
-                [(os.path.join(self.path, rel), v) for rel, _, v in batch],
+                [
+                    (
+                        os.path.join(self.path, rel),
+                        v,
+                        *[
+                            (pvals or {}).get(snap.physical_name(f.name))
+                            for f in missing
+                        ],
+                    )
+                    for rel, pvals, v in batch
+                ],
                 StructType(
                     [
                         StructField("__delta_path", StringType(), False),
                         StructField("__ver", LongType(), False),
                     ]
+                    + [
+                        StructField(f"__pv_{f.name}", StringType(), True)
+                        for f in missing
+                    ]
                 ),
+            ).select(
+                "__delta_path",
+                "__ver",
+                *[
+                    F.col(f"__pv_{f.name}").cast(f.dataType).alias(f"__pv_{f.name}")
+                    for f in missing
+                ],
             )
+            joined = df.join(F.broadcast(pmap), "__delta_path", "left").withColumn(
+                "_commit_version", F.col("__ver")
+            )
+            for f in missing:
+                joined = joined.withColumn(f.name, F.col(f"__pv_{f.name}"))
             out.append(
-                df.join(F.broadcast(pmap), "__delta_path", "left")
-                .withColumn("_commit_version", F.col("__ver"))
-                .drop("__delta_path", "__ver")
+                joined.drop(
+                    "__delta_path", "__ver", *[f"__pv_{f.name}" for f in missing]
+                )
             )
         return out
 
@@ -856,22 +928,10 @@ class DeltaTableReader:
 
         out = []
         for batch in self._unique_rel_batches(units):
-            part_set = set(snap.partition_columns)
-            data_fields = [f for f in snap.schema.fields if f.name not in part_set]
-            part_fields = [f for f in snap.schema.fields if f.name in part_set]
-            scan_schema = StructType(
-                [
-                    StructField(
-                        snap.physical_name(f.name), _physical_type(f.dataType), True
-                    )
-                    for f in data_fields
-                ]
+            df, data_fields, part_fields = self._keyed_scan(
+                snap, [rel for rel, _, _ in batch]
             )
-            paths = [os.path.join(self.path, rel) for rel, _, _ in batch]
-            df = self.spark.read.schema(scan_schema).parquet(*paths)
-            df = df.withColumn(
-                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
-            ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+            part_set = set(snap.partition_columns)
             if dvs_by_rel_ver:
                 covered = {
                     rel: dvs_by_rel_ver[(rel, v)]
@@ -911,11 +971,7 @@ class DeltaTableReader:
             )
             df = df.join(F.broadcast(pmap), "__delta_path", "left")
             ordered = []
-            di = [
-                F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
-                for f in data_fields
-            ]
-            it = iter(di)
+            it = iter(self._logical_cols(snap, data_fields))
             for f in snap.schema.fields:
                 if f.name in part_set:
                     ordered.append(F.col(f"__pv_{f.name}").alias(f.name))
@@ -942,25 +998,10 @@ class DeltaTableReader:
         table_root = self.path
         out = []
         for batch in self._unique_rel_batches(units):
-            # scan under the snapshot schema with partition values; reuse
-            # _change_frames' projection by joining the diff FIRST via a
-            # dedicated keyed scan here
-            part_set = set(snap.partition_columns)
-            data_fields = [f for f in snap.schema.fields if f.name not in part_set]
-            part_fields = [f for f in snap.schema.fields if f.name in part_set]
-            scan_schema = StructType(
-                [
-                    StructField(
-                        snap.physical_name(f.name), _physical_type(f.dataType), True
-                    )
-                    for f in data_fields
-                ]
+            df, data_fields, part_fields = self._keyed_scan(
+                snap, [rel for rel, *_ in batch]
             )
-            paths = [os.path.join(self.path, rel) for rel, *_ in batch]
-            df = self.spark.read.schema(scan_schema).parquet(*paths)
-            df = df.withColumn(
-                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
-            ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+            part_set = set(snap.partition_columns)
             desc_rows = [
                 (
                     os.path.join(self.path, rel),
@@ -1019,12 +1060,7 @@ class DeltaTableReader:
                 "inner",
             )
             ordered = []
-            it = iter(
-                [
-                    F.col(snap.physical_name(f.name)).cast(f.dataType).alias(f.name)
-                    for f in data_fields
-                ]
-            )
+            it = iter(self._logical_cols(snap, data_fields))
             for f in snap.schema.fields:
                 if f.name in part_set:
                     ordered.append(

@@ -226,19 +226,11 @@ class DeltaLogWriter:
         if version is None:
             version = reader.latest_version()
         snap = reader.snapshot(version=version)
-        # the latest protocol action at or before the checkpoint version
-        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-        for v in range(version + 1):
-            p = reader._commit_path(v)
-            if not os.path.exists(p):
-                continue
-            with open(p) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        action = json.loads(line)
-                        if "protocol" in action:
-                            proto = action["protocol"]
+        # the replayed protocol (snapshot tracks it through BOTH the JSON
+        # commits and any prior checkpoint — a DV table whose upgrade
+        # commit was log-cleaned must still checkpoint as (3,7), or a
+        # legacy reader would pass the gate and resurrect deleted rows)
+        proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
 
         proto_t = pa.struct(
             [
@@ -563,6 +555,8 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
 
     from sdlt_spark.store.delta_read import DeltaTableReader
 
+    import urllib.parse as _urlparse
+
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader.__new__(DeltaTableReader)
     reader.spark = None
@@ -573,6 +567,26 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     snap = reader.snapshot()
     live = {os.path.normpath(os.path.join(dest, rel)) for rel in snap.files}
     cutoff = _time.time() - retention_hours * 3600.0
+    # retention is keyed on the remove action's deletionTimestamp (Delta's
+    # VACUUM contract), NOT the file's mtime — hard-linked exports inherit
+    # the SOURCE inode's possibly ancient mtime, which would delete a
+    # just-tombstoned file immediately and break time travel inside the
+    # window
+    removed_at: dict[str, float] = {}
+    for v in reader._commit_versions():
+        with open(reader._commit_path(v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    rel = _urlparse.unquote(action["remove"]["path"])
+                    ts = action["remove"].get("deletionTimestamp")
+                    abs_f = os.path.normpath(os.path.join(dest, rel))
+                    removed_at[abs_f] = (
+                        ts / 1000.0 if ts is not None else _time.time()
+                    )
     deleted: list[str] = []
     for dirpath, _, files in os.walk(dest):
         if _LOG in dirpath or os.path.basename(dirpath).startswith(".staging-"):
@@ -583,8 +597,11 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
             abs_f = os.path.normpath(os.path.join(dirpath, f))
             if abs_f in live:
                 continue
+            # tombstoned files age from their deletionTimestamp; orphans
+            # the log never referenced (crashed half-syncs) from mtime
             try:
-                if os.path.getmtime(abs_f) > cutoff:
+                age_ref = removed_at.get(abs_f, os.path.getmtime(abs_f))
+                if age_ref > cutoff:
                     continue
                 os.remove(abs_f)
                 deleted.append(os.path.relpath(abs_f, dest))

@@ -1133,6 +1133,11 @@ class VintageTable:
                 *cluster_by
             )
         cond = F.expr(predicate)
+        # DVs fold FIRST — before this op stages any files of its own:
+        # materialize's nested @_retry_conflicts resets _op_files on
+        # entry, so files staged earlier would leak unreferenced if a
+        # later step failed (the delete()/update() ordering discipline)
+        self.materialize_deletion_vectors()
         # stage the incoming rows, then validate from the staged files —
         # Delta raises when a row falls outside the replaced region
         add_new = self._write_files(df)
@@ -1145,9 +1150,6 @@ class VintageTable:
                     f"the predicate {predicate!r}; writing them would "
                     "corrupt rows outside the replaced region"
                 )
-        # file-level rewrite of the predicate region (same discipline as
-        # delete(): DVs folded first, NULL-evaluating rows survive)
-        self.materialize_deletion_vectors()
         live = self._live_files()
         touched = (
             sorted(

@@ -158,20 +158,21 @@ class DeltaStreamReader(DataSourceStreamReader):
             end["version"],
             skip_underivable=self._skip_change_commits,
         ):
-            for rel in cdc_paths:
-                parts.append(
-                    _DeltaChangePartition(
-                        os.path.join(root, rel), None, v, {}, table_root=root
-                    )
-                )
-            if cdc_paths:
-                continue
-
             def _typed(pvals: dict) -> dict:
                 return {
                     col: _parse_pval(pvals.get(col), t)
                     for col, t in part_types.items()
                 }
+
+            for rel, pvals in cdc_paths:
+                parts.append(
+                    _DeltaChangePartition(
+                        os.path.join(root, rel), None, v, _typed(pvals),
+                        table_root=root,
+                    )
+                )
+            if cdc_paths:
+                continue
 
             for rel, pvals in inserts:
                 parts.append(

@@ -850,11 +850,25 @@ def test_vacuum_delta_export_sweeps_tombstones_only(spark, tmp_path):
     # source rewrite -> next sync tombstones every old exported file
     t.write(spark.range(20, 30).select(F.col("id").alias("k")), mode="overwrite")
     export_vintage_to_delta(t, dest)
-    # within retention: nothing deleted
-    assert vacuum_delta_export(dest, retention_hours=1.0) == []
-    # age the tombstoned files past the cutoff
+    # within retention: nothing deleted — even though hard-linked files
+    # inherit the SOURCE inode mtime (retention must key on the remove
+    # action's deletionTimestamp, not mtime)
     for rel in old_files:
         os.utime(os.path.join(dest, rel), (1_000_000, 1_000_000))
+    assert vacuum_delta_export(dest, retention_hours=1.0) == []
+    # age the TOMBSTONES (the log's deletionTimestamp) past the cutoff
+    log = os.path.join(dest, "_delta_log")
+    for fname in os.listdir(log):
+        if not (fname.endswith(".json") and fname[:-5].isdigit()):
+            continue
+        p = os.path.join(log, fname)
+        lines = []
+        for line in open(p):
+            a = json.loads(line)
+            if "remove" in a:
+                a["remove"]["deletionTimestamp"] = 1_000_000_000  # 1970s
+            lines.append(json.dumps(a))
+        open(p, "w").write("\n".join(lines) + "\n")
     gone = vacuum_delta_export(dest, retention_hours=1.0)
     assert sorted(gone) == sorted(old_files)
     # current snapshot unaffected; source table unaffected (hard links)
@@ -970,3 +984,155 @@ def test_export_preserve_dv_mode(spark, tmp_path):
     assert before & set(after_snap.files), "uncovered files must keep their names"
     got = sorted(x["k"] for x in r.read().collect())
     assert got == [k for k in range(30) if k not in (0, 3, 6)]
+
+
+# ------------------------------------------------ round-6 review regressions
+
+
+def test_encodable_file_names_dv_and_partitions(spark, tmp_path):
+    """Files whose names need URI escaping (space/#/+/%) must still hit
+    the DV anti-join and the partition/provenance maps —
+    _metadata.file_path reports them percent-encoded, the log stores them
+    decoded, and a key mismatch would silently resurrect deleted rows."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    root = str(tmp_path / "dt")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    rels = ["r=0/part with space#1.parquet", "r=1/plus+pct%25.parquet"]
+    _write_part(os.path.join(root, rels[0]), [1, 2, 3])
+    _write_part(os.path.join(root, rels[1]), [4, 5])
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[(rels[0], {"r": "0"}), (rels[1], {"r": "1"})],
+        schema_json=schema,
+        partition_columns=["r"],
+    )
+    dv = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000ee")
+    w.commit(adds=[(rels[0], {"r": "0"})], dvs={rels[0]: dv})  # delete k=1
+    r = DeltaTableReader(spark, root)
+    got = sorted((x["k"], x["r"]) for x in r.read().collect())
+    assert got == [(2, 0), (3, 0), (4, 1), (5, 1)]  # k=1 gone, r attached
+    # CDF provenance maps must match the encoded scan paths too
+    chg = sorted(
+        (x["k"], x["_change_type"], x["_commit_version"], x["r"])
+        for x in r.table_changes(0).collect()
+    )
+    assert (1, "delete", 1, 0) in chg and (4, "insert", 0, 1) in chg
+    assert all(x[3] is not None for x in chg)
+
+
+def test_cdf_cdc_files_attach_partition_values(spark, tmp_path):
+    """cdc parquet files do NOT carry partition columns (they partition
+    like data files); the CDF reader must attach them from the cdc
+    action's partitionValues."""
+    root = str(tmp_path / "dt")
+    os.makedirs(f"{root}/r=1")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}), f"{root}/r=1/a.parquet"
+    )
+    os.makedirs(f"{root}/_change_data/r=1", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2], pa.int64()),
+                "_change_type": pa.array(["update_postimage"], pa.string()),
+            }
+        ),
+        f"{root}/_change_data/r=1/cdc-0.parquet",
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=1/a.parquet", {"r": "1"})],
+        schema_json=schema,
+        partition_columns=["r"],
+    )
+    # hand-write the cdc action WITH partitionValues (as delta-spark does)
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "cdc": {
+                        "path": "_change_data/r%3D1/cdc-0.parquet",
+                        "partitionValues": {"r": "1"},
+                        "size": 1,
+                        "dataChange": False,
+                    }
+                }
+            )
+            + "\n"
+        )
+    got = [
+        (x["k"], x["r"], x["_change_type"])
+        for x in DeltaTableReader(spark, root).table_changes(1).collect()
+    ]
+    assert got == [(2, 1, "update_postimage")]
+
+
+def test_checkpoint_preserves_dv_protocol(spark, tmp_path):
+    """A checkpoint of a DV-bearing table must re-emit protocol (3,7) —
+    defaulting to (1,2) after log cleanup would let a legacy reader pass
+    the gate and resurrect deleted rows."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    dv = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000ff")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": dv})
+    w.write_checkpoint()
+    log = os.path.join(root, "_delta_log")
+    ck = pq.read_table(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    protos = [p for p in ck.column("protocol").to_pylist() if p]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in (protos[0]["readerFeatures"] or [])
+    # log cleanup: replay from the checkpoint alone still applies the DV
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [2, 3]
+    assert r.snapshot().protocol["minReaderVersion"] == 3
+
+
+def test_replace_where_dv_validation_failure_leaks_nothing(spark, tmp_path):
+    """replace_where on a DV-bearing table: a validation failure must not
+    leave the staged incoming files behind as unreferenced parquet (the
+    nested materialize resets the op-file tracker, so staging order
+    matters)."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).select(F.col("id").alias("k"),
+                                   (F.col("id") % 2).alias("g")))
+    t.delete("k = 0", mode="dv")
+    bad = spark.createDataFrame([(99, 1)], "k long, g long")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        t.write(bad, mode="overwrite", replace_where="g = 0")
+    # every parquet on disk must be referenced by SOME version (tombstones
+    # of the DV-materialize commit legitimately remain for time travel;
+    # the STAGED incoming files of the failed replace must not)
+    referenced = set()
+    for v in range(t.latest_version() + 1):
+        referenced |= {os.path.basename(f) for f in t._live_files(version=v)}
+    on_disk = set()
+    for dirpath, _, files in os.walk(os.path.join(str(tmp_path / "t"), "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(f)
+    assert on_disk <= referenced, f"leaked staged files: {sorted(on_disk - referenced)}"
