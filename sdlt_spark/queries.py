@@ -1281,6 +1281,28 @@ def delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "delta_import",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 7 <> 0",
+)
+def delta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound bridge: zero-copy IMPORT of a DV-bearing Delta table into a
+    VintageTable (store/delta_read.py import_delta_to_vintage) — v0
+    points at the Delta files in place, roaring DVs translate to vintage
+    (file, pos) sidecars, stats carry over. The vintage read must equal
+    the Delta snapshot (same oracle as delta_scan_dv by construction)."""
+    import tempfile
+
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = _delta_dv_history_fixture(spark, sf_dir)
+    t = import_delta_to_vintage(
+        spark, root, tempfile.mkdtemp(prefix="sdlt_delta_import_") + "/vt"
+    )
+    return t.read()
+
+
+@_q(
     "delta_column_mapping",
     "SELECT o_orderkey AS order_id, o_orderstatus AS status, "
     "round(o_totalprice, 2) AS total FROM orders",

@@ -1099,3 +1099,90 @@ class DeltaTableReader:
                             break
             out.append(entry)
         return out
+
+
+def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
+    """Zero-copy IMPORT of a real Delta table into a ``VintageTable`` —
+    the inbound counterpart of ``export_vintage_to_delta``: the vintage
+    v0 commit points at the Delta table's data files in place
+    (out-of-root relative refs, the shallow-clone mechanism), deletion
+    vectors are translated from roaring sidecars into vintage (file, pos)
+    rows — O(deleted rows), nothing rewritten — and the add actions'
+    zone-map stats carry across so file skipping works immediately. The
+    Delta table is never touched; subsequent vintage mutations are
+    copy-on-write into the vintage directory.
+
+    Refused loudly (import via ``write(reader.read())`` instead, which
+    materializes): partitioned tables (vintage stores no partition-value
+    sidecar — the columns would read NULL from the raw files) and
+    column-mapped tables (the files' physical names would not match the
+    logical schema vintage reads with).
+
+    Same caveat as Delta's shallow clone: the SOURCE does not know the
+    import exists — vacuuming the source can delete files the import
+    still references."""
+    from sdlt_spark.store.delta_dv import dv_positions
+    from sdlt_spark.store.vintage import VintageTable
+
+    reader = DeltaTableReader(spark, delta_path)
+    snap = reader.snapshot()
+    if snap.partition_columns:
+        raise DeltaProtocolError(
+            "import of a PARTITIONED Delta table is not zero-copy-able "
+            "(partition values live only in the log); materialize instead: "
+            "VintageTable(...).write(DeltaTableReader(...).read())"
+        )
+    if snap.mapping:
+        raise DeltaProtocolError(
+            "import of a column-mapped Delta table is not zero-copy-able "
+            "(data files carry physical column names); materialize instead"
+        )
+    dest = VintageTable(spark, dest_path)
+    if dest.exists():
+        raise FileExistsError(f"import destination {dest.path} already exists")
+    src_root = reader.path
+    rel_add = [
+        os.path.relpath(os.path.join(src_root, rel), dest.path)
+        for rel in sorted(snap.files)
+    ]
+    os.makedirs(dest._log_path(), exist_ok=True)
+    try:
+        dv_add: list[str] = []
+        if snap.dvs:
+            rows = []
+            for rel, desc in sorted(snap.dvs.items()):
+                abs_ref = os.path.normpath(os.path.join(src_root, rel))
+                for pos in dv_positions(desc, src_root):
+                    rows.append((abs_ref, pos))
+            dv_add = dest._write_dv_files(
+                spark.createDataFrame(rows, "file string, pos long")
+            )
+        # carry the add actions' zone maps across (vintage stats shape)
+        stats = {}
+        for rel, out_rel in zip(sorted(snap.files), rel_add):
+            st = snap.stats.get(rel)
+            if st:
+                stats[out_rel] = {
+                    "rows": st.get("numRecords", 0),
+                    "min": st.get("minValues", {}),
+                    "max": st.get("maxValues", {}),
+                }
+        if stats:
+            import uuid as _uuid
+
+            tmp = dest._stats_path() + f".tmp-{_uuid.uuid4().hex}"
+            os.makedirs(os.path.dirname(tmp), exist_ok=True)
+            with open(tmp, "w") as fh:
+                json.dump(stats, fh)
+            os.rename(tmp, dest._stats_path())
+        dest._commit(
+            "IMPORT",
+            {"source": src_root, "sourceVersion": str(snap.version)},
+            rel_add + dv_add,
+            [],
+            schema_json=snap.schema.json(),
+        )
+    except BaseException:
+        dest._cleanup_op_files()  # reclaim half-written dv/ translations
+        raise
+    return dest

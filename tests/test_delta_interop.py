@@ -1136,3 +1136,67 @@ def test_replace_where_dv_validation_failure_leaks_nothing(spark, tmp_path):
             if f.endswith(".parquet"):
                 on_disk.add(f)
     assert on_disk <= referenced, f"leaked staged files: {sorted(on_disk - referenced)}"
+
+
+def test_import_delta_to_vintage_zero_copy_with_dvs(spark, tmp_path):
+    """Inbound bridge: a DV-bearing Delta table imports into a
+    VintageTable with zero data copied — DVs translate to (file, pos)
+    sidecars, stats carry over, the source stays untouched, and vintage
+    mutations work on the import."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3, 4])
+    _write_part(f"{root}/b.parquet", [5, 6])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {}), ("b.parquet", {})], schema_json=_SCHEMA)
+    dv = write_dv_file(root, [1], "00000000-0000-4000-8000-0000000000cc")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": dv})  # delete k=2
+
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 4, 5, 6]
+    # zero-copy: no parquet under the vintage dir except the DV sidecar
+    data_files = []
+    for dirpath, _, files in os.walk(str(tmp_path / "vt")):
+        for f in files:
+            if f.endswith(".parquet") and "/dv/" not in dirpath + "/":
+                data_files.append(f)
+    assert data_files == []
+    # stats carried over -> file skipping works immediately (the DV
+    # sidecar also appears in inputFiles — it is part of the anti-join)
+    pruned = t.read_where("k", 5, 6)
+    data_inputs = {
+        os.path.basename(p) for p in pruned.inputFiles() if "/dv/" not in p
+    }
+    assert data_inputs == {"b.parquet"}
+    # mutations are copy-on-write in the IMPORT's directory; source intact
+    t.delete("k = 5")
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3, 4, 6]
+    r2 = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r2.read().collect()) == [1, 3, 4, 5, 6]
+
+
+def test_import_refuses_partitioned_and_mapped(spark, tmp_path):
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/r=0/a.parquet", [1])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=0/a.parquet", {"r": "0"})],
+        schema_json=schema,
+        partition_columns=["r"],
+    )
+    with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
+        import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
