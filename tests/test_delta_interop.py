@@ -1200,3 +1200,60 @@ def test_import_refuses_partitioned_and_mapped(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
         import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+
+
+def test_roaring_codec_property_round_trip():
+    """Property: any position set round-trips through the portable
+    RoaringBitmapArray serialization and the framed DV file layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sdlt_spark.store.delta_dv import (
+        deserialize_rbm_array,
+        serialize_rbm_array,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sets(
+            st.one_of(
+                st.integers(min_value=0, max_value=1 << 20),
+                # straddle container and high-key boundaries
+                st.integers(min_value=0xFFF0, max_value=0x1_0010),
+                st.integers(min_value=(1 << 32) - 16, max_value=(1 << 32) + 16),
+            ),
+            max_size=300,
+        )
+    )
+    def check(positions):
+        want = sorted(positions)
+        assert deserialize_rbm_array(serialize_rbm_array(want)) == want
+
+    check()
+
+
+def test_delta_cdc_stream_rate_limit_unit(spark, tmp_path):
+    """delta_cdc maxCommitsPerTrigger: capped from the floor on fresh
+    queries, down-synced from the offset log on restart (same discipline
+    as the vintage source, same verified call order)."""
+    from pyspark.sql.types import StructType
+
+    from sdlt_spark.streaming.delta_source import DeltaStreamReader
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    for i in range(8):
+        rel = f"f{i}.parquet"
+        _write_part(os.path.join(root, rel), [i])
+        w.commit(adds=[(rel, {})], schema_json=_SCHEMA if i == 0 else None)
+    r = DeltaStreamReader(
+        StructType([]),
+        {"path": root, "startingversion": "0", "maxcommitspertrigger": "3"},
+    )
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 5}
+    # restart behind a backlog: the replayed batch down-syncs the counter
+    r2 = DeltaStreamReader(StructType([]), {"path": root, "maxcommitspertrigger": "3"})
+    list(r2.partitions({"version": 1}, {"version": 1}))
+    assert r2.latestOffset() == {"version": 4}
