@@ -744,7 +744,10 @@ class DeltaTableReader:
             yield v, cdc_paths, inserts, deletes, dv_grown
 
     def table_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        skip_change_commits: bool = False,
     ) -> DataFrame:
         """Batch change-data read over a REAL Delta log — the consumer half
         of Delta's Change Data Feed. Per PROTOCOL.md "Change Data Files":
@@ -784,7 +787,7 @@ class DeltaTableReader:
         dv_by_rel_ver: dict[tuple[str, int], dict] = {}
         grown_units: list[tuple[str, dict, dict | None, dict, int]] = []
         for v, cdc_paths, inserts, deletes, dv_grown in self.walk_changes(
-            from_version, to_version
+            from_version, to_version, skip_underivable=skip_change_commits
         ):
             if cdc_paths and snap.mapping:
                 raise DeltaProtocolError(

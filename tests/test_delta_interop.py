@@ -757,6 +757,14 @@ def test_table_changes_refuses_undelete(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     with pytest.raises(DeltaProtocolError, match="un-delete"):
         r.table_changes(2).collect()
+    # skipChangeCommits (Delta's option): the underivable commit drops
+    # silently, later derivable commits still flow
+    w.commit(removes=["a.parquet"])  # v3: plain delete of the live file
+    got = sorted(
+        (x["k"], x["_change_type"], x["_commit_version"])
+        for x in r.table_changes(2, skip_change_commits=True).collect()
+    )
+    assert got == [(1, "delete", 3), (2, "delete", 3)]
 
 
 def test_multipart_checkpoint_replay(spark, tmp_path):
