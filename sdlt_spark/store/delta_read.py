@@ -446,12 +446,14 @@ class DeltaTableReader:
             out = out.unionByName(p)
         return out
 
-    def _keyed_scan(self, snap: _Snapshot, rels: list[str]):
+    def _keyed_scan(self, snap: _Snapshot, rels: list[str], keys: bool = True):
         """The shared scan every read path builds on: the listed files
         under the snapshot's PHYSICAL data schema (explicit — early files
         of a schema-evolved table read missing columns as typed nulls)
         with decoded (__delta_path, __delta_pos) identity keys attached.
-        Returns (df, data_fields, part_fields)."""
+        ``keys=False`` skips them — an unpartitioned, DV-free read needs
+        neither, and not touching ``_metadata`` keeps the plan a bare
+        pruned scan. Returns (df, data_fields, part_fields)."""
         part_set = set(snap.partition_columns)
         data_fields = [f for f in snap.schema.fields if f.name not in part_set]
         part_fields = [f for f in snap.schema.fields if f.name in part_set]
@@ -465,9 +467,10 @@ class DeltaTableReader:
         )
         paths = [os.path.join(self.path, rel) for rel in rels]
         df = self.spark.read.schema(scan_schema).parquet(*paths)
-        df = df.withColumn(
-            "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
-        ).withColumn("__delta_pos", F.col("_metadata.row_index"))
+        if keys:
+            df = df.withColumn(
+                "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
+            ).withColumn("__delta_pos", F.col("_metadata.row_index"))
         return df, data_fields, part_fields
 
     @staticmethod
@@ -483,7 +486,10 @@ class DeltaTableReader:
     def _scan_subset(
         self, snap: _Snapshot, rels: list[str], with_dvs: bool
     ) -> DataFrame:
-        df, data_fields, part_fields = self._keyed_scan(snap, rels)
+        need_keys = with_dvs or bool(snap.partition_columns)
+        df, data_fields, part_fields = self._keyed_scan(
+            snap, rels, keys=need_keys
+        )
         data_cols = self._logical_cols(snap, data_fields)
 
         if part_fields:

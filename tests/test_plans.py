@@ -403,3 +403,54 @@ def test_delta_dv_read_plan_splits_covered_files(spark, tmp_path):
     assert sorted(x["k"] for x in df.collect()) == sorted(
         set(range(40)) - {0, 1}
     )
+
+
+def test_delta_plain_read_is_bare_pruned_scan(spark, tmp_path):
+    """A DV-free unpartitioned Delta read must compile to a BARE parquet
+    scan: filters pushed, unused columns pruned, and no _metadata struct
+    construction (the identity keys only attach when DVs or partition
+    maps actually need them)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(range(100), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(100)], pa.string()),
+                "w": pa.array([float(i) for i in range(100)], pa.float64()),
+            }
+        ),
+        f"{root}/a.parquet",
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "w", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=schema)
+    df = (
+        DeltaTableReader(spark, root)
+        .read()
+        .filter(F.col("k") > 90)
+        .select("k", "v")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan, plan
+    assert "ReadSchema: struct<k:bigint,v:string>" in plan, plan  # w pruned
+    assert "_metadata" not in plan, plan  # no identity-key residue
+    assert [x["k"] for x in df.collect()] == list(range(91, 100))
