@@ -752,11 +752,17 @@ class VintageTable:
 
     def _rel_path_col(self):
         """Table-relative path of the row's source file as a Column (the
-        executor-side twin of :meth:`_rel`): strip the file: scheme, then
-        the table root prefix."""
+        executor-side twin of :meth:`_rel`): decode the URI escaping
+        ``_metadata.file_path`` reports (space -> %20, # -> %23, literal
+        % -> %25; ``+`` stays raw, hence the %2B protection before the
+        form-decoding url_decode), strip the file: scheme, then the table
+        root prefix. Vintage's own generated file names are hex-safe, but
+        out-of-root refs (clone / Delta import) can carry arbitrary
+        names — an undecoded key would silently miss the DV anti-join."""
         import re as _re
 
         fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        fp = F.url_decode(F.replace(fp, F.lit("+"), F.lit("%2B")))
         root = self.path.rstrip("/") + "/"
         return F.regexp_replace(fp, "^" + _re.escape(root), "")
 

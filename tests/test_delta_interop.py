@@ -1265,3 +1265,24 @@ def test_delta_cdc_stream_rate_limit_unit(spark, tmp_path):
     r2 = DeltaStreamReader(StructType([]), {"path": root, "maxcommitspertrigger": "3"})
     list(r2.partitions({"version": 1}, {"version": 1}))
     assert r2.latestOffset() == {"version": 4}
+
+
+def test_import_with_encodable_file_names_applies_dvs(spark, tmp_path):
+    """Imported Delta files with URI-escapable names (spaces etc.) must
+    still hit the vintage DV anti-join — _rel_path_col decodes the scan's
+    reported path the same way the delta reader does."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "dt")
+    rel = "part with space#1.parquet"
+    _write_part(os.path.join(root, rel), [1, 2, 3])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[(rel, {})], schema_json=_SCHEMA)
+    dv = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000dd")
+    w.commit(adds=[(rel, {})], dvs={rel: dv})  # delete k=1
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+    # and a vintage-side DV delete on the imported file also keys right
+    t.delete("k = 2", mode="dv")
+    assert sorted(r["k"] for r in t.read().collect()) == [3]
