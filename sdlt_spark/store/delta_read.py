@@ -676,8 +676,12 @@ class DeltaTableReader:
         [(rel, new_dv, old_dv, pvals)]. Commits with no
         file-level derivation (un-deletes) raise
         :class:`DeltaProtocolError` — or, with ``skip_underivable``
-        (Delta's ``skipChangeCommits``), yield nothing for that commit
-        while still folding its state."""
+        (Delta's ``skipChangeCommits`` semantics), the commit is dropped
+        WHOLE while its state still folds. Per delta-spark, the option
+        skips every commit that deletes or modifies existing rows
+        (removes, DV growth, cdc-marked updates) — not just the
+        underivable ones — so a consumer that only wants appends never
+        receives delete rows."""
         base = (
             self.snapshot(version=from_version - 1)
             if from_version > 0
@@ -743,10 +747,18 @@ class DeltaTableReader:
                         deletes.append((rel, dv_state.get(rel), live[rel]))
                     live.pop(rel, None)
                     dv_state.pop(rel, None)
-            if underivable:
-                if not skip_underivable:
-                    raise DeltaProtocolError(underivable)
-                continue  # state folded; commit dropped (skipChangeCommits)
+            if underivable and not skip_underivable:
+                raise DeltaProtocolError(underivable)
+            if skip_underivable and (
+                underivable
+                or deletes
+                or dv_grown
+                # a cdc-bearing commit that also removed files modified
+                # existing rows (UPDATE/DELETE); cdc with pure adds is an
+                # append-shaped change and flows
+                or (cdc_paths and any("remove" in a for a in actions))
+            ):
+                continue  # state folded; commit dropped whole
             yield v, cdc_paths, inserts, deletes, dv_grown
 
     def table_changes(
@@ -1130,7 +1142,6 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
     Same caveat as Delta's shallow clone: the SOURCE does not know the
     import exists — vacuuming the source can delete files the import
     still references."""
-    from sdlt_spark.store.delta_dv import dv_positions
     from sdlt_spark.store.vintage import VintageTable
 
     reader = DeltaTableReader(spark, delta_path)
@@ -1147,51 +1158,69 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
             "(data files carry physical column names); materialize instead"
         )
     dest = VintageTable(spark, dest_path)
-    if dest.exists():
-        raise FileExistsError(f"import destination {dest.path} already exists")
     src_root = reader.path
     rel_add = [
         os.path.relpath(os.path.join(src_root, rel), dest.path)
         for rel in sorted(snap.files)
     ]
-    os.makedirs(dest._log_path(), exist_ok=True)
-    try:
-        dv_add: list[str] = []
-        if snap.dvs:
-            rows = []
-            for rel, desc in sorted(snap.dvs.items()):
-                abs_ref = os.path.normpath(os.path.join(src_root, rel))
-                for pos in dv_positions(desc, src_root):
-                    rows.append((abs_ref, pos))
-            dv_add = dest._write_dv_files(
-                spark.createDataFrame(rows, "file string, pos long")
-            )
-        # carry the add actions' zone maps across (vintage stats shape)
-        stats = {}
-        for rel, out_rel in zip(sorted(snap.files), rel_add):
-            st = snap.stats.get(rel)
-            if st:
-                stats[out_rel] = {
-                    "rows": st.get("numRecords", 0),
-                    "min": st.get("minValues", {}),
-                    "max": st.get("maxValues", {}),
-                }
-        if stats:
-            import uuid as _uuid
+    dv_rows = None
+    if snap.dvs:
+        # roaring descriptors expand to (file, pos) rows EXECUTOR-side —
+        # the driver ships O(#DVs) descriptors, never the deleted-row
+        # positions themselves (same invariant as _anti_join_dvs)
+        desc_rows = [
+            (os.path.normpath(os.path.join(src_root, rel)), json.dumps(desc))
+            for rel, desc in sorted(snap.dvs.items())
+        ]
+        desc_df = spark.createDataFrame(
+            desc_rows, "file string, descriptor string"
+        ).repartition(min(len(desc_rows), 64))
 
-            tmp = dest._stats_path() + f".tmp-{_uuid.uuid4().hex}"
-            os.makedirs(os.path.dirname(tmp), exist_ok=True)
-            with open(tmp, "w") as fh:
-                json.dump(stats, fh)
-            os.rename(tmp, dest._stats_path())
-        dest._commit(
-            "IMPORT",
-            {"source": src_root, "sourceVersion": str(snap.version)},
-            rel_add + dv_add,
-            [],
-            schema_json=snap.schema.json(),
-        )
-    except BaseException:
-        dest._cleanup_op_files()  # reclaim half-written dv/ translations
-        raise
+        def _expand(batches):
+            import pandas as pd
+
+            from sdlt_spark.store.delta_dv import dv_positions as _dvp
+
+            for pdf in batches:
+                for abs_ref, dj in zip(pdf["file"], pdf["descriptor"]):
+                    yield pd.DataFrame(
+                        {
+                            "file": abs_ref,
+                            "pos": _dvp(json.loads(dj), src_root),
+                        }
+                    )
+
+        dv_rows = desc_df.mapInPandas(_expand, "file string, pos long")
+    # carry the add actions' zone maps across (vintage stats shape); only
+    # values the vintage pruner's contract allows (int/float/str — the
+    # same filter _read_footer_stats applies; Delta stores e.g. nested
+    # struct stats as dicts, which must not reach _prune_by_range)
+    def _clean(d: dict) -> dict:
+        return {
+            k: v for k, v in (d or {}).items() if isinstance(v, (int, float, str))
+        }
+
+    stats = {}
+    for rel, out_rel in zip(sorted(snap.files), rel_add):
+        st = snap.stats.get(rel)
+        if st:
+            stats[out_rel] = {
+                "rows": st.get("numRecords", 0),
+                "min": _clean(st.get("minValues")),
+                "max": _clean(st.get("maxValues")),
+            }
+    dest._bootstrap_v0(
+        rel_add,
+        dv_rows,
+        stats,
+        "IMPORT",
+        {"source": src_root, "sourceVersion": str(snap.version)},
+        snap.schema.json(),
+    )
+    # CHECK constraints carry over (delta.constraints.* in the table
+    # configuration) so writes to the import keep enforcing the source's
+    # invariants — each lands as its own commit, same as add_constraint
+    for key, expr in sorted((snap.metadata.get("configuration") or {}).items()):
+        if key.startswith("delta.constraints."):
+            dest.add_constraint(key[len("delta.constraints.") :], expr)
     return dest

@@ -674,9 +674,17 @@ class VintageTable:
             if not st or col not in st.get("min", {}) or col not in st.get("max", {}):
                 out.append(f)
                 continue
-            if (lo is None or st["max"][col] >= lo) and (
-                hi is None or st["min"][col] <= hi
-            ):
+            try:
+                keep = (lo is None or st["max"][col] >= lo) and (
+                    hi is None or st["min"][col] <= hi
+                )
+            except TypeError:
+                # zone value and bound are not comparable (e.g. a string
+                # date zone from an imported Delta table vs a datetime
+                # bound): the zone is unusable for THIS query — keep the
+                # file, never crash the read
+                keep = True
+            if keep:
                 out.append(f)
         return out
 
@@ -706,12 +714,19 @@ class VintageTable:
         return df.withColumn("__file", F.col("_metadata.file_path"))
 
     def _rel(self, file_uri: str) -> str:
+        import urllib.parse as _urlparse
+
         p = file_uri
         if p.startswith("file:"):
             p = p[len("file:") :]
             while p.startswith("//"):
                 p = p[1:]
-        return os.path.relpath(p, self.path)
+        # Spark reports file paths URI-escaped (space -> %20 etc.; '+'
+        # stays raw, which unquote also leaves alone) — decode so the
+        # result matches on-disk names; every caller passes
+        # _metadata/inputFiles-derived URIs (see _rel_path_col, the
+        # executor-side twin with the same decode)
+        return os.path.relpath(_urlparse.unquote(p), self.path)
 
     # ------------------------------------------------- deletion vectors
 
@@ -2124,6 +2139,39 @@ class VintageTable:
             "RESTORE", {"version": str(version)}, add, remove, schema_json=schema_json
         )
 
+    def _bootstrap_v0(
+        self,
+        rel_add: list[str],
+        dv_rows: "DataFrame | None",
+        stats: dict,
+        operation: str,
+        params: dict,
+        schema_json: str,
+    ) -> None:
+        """Create THIS (not-yet-existing) table's v0 commit from prepared
+        state — the shared scaffolding of shallow :meth:`clone` and
+        :func:`~sdlt_spark.store.delta_read.import_delta_to_vintage`:
+        optional translated deletion-vector rows, carried-over zone-map
+        stats, one commit, and failure cleanup of the half-written
+        sidecars (the only bytes a zero-copy bootstrap ever writes)."""
+        if self.exists():
+            raise FileExistsError(f"destination {self.path} already exists")
+        os.makedirs(self._log_path(), exist_ok=True)
+        try:
+            dv_add = self._write_dv_files(dv_rows) if dv_rows is not None else []
+            if stats:
+                tmp = self._stats_path() + f".tmp-{uuid.uuid4().hex}"
+                os.makedirs(os.path.dirname(tmp), exist_ok=True)
+                with open(tmp, "w") as fh:
+                    json.dump(stats, fh)
+                os.rename(tmp, self._stats_path())
+            self._commit(
+                operation, params, rel_add + dv_add, [], schema_json=schema_json
+            )
+        except BaseException:
+            self._cleanup_op_files()
+            raise
+
     def clone(self, dest_path: str) -> "VintageTable":
         """Delta-style SHALLOW CLONE: a new table whose v0 commit points at
         the source snapshot's data files — metadata-only, zero data copied,
@@ -2146,47 +2194,33 @@ class VintageTable:
         yields for out-of-root files). The translation writes O(deleted
         rows) — the only bytes a shallow clone ever writes."""
         dest = VintageTable(self.spark, dest_path, commit_hook=self._publish)
-        if dest.exists():
-            raise FileExistsError(f"clone destination {dest.path} already exists")
         files = self._live_files()
         data, dvs = self._split_live(files)
         rel_add = [
             os.path.relpath(os.path.join(self.path, f), dest.path) for f in data
         ]
-        os.makedirs(dest._log_path(), exist_ok=True)
-        try:
-            dv_add: list[str] = []
-            if dvs:
-                src_dv = self.spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in dvs]
-                )
-                # rewrite refs to canonical absolute source paths; already-
-                # absolute refs (the source being itself a clone) pass through
-                root = self.path.rstrip("/") + "/"
-                abs_ref = F.when(
-                    F.col("file").startswith("/"), F.col("file")
-                ).otherwise(F.concat(F.lit(root), F.col("file")))
-                dv_add = dest._write_dv_files(
-                    src_dv.select(abs_ref.alias("file"), "pos")
-                )
-            src_stats = self._file_stats()
-            stats = {r: src_stats[f] for f, r in zip(data, rel_add) if f in src_stats}
-            tmp = dest._stats_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as fh:
-                json.dump(stats, fh)
-            os.rename(tmp, dest._stats_path())
-            dest._commit(
-                "CLONE",
-                {"source": self.path, "sourceVersion": str(self.latest_version())},
-                rel_add + dv_add,
-                [],
-                schema_json=self._schema_at().json(),
+        dv_rows = None
+        if dvs:
+            src_dv = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
             )
-        except BaseException:
-            # the clone owns its half-written dv/ translations; reclaim them
-            # (the source was never touched, so there is nothing else to undo)
-            dest._cleanup_op_files()
-            raise
+            # rewrite refs to canonical absolute source paths; already-
+            # absolute refs (the source being itself a clone) pass through
+            root = self.path.rstrip("/") + "/"
+            abs_ref = F.when(
+                F.col("file").startswith("/"), F.col("file")
+            ).otherwise(F.concat(F.lit(root), F.col("file")))
+            dv_rows = src_dv.select(abs_ref.alias("file"), "pos")
+        src_stats = self._file_stats()
+        stats = {r: src_stats[f] for f, r in zip(data, rel_add) if f in src_stats}
+        dest._bootstrap_v0(
+            rel_add,
+            dv_rows,
+            stats,
+            "CLONE",
+            {"source": self.path, "sourceVersion": str(self.latest_version())},
+            self._schema_at().json(),
+        )
         return dest
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:

@@ -757,14 +757,17 @@ def test_table_changes_refuses_undelete(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     with pytest.raises(DeltaProtocolError, match="un-delete"):
         r.table_changes(2).collect()
-    # skipChangeCommits (Delta's option): the underivable commit drops
-    # silently, later derivable commits still flow
+    # skipChangeCommits (delta-spark semantics): EVERY commit that deletes
+    # or modifies existing rows drops whole — the underivable v2 AND the
+    # plain-remove v3 — while append commits still flow
     w.commit(removes=["a.parquet"])  # v3: plain delete of the live file
+    _write_part(os.path.join(root, "b.parquet"), [9])
+    w.commit(adds=[("b.parquet", {})])  # v4: pure append
     got = sorted(
         (x["k"], x["_change_type"], x["_commit_version"])
         for x in r.table_changes(2, skip_change_commits=True).collect()
     )
-    assert got == [(1, "delete", 3), (2, "delete", 3)]
+    assert got == [(9, "insert", 4)]
 
 
 def test_multipart_checkpoint_replay(spark, tmp_path):
@@ -1286,3 +1289,57 @@ def test_import_with_encodable_file_names_applies_dvs(spark, tmp_path):
     # and a vintage-side DV delete on the imported file also keys right
     t.delete("k = 2", mode="dv")
     assert sorted(r["k"] for r in t.read().collect()) == [3]
+    # copy-on-write mutations resolve the file via the DRIVER-side _rel
+    # twin: an undecoded path would try to read a nonexistent
+    # 'part%20with...' and crash (or rewrite the wrong file)
+    t.update("k = 3", {"k": "30"})
+    assert sorted(r["k"] for r in t.read().collect()) == [30]
+
+
+def test_import_carries_check_constraints(spark, tmp_path):
+    """delta.constraints.* in the source's configuration become vintage
+    CHECK constraints on the import — a write violating the source's
+    invariant must fail, not silently land."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2])
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}}) + "\n")
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "schemaString": _SCHEMA,
+                        "partitionColumns": [],
+                        "configuration": {"delta.constraints.positive_k": "k > 0"},
+                    }
+                }
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": "a.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    assert t.constraints() == {"positive_k": "k > 0"}
+    with pytest.raises(ConstraintViolationError):
+        t.write(
+            spark.createDataFrame([(-5, "bad")], "k long, v string"),
+            mode="append",
+        )
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
