@@ -797,3 +797,52 @@ def test_delta_cdc_stream_partition_columns_and_cdc_files(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_delta_cdc_stream_schema_evolution_pads_nulls(spark, tmp_path):
+    """A schema-evolved Delta table streams uniformly: pre-evolution
+    files' missing columns arrive as typed nulls (the stream schema is
+    the LATEST snapshot's)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    _pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), f"{root}/old.parquet")
+    _pq.write_table(
+        pa.table({"k": pa.array([2], pa.int64()),
+                  "extra": pa.array([7.5], pa.float64())}),
+        f"{root}/new.parquet",
+    )
+    s0 = _json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+    s1 = _json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "extra", "type": "double", "nullable": True, "metadata": {}}]})
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("old.parquet", {})], schema_json=s0)
+    w.commit(adds=[("new.parquet", {})], schema_json=s1)  # evolve + add
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("delta_cdc_evolve")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["k"], r["extra"], r["_change_type"], r["_commit_version"])
+            for r in spark.sql("select * from delta_cdc_evolve").collect()
+        )
+        assert got == [(1, None, "insert", 0), (2, 7.5, "insert", 1)]
+    finally:
+        q.stop()
