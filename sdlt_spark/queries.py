@@ -1376,6 +1376,144 @@ def delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q("delta_scan_v2", _ORDERS_PROJ_SQL)
+def delta_scan_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (UUID-named manifest + _sidecars) checkpoint replay — the
+    default modern-table shape (round-6 verdict item 1): the fixture's
+    JSON commits are all cleaned up after a write_checkpoint(v2=True), so
+    the read resolves ENTIRELY through the v2 checkpoint; an unparsed
+    sidecar or manifest surfaces as zero rows / hash mismatch."""
+    import os as _os
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = _delta_fixture(spark, sf_dir)
+    DeltaLogWriter(root).write_checkpoint(v2=True)
+    log = _os.path.join(root, "_delta_log")
+    for f in _os.listdir(log):
+        if f.endswith(".json") and f[:-5].isdigit():
+            _os.remove(_os.path.join(log, f))
+    return DeltaTableReader(spark, root).read()
+
+
+@_q(
+    "delta_column_mapping_id",
+    "SELECT o_orderkey AS order_id, o_orderstatus AS status, "
+    "round(o_totalprice, 2) AS total FROM orders",
+)
+def delta_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column mapping, 'id' mode (round-6 verdict item 2): the scan
+    matches parquet columns by FIELD ID from the footer — the fixture's
+    file column names (f1/f2/f3) match neither the logical nor the
+    physical names, so only id matching can read it (the shape of tables
+    converted from Iceberg)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_cmid_") + "/orders"
+    proj = (
+        _orders_proj(spark, sf_dir)
+        .select(
+            F.col("o_orderkey").alias("f1"),
+            F.col("o_orderstatus").alias("f2"),
+            F.col("o_totalprice").alias("f3"),
+        )
+        .coalesce(1)
+    )
+    # stamp parquet field ids into the written footers (Spark writes them
+    # from the schema's parquet.field.id metadata)
+    for i, c in enumerate(["f1", "f2", "f3"]):
+        proj = proj.withMetadata(c, {"parquet.field.id": i + 1})
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    abs_dir = _os.path.join(root, "full")
+    proj.write.mode("errorifexists").parquet(abs_dir)
+    rels = [
+        f"full/{f}" for f in sorted(_os.listdir(abs_dir)) if f.endswith(".parquet")
+    ]
+    logical_types = {"order_id": "long", "status": "string", "total": "double"}
+    schema_json = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": name,
+                    "type": logical_types[name],
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": f"col-phys-{i + 1}",
+                    },
+                }
+                for i, name in enumerate(["order_id", "status", "total"])
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=[(r, {}) for r in rels], schema_json=schema_json)
+    commit0 = _os.path.join(root, "_delta_log", f"{0:020d}.json")
+    lines = []
+    with open(commit0) as fh:
+        for line in fh:
+            action = _json.loads(line)
+            if "metaData" in action:
+                action["metaData"]["configuration"] = {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                }
+            lines.append(_json.dumps(action))
+    with open(commit0, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return DeltaTableReader(spark, root).read()
+
+
+@_q("delta_import_partitioned", _ORDERS_PROJ_SQL)
+def delta_import_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy import of a PARTITIONED Delta table (round-6 verdict item
+    3): the fixture partitions orders by o_orderstatus (values live only
+    in the log, per Delta's layout); the import carries them into the
+    vintage per-file constant-column sidecar, and the read re-attaches
+    the typed column via a broadcast map join — nothing rewritten."""
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_part_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+    # bounded driver list: the partition values (3 statuses at any SF)
+    statuses = sorted(
+        r["o_orderstatus"] for r in proj.select("o_orderstatus").distinct().collect()
+    )
+    adds = []
+    for s in statuses:
+        sub = f"o_orderstatus={s}"
+        # partition columns are NOT stored in the data files (Delta's
+        # on-disk layout); the log's partitionValues carry them
+        frame = proj.filter(F.col("o_orderstatus") == s).drop("o_orderstatus")
+        abs_dir = _os.path.join(root, sub)
+        frame.coalesce(1).write.mode("errorifexists").parquet(abs_dir)
+        adds += [
+            (f"{sub}/{f}", {"o_orderstatus": s})
+            for f in sorted(_os.listdir(abs_dir))
+            if f.endswith(".parquet")
+        ]
+    schema_json = proj.schema.json()
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=adds, schema_json=schema_json, partition_columns=["o_orderstatus"]
+    )
+    t = import_delta_to_vintage(
+        spark, root, tempfile.mkdtemp(prefix="sdlt_delta_part_vt_") + "/vt"
+    )
+    return t.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 @_q(
     "vintage_incremental_agg",
     # Oracle recomputes the FINAL snapshot's aggregate relationally

@@ -14,7 +14,15 @@ Scope (documented, checked, honest):
   Delta PROTOCOL.md state machine: snapshot(v) = adds minus removes of
   commits 0..v, last metaData wins.
 - Parquet checkpoints via ``_last_checkpoint`` (replay is then
-  O(commits since checkpoint), Delta's own scaling mechanism).
+  O(commits since checkpoint), Delta's own scaling mechanism) — classic
+  single-file, classic multipart, AND V2 (UUID-named manifest + sidecar
+  files, the default shape from modern Databricks runtimes); checkpoints
+  also carry/restore setTransaction state and remove tombstones per
+  PROTOCOL.md.
+- Logical files keyed on (path, deletionVector uniqueId) — the spec's
+  reconciliation rule — so real DELETE-with-DV commits (remove(path,
+  oldDV) paired with add(path, newDV) for the same path) fold correctly
+  in either action order.
 - ``versionAsOf`` / ``timestampAsOf`` time travel (timestamp resolution by
   commit-file modification time, exactly delta-spark's fallback when no
   in-commit timestamps exist).
@@ -28,10 +36,12 @@ Scope (documented, checked, honest):
   a (file, row_index) anti-join, so DV-bearing tables (the default shape
   from modern writers) read correctly instead of resurrecting deleted
   rows.
-- Column mapping, ``name`` mode: data is scanned under the physical
-  column names recorded in the schema metadata and presented under the
-  logical names (struct casts rename nested fields positionally).
-  ``id`` mode (parquet field-id matching) is still refused loudly.
+- Column mapping, ``name`` AND ``id`` modes: data is scanned under the
+  physical column names recorded in the schema metadata and presented
+  under the logical names (struct casts rename nested fields
+  positionally); ``id`` mode scans match by parquet field id
+  (``spark.sql.parquet.fieldId.read.enabled``), the shape of tables
+  converted from Iceberg.
 - Anything else beyond the implemented reader feature set is rejected
   loudly rather than read wrong.
 
@@ -67,36 +77,66 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
     "deletionVectors",
     "columnMapping",
+    "v2Checkpoint",
 }
 
 _PHYS_KEY = "delta.columnMapping.physicalName"
+_ID_KEY = "delta.columnMapping.id"
+# the StructField metadata key Spark's parquet reader matches on when
+# spark.sql.parquet.fieldId.read.enabled is set (ParquetUtils.FIELD_ID_METADATA_KEY)
+_SPARK_FIELD_ID = "parquet.field.id"
 
 
 class DeltaProtocolError(NotImplementedError):
     """The table uses a Delta reader feature this shim does not implement."""
 
 
-def _physical_type(dt):
+def dv_unique_id(desc: dict | None) -> str | None:
+    """PROTOCOL.md's *unique id* of a deletion-vector descriptor — the
+    identity half of the (path, dvId) key Delta keys logical files on:
+    ``storageType + pathOrInlineDv`` plus ``@offset`` when an offset is
+    present. ``None`` means "no deletion vector" (which only matches
+    another no-DV entry)."""
+    if not desc:
+        return None
+    uid = str(desc.get("storageType", "")) + str(desc.get("pathOrInlineDv", ""))
+    off = desc.get("offset")
+    return uid if off is None else f"{uid}@{off}"
+
+
+def _field_id_meta(f: StructField, with_ids: bool) -> dict:
+    """StructField metadata carrying the parquet field id Spark's reader
+    matches on (``id`` column-mapping mode), translated from the Delta
+    schema's ``delta.columnMapping.id``."""
+    if with_ids and _ID_KEY in (f.metadata or {}):
+        return {_SPARK_FIELD_ID: int(f.metadata[_ID_KEY])}
+    return {}
+
+
+def _physical_type(dt, with_ids: bool = False):
     """Recursively rewrite a Spark type so nested struct fields carry
     their PHYSICAL names (column mapping stores the mapping in each
-    field's metadata, at every nesting level)."""
+    field's metadata, at every nesting level); ``with_ids`` additionally
+    attaches each field's parquet field id, so ``id``-mode tables match
+    scan columns by id instead of name."""
     if isinstance(dt, StructType):
         return StructType(
             [
                 StructField(
                     f.metadata.get(_PHYS_KEY, f.name),
-                    _physical_type(f.dataType),
+                    _physical_type(f.dataType, with_ids),
                     f.nullable,
+                    _field_id_meta(f, with_ids),
                 )
                 for f in dt.fields
             ]
         )
     if isinstance(dt, ArrayType):
-        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return ArrayType(_physical_type(dt.elementType, with_ids), dt.containsNull)
     if isinstance(dt, MapType):
         return MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, with_ids),
+            _physical_type(dt.valueType, with_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -124,6 +164,15 @@ class _Snapshot:
     # it (a checkpoint defaulting to (1,2) on a DV table would let legacy
     # readers resurrect deleted rows after log cleanup)
     protocol: dict = field(default_factory=dict)
+    # setTransaction state: appId -> newest txn version (PROTOCOL.md
+    # requires checkpoints to carry these; a streaming writer's
+    # idempotence contract must survive JSON log cleanup)
+    txns: dict = field(default_factory=dict)
+    # unexpired remove tombstones, keyed (path, dv uniqueId) — VACUUM
+    # retention state; checkpoints must carry them or cleanup loses them
+    tombstones: dict = field(default_factory=dict)
+    # delta.columnMapping.mode in effect ("none" | "name" | "id")
+    mapping_mode: str = "none"
 
     def physical_name(self, logical: str) -> str:
         return self.mapping.get(logical, logical)
@@ -185,10 +234,22 @@ class DeltaTableReader:
 
     def _resolve_timestamp(self, timestamp: float) -> int:
         """Latest version whose commit timestamp <= timestamp — the same
-        rule delta-spark applies for ``timestampAsOf``."""
+        rule delta-spark applies for ``timestampAsOf``. Versions whose
+        JSON commit was cleaned up to a checkpoint are still candidates
+        (the checkpoint file's mtime stands in for the commit clock), the
+        same fallback ``latest_version()`` applies — otherwise a
+        checkpoint-cleaned log would refuse valid timestamps."""
         best = None
-        for v in self._commit_versions():
-            if self._commit_timestamp(v) <= timestamp:
+        json_versions = set(self._commit_versions())
+        ckpts = self._checkpoint_files()
+        for v in sorted(json_versions | set(ckpts)):
+            if v in json_versions:
+                ts = self._commit_timestamp(v)
+            else:
+                ts = os.path.getmtime(
+                    os.path.join(self._log_dir, ckpts[v][0])
+                )
+            if ts <= timestamp:
                 best = v
         if best is None:
             raise ValueError(
@@ -200,47 +261,59 @@ class DeltaTableReader:
         """Newest ``txn`` action version for ``app_id`` (Delta's
         SetTransaction / ``txnAppId``-``txnVersion`` idempotence contract):
         a replaying streaming writer checks this to skip batches it
-        already committed. None when the app never wrote."""
-        best: int | None = None
-        for v in self._commit_versions():
-            with open(self._commit_path(v)) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    txn = action.get("txn")
-                    if txn and txn.get("appId") == app_id:
-                        tv = txn.get("version")
-                        best = tv if best is None else max(best, tv)
-        return best
+        already committed. None when the app never wrote. Resolved through
+        the snapshot replay, so setTransaction state carried by a
+        checkpoint survives JSON log cleanup (PROTOCOL.md requires
+        checkpoints to include txn actions for exactly this reason)."""
+        try:
+            snap = self.snapshot()
+        except FileNotFoundError:
+            return None  # brand-new/empty table: nothing committed yet
+        return snap.txns.get(app_id)
 
     # ----------------------------------------------------------- checkpoints
 
     def _checkpoint_files(self) -> dict[int, list[str]]:
-        """Complete classic checkpoints by version: single-file
-        ``<v>.checkpoint.parquet`` or multipart
-        ``<v>.checkpoint.<i>.<n>.parquet`` (usable only when all ``n``
-        parts are present — a partial multipart upload must not replay)."""
+        """Complete checkpoints by version, all three PROTOCOL.md naming
+        schemes: classic single-file ``<v>.checkpoint.parquet``, classic
+        multipart ``<v>.checkpoint.<i>.<n>.parquet`` (usable only when all
+        ``n`` parts are present — a partial multipart upload must not
+        replay), and V2 UUID-named ``<v>.checkpoint.<uuid>.{parquet,json}``
+        (the default shape from modern Databricks runtimes; their file
+        actions may live in ``_sidecars/`` files named by ``sidecar``
+        actions). When a version has both, V2 wins (it is the newer
+        writer's)."""
         singles: dict[int, str] = {}
         multi: dict[tuple[int, int], dict[int, str]] = {}
+        v2: dict[int, str] = {}
         for f in os.listdir(self._log_dir):
-            if not f.endswith(".parquet") or ".checkpoint" not in f:
+            if ".checkpoint" not in f:
                 continue
-            bits = f[: -len(".parquet")].split(".")
-            if len(bits) == 2 and bits[1] == "checkpoint" and bits[0].isdigit():
+            if f.endswith(".parquet"):
+                stem = f[: -len(".parquet")]
+            elif f.endswith(".json"):
+                stem = f[: -len(".json")]
+            else:
+                continue
+            bits = stem.split(".")
+            if len(bits) < 2 or bits[1] != "checkpoint" or not bits[0].isdigit():
+                continue
+            if len(bits) == 2 and f.endswith(".parquet"):
                 singles[int(bits[0])] = f
             elif (
                 len(bits) == 4
-                and bits[1] == "checkpoint"
-                and all(b.isdigit() for b in (bits[0], bits[2], bits[3]))
+                and f.endswith(".parquet")
+                and all(b.isdigit() for b in (bits[2], bits[3]))
             ):
                 v, part, n = int(bits[0]), int(bits[2]), int(bits[3])
                 multi.setdefault((v, n), {})[part] = f
+            elif len(bits) == 3 and not bits[2].isdigit():
+                v2[int(bits[0])] = f  # UUID-named V2 manifest
         out: dict[int, list[str]] = {v: [f] for v, f in singles.items()}
         for (v, n), parts in multi.items():
             if v not in out and len(parts) == n:
                 out[v] = [parts[i] for i in sorted(parts)]
+        out.update({v: [f] for v, f in v2.items()})
         return out
 
     def _last_checkpoint_version(self, at_or_before: int) -> int | None:
@@ -254,19 +327,51 @@ class DeltaTableReader:
         return usable[-1] if usable else None
 
     def _replay_checkpoint(self, snap: _Snapshot, version: int) -> None:
-        """Fold a parquet checkpoint's actions into the snapshot state.
-        Checkpoints are row-per-action parquet with struct columns
-        (add/remove/metaData/protocol) — PROTOCOL.md's checkpoint schema;
-        multipart checkpoints concatenate row-wise (action order across
-        parts is immaterial: the state is a set fold)."""
+        """Fold a checkpoint's actions into the snapshot state.
+        Checkpoints are row-per-action with struct columns
+        (add/remove/metaData/protocol/txn) — PROTOCOL.md's checkpoint
+        schema; multipart checkpoints concatenate row-wise (action order
+        across parts is immaterial: the state is a set fold). V2
+        checkpoints additionally may be JSON (one action per line, like a
+        commit) and may park their file actions in ``_sidecars/`` parquet
+        files named by ``sidecar`` actions — both folded here; their
+        ``checkpointMetadata`` action has no state effect."""
         import pyarrow.parquet as pq
+
+        def _file_rows(path: str) -> tuple[list[dict], set[str]]:
+            if path.endswith(".json"):
+                out = []
+                keys: set[str] = set()
+                with open(path) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            action = json.loads(line)
+                            keys |= set(action)
+                            out.append(action)
+                return out, keys
+            tbl = pq.read_table(path)
+            return tbl.to_pylist(), set(tbl.column_names)
 
         rows: list[dict] = []
         cols: set[str] = set()
         for fname in self._checkpoint_files()[version]:
-            tbl = pq.read_table(os.path.join(self._log_dir, fname))
-            cols |= set(tbl.column_names)
-            rows.extend(tbl.to_pylist())
+            r, c = _file_rows(os.path.join(self._log_dir, fname))
+            rows.extend(r)
+            cols |= c
+        # V2: pull in the sidecar files' add/remove rows (PROTOCOL.md "V2
+        # Checkpoints": sidecars live under _delta_log/_sidecars/)
+        sidecars = [
+            row["sidecar"]["path"]
+            for row in rows
+            if "sidecar" in cols and row.get("sidecar")
+        ]
+        for sc in sidecars:
+            r, c = _file_rows(
+                os.path.join(self._log_dir, "_sidecars", urllib.parse.unquote(sc))
+            )
+            rows.extend(r)
+            cols |= c
         for row in rows:
             if "protocol" in cols and row.get("protocol"):
                 self._check_protocol(row["protocol"])
@@ -280,8 +385,26 @@ class DeltaTableReader:
                 self._apply_metadata(snap, meta)
             if "add" in cols and row.get("add"):
                 self._apply_add(snap, row["add"])
-            # a checkpoint's remove actions are tombstones for VACUUM only;
-            # its add set already reflects them — nothing to subtract
+            if "txn" in cols and row.get("txn"):
+                txn = row["txn"]
+                app, tv = txn.get("appId"), txn.get("version")
+                if app is not None and tv is not None:
+                    prior = snap.txns.get(app)
+                    snap.txns[app] = tv if prior is None else max(prior, tv)
+            if "remove" in cols and row.get("remove"):
+                # a checkpoint's remove actions are tombstones for VACUUM
+                # retention only; its add set already reflects them —
+                # nothing to subtract from the live state
+                rem = {
+                    k: v for k, v in row["remove"].items() if v is not None
+                }
+                if isinstance(rem.get("partitionValues"), list):
+                    rem["partitionValues"] = dict(rem["partitionValues"])
+                path = urllib.parse.unquote(rem.get("path", ""))
+                rem["path"] = path  # stored decoded, re-quoted on write
+                snap.tombstones[
+                    (path, dv_unique_id(rem.get("deletionVector")))
+                ] = rem
 
     # ---------------------------------------------------------- action apply
 
@@ -304,21 +427,24 @@ class DeltaTableReader:
     def _apply_metadata(self, snap: _Snapshot, meta: dict) -> None:
         config = meta.get("configuration") or {}
         mapping_mode = config.get("delta.columnMapping.mode", "none")
-        if mapping_mode not in ("none", "name", None):
+        if mapping_mode not in ("none", "name", "id", None):
             raise DeltaProtocolError(
-                f"delta.columnMapping.mode={mapping_mode!r} is not supported "
-                "('id' mode matches by parquet field id, which this shim "
-                "does not read; 'name'/'none' are)"
+                f"delta.columnMapping.mode={mapping_mode!r} is not supported"
             )
+        snap.mapping_mode = mapping_mode or "none"
         schema_str = meta.get("schemaString")
         if schema_str:
             snap.schema = StructType.fromJson(json.loads(schema_str))
+            # both mapping modes record physicalName per field; 'id' mode
+            # additionally matches scan columns by parquet field id (see
+            # _keyed_scan) — what tables converted from Iceberg need,
+            # where the files carry original names but authoritative ids
             snap.mapping = (
                 {
                     f.name: f.metadata.get(_PHYS_KEY, f.name)
                     for f in snap.schema.fields
                 }
-                if mapping_mode == "name"
+                if mapping_mode in ("name", "id")
                 else {}
             )
         snap.partition_columns = list(meta.get("partitionColumns") or [])
@@ -334,11 +460,14 @@ class DeltaTableReader:
         snap.files[path] = pvals
         dv = add.get("deletionVector")
         if dv:
-            snap.dvs[path] = dict(dv)
+            snap.dvs[path] = {k: v for k, v in dv.items() if v is not None}
         else:
             # a re-add without a descriptor clears any prior DV (that is
             # how Delta drops a DV: re-add the file without it)
             snap.dvs.pop(path, None)
+        # re-adding a logical file cancels its own tombstone (delta-spark's
+        # InMemoryLogReplay does the same, keyed on the uniqueId)
+        snap.tombstones.pop((path, dv_unique_id(dv)), None)
         raw_stats = add.get("stats")
         if raw_stats:
             try:
@@ -347,6 +476,27 @@ class DeltaTableReader:
                 pass  # malformed stats: skip the skip, never the file
         else:
             snap.stats.pop(path, None)
+
+    def _apply_remove(self, snap: _Snapshot, rem: dict) -> None:
+        """Delta keys logical files on (path, DV uniqueId) — a remove only
+        cancels the add carrying the SAME deletion vector (null matches
+        no-DV). That is what makes within-commit action order immaterial:
+        a real delta-spark DELETE-with-DV commit pairs
+        ``remove(path, oldDV)`` with ``add(path, newDV)`` for the same
+        path, and whichever folds first, the survivor is (path, newDV)."""
+        path = urllib.parse.unquote(rem["path"])
+        rem_id = dv_unique_id(rem.get("deletionVector"))
+        if path in snap.files and rem_id == dv_unique_id(snap.dvs.get(path)):
+            snap.files.pop(path, None)
+            snap.stats.pop(path, None)
+            snap.dvs.pop(path, None)
+        # the tombstone is tracked either way (it names a logical file
+        # that WAS live at some point); vacuum retention keys off it.
+        # Stored with the path DECODED so checkpoint writers re-quote it
+        # exactly once.
+        tomb = {k: v for k, v in rem.items() if v is not None}
+        tomb["path"] = path
+        snap.tombstones[(path, rem_id)] = tomb
 
     # --------------------------------------------------------------- replay
 
@@ -385,11 +535,14 @@ class DeltaTableReader:
                     elif "add" in action:
                         self._apply_add(snap, action["add"])
                     elif "remove" in action:
-                        rel = urllib.parse.unquote(action["remove"]["path"])
-                        snap.files.pop(rel, None)
-                        snap.stats.pop(rel, None)
-                        snap.dvs.pop(rel, None)
-                    # commitInfo / txn / cdc / domainMetadata: no read effect
+                        self._apply_remove(snap, action["remove"])
+                    elif "txn" in action:
+                        txn = action["txn"]
+                        app, tv = txn.get("appId"), txn.get("version")
+                        if app is not None and tv is not None:
+                            prior = snap.txns.get(app)
+                            snap.txns[app] = tv if prior is None else max(prior, tv)
+                    # commitInfo / cdc / domainMetadata: no read effect
         if not snap.schema.fields:
             raise ValueError(f"no metaData action found replaying {self.path}")
         return snap
@@ -457,14 +610,24 @@ class DeltaTableReader:
         part_set = set(snap.partition_columns)
         data_fields = [f for f in snap.schema.fields if f.name not in part_set]
         part_fields = [f for f in snap.schema.fields if f.name in part_set]
+        by_id = snap.mapping_mode == "id"
         scan_schema = StructType(
             [
                 StructField(
-                    snap.physical_name(f.name), _physical_type(f.dataType), True
+                    snap.physical_name(f.name),
+                    _physical_type(f.dataType, by_id),
+                    True,
+                    _field_id_meta(f, by_id),
                 )
                 for f in data_fields
             ]
         )
+        if by_id:
+            # 'id' mapping: Spark matches requested fields to parquet
+            # columns by the field id in the footer schema, not by name —
+            # the conf only takes effect for schemas that carry
+            # parquet.field.id metadata, so it is safe session-wide
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         paths = [os.path.join(self.path, rel) for rel in rels]
         df = self.spark.read.schema(scan_schema).parquet(*paths)
         if keys:
@@ -626,8 +789,17 @@ class DeltaTableReader:
                         ) else raw
                     except (TypeError, json.JSONDecodeError):
                         v = raw
-                    if (lo is not None and v < lo) or (hi is not None and v > hi):
-                        continue
+                    try:
+                        if (lo is not None and v < lo) or (
+                            hi is not None and v > hi
+                        ):
+                            continue
+                    except TypeError:
+                        # value and bound are not comparable (e.g. a string
+                        # date vs a datetime bound): the zone is unusable
+                        # for THIS query — keep the file, never crash the
+                        # read (mirrors VintageTable._prune_by_range)
+                        pass
                 keep.append(rel)
                 continue
             st = snap.stats.get(rel) or {}
@@ -636,7 +808,11 @@ class DeltaTableReader:
             if mn is None or mx is None:
                 keep.append(rel)  # no zone: must read
                 continue
-            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            try:
+                overlap = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+            except TypeError:
+                overlap = True  # incomparable zone: must read
+            if overlap:
                 keep.append(rel)
         df = self._read_file_subset(snap, keep)
         c = F.col(col)
@@ -703,15 +879,42 @@ class DeltaTableReader:
             deletes: list[tuple[str, dict | None, dict]] = []
             dv_grown: list[tuple[str, dict, dict | None, dict]] = []
             underivable: str | None = None
+            # Reconcile per (path, dv uniqueId) — Delta's logical-file key
+            # — so within-commit action order is immaterial. A real
+            # delta-spark DELETE-with-DV commit pairs remove(path, oldDV)
+            # with add(path, newDV) for the SAME path: the pair is ONE
+            # logical-file update (a DV diff), never an insert+delete.
+            adds_by_rel: dict[str, dict] = {}
+            removes_by_rel: dict[str, dict] = {}
+            order: list[str] = []
             for a in actions:
                 if "add" in a:
-                    add = a["add"]
-                    rel = urllib.parse.unquote(add["path"])
+                    rel = urllib.parse.unquote(a["add"]["path"])
+                    adds_by_rel[rel] = a["add"]
+                    if rel not in removes_by_rel:
+                        order.append(rel)
+                elif "remove" in a:
+                    rel = urllib.parse.unquote(a["remove"]["path"])
+                    removes_by_rel[rel] = a["remove"]
+                    if rel not in adds_by_rel:
+                        order.append(rel)
+            seen: set[str] = set()
+            for rel in order:
+                if rel in seen:
+                    continue
+                seen.add(rel)
+                add = adds_by_rel.get(rel)
+                rem = removes_by_rel.get(rel)
+                prior_dv = dv_state.get(rel)
+                was_live = rel in live
+                if add is not None:
                     new_dv = add.get("deletionVector") or None
-                    prior_dv = dv_state.get(rel)
-                    was_live = rel in live
                     pvals = add.get("partitionValues") or {}
                     data_change = add.get("dataChange", True)
+                    # a paired remove that targets a DIFFERENT logical file
+                    # (stale dvId) is a no-op per spec; one that targets the
+                    # pre-commit (path, prior dvId) is the old half of this
+                    # update and must not read as a row-level delete
                     if data_change and not cdc_paths:
                         if not was_live:
                             if new_dv:
@@ -740,13 +943,14 @@ class DeltaTableReader:
                         dv_state[rel] = new_dv
                     else:
                         dv_state.pop(rel, None)
-                elif "remove" in a:
-                    rem = a["remove"]
-                    rel = urllib.parse.unquote(rem["path"])
-                    if rem.get("dataChange", True) and not cdc_paths and rel in live:
-                        deletes.append((rel, dv_state.get(rel), live[rel]))
-                    live.pop(rel, None)
-                    dv_state.pop(rel, None)
+                else:  # remove only: cancels its (path, dvId) logical file
+                    rem_id = dv_unique_id(rem.get("deletionVector"))
+                    if was_live and rem_id == dv_unique_id(prior_dv):
+                        if rem.get("dataChange", True) and not cdc_paths:
+                            deletes.append((rel, prior_dv, live[rel]))
+                        live.pop(rel, None)
+                        dv_state.pop(rel, None)
+                    # a remove naming a non-live logical file: no-op
             if underivable and not skip_underivable:
                 raise DeltaProtocolError(underivable)
             if skip_underivable and (
@@ -1133,11 +1337,17 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
     Delta table is never touched; subsequent vintage mutations are
     copy-on-write into the vintage directory.
 
+    PARTITIONED tables import zero-copy too: the log-carried
+    partitionValues land in the vintage per-file constant-column sidecar
+    (``_vintage_log/file_partitions.json``) and reads re-attach them via
+    a broadcast map join — O(metadata) import for the most common
+    large-table layout; they also merge into the carried zone maps
+    (min = max = value), so ``read_where`` prunes on partition columns
+    immediately.
+
     Refused loudly (import via ``write(reader.read())`` instead, which
-    materializes): partitioned tables (vintage stores no partition-value
-    sidecar — the columns would read NULL from the raw files) and
-    column-mapped tables (the files' physical names would not match the
-    logical schema vintage reads with).
+    materializes): column-mapped tables (the files' physical names would
+    not match the logical schema vintage reads with).
 
     Same caveat as Delta's shallow clone: the SOURCE does not know the
     import exists — vacuuming the source can delete files the import
@@ -1146,12 +1356,6 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
 
     reader = DeltaTableReader(spark, delta_path)
     snap = reader.snapshot()
-    if snap.partition_columns:
-        raise DeltaProtocolError(
-            "import of a PARTITIONED Delta table is not zero-copy-able "
-            "(partition values live only in the log); materialize instead: "
-            "VintageTable(...).write(DeltaTableReader(...).read())"
-        )
     if snap.mapping:
         raise DeltaProtocolError(
             "import of a column-mapped Delta table is not zero-copy-able "
@@ -1200,7 +1404,31 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
             k: v for k, v in (d or {}).items() if isinstance(v, (int, float, str))
         }
 
+    # partition values: the spec's raw strings per file, keyed by the
+    # LOGICAL column name (import refuses column mapping, so logical ==
+    # physical); typed copies merge into the zone maps (min = max = value)
+    # so read_where prunes partitioned imports with zero extra machinery
+    part_types = {
+        f.name: f.dataType.simpleString()
+        for f in snap.schema.fields
+        if f.name in set(snap.partition_columns)
+    }
+
+    def _typed(col: str, raw):
+        if raw is None:
+            return None
+        t = part_types.get(col, "")
+        try:
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+        except (TypeError, ValueError):
+            return raw
+        return raw
+
     stats = {}
+    partitions = {}
     for rel, out_rel in zip(sorted(snap.files), rel_add):
         st = snap.stats.get(rel)
         if st:
@@ -1209,6 +1437,15 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
                 "min": _clean(st.get("minValues")),
                 "max": _clean(st.get("maxValues")),
             }
+        pvals = snap.files[rel]
+        if snap.partition_columns and pvals:
+            partitions[out_rel] = {c: pvals.get(c) for c in snap.partition_columns}
+            zone = stats.setdefault(out_rel, {"min": {}, "max": {}})
+            for c in snap.partition_columns:
+                tv = _typed(c, pvals.get(c))
+                if tv is not None:
+                    zone.setdefault("min", {})[c] = tv
+                    zone.setdefault("max", {})[c] = tv
     dest._bootstrap_v0(
         rel_add,
         dv_rows,
@@ -1216,6 +1453,7 @@ def import_delta_to_vintage(spark, delta_path: str, dest_path: str):
         "IMPORT",
         {"source": src_root, "sourceVersion": str(snap.version)},
         snap.schema.json(),
+        partitions=partitions or None,
     )
     # CHECK constraints carry over (delta.constraints.* in the table
     # configuration) so writes to the import keep enforcing the source's

@@ -41,17 +41,28 @@ class DeltaLogWriter:
         os.makedirs(self.log_dir, exist_ok=True)
 
     def _next_version(self) -> int:
+        """Max over JSON commits AND checkpoint versions + 1 — a log whose
+        pre-checkpoint JSON commits were cleaned up must keep counting
+        from the checkpoint, not restart at 0 (which would corrupt the
+        table for every replaying reader)."""
         versions = [
             int(f[:-5])
             for f in os.listdir(self.log_dir)
             if f.endswith(".json") and f[:-5].isdigit()
         ]
+        for f in os.listdir(self.log_dir):
+            if ".checkpoint" in f and (
+                f.endswith(".parquet") or f.endswith(".json")
+            ):
+                head = f.split(".", 1)[0]
+                if head.isdigit():
+                    versions.append(int(head))
         return max(versions) + 1 if versions else 0
 
     def commit(
         self,
         adds: list[tuple[str, dict]] | None = None,
-        removes: list[str] | None = None,
+        removes: list | None = None,
         schema_json: str | None = None,
         partition_columns: list[str] | None = None,
         operation: str = "WRITE",
@@ -62,7 +73,12 @@ class DeltaLogWriter:
         txn: tuple[str, int] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
-        ``removes`` = relative paths. The first commit must carry
+        ``removes`` = relative paths, or ``(relative path, deletionVector
+        descriptor)`` pairs for files whose last add carried a DV — Delta
+        keys logical files on (path, dv uniqueId), so a spec-conforming
+        reader reconciles a remove against an add only when the
+        descriptors match; omitting it would leave the stale add live and
+        resurrect deleted rows for stock readers. The first commit must carry
         ``schema_json`` (a Spark StructType json) — it becomes the
         metaData action; later commits repeat metaData only when the
         schema changes (pass it again to evolve).
@@ -150,16 +166,24 @@ class DeltaLogWriter:
                     }
                 )
             actions.append({"add": add})
-        for rel in removes or []:
-            actions.append(
-                {
-                    "remove": {
-                        "path": urllib.parse.quote(rel),
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                    }
-                }
-            )
+        for item in removes or []:
+            rel, rem_dv = item if isinstance(item, tuple) else (item, None)
+            rm = {
+                "path": urllib.parse.quote(rel),
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+            if rem_dv:
+                # the (path, dvId) identity of the logical file this remove
+                # cancels, plus extendedFileMetadata per PROTOCOL.md (size/
+                # partitionValues accompany the descriptor)
+                abs_r = os.path.join(self.path, rel)
+                rm["extendedFileMetadata"] = True
+                rm["partitionValues"] = {}
+                if os.path.exists(abs_r):
+                    rm["size"] = os.path.getsize(abs_r)
+                rm["deletionVector"] = rem_dv
+            actions.append({"remove": rm})
         for rel in cdc or []:
             # change-data files (PROTOCOL.md "Add CDC File"): the commit's
             # row-level change set; CDF readers use these INSTEAD of
@@ -204,16 +228,34 @@ class DeltaLogWriter:
         os.remove(tmp)
         return version
 
-    def write_checkpoint(self, version: int | None = None) -> int:
+    def write_checkpoint(
+        self,
+        version: int | None = None,
+        tombstone_retention_hours: float = 168.0,
+        v2: bool = False,
+    ) -> int:
         """Write ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` for the
         snapshot at ``version`` (default: latest) — Delta's bounded-replay
         mechanism, PROTOCOL.md checkpoint schema (row-per-action parquet
-        with protocol/metaData/add struct columns; partitionValues as a
-        map). Downstream readers then replay O(commits-since-checkpoint)
-        JSON files instead of the whole history. The snapshot state comes
-        from this repo's own independent log-replay reader, so writer and
-        reader can never drift. DV descriptors on live files are carried
-        through."""
+        with protocol/metaData/add/txn/remove struct columns;
+        partitionValues as a map). Downstream readers then replay
+        O(commits-since-checkpoint) JSON files instead of the whole
+        history. The snapshot state comes from this repo's own independent
+        log-replay reader, so writer and reader can never drift. DV
+        descriptors on live files are carried through; so are ALL
+        setTransaction actions (a streaming writer's txnAppId/txnVersion
+        idempotence must survive JSON log cleanup — PROTOCOL.md requires
+        checkpoints to carry them) and remove tombstones still inside the
+        retention window (VACUUM keys its safety off them).
+
+        ``v2=True`` writes the V2 layout instead (PROTOCOL.md "V2
+        Checkpoints", the default shape from modern Databricks runtimes):
+        a UUID-named ``<v>.checkpoint.<uuid>.parquet`` manifest carrying
+        protocol/metaData/txn/tombstones + a ``checkpointMetadata`` action
+        and ``sidecar`` references, with the add actions parked in a
+        ``_sidecars/<uuid>.parquet`` file. The emitted protocol then names
+        the ``v2Checkpoint`` reader feature, as the spec requires of
+        tables using the layout."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -270,6 +312,24 @@ class DeltaLogWriter:
                 ("deletionVector", dv_t),
             ]
         )
+        txn_t = pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+        remove_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("extendedFileMetadata", pa.bool_()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("deletionVector", dv_t),
+            ]
+        )
         meta = snap.metadata
         meta_row = {
             "id": meta.get("id", "sdlt-export"),
@@ -279,15 +339,44 @@ class DeltaLogWriter:
             "configuration": list((meta.get("configuration") or {}).items()),
             "createdTime": meta.get("createdTime"),
         }
-        n = 2 + len(snap.files)
-        proto_col = [proto] + [None] * (n - 1)
-        meta_col = [None, meta_row] + [None] * (n - 2)
-        add_rows: list = [None, None]
+        txn_rows_payload = [
+            {
+                "appId": app,
+                "version": tv,
+                "lastUpdated": None,
+            }
+            for app, tv in sorted(snap.txns.items())
+        ]
+        # only tombstones still inside the retention window ride along —
+        # expired ones have done their VACUUM-safety job (delta-spark
+        # expires them at checkpoint time the same way)
+        tomb_cutoff_ms = (time.time() - tombstone_retention_hours * 3600.0) * 1000
+        tomb_rows_payload = []
+        for (path, _uid), rem in sorted(snap.tombstones.items()):
+            ts_ms = rem.get("deletionTimestamp")
+            if ts_ms is not None and ts_ms < tomb_cutoff_ms:
+                continue
+            tomb_rows_payload.append(
+                {
+                    "path": urllib.parse.quote(path),
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": False,
+                    "extendedFileMetadata": rem.get("extendedFileMetadata"),
+                    "partitionValues": list(
+                        (rem.get("partitionValues") or {}).items()
+                    )
+                    if rem.get("partitionValues") is not None
+                    else None,
+                    "size": rem.get("size"),
+                    "deletionVector": rem.get("deletionVector"),
+                }
+            )
+        add_payload = []
         for rel in sorted(snap.files):
             abs_f = os.path.join(self.path, rel)
             st = snap.stats.get(rel)
             dv = snap.dvs.get(rel)
-            add_rows.append(
+            add_payload.append(
                 {
                     "path": urllib.parse.quote(rel),
                     "partitionValues": list(snap.files[rel].items()),
@@ -298,15 +387,98 @@ class DeltaLogWriter:
                     "deletionVector": dv,
                 }
             )
-        tbl = pa.table(
-            {
-                "protocol": pa.array(proto_col, proto_t),
-                "metaData": pa.array(meta_col, meta_t),
-                "add": pa.array(add_rows, add_t),
+
+        def _one_hot(payloads_by_col: dict[str, list], types_by_col: dict):
+            """Row-per-action table: each column's payload rows occupy a
+            distinct row range, null everywhere else."""
+            n = sum(len(p) for p in payloads_by_col.values())
+            cols, offset = {}, 0
+            for name, payload in payloads_by_col.items():
+                rows = [None] * offset + payload + [None] * (
+                    n - offset - len(payload)
+                )
+                cols[name] = pa.array(rows, types_by_col[name])
+                offset += len(payload)
+            return pa.table(cols)
+
+        if v2:
+            # PROTOCOL.md requires tables using the layout to name the
+            # feature; the manifest carries everything but the adds, which
+            # park in a _sidecars/ file referenced by a sidecar action
+            proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or []) | {"v2Checkpoint"}
+                ),
             }
-        )
-        ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        pq.write_table(tbl, ckpt_path)
+            sidecar_dir = os.path.join(self.log_dir, "_sidecars")
+            os.makedirs(sidecar_dir, exist_ok=True)
+            sc_name = f"{uuid.uuid4()}.parquet"
+            pq.write_table(
+                pa.table({"add": pa.array(add_payload, add_t)}),
+                os.path.join(sidecar_dir, sc_name),
+            )
+            sc_abs = os.path.join(sidecar_dir, sc_name)
+            ckpt_meta_t = pa.struct(
+                [("version", pa.int64()), ("tags", pa.map_(pa.string(), pa.string()))]
+            )
+            sidecar_t = pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                ]
+            )
+            tbl = _one_hot(
+                {
+                    "checkpointMetadata": [{"version": version, "tags": []}],
+                    "protocol": [proto],
+                    "metaData": [meta_row],
+                    "txn": txn_rows_payload,
+                    "remove": tomb_rows_payload,
+                    "sidecar": [
+                        {
+                            "path": sc_name,
+                            "sizeInBytes": os.path.getsize(sc_abs),
+                            "modificationTime": 0,
+                        }
+                    ],
+                },
+                {
+                    "checkpointMetadata": ckpt_meta_t,
+                    "protocol": proto_t,
+                    "metaData": meta_t,
+                    "txn": txn_t,
+                    "remove": remove_t,
+                    "sidecar": sidecar_t,
+                },
+            )
+            ckpt_name = f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            n = tbl.num_rows
+        else:
+            tbl = _one_hot(
+                {
+                    "protocol": [proto],
+                    "metaData": [meta_row],
+                    "add": add_payload,
+                    "txn": txn_rows_payload,
+                    "remove": tomb_rows_payload,
+                },
+                {
+                    "protocol": proto_t,
+                    "metaData": meta_t,
+                    "add": add_t,
+                    "txn": txn_t,
+                    "remove": remove_t,
+                },
+            )
+            ckpt_name = f"{version:020d}.checkpoint.parquet"
+            n = tbl.num_rows
+        pq.write_table(tbl, os.path.join(self.log_dir, ckpt_name))
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
             json.dump({"version": version, "size": n}, f)
         return version
@@ -369,11 +541,27 @@ def export_vintage_to_delta(
 
         snap = DeltaTableReader(vintage.spark, dest).snapshot()
         existing = set(snap.files)
+        existing_dvs = dict(snap.dvs)
         existing_schema = snap.schema.json()
         is_sync = True
+    else:
+        existing_dvs = {}
 
     live = vintage._live_files()
     data, dvs = vintage._split_live(live)
+    fparts = vintage._file_partitions()
+    if any(rel in fparts for rel in data):
+        # a zero-copy partitioned import's raw files lack their partition
+        # columns (the values live in the vintage sidecar); hard-linking
+        # them into an unpartitioned Delta export would silently drop
+        # those columns' values
+        from sdlt_spark.store.delta_read import DeltaProtocolError
+
+        raise DeltaProtocolError(
+            "export of a table with per-file constant columns (a zero-copy "
+            "partitioned Delta import) is not supported; materialize first "
+            "(compact() or write(read()))"
+        )
     src_stats = vintage._file_stats()
     coverage = vintage._dv_coverage(dvs) if dvs else {}
     covering: dict[str, list[str]] = {rel: [] for rel in data}
@@ -435,6 +623,16 @@ def export_vintage_to_delta(
         for out, rel in wanted.items()
         if covering[rel] and out not in existing
     ) if dv_mode == "rewrite" else []
+    # Nothing lands in dest/data until just before the commit: new files
+    # (rewritten AND hard-linked) stage under .staging-* — which vacuum's
+    # orphan sweep explicitly skips — then os.replace into place at commit
+    # time. Hard links inherit the source inode's possibly ancient mtime,
+    # so a concurrent vacuum would otherwise sweep an in-flight sync's
+    # files during the (long) window between linking and committing; the
+    # remaining exposure is the microseconds between the renames and the
+    # commit write.
+    staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    pending_moves: list[tuple[str, str]] = []
     produced: set[str] = set()
     if covered_new:
         spark = vintage.spark
@@ -466,27 +664,23 @@ def export_vintage_to_delta(
             .drop("__dv_file", "__dv_pos")
             .repartition(max(1, len(covered_rels)), "__tok")
         )
-        staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
-        surv.write.partitionBy("__tok").mode("errorifexists").parquet(staging)
-        try:
-            for d in os.listdir(staging):
-                if not d.startswith("__tok="):
-                    continue
-                tok = d.split("=", 1)[1]
-                parts = sorted(
-                    f
-                    for f in os.listdir(os.path.join(staging, d))
-                    if f.endswith(".parquet")
-                )
-                # repartition-by-token ⇒ exactly one part per token
-                out_rel = f"data/part-{tok}.parquet"
-                os.replace(
-                    os.path.join(staging, d, parts[0]),
-                    os.path.join(dest, out_rel),
-                )
-                produced.add(out_rel)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        rewrite_dir = os.path.join(staging, "rewrite")
+        surv.write.partitionBy("__tok").mode("errorifexists").parquet(rewrite_dir)
+        for d in os.listdir(rewrite_dir):
+            if not d.startswith("__tok="):
+                continue
+            tok = d.split("=", 1)[1]
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(rewrite_dir, d))
+                if f.endswith(".parquet")
+            )
+            # repartition-by-token ⇒ exactly one part per token
+            out_rel = f"data/part-{tok}.parquet"
+            pending_moves.append(
+                (os.path.join(rewrite_dir, d, parts[0]), os.path.join(dest, out_rel))
+            )
+            produced.add(out_rel)
         # a covered file whose rows were ALL deleted produces nothing and
         # must not be added
         wanted = {
@@ -497,22 +691,30 @@ def export_vintage_to_delta(
 
     stats_override: dict[str, dict] = {}
     adds: list[tuple[str, dict]] = []
+    link_dir = os.path.join(staging, "link")
     for out_rel in sorted(set(wanted) - set(existing)):
         rel = wanted[out_rel]
         if out_rel in produced:
             adds.append((out_rel, {}))  # stats via footer read at commit
             continue
         src = vintage._abs(rel)
-        out_abs = os.path.join(dest, out_rel)
+        os.makedirs(link_dir, exist_ok=True)
+        staged = os.path.join(link_dir, os.path.basename(out_rel))
         try:
-            os.link(src, out_abs)
+            os.link(src, staged)
         except OSError:
-            shutil.copy2(src, out_abs)
+            shutil.copy2(src, staged)
+        pending_moves.append((staged, os.path.join(dest, out_rel)))
         adds.append((out_rel, {}))
         if rel in src_stats:
             # carry the vintage zone maps across (no footer re-reads)
             stats_override[out_rel] = src_stats[rel]
-    removes = sorted(set(existing) - set(wanted))
+    # a removed file that carried a DV (preserve-mode exports) must name
+    # that DV on its remove action — spec readers reconcile on (path, dvId)
+    removes = [
+        (rel, existing_dvs[rel]) if rel in existing_dvs else rel
+        for rel in sorted(set(existing) - set(wanted))
+    ]
 
     schema_json = vintage._schema_at().json()
     if existing_schema is not None and json.loads(existing_schema) == json.loads(
@@ -521,19 +723,26 @@ def export_vintage_to_delta(
         schema_json_arg = None  # unchanged: don't repeat metaData
     else:
         schema_json_arg = schema_json
-    if is_sync and not adds and not removes and schema_json_arg is None:
-        return writer._next_version() - 1  # already in sync: no empty commit
+    try:
+        if is_sync and not adds and not removes and schema_json_arg is None:
+            return writer._next_version() - 1  # already in sync: no empty commit
 
-    version = writer.commit(
-        adds=adds,
-        removes=removes,
-        schema_json=schema_json_arg,
-        partition_columns=[],
-        operation="WRITE" if not is_sync else "SYNC",
-        stats_override=stats_override,
-        dvs={k: v for k, v in dvs_out.items() if any(a[0] == k for a in adds)}
-        or None,
-    )
+        # publish the staged files and commit immediately after — the
+        # vacuum-exposure window is these renames, not the whole sync
+        for staged, final in pending_moves:
+            os.replace(staged, final)
+        version = writer.commit(
+            adds=adds,
+            removes=removes,
+            schema_json=schema_json_arg,
+            partition_columns=[],
+            operation="WRITE" if not is_sync else "SYNC",
+            stats_override=stats_override,
+            dvs={k: v for k, v in dvs_out.items() if any(a[0] == k for a in adds)}
+            or None,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         writer.write_checkpoint(version)
     return version
@@ -555,8 +764,6 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
 
     from sdlt_spark.store.delta_read import DeltaTableReader
 
-    import urllib.parse as _urlparse
-
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader.__new__(DeltaTableReader)
     reader.spark = None
@@ -571,22 +778,15 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     # VACUUM contract), NOT the file's mtime — hard-linked exports inherit
     # the SOURCE inode's possibly ancient mtime, which would delete a
     # just-tombstoned file immediately and break time travel inside the
-    # window
+    # window. Tombstones come from the snapshot replay, which folds BOTH
+    # JSON commits and checkpoint-carried remove rows — so log cleanup
+    # does not silently shorten a file's protection.
     removed_at: dict[str, float] = {}
-    for v in reader._commit_versions():
-        with open(reader._commit_path(v)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "remove" in action:
-                    rel = _urlparse.unquote(action["remove"]["path"])
-                    ts = action["remove"].get("deletionTimestamp")
-                    abs_f = os.path.normpath(os.path.join(dest, rel))
-                    removed_at[abs_f] = (
-                        ts / 1000.0 if ts is not None else _time.time()
-                    )
+    for (rel, _uid), rem in snap.tombstones.items():
+        ts = rem.get("deletionTimestamp")
+        abs_f = os.path.normpath(os.path.join(dest, rel))
+        at = ts / 1000.0 if ts is not None else _time.time()
+        removed_at[abs_f] = max(removed_at.get(abs_f, 0.0), at)
     deleted: list[str] = []
     for dirpath, _, files in os.walk(dest):
         if _LOG in dirpath or os.path.basename(dirpath).startswith(".staging-"):

@@ -521,6 +521,9 @@ class VintageTable:
         return the relative paths of the produced data files."""
         commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         abs_dir = os.path.join(self.path, commit_dir)
+        # a rewrite sourced from a per-file-constant attach still carries
+        # the materialized _metadata helper — never persist it
+        df = df.drop("_metadata")
         try:
             self._with_constraint_checks(df).write.mode("errorifexists").parquet(abs_dir)
         except Exception as exc:  # unwrap the in-flight CHECK failure
@@ -597,6 +600,7 @@ class VintageTable:
             return None
         rel_dir = f"{_CHANGE_DIR}/c{uuid.uuid4().hex}"
         abs_dir = os.path.join(self.path, rel_dir)
+        changes = changes.drop("_metadata")
         changes.write.mode("errorifexists").parquet(abs_dir)
         files = [
             f"{rel_dir}/{f}" for f in sorted(os.listdir(abs_dir)) if f.endswith(".parquet")
@@ -662,6 +666,84 @@ class VintageTable:
         except (FileNotFoundError, json.JSONDecodeError):
             return {}
 
+    # --------------------------------------------- per-file constant columns
+
+    def _partitions_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "file_partitions.json")
+
+    def _file_partitions(self) -> dict:
+        """Per-file CONSTANT column values (relative file -> {column: raw
+        string}), the vintage translation of Delta's log-carried
+        partitionValues: a zero-copy import of a partitioned Delta table
+        points at raw files that do not contain their partition columns,
+        so reads re-attach them from this sidecar. Vintage's own writes
+        always materialize every column, so entries exist only for
+        imported refs; a table without the sidecar pays zero plan or IO
+        cost (the common case short-circuits on file existence)."""
+        try:
+            with open(self._partitions_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _attach_file_partitions(
+        self, df: DataFrame, relevant: dict, version: int | None
+    ) -> DataFrame:
+        """Re-attach log-carried constant columns to a raw-file scan via a
+        broadcast (absolute file -> values) map join — ONE scan node and
+        O(imported files) driver metadata however many partitions the
+        source table had (the same mechanism DeltaTableReader uses).
+        Values are stored as Delta's partition-value strings and cast
+        through the table schema's types; files that already materialize
+        a column inline (post-import rewrites) win via coalesce."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = self._schema_at(version)
+        types = {f.name: f.dataType for f in schema.fields}
+        cols = [
+            f.name
+            for f in schema.fields
+            if any(f.name in vals for vals in relevant.values())
+        ]
+        if not cols:
+            return df
+        # materialize the hidden _metadata column as a regular one FIRST:
+        # downstream consumers (_with_file, _with_dv_key) resolve
+        # _metadata.file_path against it, which the hidden column cannot
+        # provide once this join's projections consume it. Public reads
+        # and file writes drop it at their boundary.
+        df = df.withColumn("_metadata", F.col("_metadata"))
+        key = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        key = F.url_decode(F.replace(key, F.lit("+"), F.lit("%2B")))
+        rows = [
+            (self._abs(rel), *[vals.get(c) for c in cols])
+            for rel, vals in relevant.items()
+        ]
+        pmap = self.spark.createDataFrame(
+            rows,
+            StructType(
+                [StructField("__fp_path", StringType(), False)]
+                + [StructField(f"__fp_{c}", StringType(), True) for c in cols]
+            ),
+        ).select(
+            "__fp_path",
+            *[F.col(f"__fp_{c}").cast(types[c]).alias(f"__fp_{c}") for c in cols],
+        )
+        df = df.withColumn("__fp_path", key).join(
+            F.broadcast(pmap), "__fp_path", "left"
+        )
+        for c in cols:
+            attached = F.col(f"__fp_{c}")
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), attached) if c in df.columns else attached
+            )
+        df = df.drop("__fp_path", *[f"__fp_{c}" for c in cols])
+        # present the declared column order when the sets line up (imported
+        # tables); leave evolved/extra columns where mergeSchema put them
+        if set(df.columns) - {"_metadata"} == {f.name for f in schema.fields}:
+            df = df.select(*[f.name for f in schema.fields], "_metadata")
+        return df
+
     def _prune_by_range(self, files: list[str], col: str, lo, hi) -> list[str]:
         """Keep only files whose [min, max] zone for ``col`` overlaps
         [lo, hi] (either bound ``None`` = unbounded on that side); files
@@ -707,7 +789,14 @@ class VintageTable:
             return self.spark.createDataFrame([], self._schema_at(version))
         paths = [os.path.join(self.path, f) for f in files]
         # mergeSchema tolerates schema evolution across commits (README.md:330)
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        pmap = self._file_partitions()
+        if pmap:
+            fset = set(files)
+            relevant = {rel: vals for rel, vals in pmap.items() if rel in fset}
+            if relevant:
+                df = self._attach_file_partitions(df, relevant, version)
+        return df
 
     @staticmethod
     def _with_file(df: DataFrame) -> DataFrame:
@@ -921,8 +1010,9 @@ class VintageTable:
         data, dvs = self._split_live(files)
         df = self._read_files(data, version=version)
         # empty-table reads have no _metadata columns to key on (and no
-        # rows a DV could remove)
-        return self._apply_dvs(df, dvs) if data else df
+        # rows a DV could remove). The drop sheds the materialized helper
+        # column a per-file-constant attach leaves behind (no-op elsewhere).
+        return (self._apply_dvs(df, dvs) if data else df).drop("_metadata")
 
     def read_where(self, col: str, lo=None, hi=None, version: int | None = None) -> DataFrame:
         """Data-skipping range read (Delta's read-path file skipping): only
@@ -946,7 +1036,7 @@ class VintageTable:
             df = df.filter(c >= F.lit(lo))
         if hi is not None:
             df = df.filter(c <= F.lit(hi))
-        return df
+        return df.drop("_metadata")
 
     def history(self) -> DataFrame:
         """Version log, newest first (README.md:305-319)."""
@@ -2147,13 +2237,16 @@ class VintageTable:
         operation: str,
         params: dict,
         schema_json: str,
+        partitions: dict | None = None,
     ) -> None:
         """Create THIS (not-yet-existing) table's v0 commit from prepared
         state — the shared scaffolding of shallow :meth:`clone` and
         :func:`~sdlt_spark.store.delta_read.import_delta_to_vintage`:
         optional translated deletion-vector rows, carried-over zone-map
-        stats, one commit, and failure cleanup of the half-written
-        sidecars (the only bytes a zero-copy bootstrap ever writes)."""
+        stats, optional per-file constant-column values (a partitioned
+        Delta import's log-carried partitionValues), one commit, and
+        failure cleanup of the half-written sidecars (the only bytes a
+        zero-copy bootstrap ever writes)."""
         if self.exists():
             raise FileExistsError(f"destination {self.path} already exists")
         os.makedirs(self._log_path(), exist_ok=True)
@@ -2165,6 +2258,12 @@ class VintageTable:
                 with open(tmp, "w") as fh:
                     json.dump(stats, fh)
                 os.rename(tmp, self._stats_path())
+            if partitions:
+                tmp = self._partitions_path() + f".tmp-{uuid.uuid4().hex}"
+                os.makedirs(os.path.dirname(tmp), exist_ok=True)
+                with open(tmp, "w") as fh:
+                    json.dump(partitions, fh)
+                os.rename(tmp, self._partitions_path())
             self._commit(
                 operation, params, rel_add + dv_add, [], schema_json=schema_json
             )
@@ -2213,6 +2312,8 @@ class VintageTable:
             dv_rows = src_dv.select(abs_ref.alias("file"), "pos")
         src_stats = self._file_stats()
         stats = {r: src_stats[f] for f, r in zip(data, rel_add) if f in src_stats}
+        src_parts = self._file_partitions()
+        parts = {r: src_parts[f] for f, r in zip(data, rel_add) if f in src_parts}
         dest._bootstrap_v0(
             rel_add,
             dv_rows,
@@ -2220,6 +2321,7 @@ class VintageTable:
             "CLONE",
             {"source": self.path, "sourceVersion": str(self.latest_version())},
             self._schema_at().json(),
+            partitions=parts or None,
         )
         return dest
 

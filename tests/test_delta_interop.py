@@ -363,17 +363,75 @@ def test_column_mapping_name_mode_reads_logical_names(spark, tmp_path):
     assert sorted((x["k"], x["label"]) for x in df.collect()) == [(1, "x"), (2, "y")]
 
 
-def test_column_mapping_id_mode_still_rejected(spark, tmp_path):
+def _field(name: str, typ: str, fid: int, phys: str) -> dict:
+    return {
+        "name": name,
+        "type": typ,
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys,
+        },
+    }
+
+
+def _id_field(name: str, typ: str, fid: int) -> pa.Field:
+    t = {"long": pa.int64(), "string": pa.string(), "double": pa.float64()}[typ]
+    return pa.field(name, t, metadata={b"PARQUET:field_id": str(fid).encode()})
+
+
+def test_column_mapping_id_mode_matches_by_field_id(spark, tmp_path):
+    """Column mapping 'id' (tables converted from Iceberg, or written with
+    id mapping): scan columns match by parquet FIELD ID from the footer,
+    not by name — the fixture's parquet column names match neither the
+    logical nor the physical names, so only id matching reads it. A
+    column dropped and re-added under id mapping gets a NEW id, so old
+    files read it as null (never the dropped column's stale values)."""
     root = str(tmp_path / "dt")
+    os.makedirs(root)
+    # old file: written before 'v' was dropped and re-added; carries ids
+    # 1 (k) and 2 (the DROPPED v) under original Iceberg-era names
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array(["old1", "old2"], pa.string())],
+            schema=pa.schema(
+                [_id_field("k_orig", "long", 1), _id_field("v_orig", "string", 2)]
+            ),
+        ),
+        f"{root}/old.parquet",
+    )
+    # new file: ids 1 and 3 (the re-added v), again different names
+    pq.write_table(
+        pa.table(
+            [pa.array([3], pa.int64()), pa.array(["new3"], pa.string())],
+            schema=pa.schema(
+                [_id_field("c1", "long", 1), _id_field("c3", "string", 3)]
+            ),
+        ),
+        f"{root}/new.parquet",
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                _field("k", "long", 1, "col-phys-k"),
+                _field("v", "string", 3, "col-phys-v2"),  # re-added: id 3
+            ],
+        }
+    )
     os.makedirs(os.path.join(root, "_delta_log"))
     with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
-        f.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(
+            json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
         f.write(
             json.dumps(
                 {
                     "metaData": {
                         "id": "x",
-                        "schemaString": _SCHEMA,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema,
                         "partitionColumns": [],
                         "configuration": {"delta.columnMapping.mode": "id"},
                     }
@@ -381,8 +439,26 @@ def test_column_mapping_id_mode_still_rejected(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
-        DeltaTableReader(spark, root).read()
+        for p in ("old.parquet", "new.parquet"):
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": p,
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+    df = DeltaTableReader(spark, root).read()
+    assert [f.name for f in df.schema.fields] == ["k", "v"]
+    got = sorted((x["k"], x["v"]) for x in df.collect())
+    # id 2 (dropped v) must NOT leak into the re-added column (id 3)
+    assert got == [(1, None), (2, None), (3, "new3")]
 
 
 def test_unknown_reader_features_rejected(spark, tmp_path):
@@ -395,14 +471,14 @@ def test_unknown_reader_features_rejected(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
-                        "writerFeatures": ["v2Checkpoint"],
+                        "readerFeatures": ["typeWidening"],
+                        "writerFeatures": ["typeWidening"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaTableReader(spark, root2).read()
 
 
@@ -691,7 +767,9 @@ def test_table_changes_dv_growth_emits_exact_deletes(spark, tmp_path):
     w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d1})  # v1: del k=10
     d2 = write_dv_file(root, [0, 3], "00000000-0000-4000-8000-000000000002")
     w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d2})  # v2: del k=13
-    w.commit(removes=["a.parquet"])  # v3: delete the live remainder
+    # v3: delete the live remainder — a spec-conforming writer names the
+    # DV of the logical file it removes (readers key on (path, dvId))
+    w.commit(removes=[("a.parquet", d2)])
     r = DeltaTableReader(spark, root)
     got = sorted(
         (x["k"], x["_change_type"], x["_commit_version"])
@@ -1188,28 +1266,112 @@ def test_import_delta_to_vintage_zero_copy_with_dvs(spark, tmp_path):
     assert sorted(x["k"] for x in r2.read().collect()) == [1, 3, 4, 5, 6]
 
 
-def test_import_refuses_partitioned_and_mapped(spark, tmp_path):
+_PART_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def test_import_partitioned_delta_zero_copy(spark, tmp_path):
+    """A PARTITIONED Delta table imports zero-copy: partition values carry
+    into the vintage per-file sidecar (raw files untouched — verified by
+    inode), reads re-attach the typed column, read_where prunes on it,
+    mutations materialize it copy-on-write, and a clone keeps it."""
     from sdlt_spark.store.delta_read import import_delta_to_vintage
 
     root = str(tmp_path / "dt")
-    _write_part(f"{root}/r=0/a.parquet", [1])
+    _write_part(f"{root}/r=0/a.parquet", [1, 2])
+    _write_part(f"{root}/r=1/b.parquet", [3])
+    _write_part(f"{root}/rn/c.parquet", [4])  # NULL partition value
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[
+            ("r=0/a.parquet", {"r": "0"}),
+            ("r=1/b.parquet", {"r": "1"}),
+            ("rn/c.parquet", {"r": None}),
+        ],
+        schema_json=_PART_SCHEMA,
+        partition_columns=["r"],
+    )
+    inode_before = os.stat(f"{root}/r=0/a.parquet").st_ino
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    got = sorted(
+        (x["k"], x["r"]) for x in t.read().collect()
+    )
+    assert got == [(1, 0), (2, 0), (3, 1), (4, None)]
+    # typed column (integer, not the log's string)
+    assert dict(t.read().dtypes)["r"] == "int"
+    # declared column order presented
+    assert t.read().columns == ["k", "v", "r"]
+    # zero data files rewritten (by inode) and none copied into the import
+    assert os.stat(f"{root}/r=0/a.parquet").st_ino == inode_before
+    assert not [
+        f
+        for _, _, fs in os.walk(str(tmp_path / "vt"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    # partition values merged into zone maps -> pruning works immediately
+    # (the NULL-valued file has no zone for r, so the over-approximating
+    # pruner keeps it — correctness over tightness; the row filter drops it)
+    pruned = t.read_where("r", 1, 1)
+    assert sorted(x["k"] for x in pruned.collect()) == [3]
+    assert "a.parquet" not in {os.path.basename(p) for p in pruned.inputFiles()}
+    # a copy-on-write mutation materializes the column into rewritten files
+    t.update("k = 3", {"v": "'updated'"})
+    got = sorted((x["k"], x["r"], x["v"]) for x in t.read().collect())
+    assert got == [(1, 0, "v1"), (2, 0, "v2"), (3, 1, "updated"), (4, None, "v4")]
+    # a clone of the import carries the sidecar
+    c = t.clone(str(tmp_path / "ct"))
+    assert sorted((x["k"], x["r"]) for x in c.read().collect()) == [
+        (1, 0),
+        (2, 0),
+        (3, 1),
+        (4, None),
+    ]
+    # exporting a sidecar-bearing table would silently drop the column
+    # from hard-linked raw files: refused loudly until materialized
+    with pytest.raises(DeltaProtocolError, match="constant columns"):
+        export_vintage_to_delta(t, str(tmp_path / "exp"))
+
+
+def test_import_still_refuses_column_mapped(spark, tmp_path):
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
     schema = json.dumps(
         {
             "type": "struct",
-            "fields": [
-                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
-                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
-                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
-            ],
+            "fields": [_field("k", "long", 1, "col-p1"), _field("v", "string", 2, "col-p2")],
         }
     )
-    w = DeltaLogWriter(root)
-    w.commit(
-        adds=[("r=0/a.parquet", {"r": "0"})],
-        schema_json=schema,
-        partition_columns=["r"],
-    )
-    with pytest.raises(DeltaProtocolError, match="PARTITIONED"):
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(
+            json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "schemaString": schema,
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
         import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
 
 
@@ -1343,3 +1505,262 @@ def test_import_carries_check_constraints(spark, tmp_path):
             mode="append",
         )
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+# --------------------------------------------------------- round 7: (path, dvId)
+
+
+def _raw_commit(root: str, version: int, lines: list[str]) -> None:
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    with open(os.path.join(root, "_delta_log", f"{version:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _rm_action(rel: str, desc: dict | None = None) -> str:
+    rm: dict = {"path": rel, "deletionTimestamp": 1, "dataChange": True}
+    if desc is not None:
+        rm["deletionVector"] = desc
+        rm["extendedFileMetadata"] = True
+        rm["partitionValues"] = {}
+    return json.dumps({"remove": rm})
+
+
+def test_dv_delete_commit_shape_both_orders(spark, tmp_path):
+    """Real delta-spark DELETE-with-DV commits pair remove(path, oldDV)
+    with add(path, newDV) for the SAME path in one commit — Delta keys
+    logical files on (path, dv uniqueId), so the pair must fold to
+    (path, newDV) whichever action is written first, and CDF must derive
+    it as a DV diff (exact new deletes), never as drop/insert+delete."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    for order in ("remove_first", "add_first"):
+        root = str(tmp_path / f"dt_{order}")
+        _write_part(f"{root}/a.parquet", [10, 11, 12, 13])
+        w = DeltaLogWriter(root)
+        w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)  # v0
+        d1 = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000a1")
+        # v1: first DELETE — remove(path, no DV) + add(path, d1)
+        lines = [_rm_action("a.parquet"), _dv_add_action("a.parquet", d1)]
+        _raw_commit(root, 1, lines if order == "remove_first" else lines[::-1])
+        d2 = write_dv_file(root, [0, 2], "00000000-0000-4000-8000-0000000000a2")
+        # v2: second DELETE — remove(path, d1) + add(path, d2)
+        lines = [_rm_action("a.parquet", d1), _dv_add_action("a.parquet", d2)]
+        _raw_commit(root, 2, lines if order == "remove_first" else lines[::-1])
+        r = DeltaTableReader(spark, root)
+        assert sorted(x["k"] for x in r.read().collect()) == [11, 13]
+        assert sorted(x["k"] for x in r.read(version=1).collect()) == [11, 12, 13]
+        got = sorted(
+            (x["k"], x["_change_type"], x["_commit_version"])
+            for x in r.table_changes(1).collect()
+        )
+        assert got == [(10, "delete", 1), (12, "delete", 2)]
+
+
+def test_remove_with_stale_dv_id_is_noop(spark, tmp_path):
+    """A remove naming a dvId that is not the live logical file's (stale
+    writer, or the old half of an already-applied update) must not cancel
+    the live add — delta-spark's InMemoryLogReplay keys on (path, dvId)."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)  # v0
+    d1 = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000b1")
+    d2 = write_dv_file(root, [0, 1], "00000000-0000-4000-8000-0000000000b2")
+    _raw_commit(root, 1, [_rm_action("a.parquet"), _dv_add_action("a.parquet", d2)])
+    # v2: stale remove naming d1 (never the live DV) — and a remove with
+    # NO dv on a DV-bearing file — both no-ops for the live state
+    _raw_commit(root, 2, [_rm_action("a.parquet", d1)])
+    _raw_commit(root, 3, [_rm_action("a.parquet")])
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [3]
+    # CDF over the no-op commits emits nothing
+    assert r.table_changes(2, 3).count() == 0
+
+
+def test_checkpoint_carries_txn_and_tombstones(spark, tmp_path):
+    """PROTOCOL.md: checkpoints must contain all setTransaction actions
+    and unexpired remove tombstones. After pre-checkpoint JSON cleanup,
+    last_txn_version still honors the idempotence contract and vacuum
+    still ages tombstoned files from their deletionTimestamp."""
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    _write_part(f"{root}/b.parquet", [2])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA, txn=("app-x", 7))  # v0
+    w.commit(adds=[("b.parquet", {})], removes=["a.parquet"], txn=("app-x", 9))  # v1
+    w.write_checkpoint(1)
+    # clean up every JSON commit (the reader explicitly supports this)
+    for f in os.listdir(os.path.join(root, "_delta_log")):
+        if f.endswith(".json") and f[:-5].isdigit():
+            os.remove(os.path.join(root, "_delta_log", f))
+    r = DeltaTableReader(spark, root)
+    assert r.last_txn_version("app-x") == 9  # carried by the checkpoint
+    assert r.last_txn_version("app-y") is None
+    snap = r.snapshot()
+    assert ("a.parquet", None) in snap.tombstones  # tombstone carried
+    # vacuum inside the retention window: the tombstoned file survives
+    # (its deletionTimestamp is recent) even though its mtime could be old
+    deleted = vacuum_delta_export(root, retention_hours=168.0)
+    assert deleted == []
+    assert os.path.exists(f"{root}/a.parquet")
+    # outside the window it goes
+    deleted = vacuum_delta_export(root, retention_hours=0.0)
+    assert deleted == ["a.parquet"]
+    assert sorted(x["k"] for x in r.read().collect()) == [2]
+
+
+def test_timestamp_travel_after_log_cleanup(spark, tmp_path):
+    """timestampAsOf on a log whose every JSON commit was vacuumed to a
+    checkpoint resolves via the checkpoint (mtime fallback), mirroring
+    latest_version()."""
+    import time as _t
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    w.write_checkpoint(0)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    r = DeltaTableReader(spark, root)
+    got = r.read(timestamp=_t.time() + 60).collect()
+    assert sorted(x["k"] for x in got) == [1]
+    with pytest.raises(ValueError, match="no Delta commit"):
+        r.read(timestamp=0.0)
+
+
+def test_export_preserve_sync_remove_carries_dv(spark, tmp_path):
+    """Sync-removing a preserve-mode exported file must emit its
+    deletionVector on the remove action — spec readers reconcile on
+    (path, dvId); a bare remove would leave the stale add live."""
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.range(8).selectExpr("id AS k", "CAST(id AS STRING) AS v"))
+    t.delete("k = 3", mode="dv")
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest, dv_mode="preserve")
+    r = DeltaTableReader(spark, dest)
+    snap0 = r.snapshot()
+    (dv_rel,) = [rel for rel in snap0.dvs]
+    old_desc = snap0.dvs[dv_rel]
+    # delete every remaining row of the table: the sync removes all files
+    t.delete("k >= 0")
+    export_vintage_to_delta(t, dest, dv_mode="preserve")
+    assert r.read().count() == 0
+    # the raw remove action for the DV-bearing file names its descriptor
+    found = None
+    with open(os.path.join(dest, "_delta_log", f"{1:020d}.json")) as f:
+        for line in f:
+            a = json.loads(line.strip() or "{}")
+            rm = a.get("remove")
+            if rm and rm["path"] == dv_rel:
+                found = rm
+    assert found is not None and found.get("deletionVector") == old_desc
+    # no staging leftovers in the export directory
+    assert not [d for d in os.listdir(dest) if d.startswith(".staging-")]
+
+
+# ------------------------------------------------------- round 7: V2 checkpoints
+
+
+def test_v2_checkpoint_round_trip_with_log_cleanup(spark, tmp_path):
+    """V2 (UUID-named + sidecar) checkpoints — the default modern-table
+    shape: written via write_checkpoint(v2=True), replayed after every
+    JSON commit before it is cleaned, carrying DVs, txns and tombstones;
+    versioned time travel through it still works."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    _write_part(f"{root}/b.parquet", [4, 5])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA, txn=("app-v2", 3))
+    w.commit(adds=[("b.parquet", {})])                       # v1
+    d1 = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000c1")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d1})  # v2: del k=1
+    w.write_checkpoint(2, v2=True)
+    # the manifest is UUID-named; its adds live in _sidecars/
+    names = os.listdir(os.path.join(root, "_delta_log"))
+    assert any(
+        n.startswith(f"{2:020d}.checkpoint.") and n.count(".") == 3 for n in names
+    )
+    assert os.listdir(os.path.join(root, "_delta_log", "_sidecars"))
+    for f in names:
+        if f.endswith(".json") and f[:-5].isdigit():
+            os.remove(os.path.join(root, "_delta_log", f))
+    _write_part(f"{root}/c.parquet", [9])
+    w.commit(adds=[("c.parquet", {})])                       # v3 (after cleanup)
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [2, 3, 4, 5, 9]
+    assert sorted(x["k"] for x in r.read(version=2).collect()) == [2, 3, 4, 5]
+    assert r.last_txn_version("app-v2") == 3
+    # remove a file post-checkpoint, checkpoint again in v2, vacuum honors it
+    w.commit(removes=["b.parquet"])                          # v4
+    w.write_checkpoint(4, v2=True)
+    assert vacuum_delta_export(root, retention_hours=168.0) == []
+    assert os.path.exists(f"{root}/b.parquet")
+
+
+def test_v2_checkpoint_json_manifest(spark, tmp_path):
+    """A hand-authored JSON v2 manifest (the spec's other allowed manifest
+    format) with a parquet sidecar replays correctly."""
+    root = str(tmp_path / "dt")
+    log = os.path.join(root, "_delta_log")
+    _write_part(f"{root}/a.parquet", [7, 8])
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "add": pa.array(
+                    [
+                        {
+                            "path": "a.parquet",
+                            "partitionValues": [],
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": False,
+                        }
+                    ],
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", pa.map_(pa.string(), pa.string())),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                )
+            }
+        ),
+        os.path.join(log, "_sidecars", "sc-1.parquet"),
+    )
+    manifest = [
+        {"checkpointMetadata": {"version": 0, "tags": {}}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "m",
+                "schemaString": _SCHEMA,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1, "modificationTime": 0}},
+    ]
+    uid = "80a083e8-7026-4e79-81be-64bd76c43a11"
+    with open(os.path.join(log, f"{0:020d}.checkpoint.{uid}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in manifest) + "\n")
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [7, 8]
+    assert r.latest_version() == 0
