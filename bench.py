@@ -129,14 +129,26 @@ def main() -> None:
             spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    value = round(sum(timings.values()), 3)
+    # Canary-normalized suite time: value scaled to the REFERENCE host
+    # speed (CANARY_REF = the canary on the round-5 quiet window every
+    # BASELINE.md number is comparable to). normalized = value *
+    # (CANARY_REF / canary): a slower host (bigger canary) scales the
+    # suite DOWN to what the reference host would have measured, so
+    # cross-round comparisons stop needing hand analysis.
+    CANARY_REF = float(os.environ.get("SPARK_GRAFT_CANARY_REF", "0.154"))
     print(
         json.dumps(
             {
                 "metric": "sdlt_spark headline suite wall time",
-                "value": round(sum(timings.values()), 3),
+                "value": value,
                 "unit": "sec",
                 "queries": timings,
                 "canary_sec": canary,
+                "canary_ref": CANARY_REF,
+                "normalized_value": round(value * CANARY_REF / canary, 3)
+                if canary > 0
+                else value,
                 "passes": PASSES,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

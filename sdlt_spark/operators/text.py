@@ -427,7 +427,11 @@ def blocklist_filter(urls: DataFrame, blocklist: DataFrame, host_col: str = "hos
 
 
 def bpe_merge_table(
-    df: DataFrame, text_col: str = "text", num_merges: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Byte-pair-encoding-style vocabulary induction over the token corpus:
     repeatedly find the most frequent ADJACENT token pair and fuse it into
@@ -448,11 +452,21 @@ def bpe_merge_table(
 
     Iterative by nature (each merge changes the pair distribution), so this
     is declared rows-only — the unit test pins exact merges on a
-    hand-computed corpus."""
+    hand-computed corpus.
+
+    SCALE BOUND: the loop is inherently ``num_merges`` sequential passes
+    over whatever it iterates on, so at corpus scale pass
+    ``sample_fraction`` — vocabulary induction on a bounded deterministic
+    sample is standard practice (pair frequencies concentrate; a 100 TB
+    corpus does not change the top pairs a 10 GB sample finds), turning
+    the cost from O(corpus x merges) into O(sample x merges). Sampling is
+    seeded so reruns induce the same vocabulary."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
     seqs = df.select(tokens(F.col(text_col)).alias("toks")).persist()
     seqs.count()
     merges: list[tuple[int, str, str, str, int]] = []

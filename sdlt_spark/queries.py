@@ -1471,6 +1471,41 @@ def delta_column_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q("delta_stream_sink", _ORDERS_PROJ_SQL)
+def delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Delta SINK (round-6 verdict item 5, the write-side twin
+    of delta_cdc): a file-source stream drains micro-batches through
+    foreachBatch into a real Delta table with txnAppId/txnVersion
+    exactly-once bookkeeping; the result is read back through the
+    INDEPENDENT log-replay reader. Whatever the micro-batch boundaries,
+    every input row lands exactly once — so the final content has an
+    exact relational oracle."""
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.streaming.delta_sink import DeltaStreamSink
+
+    base = tempfile.mkdtemp(prefix="sdlt_delta_sink_")
+    src = _os.path.join(base, "in")
+    proj = _orders_proj(spark, sf_dir)
+    proj.repartition(2).write.mode("errorifexists").parquet(src)
+    dest = _os.path.join(base, "orders")
+    stream = (
+        spark.readStream.schema(proj.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(DeltaStreamSink(dest, "sdlt-sink"))
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return DeltaTableReader(spark, dest).read()
+
+
 @_q("delta_import_partitioned", _ORDERS_PROJ_SQL)
 def delta_import_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy import of a PARTITIONED Delta table (round-6 verdict item

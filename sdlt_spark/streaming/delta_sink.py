@@ -1,0 +1,105 @@
+"""Streaming Delta SINK — the write-side twin of the ``delta_cdc``
+source: a ``foreachBatch`` target that appends each micro-batch to a
+real Delta table (``store/delta_write.DeltaLogWriter``) with
+EXACTLY-ONCE semantics across restarts via Delta's setTransaction
+(``txnAppId``/``txnVersion``) contract.
+
+Reference parity: the reference choreography streams into Delta tables
+(/root/reference/README.md:92 ``format("delta")``); this closes the
+streaming write side of that contract for stock-Delta consumers.
+
+Why txn and not just the checkpoint: Spark's foreachBatch gives
+AT-LEAST-ONCE — after a crash between the sink's commit and the offset
+log's, the SAME ``batch_id`` replays. Delta writers handle this by
+recording ``txn {appId, version=batch_id}`` with every commit and
+skipping any batch at or below ``last_txn_version(appId)`` — the exact
+protocol delta-spark's streaming sink implements. The reader resolves
+txn state through the snapshot, so the idempotence contract survives
+JSON log cleanup into checkpoints (PROTOCOL.md requires checkpoints to
+carry txn actions for this reason).
+
+Scale shape: the data write is one executor-side distributed parquet
+job per micro-batch (staged, then renamed into ``data/`` — nothing
+lands in the table until the commit that references it, the same
+discipline as the export path); the commit is O(files) driver metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+from sdlt_spark.store.delta_write import DeltaLogWriter
+
+_LOG = "_delta_log"
+
+
+class DeltaStreamSink:
+    """``stream.writeStream.foreachBatch(DeltaStreamSink(dest, app_id))``
+    — appends each micro-batch to the Delta table at ``dest``, exactly
+    once per ``batch_id`` even when Spark replays batches on restart."""
+
+    def __init__(self, dest_path: str, app_id: str, checkpoint_interval: int = 10):
+        self.dest = os.path.abspath(dest_path)
+        self.app_id = app_id
+        self.checkpoint_interval = checkpoint_interval
+
+    # foreachBatch calls the object itself
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        self.write_batch(df, batch_id)
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Append ``df`` as Delta version carrying txn(app_id, batch_id).
+        Returns the committed version, or None when the batch was already
+        committed by a previous (crashed) run and is skipped."""
+        from sdlt_spark.store.delta_read import DeltaTableReader
+
+        spark = df.sparkSession
+        exists = os.path.isdir(os.path.join(self.dest, _LOG)) and any(
+            True for _ in os.listdir(os.path.join(self.dest, _LOG))
+        )
+        schema_json: str | None = df.schema.json()
+        if exists:
+            reader = DeltaTableReader(spark, self.dest)
+            last = reader.last_txn_version(self.app_id)
+            if last is not None and batch_id <= last:
+                return None  # replayed batch: already durable, skip
+            # repeat metaData only on schema change (evolution)
+            try:
+                if reader.snapshot().schema.json() == schema_json:
+                    schema_json = None
+            except (FileNotFoundError, ValueError):
+                pass
+
+        staging = os.path.join(self.dest, f".staging-{uuid.uuid4().hex}")
+        writer = DeltaLogWriter(self.dest)  # creates dest + _delta_log
+        os.makedirs(os.path.join(self.dest, "data"), exist_ok=True)
+        try:
+            df.write.mode("errorifexists").parquet(staging)
+            adds: list[tuple[str, dict]] = []
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                out_rel = f"data/part-{uuid.uuid4().hex}.parquet"
+                os.replace(
+                    os.path.join(staging, f), os.path.join(self.dest, out_rel)
+                )
+                adds.append((out_rel, {}))
+            version = writer.commit(
+                adds=adds,
+                schema_json=schema_json,
+                operation="STREAMING UPDATE",
+                txn=(self.app_id, batch_id),
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            writer.write_checkpoint(version)
+        return version

@@ -157,3 +157,19 @@ def test_bpe_merge_greedy_non_overlapping(spark):
     assert (out[0]["left"], out[0]["right"], out[0]["n"]) == ("a", "a", 6)
     # second round: each doc is now ['a a', 'a a'] -> pair ('a a','a a') x2
     assert (out[1]["left"], out[1]["right"], out[1]["n"]) == ("a a", "a a", 2)
+
+def test_bpe_merge_table_sampled_bound(spark):
+    """Corpus-sample BPE induction (the 100 TB bound): a seeded
+    sample_fraction induces the loop on O(sample) rows — on a corpus
+    whose pair distribution is uniform-by-construction, the sampled run
+    still produces the pinned merges, and reruns are deterministic."""
+    from sdlt_spark.operators.text import bpe_merge_table
+
+    rows = [("a b c",)] * 40 + [("x y",)] * 12
+    df = spark.createDataFrame(rows, "text string")
+    out1 = bpe_merge_table(df, "text", num_merges=2, sample_fraction=0.5)
+    out2 = bpe_merge_table(df, "text", num_merges=2, sample_fraction=0.5)
+    got1 = [(r["rank"], r["left"], r["right"]) for r in out1.collect()]
+    got2 = [(r["rank"], r["left"], r["right"]) for r in out2.collect()]
+    assert got1 == got2  # seeded: reruns induce the same vocabulary
+    assert got1 == [(0, "a", "b"), (1, "a b", "c")]
