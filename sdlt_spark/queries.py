@@ -1502,7 +1502,9 @@ def delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("delta_stream_sink: stream did not drain in 300s")
     return DeltaTableReader(spark, dest).read()
 
 

@@ -313,8 +313,45 @@ class DeltaTableReader:
         for (v, n), parts in multi.items():
             if v not in out and len(parts) == n:
                 out[v] = [parts[i] for i in sorted(parts)]
-        out.update({v: [f] for v, f in v2.items()})
+        for v, f in v2.items():
+            # a V2 manifest whose sidecars are missing (rsync that skipped
+            # _sidecars/, interrupted upload) must not shadow a usable
+            # classic checkpoint at the same version; with no alternative
+            # it stays selected and replay fails LOUDLY (never silently
+            # reads an older state when the JSON commits are gone too)
+            if v not in out or self._v2_sidecars_present(f):
+                out[v] = [f]
         return out
+
+    def _v2_sidecars_present(self, fname: str) -> bool:
+        """True when every ``_sidecars/`` file a V2 manifest references
+        exists (the V2 analogue of the all-parts-present multipart gate)."""
+        path = os.path.join(self._log_dir, fname)
+        refs: list[str] = []
+        try:
+            if fname.endswith(".json"):
+                with open(path) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            a = json.loads(line)
+                            if a.get("sidecar"):
+                                refs.append(a["sidecar"]["path"])
+            else:
+                import pyarrow.parquet as pq
+
+                if "sidecar" in pq.read_schema(path).names:
+                    for row in pq.read_table(path, columns=["sidecar"]).to_pylist():
+                        if row.get("sidecar"):
+                            refs.append(row["sidecar"]["path"])
+        except Exception:
+            return False  # unreadable manifest: let a classic one win
+        return all(
+            os.path.exists(
+                os.path.join(self._log_dir, "_sidecars", urllib.parse.unquote(s))
+            )
+            for s in refs
+        )
 
     def _last_checkpoint_version(self, at_or_before: int) -> int | None:
         """Newest usable checkpoint <= the target version. ``_last_checkpoint``
@@ -561,15 +598,12 @@ class DeltaTableReader:
     def _norm_path_col(col):
         """``_metadata.file_path`` -> plain decoded os.path string, so it
         compares equal to the python-side map keys (which are URL-DECODED
-        log paths). Spark reports the path URI-escaped (space -> %20,
-        # -> %23, a literal % -> %25 — verified empirically) but leaves
-        ``+`` and non-ASCII raw; ``url_decode`` is form-decoding
-        (+ -> space), so literal ``+`` is protected as %2B first. Without
-        this decode, any file name with an encodable character silently
-        missed the DV anti-join (resurrecting deleted rows) and the
-        partition/provenance maps."""
-        p = F.regexp_replace(col, "^file:/+", "/")
-        return F.url_decode(F.replace(p, F.lit("+"), F.lit("%2B")))
+        log paths). The decode invariant lives in ONE place —
+        :func:`sdlt_spark.store.paths.decoded_file_path` — shared with the
+        vintage DV keying and partition attach."""
+        from sdlt_spark.store.paths import decoded_file_path
+
+        return decoded_file_path(col)
 
     def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
         """One parquet scan over the DV-free live files (snapshot schema

@@ -352,7 +352,9 @@ class DeltaLogWriter:
         # expires them at checkpoint time the same way)
         tomb_cutoff_ms = (time.time() - tombstone_retention_hours * 3600.0) * 1000
         tomb_rows_payload = []
-        for (path, _uid), rem in sorted(snap.tombstones.items()):
+        for (path, _uid), rem in sorted(
+            snap.tombstones.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")
+        ):
             ts_ms = rem.get("deletionTimestamp")
             if ts_ms is not None and ts_ms < tomb_cutoff_ms:
                 continue
@@ -489,6 +491,7 @@ def export_vintage_to_delta(
     dest_path: str,
     checkpoint_interval: int = 10,
     dv_mode: str = "rewrite",
+    tombstone_retention_hours: float = 168.0,
 ) -> int:
     """Publish the current snapshot of a ``VintageTable`` as a Delta table
     a stock Delta reader can open — and keep it in sync: re-exporting to
@@ -744,7 +747,12 @@ def export_vintage_to_delta(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
-        writer.write_checkpoint(version)
+        # align tombstone carry-over with the vacuum retention the export's
+        # operator uses — a checkpoint dropping tombstones younger than the
+        # vacuum window would lose their protection after JSON log cleanup
+        writer.write_checkpoint(
+            version, tombstone_retention_hours=tombstone_retention_hours
+        )
     return version
 
 
@@ -789,7 +797,10 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
         removed_at[abs_f] = max(removed_at.get(abs_f, 0.0), at)
     deleted: list[str] = []
     for dirpath, _, files in os.walk(dest):
-        if _LOG in dirpath or os.path.basename(dirpath).startswith(".staging-"):
+        # substring match: staged files live in NESTED subdirs of
+        # .staging-* (link/, rewrite/__tok=...), and a basename-only check
+        # would sweep an in-flight sync's hard links (ancient inode mtimes)
+        if _LOG in dirpath or ".staging-" in dirpath:
             continue
         for f in files:
             if not f.endswith(".parquet"):

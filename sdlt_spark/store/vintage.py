@@ -707,14 +707,15 @@ class VintageTable:
         ]
         if not cols:
             return df
+        from sdlt_spark.store.paths import decoded_file_path
+
         # materialize the hidden _metadata column as a regular one FIRST:
         # downstream consumers (_with_file, _with_dv_key) resolve
         # _metadata.file_path against it, which the hidden column cannot
         # provide once this join's projections consume it. Public reads
         # and file writes drop it at their boundary.
         df = df.withColumn("_metadata", F.col("_metadata"))
-        key = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        key = F.url_decode(F.replace(key, F.lit("+"), F.lit("%2B")))
+        key = decoded_file_path(F.col("_metadata.file_path"))
         rows = [
             (self._abs(rel), *[vals.get(c) for c in cols])
             for rel, vals in relevant.items()
@@ -862,11 +863,14 @@ class VintageTable:
         form-decoding url_decode), strip the file: scheme, then the table
         root prefix. Vintage's own generated file names are hex-safe, but
         out-of-root refs (clone / Delta import) can carry arbitrary
-        names — an undecoded key would silently miss the DV anti-join."""
+        names — an undecoded key would silently miss the DV anti-join.
+        The decode itself lives once in
+        :func:`sdlt_spark.store.paths.decoded_file_path`."""
         import re as _re
 
-        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        fp = F.url_decode(F.replace(fp, F.lit("+"), F.lit("%2B")))
+        from sdlt_spark.store.paths import decoded_file_path
+
+        fp = decoded_file_path(F.col("_metadata.file_path"))
         root = self.path.rstrip("/") + "/"
         return F.regexp_replace(fp, "^" + _re.escape(root), "")
 

@@ -42,10 +42,20 @@ class DeltaStreamSink:
     — appends each micro-batch to the Delta table at ``dest``, exactly
     once per ``batch_id`` even when Spark replays batches on restart."""
 
-    def __init__(self, dest_path: str, app_id: str, checkpoint_interval: int = 10):
+    def __init__(
+        self,
+        dest_path: str,
+        app_id: str,
+        checkpoint_interval: int = 10,
+        tombstone_retention_hours: float = 168.0,
+    ):
         self.dest = os.path.abspath(dest_path)
         self.app_id = app_id
         self.checkpoint_interval = checkpoint_interval
+        # align with the vacuum retention the table's operator uses: a
+        # checkpoint drops tombstones older than this, and a vacuum with a
+        # LONGER window would then lose their protection after log cleanup
+        self.tombstone_retention_hours = tombstone_retention_hours
 
     # foreachBatch calls the object itself
     def __call__(self, df: DataFrame, batch_id: int) -> None:
@@ -63,16 +73,19 @@ class DeltaStreamSink:
         )
         schema_json: str | None = df.schema.json()
         if exists:
-            reader = DeltaTableReader(spark, self.dest)
-            last = reader.last_txn_version(self.app_id)
-            if last is not None and batch_id <= last:
-                return None  # replayed batch: already durable, skip
-            # repeat metaData only on schema change (evolution)
+            # ONE snapshot replay serves both the txn watermark and the
+            # schema comparison — this is the per-batch hot path
             try:
-                if reader.snapshot().schema.json() == schema_json:
+                snap = DeltaTableReader(spark, self.dest).snapshot()
+            except FileNotFoundError:
+                snap = None
+            if snap is not None:
+                last = snap.txns.get(self.app_id)
+                if last is not None and batch_id <= last:
+                    return None  # replayed batch: already durable, skip
+                # repeat metaData only on schema change (evolution)
+                if snap.schema.json() == schema_json:
                     schema_json = None
-            except (FileNotFoundError, ValueError):
-                pass
 
         staging = os.path.join(self.dest, f".staging-{uuid.uuid4().hex}")
         writer = DeltaLogWriter(self.dest)  # creates dest + _delta_log
@@ -101,5 +114,8 @@ class DeltaStreamSink:
             and version > 0
             and version % self.checkpoint_interval == 0
         ):
-            writer.write_checkpoint(version)
+            writer.write_checkpoint(
+                version,
+                tombstone_retention_hours=self.tombstone_retention_hours,
+            )
         return version

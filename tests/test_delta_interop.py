@@ -1764,3 +1764,48 @@ def test_v2_checkpoint_json_manifest(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     assert sorted(x["k"] for x in r.read().collect()) == [7, 8]
     assert r.latest_version() == 0
+
+
+def test_v2_checkpoint_missing_sidecar_falls_back_to_classic(spark, tmp_path):
+    """A V2 manifest whose _sidecars file is missing (rsync skipped the
+    subdir) must not shadow a complete classic checkpoint at the same
+    version — the V2 analogue of the all-parts-present multipart gate."""
+    import shutil
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    w.write_checkpoint(0)            # classic, complete
+    w.write_checkpoint(0, v2=True)   # v2 at the SAME version
+    r = DeltaTableReader(spark, root)
+    (v2_name,) = [
+        f
+        for f in os.listdir(os.path.join(root, "_delta_log"))
+        if ".checkpoint." in f and f.count(".") == 3
+    ]
+    assert r._checkpoint_files()[0] == [v2_name]  # v2 wins while usable
+    shutil.rmtree(os.path.join(root, "_delta_log", "_sidecars"))
+    assert r._checkpoint_files()[0] == [f"{0:020d}.checkpoint.parquet"]
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    assert sorted(x["k"] for x in r.read().collect()) == [1, 2]
+
+
+def test_vacuum_skips_nested_staging_dirs(spark, tmp_path):
+    """Staged files live in NESTED subdirs of .staging-* (link/,
+    rewrite/__tok=...); the orphan sweep must skip them however deep —
+    an in-flight sync's hard links inherit ancient source mtimes and a
+    basename-only check would delete them mid-export."""
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    staged = os.path.join(root, ".staging-abc", "link")
+    os.makedirs(staged)
+    _write_part(os.path.join(staged, "in-flight.parquet"), [9])
+    os.utime(os.path.join(staged, "in-flight.parquet"), (0, 0))  # ancient
+    deleted = vacuum_delta_export(root, retention_hours=0.0)
+    assert deleted == []
+    assert os.path.exists(os.path.join(staged, "in-flight.parquet"))

@@ -50,6 +50,9 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 14):
 
     # model: rel -> (keys in file, deleted positions)
     files: dict[str, tuple[list[int], set[int]]] = {}
+    # rel -> live deletionVector descriptor (spec writers name it on the
+    # paired remove of every DELETE/OPTIMIZE — readers key on (path, dvId))
+    dv_descs: dict[str, dict] = {}
     history: list[list[int]] = []  # visible keys per version
 
     def _visible() -> list[int]:
@@ -83,7 +86,8 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 14):
             files[rel] = (keys, set())
         elif op == "remove":
             rel = rng.choice(live)
-            w.commit(removes=[rel])
+            old = dv_descs.pop(rel, None)
+            w.commit(removes=[(rel, old)] if old else [rel])
             del files[rel]
         elif op == "dv_grow":
             rel = rng.choice(live)
@@ -100,7 +104,16 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 14):
                 prefix="dv",
             )
             next_uuid += 1
-            w.commit(adds=[(rel, {})], dvs={rel: desc}, operation="DELETE")
+            # the REAL delta-spark DELETE shape: remove(path, oldDV) paired
+            # with add(path, newDV) in one commit
+            old = dv_descs.get(rel)
+            w.commit(
+                adds=[(rel, {})],
+                removes=[(rel, old)] if old else [rel],
+                dvs={rel: desc},
+                operation="DELETE",
+            )
+            dv_descs[rel] = desc
             files[rel] = (keys, new_dead)
         elif op == "dv_purge":
             rel = rng.choice(live)
@@ -113,7 +126,12 @@ def _run_walk(spark, tmp_path, seed: int, n_ops: int = 14):
             rel2 = f"f{next_file}.parquet"
             next_file += 1
             _write_file(root, rel2, kept)
-            w.commit(adds=[(rel2, {})], removes=[rel], operation="OPTIMIZE")
+            old = dv_descs.pop(rel, None)
+            w.commit(
+                adds=[(rel2, {})],
+                removes=[(rel, old)] if old else [rel],
+                operation="OPTIMIZE",
+            )
             del files[rel]
             files[rel2] = (kept, set())
         else:  # checkpoint

@@ -116,7 +116,7 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain"
 
     _feed(0, 10, "f0")
     _feed(10, 20, "f1")

@@ -702,7 +702,9 @@ def test_delta_cdc_stream_over_real_log(spark, tmp_path):
     w.commit(adds=[("a.parquet", {})], schema_json=schema)  # v0: 4 inserts
     d1 = write_dv_file(root, [1], "00000000-0000-4000-8000-0000000000aa")
     w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d1})  # v1: delete k=11
-    w.commit(removes=["a.parquet"])  # v2: delete the remaining 3
+    # v2: delete the remaining 3 — the remove names the DV of the logical
+    # file it cancels (readers key on (path, dvId))
+    w.commit(removes=[("a.parquet", d1)])
     q = (
         spark.readStream.format("delta_cdc")
         .option("path", root)
