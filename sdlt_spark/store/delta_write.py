@@ -71,6 +71,7 @@ class DeltaLogWriter:
         dvs: dict[str, dict] | None = None,
         cdc: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        configuration: dict[str, str] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -114,8 +115,14 @@ class DeltaLogWriter:
                 }
             )
         elif version == 0:
+            # CHECK constraints (delta.constraints.*) are a writer-version-3
+            # feature: stock writers must see >= (1,3) or they would append
+            # rows without enforcing the invariant
+            min_writer = 3 if any(
+                k.startswith("delta.constraints.") for k in (configuration or {})
+            ) else 2
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
             )
         if version == 0 and schema_json is None:
             raise ValueError("first Delta commit needs schema_json")
@@ -127,7 +134,7 @@ class DeltaLogWriter:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": partition_columns or [],
-                        "configuration": {},
+                        "configuration": dict(configuration or {}),
                         "createdTime": ts,
                     }
                 }
@@ -546,9 +553,11 @@ def export_vintage_to_delta(
         existing = set(snap.files)
         existing_dvs = dict(snap.dvs)
         existing_schema = snap.schema.json()
+        existing_config = dict(snap.metadata.get("configuration") or {})
         is_sync = True
     else:
         existing_dvs = {}
+        existing_config = {}
 
     live = vintage._live_files()
     data, dvs = vintage._split_live(live)
@@ -720,8 +729,22 @@ def export_vintage_to_delta(
     ]
 
     schema_json = vintage._schema_at().json()
-    if existing_schema is not None and json.loads(existing_schema) == json.loads(
-        schema_json
+    # vintage CHECK constraints publish as delta.constraints.* (the inverse
+    # of what import_delta_to_vintage reads back) so stock Delta WRITERS
+    # keep enforcing the source's invariants on the export
+    desired_config = {
+        f"delta.constraints.{name}": expr
+        for name, expr in sorted(vintage.constraints().items())
+    }
+    config_changed = desired_config != {
+        k: v
+        for k, v in existing_config.items()
+        if k.startswith("delta.constraints.")
+    }
+    if (
+        existing_schema is not None
+        and json.loads(existing_schema) == json.loads(schema_json)
+        and not config_changed
     ):
         schema_json_arg = None  # unchanged: don't repeat metaData
     else:
@@ -743,6 +766,18 @@ def export_vintage_to_delta(
             stats_override=stats_override,
             dvs={k: v for k, v in dvs_out.items() if any(a[0] == k for a in adds)}
             or None,
+            configuration=(
+                {
+                    **{
+                        k: v
+                        for k, v in existing_config.items()
+                        if not k.startswith("delta.constraints.")
+                    },
+                    **desired_config,
+                }
+                if schema_json_arg is not None
+                else None
+            ),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -1809,3 +1809,38 @@ def test_vacuum_skips_nested_staging_dirs(spark, tmp_path):
     deleted = vacuum_delta_export(root, retention_hours=0.0)
     assert deleted == []
     assert os.path.exists(os.path.join(staged, "in-flight.parquet"))
+
+
+def test_export_carries_check_constraints(spark, tmp_path):
+    """The inverse of import's constraint carry: vintage CHECK constraints
+    publish as delta.constraints.* in the export's metaData (with
+    minWriterVersion >= 3, the writer feature gating them), a later
+    add_constraint re-emits metaData on sync, and a round-trip import
+    enforces them again."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+    from sdlt_spark.store.vintage import ConstraintViolationError
+    import pytest as _pytest
+
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.add_constraint("positive_k", "k > 0")
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    snap = DeltaTableReader(spark, dest).snapshot()
+    assert snap.metadata["configuration"]["delta.constraints.positive_k"] == "k > 0"
+    assert snap.protocol.get("minWriterVersion", 0) >= 3
+    # constraint added AFTER the first export: the sync re-emits metaData
+    # even though the schema is unchanged
+    t.add_constraint("v_nonempty", "length(v) > 0")
+    export_vintage_to_delta(t, dest)
+    snap2 = DeltaTableReader(spark, dest).snapshot()
+    assert (
+        snap2.metadata["configuration"]["delta.constraints.v_nonempty"]
+        == "length(v) > 0"
+    )
+    # round trip: the import enforces the exported constraints
+    t2 = import_delta_to_vintage(spark, dest, str(tmp_path / "vt2"))
+    with _pytest.raises(ConstraintViolationError):
+        t2.write(
+            spark.createDataFrame([(-1, "x")], "k long, v string"), mode="append"
+        )

@@ -454,3 +454,49 @@ def test_delta_plain_read_is_bare_pruned_scan(spark, tmp_path):
     assert "ReadSchema: struct<k:bigint,v:string>" in plan, plan  # w pruned
     assert "_metadata" not in plan, plan  # no identity-key residue
     assert [x["k"] for x in df.collect()] == list(range(91, 100))
+
+
+def test_partitioned_import_read_is_single_scan_broadcast_join(spark, tmp_path):
+    """A zero-copy partitioned Delta import's vintage read must be ONE
+    parquet scan over all files plus ONE broadcast map join attaching the
+    constant columns — no per-partition union fan-out, however many
+    partitions the source had (the same plan shape the Delta reader's own
+    partitioned read asserts)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "dt")
+    adds = []
+    for r in range(8):
+        rel = f"r={r}/a.parquet"
+        os.makedirs(os.path.join(root, f"r={r}"))
+        pq.write_table(
+            pa.table({"k": pa.array([r * 10, r * 10 + 1], pa.int64())}),
+            os.path.join(root, rel),
+        )
+        adds.append((rel, {"r": str(r)}))
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=adds, schema_json=schema, partition_columns=["r"])
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan   # ONE scan, 8 partitions
+    assert "BroadcastHashJoin" in plan, plan       # map join, not a shuffle
+    assert "SortMergeJoin" not in plan, plan
+    assert "Union" not in plan, plan               # no per-partition fan-out
+    assert df.count() == 16
