@@ -894,3 +894,85 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("u").alias(id_col), "cluster")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate removal — k-means partition the corpus, compute
+    pairwise cosine ONLY within each cluster, transitively close the
+    >= threshold pairs, keep the minimum-id representative per group.
+
+    Returns (id, cluster, keep): ``cluster`` is the duplicate-group label
+    (its min member id; singletons label themselves) and ``keep`` marks
+    the one representative per group — ``filter(keep)`` is the deduped
+    corpus.
+
+    Scale shape: the O(n^2) all-pairs GEMM is fenced per k-means cell —
+    choose k so cells average ~10^3-10^4 vectors (SemDeDup used 50k
+    clusters for LAION-440M) and each cell is one Arrow-batched
+    applyInPandas task doing a dense numpy GEMM; cross-cell pairs are
+    never computed (the approximation the paper accepts: true duplicates
+    co-locate because k-means cells are cosine-tight). Centroid training
+    is the bounded-driver Lloyd loop shared with ``kmeans_fit``
+    (per-(cluster,dim) partial sums; the driver holds k x dim scalars);
+    the component closure is the same join-based label propagation as
+    ``dedup_clusters`` — everything distributed, nothing all-pairs
+    across cells."""
+    from pyspark.sql import types as T
+
+    from sdlt_spark.operators.clustering import kmeans_fit
+
+    assigned, _cents = kmeans_fit(
+        df.select(id_col, vec_col), vec_col, id_col, k=k, iters=iters, seed=seed
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        a, b = ids[ia[hit]], ids[ib[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": sims[ia, ib][hit]}
+        )
+
+    cells = assigned.select(
+        F.col("cluster").alias("__c"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    pairs = cells.groupBy("__c").applyInPandas(_cell_pairs, out_schema)
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    labels = dedup_clusters(pairs, ids, id_col)
+    return labels.select(
+        id_col,
+        "cluster",
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
+    )

@@ -1508,6 +1508,33 @@ def delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, dest).read()
 
 
+@_q("delta_optimize", _ORDERS_PROJ_SQL)
+def delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE (bin-packing compaction) on a written Delta table —
+    the maintenance op a streaming-sink table needs: 6 small files
+    bin-pack into one ~target-size rewrite committed dataChange=false
+    (CDC-silent), content bit-identical. The read after OPTIMIZE must
+    hash-match the plain projection oracle."""
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter, optimize_delta_export
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_opt_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+    abs_dir = _os.path.join(root, "data")
+    proj.repartition(6).write.mode("errorifexists").parquet(abs_dir)
+    rels = [
+        f"data/{f}" for f in sorted(_os.listdir(abs_dir)) if f.endswith(".parquet")
+    ]
+    w = DeltaLogWriter(root)
+    w.commit(adds=[(r, {}) for r in rels], schema_json=proj.schema.json())
+    produced = optimize_delta_export(root, spark, target_file_bytes=1 << 30)
+    assert len(produced) == 1, produced  # all six packed into one
+    return DeltaTableReader(spark, root).read()
+
+
 @_q("delta_import_partitioned", _ORDERS_PROJ_SQL)
 def delta_import_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy import of a PARTITIONED Delta table (round-6 verdict item
@@ -5070,6 +5097,24 @@ def kmeans_fit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", "vec_id", k=8, iters=3, seed=42
     )
     return clustering.cluster_profile(assigned)
+
+
+@_q("semantic_dedup", None)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding-space near-dup removal (Abbas et al. 2023):
+    k-means partition -> within-cell pairwise cosine GEMM -> transitive
+    closure -> keep min-id representative (operators/dedup.py). Rows-only
+    (k-means is not SQL-expressible); the planted-duplicate property test
+    regression-guards exactness of the keep set."""
+    from sdlt_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        k=8,
+        threshold=0.99,
+    )
 
 
 @_q(

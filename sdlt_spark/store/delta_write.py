@@ -72,6 +72,7 @@ class DeltaLogWriter:
         cdc: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         configuration: dict[str, str] | None = None,
+        data_change: bool = True,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -152,7 +153,9 @@ class DeltaLogWriter:
                 },
                 "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
                 "modificationTime": ts,
-                "dataChange": True,
+                # dataChange=false marks logically-invisible rewrites
+                # (compaction): CDC readers skip the commit whole
+                "dataChange": data_change,
             }
             if dvs and rel in dvs:
                 add["deletionVector"] = dvs[rel]
@@ -178,7 +181,7 @@ class DeltaLogWriter:
             rm = {
                 "path": urllib.parse.quote(rel),
                 "deletionTimestamp": ts,
-                "dataChange": True,
+                "dataChange": data_change,
             }
             if rem_dv:
                 # the (path, dvId) identity of the logical file this remove
@@ -854,3 +857,108 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
             except OSError:
                 pass  # raced with a concurrent sync; next vacuum sweeps it
     return sorted(deleted)
+
+
+def optimize_delta_export(
+    dest_path: str,
+    spark,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """Delta's OPTIMIZE (bin-packing compaction) for a table this module
+    writes — what a long-lived streaming-sink table needs: every
+    micro-batch commit adds small files, and scan cost degrades with file
+    count. Groups live files smaller than ``target_file_bytes`` into
+    ~target-size bins, rewrites each bin as ONE file in ONE distributed
+    job (scan all small files once; a broadcast path->bin map routes rows;
+    repartition-by-bin makes exactly one output file per bin), and commits
+    the swap with ``dataChange=false`` — logically invisible, so CDC
+    readers skip it, exactly delta-spark's OPTIMIZE contract. Returns the
+    new relative file names.
+
+    DV-bearing files are left alone (compacting them would need the purge
+    semantics the vintage store's own compact() implements); files already
+    at or above the target are untouched. Bins with fewer than two files
+    are skipped — rewriting a lone small file buys nothing.
+
+    Scale shape: driver work is O(live files) metadata (the same class as
+    log replay); data movement is O(small-file bytes), never the table.
+    """
+    from pyspark.sql import functions as F
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    dest = os.path.abspath(dest_path)
+    reader = DeltaTableReader(spark, dest)
+    snap = reader.snapshot()
+    small: list[tuple[str, int]] = []
+    for rel in sorted(snap.files):
+        if rel in snap.dvs:
+            continue  # purge is a different op; see docstring
+        abs_f = os.path.join(dest, rel)
+        try:
+            size = os.path.getsize(abs_f)
+        except OSError:
+            continue
+        if size < target_file_bytes:
+            small.append((rel, size))
+    # first-fit decreasing bin packing
+    bins: list[tuple[int, list[str]]] = []  # (bytes, members)
+    for rel, size in sorted(small, key=lambda rs: -rs[1]):
+        for i, (used, members) in enumerate(bins):
+            if used + size <= target_file_bytes:
+                bins[i] = (used + size, members + [rel])
+                break
+        else:
+            bins.append((size, [rel]))
+    bins = [(u, m) for u, m in bins if len(m) >= 2]
+    if not bins:
+        return []
+
+    writer = DeltaLogWriter(dest)
+    bin_by_abs = {
+        os.path.join(dest, rel): f"{i:06d}"
+        for i, (_, members) in enumerate(bins)
+        for rel in members
+    }
+    rels = [rel for _, members in bins for rel in members]
+    df = reader._read_file_subset(snap, rels)
+    from sdlt_spark.store.paths import decoded_file_path
+
+    key = decoded_file_path(F.col("_metadata.file_path"))
+    mapping = F.create_map(*[F.lit(x) for kv in bin_by_abs.items() for x in kv])
+    staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    produced: list[str] = []
+    try:
+        (
+            df.withColumn("__bin", mapping[key])
+            .repartition(len(bins), "__bin")
+            .write.partitionBy("__bin")
+            .mode("errorifexists")
+            .parquet(staging)
+        )
+        pending: list[tuple[str, str]] = []
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("__bin="):
+                continue
+            parts = sorted(
+                f
+                for f in os.listdir(os.path.join(staging, d))
+                if f.endswith(".parquet")
+            )
+            out_rel = f"data/optimized-{uuid.uuid4().hex}.parquet"
+            pending.append(
+                (os.path.join(staging, d, parts[0]), os.path.join(dest, out_rel))
+            )
+            produced.append(out_rel)
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+        for staged, final in pending:
+            os.replace(staged, final)
+        writer.commit(
+            adds=[(rel, {}) for rel in produced],
+            removes=rels,
+            operation="OPTIMIZE",
+            data_change=False,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return produced

@@ -162,3 +162,41 @@ def test_deterministic_split_stability(spark):
         for r in spark.sql(f"SELECT doc_id, {sql} AS split FROM split_in").collect()
     }
     assert d == a
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup correctness on a planted corpus: near-identical embedding
+    pairs (cos ~ 1) lose their higher-id member; well-separated vectors
+    all survive; transitive chains collapse to ONE representative."""
+    import numpy as np
+
+    from sdlt_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant near-duplicates of vectors 0..3 (ids 100..103) and a CHAIN:
+    # 200 ~ vec 4, 201 ~ 200 (tiny accumulating noise -> transitive group)
+    for j in range(4):
+        v = base[j] + rng.normal(scale=1e-6, size=16)
+        rows.append((100 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    c1 = base[4] + rng.normal(scale=1e-6, size=16)
+    c2 = c1 + rng.normal(scale=1e-6, size=16)
+    rows.append((200, [float(x) for x in c1 / np.linalg.norm(c1)]))
+    rows.append((201, [float(x) for x in c2 / np.linalg.norm(c2)]))
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", k=4, threshold=0.999)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out.collect()}
+    assert len(got) == 26  # every input id labeled
+    # planted dups collapse onto their original (min id) and are dropped
+    for j in range(4):
+        assert got[100 + j] == (j, False)
+        assert got[j] == (j, True)
+    # the chain 4-200-201 is ONE group kept once
+    assert got[4] == (4, True)
+    assert got[200] == (4, False) and got[201] == (4, False)
+    # all other well-separated vectors survive as their own singletons
+    for i in range(5, 20):
+        assert got[i] == (i, True)

@@ -1844,3 +1844,62 @@ def test_export_carries_check_constraints(spark, tmp_path):
         t2.write(
             spark.createDataFrame([(-1, "x")], "k long, v string"), mode="append"
         )
+
+
+def test_optimize_delta_export_bin_packs(spark, tmp_path):
+    """OPTIMIZE on a written Delta table: small live files bin-pack into
+    ~target-size rewrites committed dataChange=false — content identical,
+    file count down, CDC silent, DV-bearing files untouched."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    for i in range(6):
+        rel = f"data/f{i}.parquet"
+        _write_part(os.path.join(root, rel), [i * 10, i * 10 + 1])
+        w.commit(adds=[(rel, {})], schema_json=_SCHEMA if i == 0 else None)
+    # one DV-bearing file: must be left alone
+    _write_part(f"{root}/data/dvf.parquet", [99, 100])
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000e1")
+    w.commit(adds=[("data/dvf.parquet", {})], dvs={"data/dvf.parquet": d})
+    r = DeltaTableReader(spark, root)
+    before = sorted(x["k"] for x in r.read().collect())
+    n_before = len(r.snapshot().files)
+
+    produced = optimize_delta_export(root, spark, target_file_bytes=10 << 20)
+    assert len(produced) == 1  # six tiny files -> one bin
+    snap = r.snapshot()
+    assert len(snap.files) == 2  # the bin + the untouched DV file
+    assert "data/dvf.parquet" in snap.files and "data/dvf.parquet" in snap.dvs
+    assert sorted(x["k"] for x in r.read().collect()) == before
+    assert n_before == 7
+    # dataChange=false: the OPTIMIZE commit is CDC-silent
+    v = r.latest_version()
+    assert r.table_changes(v, v).count() == 0
+    # idempotent-ish: nothing left to pack (one bin member is < 2 files)
+    assert optimize_delta_export(root, spark, target_file_bytes=10 << 20) == []
+
+
+def test_optimize_delta_export_respects_target(spark, tmp_path):
+    """Files already at/above target are untouched; bins respect the
+    byte budget (two bins when the small files exceed one target)."""
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    for i in range(4):
+        rel = f"data/f{i}.parquet"
+        _write_part(os.path.join(root, rel), list(range(i * 100, i * 100 + 50)))
+        w.commit(adds=[(rel, {})], schema_json=_SCHEMA if i == 0 else None)
+    sizes = [
+        os.path.getsize(os.path.join(root, f"data/f{i}.parquet")) for i in range(4)
+    ]
+    # target fits exactly two files per bin -> two bins of two
+    target = max(sizes) * 2 + 64
+    produced = optimize_delta_export(root, spark, target_file_bytes=target)
+    assert len(produced) == 2
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == sorted(
+        k for i in range(4) for k in range(i * 100, i * 100 + 50)
+    )

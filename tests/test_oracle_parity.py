@@ -55,6 +55,7 @@ NO_ORACLE_ALLOWLIST = {
     "kmeans_fit": "tests/test_clustering.py (exact-assignment oracle)",
     "bpe_merges": "tests/test_text.py (pinned merge-sequence unit test)",
     "multimodal_features": "tests/test_multimodal.py (plumbing/shape tests)",
+    "semantic_dedup": "tests/test_dedup.py::test_semantic_dedup_planted_duplicates",
 }
 
 
