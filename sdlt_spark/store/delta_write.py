@@ -565,18 +565,28 @@ def export_vintage_to_delta(
     live = vintage._live_files()
     data, dvs = vintage._split_live(live)
     fparts = vintage._file_partitions()
+    part_cols: list[str] = []
     if any(rel in fparts for rel in data):
-        # a zero-copy partitioned import's raw files lack their partition
-        # columns (the values live in the vintage sidecar); hard-linking
-        # them into an unpartitioned Delta export would silently drop
-        # those columns' values
-        from sdlt_spark.store.delta_read import DeltaProtocolError
+        # a zero-copy partitioned import: the raw files lack their
+        # partition columns (the values live in the vintage sidecar).
+        # When EVERY live data file still has sidecar values, the export
+        # round-trips as a PARTITIONED Delta table — the sidecar values
+        # become the add actions' partitionValues, still zero-copy. Once
+        # mutations have materialized the column into SOME rewritten
+        # files (which have no sidecar entry, and whose values live only
+        # in the data), a partitioned export can't be built without
+        # scanning — refuse loudly, as before.
+        if all(rel in fparts for rel in data):
+            part_cols = sorted({c for vals in fparts.values() for c in vals})
+        else:
+            from sdlt_spark.store.delta_read import DeltaProtocolError
 
-        raise DeltaProtocolError(
-            "export of a table with per-file constant columns (a zero-copy "
-            "partitioned Delta import) is not supported; materialize first "
-            "(compact() or write(read()))"
-        )
+            raise DeltaProtocolError(
+                "export of a partially-materialized partitioned import is "
+                "not supported (some files carry the partition column "
+                "inline, some only in the sidecar); materialize first "
+                "(compact() or write(read()))"
+            )
     src_stats = vintage._file_stats()
     coverage = vintage._dv_coverage(dvs) if dvs else {}
     covering: dict[str, list[str]] = {rel: [] for rel in data}
@@ -587,6 +597,14 @@ def export_vintage_to_delta(
 
     if dv_mode not in ("rewrite", "preserve"):
         raise ValueError(f"dv_mode={dv_mode!r}; expected 'rewrite' or 'preserve'")
+    if part_cols and dvs and dv_mode == "rewrite":
+        # a rewrite materializes the partition column INTO the new file
+        # while its add would carry no partitionValues — broken for every
+        # partitioned reader; preserve mode keeps the round trip zero-copy
+        raise ValueError(
+            "dv_mode='rewrite' cannot export a partitioned zero-copy import "
+            "with live deletion vectors; use dv_mode='preserve'"
+        )
 
     def _token(rel: str) -> str:
         # mode participates for covered files only, so flipping dv_mode
@@ -720,7 +738,9 @@ def export_vintage_to_delta(
         except OSError:
             shutil.copy2(src, staged)
         pending_moves.append((staged, os.path.join(dest, out_rel)))
-        adds.append((out_rel, {}))
+        # a partitioned round trip: the sidecar's per-file constants become
+        # the add action's partitionValues (raw spec strings, zero-copy)
+        adds.append((out_rel, fparts.get(rel, {}) if part_cols else {}))
         if rel in src_stats:
             # carry the vintage zone maps across (no footer re-reads)
             stats_override[out_rel] = src_stats[rel]
@@ -764,7 +784,7 @@ def export_vintage_to_delta(
             adds=adds,
             removes=removes,
             schema_json=schema_json_arg,
-            partition_columns=[],
+            partition_columns=part_cols,
             operation="WRITE" if not is_sync else "SYNC",
             stats_override=stats_override,
             dvs={k: v for k, v in dvs_out.items() if any(a[0] == k for a in adds)}

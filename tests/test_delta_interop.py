@@ -1335,9 +1335,10 @@ def test_import_partitioned_delta_zero_copy(spark, tmp_path):
         (3, 1),
         (4, None),
     ]
-    # exporting a sidecar-bearing table would silently drop the column
-    # from hard-linked raw files: refused loudly until materialized
-    with pytest.raises(DeltaProtocolError, match="constant columns"):
+    # after the mutation the table is PARTIALLY materialized (one rewritten
+    # file carries r inline, the rest only in the sidecar): a partitioned
+    # export can't be built without scanning — refused loudly
+    with pytest.raises(DeltaProtocolError, match="partially-materialized"):
         export_vintage_to_delta(t, str(tmp_path / "exp"))
 
 
@@ -1903,3 +1904,42 @@ def test_optimize_delta_export_respects_target(spark, tmp_path):
     assert sorted(x["k"] for x in r.read().collect()) == sorted(
         k for i in range(4) for k in range(i * 100, i * 100 + 50)
     )
+
+
+def test_partitioned_import_round_trips_to_partitioned_export(spark, tmp_path):
+    """Delta -> vintage -> Delta round trip of a PARTITIONED table, fully
+    zero-copy: the sidecar's per-file constants become the re-export's
+    partitionValues (same inode end to end), partitionColumns land in
+    metaData, and the independent reader sees the typed column."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "src")
+    _write_part(f"{root}/r=0/a.parquet", [1, 2])
+    _write_part(f"{root}/r=1/b.parquet", [3])
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=0/a.parquet", {"r": "0"}), ("r=1/b.parquet", {"r": "1"})],
+        schema_json=_PART_SCHEMA,
+        partition_columns=["r"],
+    )
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    r = DeltaTableReader(spark, dest)
+    snap = r.snapshot()
+    assert snap.partition_columns == ["r"]
+    got = sorted((x["k"], x["r"]) for x in r.read().collect())
+    assert got == [(1, 0), (2, 0), (3, 1)]
+    # zero-copy throughout: every exported file shares the SOURCE inode
+    src_inodes = {
+        os.stat(f"{root}/r=0/a.parquet").st_ino,
+        os.stat(f"{root}/r=1/b.parquet").st_ino,
+    }
+    exp_inodes = {
+        os.stat(os.path.join(dest, rel)).st_ino for rel in snap.files
+    }
+    assert exp_inodes == src_inodes
+    # a mutation materializes the column; the mixed table refuses loudly
+    t.update("k = 3", {"v": "'x'"})
+    with pytest.raises(DeltaProtocolError, match="partially-materialized"):
+        export_vintage_to_delta(t, str(tmp_path / "exp2"))
