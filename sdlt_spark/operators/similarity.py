@@ -619,3 +619,150 @@ def neardup_cosine_lsh(
     raw = pairs.mapInPandas(_gemm, out_schema)
     # the same pair can surface in several tables -> dedupe
     return raw.groupBy("id_a", "id_b").agg(F.round(F.max("cos_sim"), 4).alias("cos_sim"))
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    nbits: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS PQ
+    recipe): split the dimension into ``m`` subspaces and run k-means
+    (k = 2^nbits) per subspace on a bounded, seeded sample. Like
+    ``train_ivf_centroids``, training is a fixed-size driver-side numpy
+    job independent of corpus size; ENCODING stays executor-side.
+    Returns an (m, 2^nbits, dim/m) float64 array."""
+    ksub = 1 << nbits
+    frac_df = df.select(vec_col)
+    n = frac_df.count()
+    if n == 0:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    sample = frac_df.sample(min(1.0, sample_rows / n), seed=seed).limit(sample_rows)
+    x = np.asarray([np.asarray(r[0], dtype=np.float64) for r in sample.collect()])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        if len(cents) < ksub:  # degenerate tiny sample: pad by repetition
+            cents = np.resize(cents, (ksub, dsub))
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, books: np.ndarray) -> DataFrame:
+    """Encode every vector as ``m`` small codes (nearest codeword per
+    subspace) — a map-only Arrow-batched GEMM per subspace; the corpus
+    compresses from dim x 8 bytes to m bytes per row (the PQ memory
+    story: a 768-dim float64 corpus at m=8 is a 768x smaller index)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bk = np.asarray(books, dtype=np.float64)
+    m, _ksub, dsub = bk.shape
+
+    @pandas_udf("array<int>")
+    def _enc(col):
+        out = []
+        vals = [v for v in col if v is not None]
+        if vals:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                # ||s - c||^2 argmin == argmax(s.c - ||c||^2/2): one GEMM
+                dots = sub @ bk[j].T - 0.5 * (bk[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmax(dots, axis=1)
+        it = iter(codes.tolist() if vals else [])
+        out = [next(it) if v is not None else None for v in col]
+        return pd.Series(out)
+
+    return df.withColumn("__pq", _enc(F.col(vec_col)))
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    m: int = 4,
+    nbits: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 42,
+    rerank: int = 8,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC) with
+    exact reranking — FAISS's IndexPQ + refine recipe: the query's
+    per-subspace distance table (m x 2^nbits floats — a few KB, computed
+    on the driver and shipped inside the UDF closure) turns the SHORTLIST
+    scan into ``m`` table lookups per row — map-only over the encoded
+    corpus, TakeOrdered to ``k * rerank`` candidates — then only those
+    candidates' full-precision vectors are rescored exactly (a broadcast
+    semi-join pulling k*rerank rows). At 100 TB the PQ codes fit where
+    the raw embeddings never could (m bytes vs dim x 4), the shortlist
+    scan is O(m) per row instead of O(dim), and the exact pass touches
+    k*rerank rows, not the corpus. ``rerank=1`` disables the refine and
+    returns raw ADC order.
+
+    Returns (id, cos_sim) for the final top-k (exact scores over the
+    shortlist). Recall is gated by the planted-neighbor test (the same
+    harness as the LSH/IVF variants)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = train_pq_codebooks(
+        df, vec_col, m=m, nbits=nbits, sample_rows=sample_rows, seed=seed
+    )
+    encoded = pq_encode(df, vec_col, books)
+    q = np.asarray(query, dtype=np.float64)
+    dsub = books.shape[2]
+    # ADC table: exact squared distance from the query's subvector to
+    # every codeword — the only query-time float work, O(m * 2^nbits * dsub)
+    table = np.stack(
+        [
+            ((q[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2).sum(axis=1)
+            for j in range(books.shape[0])
+        ]
+    )
+
+    @pandas_udf("double")
+    def _adc(codes):
+        out = []
+        for c in codes:
+            if c is None:
+                out.append(None)
+            else:
+                out.append(float(table[np.arange(len(c)), np.asarray(c)].sum()))
+        return pd.Series(out)
+
+    shortlist = (
+        encoded.select(
+            F.col(id_col), _adc(F.col("__pq")).alias("approx_dist")
+        )
+        .orderBy("approx_dist", id_col)
+        .limit(max(k, k * rerank))
+    )
+    if rerank <= 1:
+        return shortlist.limit(k)
+    # exact refine: rescore ONLY the shortlist's full-precision vectors —
+    # the candidate id set is k*rerank rows, broadcast into a semi-join
+    candidates = df.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return cosine_topk(candidates, vec_col, id_col, list(query), k)

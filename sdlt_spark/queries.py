@@ -3550,6 +3550,28 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_pq_topk", None)
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (FAISS IndexPQ+refine,
+    Jégou et al. 2011): codebooks trained on a bounded seeded sample,
+    corpus encoded to m small codes executor-side, query scored by an
+    ADC lookup table (map-only, O(m) per row), shortlist exactly
+    rescored. The memory-bounded scale path — PQ codes fit in cache
+    where raw embeddings never could. Rows-only: gated by the
+    planted-neighbor recall test."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.ann_pq_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        list(query),
+        k=10,
+        m=4,
+        nbits=4,
+    )
+
+
 _BPE_SQL = _text.BPE_PATTERN.replace("'", "''")
 
 

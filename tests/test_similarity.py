@@ -232,3 +232,54 @@ def test_ann_recall_on_planted_neighbor_fixture(spark):
         ).collect()
     }
     assert len(ivf & set(exact)) >= 9, sorted(ivf)
+
+
+def test_ann_pq_recall_on_planted_neighbor_fixture(spark):
+    """PQ/ADC quality gate on the same planted-cluster fixture as the
+    LSH/IVF paths: asymmetric-distance top-10 must recover >= 9 of the
+    exact top-10 — a broken codebook trainer, encoder, or ADC table
+    cannot stay above it. Also pins the memory contract: every code is
+    in [0, 2^nbits)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    dim, n_clusters, per = 16, 20, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for c in range(n_clusters):
+        p = centers[c] + 0.02 * rng.normal(size=(per, dim))
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        pts.append(p)
+    pts = np.vstack(pts)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>",
+    )
+    q_arr = centers[0] + 0.02 * rng.normal(size=dim)
+    q = (q_arr / np.linalg.norm(q_arr)).tolist()
+    exact = [
+        r["vec_id"]
+        for r in sim.cosine_topk(df, "embedding", "vec_id", q, k=10).collect()
+    ]
+    pq = {
+        r["vec_id"]
+        for r in sim.ann_pq_topk(
+            df, "embedding", "vec_id", q, k=10, m=4, nbits=4
+        ).collect()
+    }
+    assert len(pq & set(exact)) >= 9, sorted(pq)
+    # code-range contract (the m-bytes-per-row memory story)
+    books = sim.train_pq_codebooks(df, "embedding", m=4, nbits=4)
+    codes = sim.pq_encode(df, "embedding", books).select("__pq").collect()
+    flat = [c for r in codes for c in r["__pq"]]
+    assert all(0 <= c < 16 for c in flat)
+    # null vectors encode as null, not a crash
+    df2 = spark.createDataFrame(
+        [(0, [0.0] * 16), (1, None)], "vec_id long, embedding array<float>"
+    )
+    enc = {
+        r["vec_id"]: r["__pq"]
+        for r in sim.pq_encode(df2, "embedding", books).collect()
+    }
+    assert enc[1] is None and len(enc[0]) == 4
