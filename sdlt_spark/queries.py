@@ -1280,6 +1280,67 @@ def delta_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@_q("delta_append_stream", _ORDERS_PROJ_SQL)
+def delta_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta-spark's PLAIN ``readStream`` semantics (mode=appends on the
+    delta_cdc source): micro-batches are the appended table rows — no
+    CDC bookkeeping columns — and the data-modifying commit in the
+    fixture's history is dropped whole by skipChangeCommits (without it
+    the stream fails loudly, stock behavior). Three append commits flow,
+    so the memory-sink content equals the full projection."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = tempfile.mkdtemp(prefix="sdlt_delta_app_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+    w = DeltaLogWriter(root)
+    rels_by_part: list[list[str]] = []
+    for part in range(3):
+        sub = f"c{part}"
+        abs_dir = _os.path.join(root, sub)
+        proj.filter(F.col("o_orderkey") % 3 == part).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(abs_dir)
+        rels = [
+            f"{sub}/{f}"
+            for f in sorted(_os.listdir(abs_dir))
+            if f.endswith(".parquet")
+        ]
+        rels_by_part.append(rels)
+        w.commit(
+            adds=[(r, {}) for r in rels],
+            schema_json=proj.schema.json() if part == 0 else None,
+        )
+        if part == 0:
+            # a data-modifying commit mid-history (DELETE of the first
+            # appended file) — appends mode must drop it WHOLE under
+            # skipChangeCommits; the file's rows already streamed at v0,
+            # so the sink still holds the full projection
+            w.commit(removes=[rels[0]], operation="DELETE")
+    sink = f"delta_append_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("mode", "appends")
+        .option("skipChangeCommits", "true")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
 @_q(
     "delta_import",
     "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "

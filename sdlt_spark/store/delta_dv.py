@@ -224,6 +224,35 @@ def serialize_rbm_array(positions: list[int]) -> bytes:
 _DV_FILE_VERSION = 1
 
 
+def dv_file_path(descriptor: dict, table_root: str) -> str | None:
+    """Absolute sidecar path an on-disk DV descriptor resolves to (``u``:
+    prefix + z85 uuid under the table root; ``p``: the absolute path
+    itself), or None for inline (``i``) descriptors that have no file.
+    Shared by the blob reader and the export VACUUM's orphan sweep."""
+    import os
+
+    storage = descriptor.get("storageType", "u")
+    ref = descriptor["pathOrInlineDv"]
+    if storage == "i":
+        return None
+    if storage == "u":
+        prefix, enc = ref[:-20], ref[-20:]
+        fname = f"deletion_vector_{decode_uuid(enc)}.bin"
+        return (
+            os.path.join(table_root, prefix, fname)
+            if prefix
+            else os.path.join(table_root, fname)
+        )
+    if storage == "p":
+        path = ref
+        if path.startswith("file:"):
+            path = path[len("file:") :]
+            while path.startswith("//"):
+                path = path[1:]
+        return path
+    raise ValueError(f"unknown DV storageType {storage!r}")
+
+
 def read_dv_blob(descriptor: dict, table_root: str) -> bytes:
     """Resolve a ``deletionVector`` descriptor to the serialized bitmap
     bytes, per storage type:
@@ -243,22 +272,7 @@ def read_dv_blob(descriptor: dict, table_root: str) -> bytes:
     if storage == "i":
         data = z85_decode(ref)
     else:
-        if storage == "u":
-            prefix, enc = ref[:-20], ref[-20:]
-            fname = f"deletion_vector_{decode_uuid(enc)}.bin"
-            path = (
-                os.path.join(table_root, prefix, fname)
-                if prefix
-                else os.path.join(table_root, fname)
-            )
-        elif storage == "p":
-            path = ref
-            if path.startswith("file:"):
-                path = path[len("file:") :]
-                while path.startswith("//"):
-                    path = path[1:]
-        else:
-            raise ValueError(f"unknown DV storageType {storage!r}")
+        path = dv_file_path(descriptor, table_root)
         offset = descriptor.get("offset", 0) or 0
         with open(path, "rb") as f:
             f.seek(offset)

@@ -839,6 +839,14 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
         raise FileNotFoundError(f"no _delta_log under {dest}")
     snap = reader.snapshot()
     live = {os.path.normpath(os.path.join(dest, rel)) for rel in snap.files}
+    # DV sidecars referenced by live add actions are live too (a swept
+    # .bin would make every read of its covered file fail loudly)
+    from sdlt_spark.store.delta_dv import dv_file_path
+
+    for desc in snap.dvs.values():
+        p = dv_file_path(desc, dest)
+        if p is not None:
+            live.add(os.path.normpath(p))
     cutoff = _time.time() - retention_hours * 3600.0
     # retention is keyed on the remove action's deletionTimestamp (Delta's
     # VACUUM contract), NOT the file's mtime — hard-linked exports inherit
@@ -850,9 +858,17 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     removed_at: dict[str, float] = {}
     for (rel, _uid), rem in snap.tombstones.items():
         ts = rem.get("deletionTimestamp")
-        abs_f = os.path.normpath(os.path.join(dest, rel))
         at = ts / 1000.0 if ts is not None else _time.time()
+        abs_f = os.path.normpath(os.path.join(dest, rel))
         removed_at[abs_f] = max(removed_at.get(abs_f, 0.0), at)
+        # a tombstoned logical file's DV sidecar ages on the same clock
+        # (time travel inside the window still needs to expand it)
+        desc = rem.get("deletionVector")
+        if desc:
+            p = dv_file_path(desc, dest)
+            if p is not None:
+                p = os.path.normpath(p)
+                removed_at[p] = max(removed_at.get(p, 0.0), at)
     deleted: list[str] = []
     for dirpath, _, files in os.walk(dest):
         # substring match: staged files live in NESTED subdirs of
@@ -861,7 +877,12 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
         if _LOG in dirpath or ".staging-" in dirpath:
             continue
         for f in files:
-            if not f.endswith(".parquet"):
+            # .parquet data files AND .bin DV sidecars (a removed
+            # preserve-mode file's roaring bitmap would otherwise orphan
+            # forever); bins are written fresh at export so their mtime is
+            # an honest orphan clock, and tombstone-referenced ones age
+            # from the remove's deletionTimestamp like their data file
+            if not (f.endswith(".parquet") or f.endswith(".bin")):
                 continue
             abs_f = os.path.normpath(os.path.join(dirpath, f))
             if abs_f in live:

@@ -30,6 +30,12 @@ Usage::
               .option("startingVersion", 0)   # default: tail new commits
               .load())
 
+``mode=appends`` gives delta-spark's PLAIN ``readStream`` semantics
+instead of CDC: micro-batches are just the appended table rows (no
+bookkeeping columns); a commit that modifies existing rows FAILS the
+stream unless ``skipChangeCommits`` drops it — refusal over silently
+wrong rows, exactly the stock behavior.
+
 Column-mapped tables are rejected for streaming (physical-name renames
 inside the Arrow path are not wired; the batch reader supports them).
 """
@@ -38,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -71,14 +78,18 @@ def _parse_pval(raw: str | None, spark_type) -> object:
     )
 
 
-def _stream_schema(path: str) -> StructType:
+def _stream_schema(path: str, mode: str = "cdc") -> StructType:
     snap = _reader(path).snapshot()
     if snap.mapping:
         raise DeltaProtocolError(
             "delta_cdc streaming does not support column-mapped tables"
         )
+    base = [StructField(f.name, f.dataType, True) for f in snap.schema.fields]
+    if mode == "appends":
+        # plain delta-spark readStream shape: just the table's rows
+        return StructType(base)
     return StructType(
-        [StructField(f.name, f.dataType, True) for f in snap.schema.fields]
+        base
         + [
             StructField("_change_type", StringType(), True),
             StructField("_commit_version", LongType(), True),
@@ -112,6 +123,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._skip_change_commits = str(
             options.get("skipchangecommits", "false")
         ).lower() in ("true", "1")
+        self._mode = str(options.get("mode", "cdc")).lower()
+        if self._mode not in ("cdc", "appends"):
+            raise ValueError(f"mode={self._mode!r}; expected 'cdc' or 'appends'")
         self._schema = schema
         start = options.get("startingversion")
         self._initial = (
@@ -163,6 +177,41 @@ class DeltaStreamReader(DataSourceStreamReader):
                     col: _parse_pval(pvals.get(col), t)
                     for col, t in part_types.items()
                 }
+
+            if self._mode == "appends":
+                # delta-spark's plain readStream contract: appends flow as
+                # table rows; a data-modifying commit FAILS unless
+                # skipChangeCommits dropped it (which walk_changes already
+                # did when the option is set)
+                if deletes or dv_grown:
+                    raise DeltaProtocolError(
+                        f"commit {v} modifies existing rows; mode=appends "
+                        "streams only appends — set skipChangeCommits to "
+                        "drop data-modifying commits"
+                    )
+                if cdc_paths:
+                    # the appended ROWS live in the commit's add files (cdc
+                    # files are the CDC readers' view); a cdc commit that
+                    # also removed files is a modification
+                    actions = r._commit_actions(v)
+                    if any(
+                        a["remove"].get("dataChange", True)
+                        for a in actions
+                        if "remove" in a
+                    ):
+                        raise DeltaProtocolError(
+                            f"commit {v} modifies existing rows; mode=appends "
+                            "streams only appends — set skipChangeCommits"
+                        )
+                    inserts = [
+                        (
+                            urllib.parse.unquote(a["add"]["path"]),
+                            a["add"].get("partitionValues") or {},
+                        )
+                        for a in actions
+                        if "add" in a and a["add"].get("dataChange", True)
+                    ]
+                    cdc_paths = []
 
             for rel, pvals in cdc_paths:
                 parts.append(
@@ -268,7 +317,9 @@ class DeltaChangeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_cdc requires .option('path', <table dir>)")
-        return _stream_schema(path)
+        return _stream_schema(
+            path, str(self.options.get("mode", "cdc")).lower()
+        )
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, dict(self.options))

@@ -1943,3 +1943,36 @@ def test_partitioned_import_round_trips_to_partitioned_export(spark, tmp_path):
     t.update("k = 3", {"v": "'x'"})
     with pytest.raises(DeltaProtocolError, match="partially-materialized"):
         export_vintage_to_delta(t, str(tmp_path / "exp2"))
+
+
+def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
+    """Export VACUUM reclaims .bin DV sidecars: live-DV bins survive any
+    retention, tombstone-referenced bins age from the remove's
+    deletionTimestamp, and only expired ones are deleted."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    _write_part(f"{root}/b.parquet", [4, 5])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {}), ("b.parquet", {})], schema_json=_SCHEMA)
+    da = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000f1")
+    db = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000f2")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": da})
+    w.commit(adds=[("b.parquet", {})], dvs={"b.parquet": db})
+    # remove b (naming its DV): its bin becomes tombstone-referenced
+    w.commit(removes=[("b.parquet", db)])
+    bins = lambda: sorted(  # noqa: E731
+        f for f in os.listdir(root) if f.endswith(".bin")
+    )
+    assert len(bins()) == 2
+    # inside the window: nothing goes (live DV + fresh tombstone)
+    assert vacuum_delta_export(root, retention_hours=168.0) == []
+    # zero retention: b's bin and parquet go; a's LIVE bin survives
+    deleted = vacuum_delta_export(root, retention_hours=0.0)
+    assert "b.parquet" in deleted
+    assert any(d.endswith(".bin") for d in deleted)
+    assert len(bins()) == 1
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [2, 3]

@@ -848,3 +848,84 @@ def test_delta_cdc_stream_schema_evolution_pads_nulls(spark, tmp_path):
         assert got == [(1, None, "insert", 0), (2, 7.5, "insert", 1)]
     finally:
         q.stop()
+
+
+def test_delta_append_stream_mode(spark, tmp_path):
+    """mode=appends on the delta_cdc source = delta-spark's plain
+    readStream: appended rows flow WITHOUT bookkeeping columns; a
+    data-modifying commit fails the stream unless skipChangeCommits
+    drops it whole."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_read import DeltaProtocolError
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaStreamReader
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    _pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}), f"{root}/a.parquet"
+    )
+    _pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64())}), f"{root}/b.parquet"
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=schema)  # v0 append
+    w.commit(removes=["a.parquet"], operation="DELETE")     # v1 modification
+    w.commit(adds=[("b.parquet", {})])                      # v2 append
+
+    # no skip: the modification fails the partition derivation loudly
+    r = DeltaStreamReader(
+        StructType([]), {"path": root, "mode": "appends", "startingversion": "0"}
+    )
+    with pytest.raises(DeltaProtocolError, match="mode=appends"):
+        list(r.partitions({"version": -1}, {"version": 2}))
+    # with skip: only the append commits' files become partitions
+    r2 = DeltaStreamReader(
+        StructType([]),
+        {
+            "path": root,
+            "mode": "appends",
+            "startingversion": "0",
+            "skipchangecommits": "true",
+        },
+    )
+    parts = list(r2.partitions({"version": -1}, {"version": 2}))
+    assert sorted(os.path.basename(p.abs_path) for p in parts) == [
+        "a.parquet",
+        "b.parquet",
+    ]
+    # e2e through the registered source: schema has NO bookkeeping columns
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    q = (
+        spark.readStream.format("delta_cdc")
+        .option("path", root)
+        .option("mode", "appends")
+        .option("skipChangeCommits", "true")
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName("delta_append_mem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from delta_append_mem")
+        assert out.columns == ["k"]
+        assert sorted(x["k"] for x in out.collect()) == [1, 2, 3]
+    finally:
+        q.stop()
