@@ -1596,6 +1596,24 @@ def delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q("delta_restore", _ORDERS_PROJ_SQL)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE on a written table: roll back past the fixture's
+    compaction commit to v0 in ONE metadata commit (zero data movement),
+    then read — must hash-match the plain projection through the
+    restored file set. The metadata row-count shortcut is asserted
+    against the restored state as a bonus invariant."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import restore_delta_export
+
+    root = _delta_fixture(spark, sf_dir)
+    restore_delta_export(root, 0)
+    r = DeltaTableReader(spark, root)
+    df = r.read()
+    assert r.count() == r.count(version=0)
+    return df
+
+
 @_q("delta_import_partitioned", _ORDERS_PROJ_SQL)
 def delta_import_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy import of a PARTITIONED Delta table (round-6 verdict item

@@ -1338,6 +1338,28 @@ class DeltaTableReader:
             )
         return out
 
+    def count(self, version: int | None = None) -> int:
+        """Exact row count from METADATA alone when possible: sum of the
+        add actions' ``numRecords`` stats minus live DV cardinalities —
+        the same shortcut delta-spark's ``SELECT COUNT(*)`` takes, O(live
+        files) driver work, zero data reads. Files without recorded stats
+        fall back to a parquet-footer read (still metadata, not data
+        pages). At 100 TB this is the difference between a log replay and
+        a full scan for the most common warehouse query there is."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version=version)
+        total = 0
+        for rel in snap.files:
+            st = snap.stats.get(rel)
+            n = st.get("numRecords") if st else None
+            if n is None:
+                n = pq.read_metadata(os.path.join(self.path, rel)).num_rows
+            total += int(n)
+        for desc in snap.dvs.values():
+            total -= int(desc.get("cardinality", 0))
+        return total
+
     def history(self) -> list[dict]:
         """Commit metadata (version, timestamp, operation) from commitInfo
         actions — enough for a user to pick time-travel targets."""

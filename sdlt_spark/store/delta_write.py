@@ -1003,3 +1003,75 @@ def optimize_delta_export(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return produced
+
+
+def restore_delta_export(dest_path: str, version: int) -> int:
+    """Delta's RESTORE for a table this module writes: roll the CURRENT
+    state back to ``version``'s file set in ONE metadata commit — adds
+    re-point at the old snapshot's files (which must still exist, i.e.
+    not vacuumed), removes tombstone the current-only files, history is
+    preserved (the restore is itself a new version; restore-of-restore
+    works). O(file-list) driver work, zero data movement — restoring a
+    100 TB table costs a directory's worth of metadata.
+
+    DV descriptors restore with their files (the old snapshot's logical
+    files come back as (path, dvId), and removes name the current DVs so
+    spec readers reconcile)."""
+    from sdlt_spark.store.delta_read import DeltaTableReader, dv_unique_id
+
+    dest = os.path.abspath(dest_path)
+    reader = DeltaTableReader.__new__(DeltaTableReader)
+    reader.spark = None
+    reader.path = dest
+    reader._log_dir = os.path.join(dest, _LOG)
+    if not os.path.isdir(reader._log_dir):
+        raise FileNotFoundError(f"no _delta_log under {dest}")
+    target = reader.snapshot(version=version)
+    current = reader.snapshot()
+
+    def _key(snap, rel):
+        return (rel, dv_unique_id(snap.dvs.get(rel)))
+
+    target_keys = {_key(target, rel) for rel in target.files}
+    current_keys = {_key(current, rel) for rel in current.files}
+    from sdlt_spark.store.delta_dv import dv_file_path
+
+    missing = [
+        rel
+        for rel in target.files
+        if not os.path.exists(os.path.join(dest, rel))
+    ]
+    for rel, desc in target.dvs.items():
+        p = dv_file_path(desc, dest)
+        if p is not None and not os.path.exists(p):
+            missing.append(p)  # the restored logical file needs its DV
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: {len(missing)} file(s) "
+            f"already vacuumed, e.g. {missing[0]}"
+        )
+    adds = [
+        (rel, target.files[rel])
+        for rel in sorted(target.files)
+        if _key(target, rel) not in current_keys
+    ]
+    removes = [
+        (rel, current.dvs[rel]) if rel in current.dvs else rel
+        for rel in sorted(current.files)
+        if _key(current, rel) not in target_keys
+    ]
+    writer = DeltaLogWriter(dest)
+    schema_json = (
+        target.schema.json()
+        if target.schema.json() != current.schema.json()
+        else None
+    )
+    return writer.commit(
+        adds=adds,
+        removes=removes,
+        schema_json=schema_json,
+        partition_columns=target.partition_columns,
+        operation="RESTORE",
+        dvs={rel: target.dvs[rel] for rel, _ in adds if rel in target.dvs}
+        or None,
+    )

@@ -1976,3 +1976,49 @@ def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
     assert len(bins()) == 1
     r = DeltaTableReader(spark, root)
     assert sorted(x["k"] for x in r.read().collect()) == [2, 3]
+
+
+def test_restore_delta_export_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE: one metadata commit re-points at the old snapshot's
+    files; history preserved; restore-of-restore works; DV-bearing
+    logical files restore with their descriptors; vacuumed targets
+    refuse."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import (
+        restore_delta_export,
+        vacuum_delta_export,
+    )
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    _write_part(f"{root}/b.parquet", [4])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)        # v0
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000aa")
+    w.commit(adds=[("a.parquet", {})], dvs={"a.parquet": d},
+             removes=["a.parquet"])                                 # v1: del k=1
+    w.commit(adds=[("b.parquet", {})])                              # v2
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read().collect()) == [2, 3, 4]
+
+    v3 = restore_delta_export(root, 0)                              # back to v0
+    assert v3 == 3
+    assert sorted(x["k"] for x in r.read().collect()) == [1, 2, 3]
+    # the DV state restored too: v0 had no DV on a.parquet
+    assert not r.snapshot().dvs
+    # restore-of-restore: forward to v2's state (with its DV)
+    v4 = restore_delta_export(root, 2)
+    assert v4 == 4
+    assert sorted(x["k"] for x in r.read().collect()) == [2, 3, 4]
+    assert "a.parquet" in r.snapshot().dvs
+    # metadata row-count shortcut agrees at every version
+    for v in range(5):
+        assert r.count(version=v) == r.read(version=v).count()
+    # vacuum away b.parquet's tombstone-era... then restore refuses when
+    # a target file is gone
+    w.commit(removes=[("a.parquet", d)], operation="DELETE")        # v5
+    vacuum_delta_export(root, retention_hours=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta_export(root, 4)
