@@ -637,7 +637,9 @@ def train_pq_codebooks(
     job independent of corpus size; ENCODING stays executor-side.
     Returns an (m, 2^nbits, dim/m) float64 array."""
     ksub = 1 << nbits
-    frac_df = df.select(vec_col)
+    # null vectors cannot train (np.asarray(None) raises) — and the
+    # query path drops them before encoding too
+    frac_df = df.select(vec_col).filter(F.col(vec_col).isNotNull())
     n = frac_df.count()
     if n == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
@@ -721,11 +723,16 @@ def ann_pq_topk(
     returns raw ADC order.
 
     Returns (id, cos_sim) for the final top-k (exact scores over the
-    shortlist). Recall is gated by the planted-neighbor test (the same
-    harness as the LSH/IVF variants)."""
+    shortlist); with ``rerank=1`` the columns are (id, approx_dist) —
+    raw ascending ADC squared distances, no exact pass. Null vectors are
+    dropped up front (they have no distance and would otherwise sort
+    NULLS FIRST into the shortlist, evicting real candidates). Recall is
+    gated by the planted-neighbor test (the same harness as the LSH/IVF
+    variants)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    df = df.filter(F.col(vec_col).isNotNull())
     books = train_pq_codebooks(
         df, vec_col, m=m, nbits=nbits, sample_rows=sample_rows, seed=seed
     )

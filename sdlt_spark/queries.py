@@ -1299,7 +1299,6 @@ def delta_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sdlt_delta_app_") + "/orders"
     proj = _orders_proj(spark, sf_dir)
     w = DeltaLogWriter(root)
-    rels_by_part: list[list[str]] = []
     for part in range(3):
         sub = f"c{part}"
         abs_dir = _os.path.join(root, sub)
@@ -1311,7 +1310,6 @@ def delta_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in sorted(_os.listdir(abs_dir))
             if f.endswith(".parquet")
         ]
-        rels_by_part.append(rels)
         w.commit(
             adds=[(r, {}) for r in rels],
             schema_json=proj.schema.json() if part == 0 else None,

@@ -73,6 +73,7 @@ class DeltaLogWriter:
         txn: tuple[str, int] | None = None,
         configuration: dict[str, str] | None = None,
         data_change: bool = True,
+        protocol: dict | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -101,6 +102,11 @@ class DeltaLogWriter:
         version = self._next_version()
         ts = int(time.time() * 1000)
         actions: list[dict] = []
+        if protocol is not None and not dvs:
+            # caller-supplied upgrade (e.g. a SYNC that first introduces
+            # CHECK constraints must raise minWriterVersion to 3 or stock
+            # writers keep ignoring them); a DV commit's (3,7) supersedes
+            actions.append({"protocol": protocol})
         if dvs:
             # DV-bearing tables are protocol (3, 7) with the feature named
             # — emitted as an upgrade action when the first DV arrives
@@ -115,7 +121,7 @@ class DeltaLogWriter:
                     }
                 }
             )
-        elif version == 0:
+        elif version == 0 and protocol is None:
             # CHECK constraints (delta.constraints.*) are a writer-version-3
             # feature: stock writers must see >= (1,3) or they would append
             # rows without enforcing the invariant
@@ -271,10 +277,8 @@ class DeltaLogWriter:
 
         from sdlt_spark.store.delta_read import DeltaTableReader
 
-        reader = DeltaTableReader.__new__(DeltaTableReader)
-        reader.spark = None  # snapshot replay is pure metadata work
-        reader.path = self.path
-        reader._log_dir = self.log_dir
+        # snapshot replay is pure metadata work: no SparkSession needed
+        reader = DeltaTableReader(None, self.path)
         if version is None:
             version = reader.latest_version()
         snap = reader.snapshot(version=version)
@@ -772,6 +776,17 @@ def export_vintage_to_delta(
         schema_json_arg = None  # unchanged: don't repeat metaData
     else:
         schema_json_arg = schema_json
+    # a SYNC that first introduces constraints must also raise
+    # minWriterVersion to 3 — the v0 protocol said (1,2) and stock
+    # writers would keep ignoring the new invariant otherwise
+    protocol_arg = None
+    if is_sync and desired_config and config_changed:
+        cur = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        if cur.get("minWriterVersion", 1) < 3 and "writerFeatures" not in cur:
+            protocol_arg = {
+                "minReaderVersion": cur.get("minReaderVersion", 1),
+                "minWriterVersion": 3,
+            }
     try:
         if is_sync and not adds and not removes and schema_json_arg is None:
             return writer._next_version() - 1  # already in sync: no empty commit
@@ -801,6 +816,7 @@ def export_vintage_to_delta(
                 if schema_json_arg is not None
                 else None
             ),
+            protocol=protocol_arg,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -831,12 +847,7 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     from sdlt_spark.store.delta_read import DeltaTableReader
 
     dest = os.path.abspath(dest_path)
-    reader = DeltaTableReader.__new__(DeltaTableReader)
-    reader.spark = None
-    reader.path = dest
-    reader._log_dir = os.path.join(dest, _LOG)
-    if not os.path.isdir(reader._log_dir):
-        raise FileNotFoundError(f"no _delta_log under {dest}")
+    reader = DeltaTableReader(None, dest)  # metadata-only: no session
     snap = reader.snapshot()
     live = {os.path.normpath(os.path.join(dest, rel)) for rel in snap.files}
     # DV sidecars referenced by live add actions are live too (a swept
@@ -931,6 +942,11 @@ def optimize_delta_export(
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(spark, dest)
     snap = reader.snapshot()
+    if snap.mapping:
+        raise ValueError(
+            "OPTIMIZE of a column-mapped table is not supported (rewritten "
+            "files would need field-id/physical-name round-tripping)"
+        )
     small: list[tuple[str, int]] = []
     for rel in sorted(snap.files):
         if rel in snap.dvs:
@@ -942,15 +958,27 @@ def optimize_delta_export(
             continue
         if size < target_file_bytes:
             small.append((rel, size))
-    # first-fit decreasing bin packing
+    # first-fit decreasing bin packing, WITHIN each partition-values group
+    # — real OPTIMIZE compacts per partition; mixing partitions in one
+    # output file would leave its add action unable to carry a single
+    # partitionValues dict (rows would read their partition column NULL)
+    def _pkey(rel: str) -> tuple:
+        return tuple(sorted((snap.files[rel] or {}).items()))
+
     bins: list[tuple[int, list[str]]] = []  # (bytes, members)
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
     for rel, size in sorted(small, key=lambda rs: -rs[1]):
-        for i, (used, members) in enumerate(bins):
-            if used + size <= target_file_bytes:
-                bins[i] = (used + size, members + [rel])
-                break
-        else:
-            bins.append((size, [rel]))
+        by_part.setdefault(_pkey(rel), []).append((rel, size))
+    for _pk, group in sorted(by_part.items()):
+        start = len(bins)
+        for rel, size in group:
+            for i in range(start, len(bins)):
+                used, members = bins[i]
+                if used + size <= target_file_bytes:
+                    bins[i] = (used + size, members + [rel])
+                    break
+            else:
+                bins.append((size, [rel]))
     bins = [(u, m) for u, m in bins if len(m) >= 2]
     if not bins:
         return []
@@ -961,41 +989,54 @@ def optimize_delta_export(
         for i, (_, members) in enumerate(bins)
         for rel in members
     }
+    # every bin's members share one partitionValues dict by construction
+    pvals_by_bin = {
+        f"{i:06d}": snap.files[members[0]] or {}
+        for i, (_, members) in enumerate(bins)
+    }
     rels = [rel for _, members in bins for rel in members]
-    df = reader._read_file_subset(snap, rels)
-    from sdlt_spark.store.paths import decoded_file_path
-
-    key = decoded_file_path(F.col("_metadata.file_path"))
+    # scan the files' RAW (physical) columns with the decoded path key
+    # attached — partition values stay log-only (Delta's layout: compacted
+    # files, like their sources, do not contain partition columns)
+    df, _data_fields, _part_fields = reader._keyed_scan(snap, rels, keys=True)
     mapping = F.create_map(*[F.lit(x) for kv in bin_by_abs.items() for x in kv])
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
     produced: list[str] = []
     try:
         (
-            df.withColumn("__bin", mapping[key])
+            df.withColumn("__bin", mapping[F.col("__delta_path")])
+            .drop("__delta_path", "__delta_pos")
             .repartition(len(bins), "__bin")
             .write.partitionBy("__bin")
             .mode("errorifexists")
             .parquet(staging)
         )
         pending: list[tuple[str, str]] = []
+        add_pvals: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):
             if not d.startswith("__bin="):
                 continue
+            tok = d.split("=", 1)[1]
             parts = sorted(
                 f
                 for f in os.listdir(os.path.join(staging, d))
                 if f.endswith(".parquet")
             )
-            out_rel = f"data/optimized-{uuid.uuid4().hex}.parquet"
-            pending.append(
-                (os.path.join(staging, d, parts[0]), os.path.join(dest, out_rel))
-            )
-            produced.append(out_rel)
+            # usually exactly one part per bin (repartition-by-bin), but a
+            # writer config like maxRecordsPerFile can split it — move and
+            # add EVERY part, never silently drop rows
+            for part in parts:
+                out_rel = f"data/optimized-{uuid.uuid4().hex}.parquet"
+                pending.append(
+                    (os.path.join(staging, d, part), os.path.join(dest, out_rel))
+                )
+                produced.append(out_rel)
+                add_pvals[out_rel] = pvals_by_bin.get(tok, {})
         os.makedirs(os.path.join(dest, "data"), exist_ok=True)
         for staged, final in pending:
             os.replace(staged, final)
         writer.commit(
-            adds=[(rel, {}) for rel in produced],
+            adds=[(rel, add_pvals[rel]) for rel in produced],
             removes=rels,
             operation="OPTIMIZE",
             data_change=False,
@@ -1020,12 +1061,7 @@ def restore_delta_export(dest_path: str, version: int) -> int:
     from sdlt_spark.store.delta_read import DeltaTableReader, dv_unique_id
 
     dest = os.path.abspath(dest_path)
-    reader = DeltaTableReader.__new__(DeltaTableReader)
-    reader.spark = None
-    reader.path = dest
-    reader._log_dir = os.path.join(dest, _LOG)
-    if not os.path.isdir(reader._log_dir):
-        raise FileNotFoundError(f"no _delta_log under {dest}")
+    reader = DeltaTableReader(None, dest)  # metadata-only: no session
     target = reader.snapshot(version=version)
     current = reader.snapshot()
 
@@ -1061,17 +1097,23 @@ def restore_delta_export(dest_path: str, version: int) -> int:
         if _key(current, rel) not in target_keys
     ]
     writer = DeltaLogWriter(dest)
-    schema_json = (
-        target.schema.json()
-        if target.schema.json() != current.schema.json()
-        else None
+    target_config = dict(target.metadata.get("configuration") or {})
+    current_config = dict(current.metadata.get("configuration") or {})
+    # delta-spark RESTORE restores full metadata: re-emit when the schema
+    # OR the configuration (constraints etc.) differ, carrying the
+    # TARGET's configuration — an empty dict here would silently strip
+    # delta.constraints.* from the restored table
+    meta_changed = (
+        target.schema.json() != current.schema.json()
+        or target_config != current_config
     )
     return writer.commit(
         adds=adds,
         removes=removes,
-        schema_json=schema_json,
+        schema_json=target.schema.json() if meta_changed else None,
         partition_columns=target.partition_columns,
         operation="RESTORE",
+        configuration=target_config if meta_changed else None,
         dvs={rel: target.dvs[rel] for rel, _ in adds if rel in target.dvs}
         or None,
     )

@@ -203,6 +203,19 @@ class DeltaStreamReader(DataSourceStreamReader):
                             f"commit {v} modifies existing rows; mode=appends "
                             "streams only appends — set skipChangeCommits"
                         )
+                    if any(
+                        a["add"].get("deletionVector")
+                        for a in actions
+                        if "add" in a
+                    ):
+                        # an added file whose rows are pre-masked by a DV is
+                        # not an append of the file's rows — same refusal as
+                        # the non-cdc underivable path
+                        raise DeltaProtocolError(
+                            f"commit {v} adds a deletion-vector-bearing file; "
+                            "mode=appends cannot derive its rows — set "
+                            "skipChangeCommits"
+                        )
                     inserts = [
                         (
                             urllib.parse.unquote(a["add"]["path"]),

@@ -2022,3 +2022,78 @@ def test_restore_delta_export_rolls_back_metadata_only(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta_export(root, 4)
+
+
+def test_optimize_partitioned_export_bins_within_partitions(spark, tmp_path):
+    """OPTIMIZE on a partitioned table bins WITHIN each partition-values
+    group (mixing would null the compacted rows' partition column) and
+    the compacted adds carry their group's partitionValues."""
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    adds = []
+    for r_val in (0, 1):
+        for i in range(3):
+            rel = f"r={r_val}/f{i}.parquet"
+            _write_part(os.path.join(root, rel), [r_val * 100 + i])
+            adds.append((rel, {"r": str(r_val)}))
+    w.commit(adds=adds, schema_json=_PART_SCHEMA, partition_columns=["r"])
+    produced = optimize_delta_export(root, spark, target_file_bytes=10 << 20)
+    assert len(produced) == 2  # one bin per partition, never mixed
+    r = DeltaTableReader(spark, root)
+    snap = r.snapshot()
+    assert len(snap.files) == 2
+    assert sorted(snap.files[rel].get("r") for rel in snap.files) == ["0", "1"]
+    got = sorted((x["k"], x["r"]) for x in r.read().collect())
+    assert got == [(0, 0), (1, 0), (2, 0), (100, 1), (101, 1), (102, 1)]
+
+
+def test_constraint_added_on_sync_upgrades_protocol(spark, tmp_path):
+    """A constraint FIRST introduced by a sync must raise the export's
+    minWriterVersion to 3 — the v0 protocol said (1,2), and a stock
+    writer at (1,2) would append rows without enforcing the invariant."""
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)  # no constraints yet: (1,2)
+    r = DeltaTableReader(spark, dest)
+    assert r.snapshot().protocol.get("minWriterVersion", 0) == 2
+    t.add_constraint("positive_k", "k > 0")
+    export_vintage_to_delta(t, dest)
+    snap = r.snapshot()
+    assert snap.protocol.get("minWriterVersion", 0) >= 3
+    assert snap.metadata["configuration"]["delta.constraints.positive_k"] == "k > 0"
+
+
+def test_restore_preserves_configuration(spark, tmp_path):
+    """RESTORE re-emits the TARGET version's full metadata — schema AND
+    configuration; an empty config would silently strip
+    delta.constraints.* from the restored table."""
+    from sdlt_spark.store.delta_write import restore_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("a.parquet", {})],
+        schema_json=_SCHEMA,
+        configuration={"delta.constraints.positive_k": "k > 0"},
+    )
+    # v1 evolves the schema and (per Delta semantics) replaces metaData,
+    # dropping the constraint
+    evolved = json.loads(_SCHEMA)
+    evolved["fields"].append(
+        {"name": "w", "type": "double", "nullable": True, "metadata": {}}
+    )
+    w.commit(schema_json=json.dumps(evolved))
+    r = DeltaTableReader(spark, root)
+    assert "delta.constraints.positive_k" not in (
+        r.snapshot().metadata.get("configuration") or {}
+    )
+    restore_delta_export(root, 0)
+    snap = r.snapshot()
+    assert (
+        snap.metadata["configuration"]["delta.constraints.positive_k"] == "k > 0"
+    )
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]

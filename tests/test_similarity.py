@@ -283,3 +283,20 @@ def test_ann_pq_recall_on_planted_neighbor_fixture(spark):
         for r in sim.pq_encode(df2, "embedding", books).collect()
     }
     assert enc[1] is None and len(enc[0]) == 4
+
+
+def test_ann_pq_null_vectors_never_enter_shortlist(spark):
+    """Null embeddings must neither crash codebook training nor crowd the
+    ADC shortlist (NULL distances would sort NULLS FIRST): the top-k is
+    entirely real ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(40)]
+    rows += [(100 + i, None) for i in range(25)]  # more nulls than k*rerank/2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in pts[0]]
+    got = sim.ann_pq_topk(df, "embedding", "vec_id", q, k=5, m=4, nbits=4).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] < 100 and r["cos_sim"] is not None for r in got)

@@ -929,3 +929,56 @@ def test_delta_append_stream_mode(spark, tmp_path):
         assert sorted(x["k"] for x in out.collect()) == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_delta_append_stream_refuses_dv_bearing_cdc_add(spark, tmp_path):
+    """A cdc-bearing commit whose add carries a deletionVector has no
+    appends derivation (the file's rows are pre-masked) — appends mode
+    must refuse it, never stream the deleted rows."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_read import DeltaProtocolError
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaStreamReader
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    _pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())}), f"{root}/a.parquet"
+    )
+    os.makedirs(f"{root}/_change_data", exist_ok=True)
+    _pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2, 3], pa.int64()),
+                "_change_type": pa.array(["insert", "insert"], pa.string()),
+            }
+        ),
+        f"{root}/_change_data/cdc-0.parquet",
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000ab")
+    w.commit(
+        adds=[("a.parquet", {})],
+        dvs={"a.parquet": d},
+        cdc=["_change_data/cdc-0.parquet"],
+        schema_json=schema,
+    )
+    r = DeltaStreamReader(
+        StructType([]), {"path": root, "mode": "appends", "startingversion": "0"}
+    )
+    with pytest.raises(DeltaProtocolError, match="deletion-vector"):
+        list(r.partitions({"version": -1}, {"version": 0}))
