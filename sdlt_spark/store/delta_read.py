@@ -173,6 +173,9 @@ class _Snapshot:
     tombstones: dict = field(default_factory=dict)
     # delta.columnMapping.mode in effect ("none" | "name" | "id")
     mapping_mode: str = "none"
+    # live domainMetadata actions by domain (PROTOCOL.md: checkpoints must
+    # carry them — they hold e.g. clustering state for stock readers)
+    domains: dict = field(default_factory=dict)
 
     def physical_name(self, logical: str) -> str:
         return self.mapping.get(logical, logical)
@@ -428,6 +431,12 @@ class DeltaTableReader:
                 if app is not None and tv is not None:
                     prior = snap.txns.get(app)
                     snap.txns[app] = tv if prior is None else max(prior, tv)
+            if "domainMetadata" in cols and row.get("domainMetadata"):
+                dm = {k: v for k, v in row["domainMetadata"].items() if v is not None}
+                if dm.get("removed"):
+                    snap.domains.pop(dm.get("domain"), None)
+                else:
+                    snap.domains[dm.get("domain")] = dm
             if "remove" in cols and row.get("remove"):
                 # a checkpoint's remove actions are tombstones for VACUUM
                 # retention only; its add set already reflects them —
@@ -579,7 +588,13 @@ class DeltaTableReader:
                         if app is not None and tv is not None:
                             prior = snap.txns.get(app)
                             snap.txns[app] = tv if prior is None else max(prior, tv)
-                    # commitInfo / cdc / domainMetadata: no read effect
+                    elif "domainMetadata" in action:
+                        dm = action["domainMetadata"]
+                        if dm.get("removed"):
+                            snap.domains.pop(dm.get("domain"), None)
+                        else:
+                            snap.domains[dm.get("domain")] = dm
+                    # commitInfo / cdc: no read effect
         if not snap.schema.fields:
             raise ValueError(f"no metaData action found replaying {self.path}")
         return snap

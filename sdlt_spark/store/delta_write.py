@@ -226,6 +226,10 @@ class DeltaLogWriter:
             {
                 "commitInfo": {
                     "timestamp": ts,
+                    # inCommitTimestamp (the table feature's field): makes
+                    # timestampAsOf robust to file copies/rsync resetting
+                    # mtimes — the reader prefers it over mtime already
+                    "inCommitTimestamp": ts,
                     "operation": operation,
                     "operationParameters": {},
                 }
@@ -333,6 +337,13 @@ class DeltaLogWriter:
                 ("lastUpdated", pa.int64()),
             ]
         )
+        domain_t = pa.struct(
+            [
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
+            ]
+        )
         remove_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -360,6 +371,14 @@ class DeltaLogWriter:
                 "lastUpdated": None,
             }
             for app, tv in sorted(snap.txns.items())
+        ]
+        domain_rows_payload = [
+            {
+                "domain": dm.get("domain"),
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+            for _d, dm in sorted(snap.domains.items())
         ]
         # only tombstones still inside the retention window ride along —
         # expired ones have done their VACUUM-safety job (delta-spark
@@ -456,6 +475,7 @@ class DeltaLogWriter:
                     "metaData": [meta_row],
                     "txn": txn_rows_payload,
                     "remove": tomb_rows_payload,
+                    "domainMetadata": domain_rows_payload,
                     "sidecar": [
                         {
                             "path": sc_name,
@@ -470,6 +490,7 @@ class DeltaLogWriter:
                     "metaData": meta_t,
                     "txn": txn_t,
                     "remove": remove_t,
+                    "domainMetadata": domain_t,
                     "sidecar": sidecar_t,
                 },
             )
@@ -483,6 +504,7 @@ class DeltaLogWriter:
                     "add": add_payload,
                     "txn": txn_rows_payload,
                     "remove": tomb_rows_payload,
+                    "domainMetadata": domain_rows_payload,
                 },
                 {
                     "protocol": proto_t,
@@ -490,6 +512,7 @@ class DeltaLogWriter:
                     "add": add_t,
                     "txn": txn_t,
                     "remove": remove_t,
+                    "domainMetadata": domain_t,
                 },
             )
             ckpt_name = f"{version:020d}.checkpoint.parquet"

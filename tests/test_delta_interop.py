@@ -55,6 +55,9 @@ def test_replay_add_remove_and_version_travel(spark, tmp_path):
 
 
 def test_timestamp_as_of_uses_commit_mtime(spark, tmp_path):
+    """The mtime FALLBACK for logs whose writer recorded no
+    inCommitTimestamp (this repo's writer now records one, so the
+    fixture strips it — classic delta-spark commits lack the field)."""
     root = str(tmp_path / "dt")
     _write_part(f"{root}/a.parquet", [1])
     _write_part(f"{root}/b.parquet", [2])
@@ -62,6 +65,17 @@ def test_timestamp_as_of_uses_commit_mtime(spark, tmp_path):
     w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
     w.commit(adds=[("b.parquet", {})])
     log = os.path.join(root, "_delta_log")
+    for v in (0, 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = []
+        with open(p) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    a["commitInfo"].pop("inCommitTimestamp", None)
+                lines.append(json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
     os.utime(os.path.join(log, f"{0:020d}.json"), (1_000_000, 1_000_000))
     os.utime(os.path.join(log, f"{1:020d}.json"), (2_000_000, 2_000_000))
     r = DeltaTableReader(spark, root)
@@ -2097,3 +2111,71 @@ def test_restore_preserves_configuration(spark, tmp_path):
         snap.metadata["configuration"]["delta.constraints.positive_k"] == "k > 0"
     )
     assert [f.name for f in snap.schema.fields] == ["k", "v"]
+
+
+def test_domain_metadata_survives_checkpoint(spark, tmp_path):
+    """PROTOCOL.md: checkpoints must contain live domainMetadata actions
+    (clustering state etc. for stock readers) — they survive JSON log
+    cleanup in both classic and v2 layouts, and a removed domain stays
+    removed."""
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=_SCHEMA)
+    _raw_commit(
+        root,
+        1,
+        [
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": '{"clusteringColumns":["k"]}',
+                        "removed": False,
+                    }
+                }
+            ),
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "app.ephemeral",
+                        "configuration": "{}",
+                        "removed": False,
+                    }
+                }
+            ),
+        ],
+    )
+    _raw_commit(
+        root,
+        2,
+        [
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "app.ephemeral",
+                        "configuration": "{}",
+                        "removed": True,
+                    }
+                }
+            )
+        ],
+    )
+    for v2 in (False, True):
+        w.write_checkpoint(2, v2=v2)
+        log = os.path.join(root, "_delta_log")
+        for f in list(os.listdir(log)):
+            if f.endswith(".json") and f[:-5].isdigit():
+                os.remove(os.path.join(log, f))
+        r = DeltaTableReader(spark, root)
+        snap = r.snapshot()
+        assert "delta.clustering" in snap.domains
+        assert snap.domains["delta.clustering"]["configuration"] == (
+            '{"clusteringColumns":["k"]}'
+        )
+        assert "app.ephemeral" not in snap.domains
+        assert sorted(x["k"] for x in r.read().collect()) == [1]
+        # author a later commit so the v2 iteration exercises replay past
+        # the classic checkpoint too
+        if not v2:
+            _raw_commit(root, 3, [json.dumps({"commitInfo": {"timestamp": 1}})])
