@@ -1594,6 +1594,37 @@ def delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q("delta_zorder", _ORDERS_PROJ_SQL)
+def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE ZORDER BY on a written Delta table: all live files
+    rewrite clustered on the Morton interleave of (o_orderkey, o_orderstatus)
+    — the shared zcurve key the vintage compact uses — split to
+    ~target-size files, committed dataChange=false with zOrderBy recorded.
+    Content is invariant (hash-matches the plain projection oracle) while
+    the produced files' log stats cover narrow key ranges for data
+    skipping."""
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter, optimize_delta_export
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_zorder_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+    abs_dir = _os.path.join(root, "data")
+    proj.repartition(4).write.mode("errorifexists").parquet(abs_dir)
+    rels = [
+        f"data/{f}" for f in sorted(_os.listdir(abs_dir)) if f.endswith(".parquet")
+    ]
+    w = DeltaLogWriter(root)
+    w.commit(adds=[(r, {}) for r in rels], schema_json=proj.schema.json())
+    produced = optimize_delta_export(
+        root, spark, target_file_bytes=1 << 30, zorder_by=["o_orderkey", "o_orderstatus"]
+    )
+    assert produced, "zorder must rewrite the live set"
+    return DeltaTableReader(spark, root).read()
+
+
 @_q("delta_restore", _ORDERS_PROJ_SQL)
 def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta RESTORE on a written table: roll back past the fixture's
@@ -2423,6 +2454,80 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("topleft", 1).alias("tl_r"),
         F.element_at("topleft", 2).alias("tl_g"),
         F.element_at("topleft", 3).alias("tl_b"),
+    )
+
+
+@_q(
+    "multimodal_audio",
+    # samples are a closed-form function of doc_id (see the builder below:
+    # frame i, channel ch carries (-1)^ch * (16*(doc_id%11) + 3i + 7)), so
+    # every decoded statistic folds analytically: mean over i of 3i+7 is
+    # 14.5, peak is the i=5 magnitude, first frame is the i=0 value
+    "SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate, "
+    "CAST(2 AS INT) AS channels, CAST(6 AS BIGINT) AS n_frames, "
+    "CAST(6 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_sec, "
+    "CAST((doc_id % 11) * 16 + 14.5 AS DOUBLE) AS mean_l, "
+    "CAST(-((doc_id % 11) * 16 + 14.5) AS DOUBLE) AS mean_r, "
+    "CAST((doc_id % 11) * 16 + 22 AS INT) AS peak_l, "
+    "CAST((doc_id % 11) * 16 + 22 AS INT) AS peak_r, "
+    "CAST((doc_id % 11) * 16 + 7 AS INT) AS first_l, "
+    "CAST(-((doc_id % 11) * 16 + 7) AS INT) AS first_r "
+    "FROM documents",
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5, REAL audio decode: build a 6-frame stereo 16-bit PCM WAV per
+    document whose frame (i, ch) = (-1)^ch * (16*(doc_id%11) + 3i + 7),
+    run the honest pure-python RIFF/WAVE decoder
+    (operators/audiocodec.py — chunk walk, PCM width handling, channel
+    de-interleave) inside the mapInPandas stage, and emit the container
+    facts plus per-channel stats. The oracle computes the same statistics
+    analytically — a decoder that mixed up channel interleave, sample
+    signedness, or frame count hash-mismatches. All statistic values are
+    exactly representable doubles (x.5 at worst), so no rounding games."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import pandas as pd
+
+        from sdlt_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 11
+                i = np.arange(6)
+                mono = 16 * base + 3 * i + 7
+                payloads.append(
+                    encode_wav(np.stack([mono, -mono], axis=1), 8000)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _encode,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    decoded = _mm.decode_audio(media)
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_sec",
+        F.element_at("ch_mean", 1).alias("mean_l"),
+        F.element_at("ch_mean", 2).alias("mean_r"),
+        F.element_at("ch_peak", 1).alias("peak_l"),
+        F.element_at("ch_peak", 2).alias("peak_r"),
+        F.element_at("first_frame", 1).alias("first_l"),
+        F.element_at("first_frame", 2).alias("first_r"),
     )
 
 

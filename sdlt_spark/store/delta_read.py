@@ -78,6 +78,14 @@ _SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    # type widening (byte->short->int->long, float->double, int->double,
+    # date->timestampNtz, ->decimal): every read supplies the SNAPSHOT
+    # schema explicitly to the scan (_keyed_scan), and Spark's parquet
+    # reader natively up-converts each file's narrower physical type to
+    # the requested one — pre-widening files need no rewrite to read.
+    # Both the GA and preview feature names gate the same semantics.
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 _PHYS_KEY = "delta.columnMapping.physicalName"

@@ -74,6 +74,7 @@ class DeltaLogWriter:
         configuration: dict[str, str] | None = None,
         data_change: bool = True,
         protocol: dict | None = None,
+        operation_params: dict[str, str] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -231,7 +232,7 @@ class DeltaLogWriter:
                     # mtimes — the reader prefers it over mtime already
                     "inCommitTimestamp": ts,
                     "operation": operation,
-                    "operationParameters": {},
+                    "operationParameters": operation_params or {},
                 }
             }
         )
@@ -938,6 +939,7 @@ def optimize_delta_export(
     dest_path: str,
     spark,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> list[str]:
     """Delta's OPTIMIZE (bin-packing compaction) for a table this module
     writes — what a long-lived streaming-sink table needs: every
@@ -969,6 +971,10 @@ def optimize_delta_export(
         raise ValueError(
             "OPTIMIZE of a column-mapped table is not supported (rewritten "
             "files would need field-id/physical-name round-tripping)"
+        )
+    if zorder_by:
+        return _zorder_delta_export(
+            dest, spark, reader, snap, zorder_by, target_file_bytes
         )
     small: list[tuple[str, int]] = []
     for rel in sorted(snap.files):
@@ -1063,6 +1069,132 @@ def optimize_delta_export(
             removes=rels,
             operation="OPTIMIZE",
             data_change=False,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return produced
+
+
+def _zorder_delta_export(
+    dest: str,
+    spark,
+    reader,
+    snap,
+    zorder_by: list[str],
+    target_file_bytes: int,
+) -> list[str]:
+    """OPTIMIZE ZORDER BY for an exported Delta table: rewrite ALL live
+    files clustered on the Morton interleave of ``zorder_by`` (the shared
+    :func:`sdlt_spark.store.zcurve.zorder_key` the vintage store's
+    ``compact(zorder_by=...)`` uses), split into ~``target_file_bytes``
+    files per partition-values group, committed ``dataChange=false`` with
+    ``zOrderBy`` in operationParameters — delta-spark's contract. Each
+    output file then covers a small hyper-rectangle of the key space, so
+    log-carried min/max stats prune selective filters on EVERY listed
+    column for downstream ``read_where`` and stock Delta readers alike.
+
+    DV-bearing files are folded in: the rewrite applies their deletion
+    vectors (the anti-join plan the read path uses) and the removes name
+    the old descriptors, so the commit also PURGES DVs — logical content
+    is unchanged, exactly delta-spark's OPTIMIZE-on-DV-table behavior.
+
+    Scale shape: unlike bin-packing (O(small-file bytes)) this is a full
+    clustering rewrite — O(live bytes) data movement through ONE
+    range-shuffle, the price of re-clustering at any engine; driver work
+    stays O(file-list) metadata plus two bounded aggs for the key's
+    bucket bounds."""
+    from pyspark.sql import functions as F
+
+    from sdlt_spark.store.zcurve import zorder_key
+
+    part_set = set(snap.partition_columns)
+    bad = [c for c in zorder_by if c in part_set or c not in snap.schema.names]
+    if bad:
+        raise ValueError(
+            f"zorder_by columns must be non-partition data columns: {bad}"
+        )
+    rels = sorted(snap.files)
+    if not rels:
+        return []
+
+    def _pkey(rel: str) -> tuple:
+        return tuple(sorted((snap.files[rel] or {}).items()))
+
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        groups.setdefault(_pkey(rel), []).append(rel)
+    ordered = sorted(groups.items())
+    tok_of = {pk: f"{i:06d}" for i, (pk, _) in enumerate(ordered)}
+    pvals_by_tok = {
+        tok_of[pk]: snap.files[members[0]] or {} for pk, members in ordered
+    }
+    n_files = 0
+    for _pk, members in ordered:
+        nbytes = 0
+        for rel in members:
+            try:
+                nbytes += os.path.getsize(os.path.join(dest, rel))
+            except OSError:
+                pass
+        n_files += max(1, (nbytes + target_file_bytes - 1) // target_file_bytes)
+
+    df, _data_fields, _part_fields = reader._keyed_scan(snap, rels, keys=True)
+    covered = {rel: snap.dvs[rel] for rel in rels if rel in snap.dvs}
+    if covered:
+        df = reader._anti_join_dvs(df, covered)
+    grp_map = F.create_map(
+        *[
+            x
+            for pk, members in ordered
+            for rel in members
+            for x in (F.lit(os.path.join(dest, rel)), F.lit(tok_of[pk]))
+        ]
+    )
+    df = df.withColumn("__grp", grp_map[F.col("__delta_path")]).drop(
+        "__delta_path", "__delta_pos"
+    )
+    z = zorder_key(df, zorder_by)
+    staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    produced: list[str] = []
+    writer = DeltaLogWriter(dest)
+    try:
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(int(n_files), "__grp", "__z")
+            .sortWithinPartitions("__grp", "__z")
+            .drop("__z")
+            .write.partitionBy("__grp")
+            .mode("errorifexists")
+            .parquet(staging)
+        )
+        pending: list[tuple[str, str]] = []
+        add_pvals: dict[str, dict] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("__grp="):
+                continue
+            tok = d.split("=", 1)[1]
+            for part in sorted(
+                f
+                for f in os.listdir(os.path.join(staging, d))
+                if f.endswith(".parquet")
+            ):
+                out_rel = f"data/zordered-{uuid.uuid4().hex}.parquet"
+                pending.append(
+                    (os.path.join(staging, d, part), os.path.join(dest, out_rel))
+                )
+                produced.append(out_rel)
+                add_pvals[out_rel] = pvals_by_tok.get(tok, {})
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+        for staged, final in pending:
+            os.replace(staged, final)
+        writer.commit(
+            adds=[(rel, add_pvals[rel]) for rel in produced],
+            removes=[
+                (rel, covered[rel]) if rel in covered else rel for rel in rels
+            ],
+            operation="OPTIMIZE",
+            data_change=False,
+            operation_params={"zOrderBy": json.dumps(zorder_by)},
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -1931,71 +1931,9 @@ class VintageTable:
           partitioner here, a fine future upgrade."""
         snap = self.read()
         if zorder_by:
-            if len(zorder_by) < 2:
-                raise ValueError("zorder_by needs >= 2 columns; use sort_by for 1")
-            from pyspark.sql.types import StringType
+            from sdlt_spark.store.zcurve import zorder_key
 
-            bits = 10
-            n_buckets = 1 << bits
-            num_cols = [
-                c for c in zorder_by if not isinstance(snap.schema[c].dataType, StringType)
-            ]
-            bounds = (
-                snap.agg(
-                    *[F.min(c).alias(f"__lo_{c}") for c in num_cols],
-                    *[F.max(c).alias(f"__hi_{c}") for c in num_cols],
-                ).head()
-                if num_cols
-                else None
-            )
-            z = F.lit(0).cast("long")
-            for d, c in enumerate(zorder_by):
-                if c in num_cols:
-                    lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
-                    if lo is None or hi is None or lo == hi:
-                        continue
-                    bucket = (
-                        F.width_bucket(
-                            F.col(c).cast("double"),
-                            F.lit(float(lo)),
-                            F.lit(float(hi)),
-                            F.lit(n_buckets),
-                        )
-                        - 1
-                    ).cast("long")
-                    # clamp width_bucket's overflow bucket (value == hi)
-                    bucket = F.least(bucket, F.lit(n_buckets - 1))
-                else:
-                    vals = [
-                        r[0]
-                        for r in snap.select(c)
-                        .filter(F.col(c).isNotNull())
-                        .distinct()
-                        .orderBy(c)
-                        .limit(self._Z_DICT_MAX + 1)
-                        .collect()
-                    ]
-                    if len(vals) <= 1:
-                        continue
-                    if len(vals) > self._Z_DICT_MAX:
-                        bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("long")
-                    else:
-                        idx = F.create_map(
-                            *[
-                                x
-                                for i, v in enumerate(vals)
-                                for x in (F.lit(v), F.lit(i * n_buckets // len(vals)))
-                            ]
-                        )[F.col(c)]
-                        bucket = idx.cast("long")
-                bucket = F.coalesce(bucket, F.lit(0).cast("long"))
-                for i in range(bits):
-                    z = z.bitwiseOR(
-                        F.shiftleft(
-                            F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1).cast("long")),
-                            i * len(zorder_by) + d,
-                        )
-                    )
+            z = zorder_key(snap, zorder_by, dict_max=self._Z_DICT_MAX)
             reorg = (
                 snap.withColumn("__z", z)
                 .repartitionByRange(num_files, "__z")

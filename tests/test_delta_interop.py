@@ -485,14 +485,14 @@ def test_unknown_reader_features_rejected(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
-                        "writerFeatures": ["typeWidening"],
+                        "readerFeatures": ["collations-preview"],
+                        "writerFeatures": ["collations-preview"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         DeltaTableReader(spark, root2).read()
 
 
@@ -2179,3 +2179,234 @@ def test_domain_metadata_survives_checkpoint(spark, tmp_path):
         # the classic checkpoint too
         if not v2:
             _raw_commit(root, 3, [json.dumps({"commitInfo": {"timestamp": 1}})])
+
+
+def test_optimize_zorder_clusters_and_purges_dvs(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on a written Delta table: all live files rewrite
+    clustered on the Morton key, content identical, dataChange=false with
+    zOrderBy recorded, DVs folded in and PURGED, and the produced files'
+    log stats cover narrow disjoint k ranges (the zone-map pruning payoff
+    — before, every file spanned the whole key range)."""
+    import struct as _struct
+
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    # 4 files whose k values INTERLEAVE across 0..95: every file spans the
+    # full range, so pre-zorder stats prune nothing
+    for i in range(4):
+        rel = f"data/f{i}.parquet"
+        _write_part(os.path.join(root, rel), list(range(i, 96, 4)))
+        w.commit(adds=[(rel, {})], schema_json=_SCHEMA if i == 0 else None)
+    # one DV-bearing file: its deleted row must stay deleted, its DV purged
+    _write_part(f"{root}/data/dvf.parquet", [96, 97])
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000z1".replace("z", "f"))
+    w.commit(adds=[("data/dvf.parquet", {})], dvs={"data/dvf.parquet": d})
+    r = DeltaTableReader(spark, root)
+    before = sorted(x["k"] for x in r.read().collect())
+    assert 96 not in before  # DV masks it
+    one_file = os.path.getsize(os.path.join(root, "data/f0.parquet"))
+
+    produced = optimize_delta_export(
+        root, spark, target_file_bytes=one_file, zorder_by=["k", "v"]
+    )
+    assert len(produced) >= 3  # ~total/target clustered outputs
+    snap = r.snapshot()
+    assert sorted(snap.files) == sorted(produced)  # full rewrite
+    assert not snap.dvs  # purged
+    assert sorted(x["k"] for x in r.read().collect()) == before
+    # clustering payoff: each output covers a narrow slice of k-space
+    spans = []
+    for rel in produced:
+        st = snap.stats[rel]
+        spans.append((st["minValues"]["k"], st["maxValues"]["k"]))
+    # Morton interleave shares bits with v, so pure-k spans are ~half the
+    # range, not a 1-D sort's 1/n — but every input file spanned 92+
+    assert max(hi - lo for lo, hi in spans) <= 60
+    # a selective k range now overlaps few files
+    touching = [1 for lo, hi in spans if lo <= 10 and hi >= 0]
+    assert len(touching) < len(produced)
+    # dataChange=false: CDC-silent; zOrderBy recorded in commitInfo
+    v = r.latest_version()
+    assert r.table_changes(v, v).count() == 0
+    hist = [h for h in r.history() if h["version"] == v]
+    assert hist and hist[0]["operation"] == "OPTIMIZE"
+
+
+def test_optimize_zorder_partitioned_and_refusals(spark, tmp_path):
+    """ZORDER respects partition-values groups (each produced add carries
+    its group's partitionValues; reads through the partition column stay
+    exact) and refuses partition/unknown zorder columns."""
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    for p in ("a", "b"):
+        for i in range(2):
+            rel = f"data/p={p}/f{i}.parquet"
+            _write_part(os.path.join(root, rel), list(range(i, 40, 2)))
+            w.commit(
+                adds=[(rel, {"p": p})],
+                schema_json=schema if (p, i) == ("a", 0) else None,
+                partition_columns=["p"] if (p, i) == ("a", 0) else None,
+            )
+    r = DeltaTableReader(spark, root)
+    before = sorted((x["p"], x["k"]) for x in r.read().collect())
+
+    produced = optimize_delta_export(
+        root, spark, target_file_bytes=1 << 30, zorder_by=["k", "v"]
+    )
+    snap = r.snapshot()
+    pvals = {snap.files[rel].get("p") for rel in produced}
+    assert pvals == {"a", "b"}  # one group per partition, never mixed
+    assert sorted((x["p"], x["k"]) for x in r.read().collect()) == before
+    # partition pruning still exact through the rewritten layout
+    got = sorted(x["k"] for x in r.read_where("p", "a", "a").collect())
+    assert got == sorted(k for (pp, k) in before if pp == "a")
+
+    with pytest.raises(ValueError, match="non-partition data columns"):
+        optimize_delta_export(root, spark, zorder_by=["p", "k"])
+    with pytest.raises(ValueError, match="non-partition data columns"):
+        optimize_delta_export(root, spark, zorder_by=["k", "nope"])
+
+
+def test_type_widening_reads_narrow_files_as_wide(spark, tmp_path):
+    """The typeWidening reader feature: files written BEFORE a type
+    change keep their narrow physical type; every read supplies the
+    snapshot (widened) schema and Spark's parquet scan up-converts
+    per file. Covers int->long, float->double, and date->timestampNtz
+    in one table; time travel to the pre-widening version still reads
+    the narrow schema."""
+    import datetime
+
+    root = str(tmp_path / "dt")
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int32()),
+                "x": pa.array([1.5, 2.5], pa.float32()),
+                "d": pa.array(
+                    [datetime.date(2020, 1, 2), datetime.date(2021, 3, 4)]
+                ),
+            }
+        ),
+        f"{root}/data/old.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([3 << 40], pa.int64()),
+                "x": pa.array([3.25], pa.float64()),
+                "d": pa.array(
+                    [datetime.datetime(2022, 5, 6, 7, 8)],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        f"{root}/data/new.parquet",
+    )
+
+    def _schema(widened: bool) -> str:
+        k_t, x_t, d_t = (
+            ("long", "double", "timestamp_ntz") if widened
+            else ("integer", "float", "date")
+        )
+        meta = (
+            {"delta.typeChanges": [{"fromType": "integer", "toType": "long"}]}
+            if widened
+            else {}
+        )
+        return json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": k_t, "nullable": True, "metadata": meta},
+                    {"name": "x", "type": x_t, "nullable": True, "metadata": {}},
+                    {"name": "d", "type": d_t, "nullable": True, "metadata": {}},
+                ],
+            }
+        )
+
+    _raw_commit(
+        root,
+        0,
+        [
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "tw-test",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _schema(False),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            ),
+            json.dumps(
+                {"add": {"path": "data/old.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 1, "dataChange": True}}
+            ),
+        ],
+    )
+    _raw_commit(
+        root,
+        1,
+        [
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["typeWidening", "timestampNtz"],
+                        "writerFeatures": ["typeWidening", "timestampNtz"],
+                    }
+                }
+            ),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "tw-test",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _schema(True),
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            ),
+            json.dumps(
+                {"add": {"path": "data/new.parquet", "partitionValues": {},
+                         "size": 1, "modificationTime": 1, "dataChange": True}}
+            ),
+        ],
+    )
+    r = DeltaTableReader(spark, root)
+    df = r.read()
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("k", "bigint"), ("x", "double"), ("d", "timestamp_ntz")
+    ]
+    got = sorted(df.collect(), key=lambda row: row["k"])
+    assert [row["k"] for row in got] == [1, 2, 3 << 40]
+    assert [row["x"] for row in got] == [1.5, 2.5, 3.25]
+    assert got[2]["d"] == datetime.datetime(2022, 5, 6, 7, 8)
+    # pre-widening snapshot still reads narrow
+    old = r.read(version=0)
+    assert [f.dataType.simpleString() for f in old.schema.fields] == [
+        "int", "float", "date"
+    ]
+    assert sorted(row["k"] for row in old.collect()) == [1, 2]

@@ -152,3 +152,93 @@ def test_decode_image_real_bmp_and_error_rows(spark):
         assert got[1]["ch_mean"] == got[2]["ch_mean"]
     assert got[3]["width"] is None and "unrecognized" in got[3]["decode_error"]
     assert got[4]["width"] is None and got[4]["decode_error"] == "null payload"
+
+
+def test_audiocodec_round_trips_all_widths():
+    import numpy as np
+
+    from sdlt_spark.operators import audiocodec as ac
+
+    rng = np.random.default_rng(11)
+    for bits, lo, hi in [(8, -128, 128), (16, -(1 << 15), 1 << 15),
+                         (24, -(1 << 23), 1 << 23), (32, -(1 << 31), 1 << 31)]:
+        for ch in (1, 2, 4):
+            s = rng.integers(lo, hi, (9, ch), dtype=np.int64)
+            rate, c, out = ac.decode_wav(ac.encode_wav(s, 16000, bits=bits))
+            assert (rate, c) == (16000, ch), (bits, ch)
+            assert np.array_equal(out, s), (bits, ch)
+    # extremes survive sign handling: 8-bit unsigned offset, 24-bit extend
+    s = np.array([[-128, 127], [0, -1]], dtype=np.int64)
+    assert np.array_equal(ac.decode_wav(ac.encode_wav(s, 8000, bits=8))[2], s)
+    s = np.array([[-(1 << 23), (1 << 23) - 1]], dtype=np.int64)
+    assert np.array_equal(ac.decode_wav(ac.encode_wav(s, 8000, bits=24))[2], s)
+
+
+def test_audiocodec_chunk_walk_and_odd_padding():
+    import struct
+
+    import numpy as np
+
+    from sdlt_spark.operators import audiocodec as ac
+
+    s = np.arange(10, dtype=np.int64).reshape(5, 2) - 4
+    wav = ac.encode_wav(s, 22050)
+    # splice an unknown ODD-sized LIST chunk (with its pad byte) between
+    # the WAVE tag and fmt — decoders must skip by size + pad
+    odd_body = b"INFOx"  # 5 bytes -> 1 pad byte
+    chunk = b"LIST" + struct.pack("<I", len(odd_body)) + odd_body + b"\x00"
+    spliced = wav[:12] + chunk + wav[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", struct.unpack_from("<I", spliced, 4)[0] + len(chunk)
+    ) + spliced[8:]
+    rate, ch, out = ac.decode_wav(spliced)
+    assert (rate, ch) == (22050, 2)
+    assert np.array_equal(out, s)
+
+
+def test_audiocodec_rejects_garbage():
+    import numpy as np
+    import pytest as _pytest
+
+    from sdlt_spark.operators import audiocodec as ac
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"OggS this is not wav")
+    good = ac.encode_wav(np.ones((8, 1), dtype=np.int64), 8000)
+    with _pytest.raises(ValueError, match="truncated"):
+        ac.decode_wav(good[:-6])
+    # non-PCM format tag refuses loudly
+    import struct
+
+    mangled = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    struct.pack_into("<H", mangled, fmt_at, 85)  # MP3 tag
+    with _pytest.raises(ValueError, match="not PCM"):
+        ac.decode_wav(bytes(mangled))
+
+
+def test_decode_audio_real_wav_and_error_rows(spark):
+    import numpy as np
+
+    from sdlt_spark.operators import audiocodec as ac
+
+    stereo = np.array([[100, -200], [300, -400], [500, -600]], dtype=np.int64)
+    rows = [
+        (1, bytearray(ac.encode_wav(stereo, 16000))),
+        (2, bytearray(ac.encode_wav(np.array([[7]] * 4, dtype=np.int64),
+                                    8000, bits=8))),
+        (3, bytearray(b"ID3 not audio we can parse")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in mm.decode_audio(media).collect()}
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["n_frames"]) == (16000, 2, 3)
+    assert r1["duration_sec"] == 3 / 16000
+    assert r1["ch_mean"] == [300.0, -400.0]
+    assert r1["ch_peak"] == [500, 600]
+    assert r1["first_frame"] == [100, -200]
+    assert r1["decode_error"] is None
+    assert got[2]["ch_mean"] == [7.0] and got[2]["sample_rate"] == 8000
+    assert got[3]["sample_rate"] is None and "RIFF" in got[3]["decode_error"]
+    assert got[4]["decode_error"] == "null payload"
