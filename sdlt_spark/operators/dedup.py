@@ -976,3 +976,129 @@ def semantic_dedup(
         "cluster",
         (F.col(id_col) == F.col("cluster")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr pass, re-expressed
+# Spark-first: the paper builds a corpus-wide suffix array on one big
+# machine; the equivalent declarative form is a rolling-window self-group)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    key: str = "string",
+) -> DataFrame:
+    """Token spans ``(id, span_start, span_end)`` that are NON-FIRST
+    occurrences of some ``min_tokens``-token window appearing more than
+    once in the corpus (across documents or repeated within one). The
+    globally first occurrence — ordered by (id, position) — is the one
+    that stays; merged, overlapping cut windows coalesce into maximal
+    spans, so any duplicated run of length >= min_tokens yields one span
+    covering the whole run, exactly the paper's remove-all-but-one
+    semantics at window granularity.
+
+    Plan shape (everything JVM-side): one scan; windows come from a
+    codegen'd ``transform(sequence(...))`` + ``posexplode`` (no
+    self-join); ONE shuffle keyed on the window to rank occurrences;
+    span-merge is the classic islands pattern — two window functions
+    partitioned by document, i.e. one more shuffle keyed by id.
+
+    ``key='string'`` groups on the literal window text (exact; what the
+    DuckDB parity oracle mirrors). ``key='hash'`` groups on xxhash64 of
+    the window — 8-byte shuffle keys instead of ~min_tokens words, the
+    100 TB path (a 2^-64 collision merges two windows and over-cuts one
+    span; the standard trade, same as the paper's hashed variants)."""
+    if key not in ("string", "hash"):
+        raise ValueError(f"key must be 'string' or 'hash', got {key!r}")
+    toks = F.split(F.col(text_col), " ")
+    w = min_tokens
+    windows = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(windows).alias("__pos", "__w"),
+    )
+    if key == "hash":
+        wins = wins.withColumn("__w", F.xxhash64("__w"))
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("__w").orderBy("__id", "__pos")
+    cuts = (
+        wins.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") > 1)
+        .select("__id", F.col("__pos").alias("__s"), (F.col("__pos") + w).alias("__e"))
+    )
+    doc_w = Window.partitionBy("__id").orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        cuts.withColumn(
+            "__brk",
+            (F.col("__s") > F.coalesce(prev_max_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__brk").over(doc_w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy("__id", "__isl").agg(
+        F.min("__s").alias("span_start"), F.max("__e").alias("span_end")
+    ).select(F.col("__id").alias(id_col), "span_start", "span_end")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    key: str = "string",
+) -> DataFrame:
+    """Cut every duplicated-substring span (see
+    :func:`duplicated_substring_spans`) out of its document and return
+    ``(id, text, removed_tokens)`` — the corpus with all-but-first
+    occurrences of every >= min_tokens duplicated run removed. Documents
+    with no duplicated spans pass through verbatim; a fully-duplicated
+    document collapses to the empty string (the paper drops or keeps
+    these by policy — returning them lets the caller decide).
+
+    The cut itself is a broadcast-friendly join (spans are a small
+    fraction of the corpus) plus a codegen'd higher-order filter over the
+    token array — no Python in the row path."""
+    spans = duplicated_substring_spans(df, id_col, text_col, min_tokens, key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda p: (s["i"] >= p["span_start"]) & (s["i"] < p["span_end"]),
+        ),
+    )
+    out_text = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    return (
+        df.join(per_doc, on=id_col, how="left")
+        .withColumn(
+            "__out",
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(out_text),
+        )
+        .select(
+            id_col,
+            F.col("__out").alias(text_col),
+            F.when(F.col("__spans").isNull(), F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .alias("removed_tokens"),
+        )
+    )

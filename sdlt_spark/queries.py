@@ -1751,6 +1751,85 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "exact_substring_dedup",
+    # the full Lee et al. ExactSubstr pipeline replayed declaratively in
+    # DuckDB: rolling 8-token windows -> rank occurrences per window ->
+    # non-first occurrences become cut ranges -> islands-merge to maximal
+    # spans -> rebuild each text without its cut tokens
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+    ),
+    p AS (
+      SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS pos FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') AS w FROM p
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    cuts AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM ranked WHERE rn > 1),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), -1) THEN 1 ELSE 0 END AS b
+      FROM cuts
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g
+    ),
+    tokrows AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(0, len(t) - 1)) AS i
+      FROM toks
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.i, tr.tok FROM tokrows tr
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = tr.doc_id
+                          AND tr.i >= sp.s AND tr.i < sp.e)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text2,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN sp.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.text2, '') END AS text,
+           CAST(CASE WHEN sp.doc_id IS NULL THEN 0
+                ELSE len(string_split(d.text, ' ')) - coalesce(r.nk, 0)
+                END AS INT) AS removed_tokens
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family, Lee et al. 2022 ExactSubstr: remove every non-first
+    occurrence of any >=8-token run duplicated anywhere in the corpus
+    (across documents or repeated within one), merging overlapping cut
+    windows into maximal spans — see operators/dedup.py::
+    exact_substring_dedup for the plan-shape story (codegen'd window
+    explode, one shuffle to rank occurrences, islands merge, HOF rebuild;
+    key='hash' is the 8-byte-shuffle 100 TB path, the oracle replays the
+    exact key='string' form)."""
+    return _dedup.exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_tokens=8
+    )
+
+
+@_q(
     "token_counts",
     """
     SELECT token, count(*) AS cnt FROM (

@@ -200,3 +200,77 @@ def test_semantic_dedup_planted_duplicates(spark):
     # all other well-separated vectors survive as their own singletons
     for i in range(5, 20):
         assert got[i] == (i, True)
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Lee et al. ExactSubstr at window granularity: the globally-first
+    occurrence of a duplicated >=W-token run survives, later ones are cut;
+    overlapping duplicated windows merge into ONE maximal span (a
+    12-token shared run removes 12 tokens, not 8); within-doc repeats cut
+    too; untouched docs pass through verbatim; hash keying agrees."""
+    from sdlt_spark.operators.dedup import (
+        duplicated_substring_spans,
+        exact_substring_dedup,
+    )
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"start {run} end of second doc pad pad2 pad3"),
+            (3, "totally unique words only here nothing repeats at all"),
+            # within-doc repeat: the same 8 tokens twice
+            (4, "r0 r1 r2 r3 r4 r5 r6 r7 mid r0 r1 r2 r3 r4 r5 r6 r7"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, min_tokens=8).collect()
+    }
+    # doc 1 is the first occurrence -> intact
+    assert out[1]["text"] == f"alpha beta {run} gamma delta"
+    assert out[1]["removed_tokens"] == 0
+    # doc 2 loses the WHOLE 12-token run (merged span), not just 8
+    assert out[2]["text"] == "start end of second doc pad pad2 pad3"
+    assert out[2]["removed_tokens"] == 12
+    assert out[3]["removed_tokens"] == 0
+    # within-doc: second copy of the 8-run goes
+    assert out[4]["text"] == "r0 r1 r2 r3 r4 r5 r6 r7 mid"
+    assert out[4]["removed_tokens"] == 8
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_substring_spans(docs, min_tokens=8).collect()
+    }
+    assert spans == {(2, 1, 13), (4, 9, 17)}
+
+    hashed = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, min_tokens=8, key="hash").collect()
+    }
+    assert all(hashed[k]["text"] == out[k]["text"] for k in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key must be"):
+        exact_substring_dedup(docs, key="md5")
+
+
+def test_exact_substring_dedup_full_doc_collapses(spark):
+    """A document that is entirely a copy of an earlier one collapses to
+    the empty string (caller policy decides to drop or keep), and short
+    (<W tokens) docs never produce windows."""
+    from sdlt_spark.operators.dedup import exact_substring_dedup
+
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in exact_substring_dedup(docs, min_tokens=8).collect()
+    }
+    assert out[1]["text"] == text
+    assert out[2]["text"] == "" and out[2]["removed_tokens"] == 10
+    assert out[3]["text"] == "tiny doc" and out[3]["removed_tokens"] == 0
