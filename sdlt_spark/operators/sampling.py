@@ -143,3 +143,120 @@ def token_budget_sample(
         )
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score raw documents by how target-like their hashed
+# n-gram distribution is, then keep the top-weighted slice. The standard
+# "make CommonCrawl look like Wikipedia" pretraining-mixture step.
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id, __b) rows: every unigram and bigram OCCURRENCE hashed into
+    ``n_buckets`` via the engine-portable md5 hash (the same
+    ``portable_hash31`` the minhash family uses, so the DuckDB oracle can
+    replay it). Codegen'd HOFs build the gram list; the md5 runs once per
+    exploded gram in a JVM projection — no Python anywhere."""
+    from sdlt_spark.operators.dedup import portable_hash31
+
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__g")
+    ).select(
+        id_col,
+        (portable_hash31(F.col("__g")) % F.lit(n_buckets)).alias("__b"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``log_w = sum over the doc's
+    hashed n-gram occurrences of log p_target(b) - log p_raw(b)`` with
+    Laplace-smoothed bucket unigram models (p(b) = (c_b + 1) / (N + B)).
+    Returns (id, n_grams, log_w) for every row of ``df``; null-text docs
+    get weight 0 (an empty string still carries one empty unigram, the
+    same as the SQL oracle's string_split).
+
+    Plan shape: two bounded aggregations build the B-row bucket models
+    (B = ``n_buckets``, constant — the models BROADCAST at any corpus
+    size); scoring is the exploded gram table joined to the broadcast
+    ratio map plus ONE shuffle keyed by document id with map-side partial
+    sums. No driver data path beyond the two scalar totals.
+
+    Float discipline (for the exact DuckDB parity oracle): each bucket's
+    log-ratio is computed in a fixed algebraic form and rounded to 12
+    decimals BEFORE the per-doc sum, so engine libm last-ulp differences
+    and summation-order noise stay ~1e-12 — invisible at the advertised
+    4-decimal output precision."""
+    raw_g = hashed_ngram_buckets(df, id_col, text_col, n_buckets)
+    tgt_g = hashed_ngram_buckets(target, id_col, text_col, n_buckets)
+    n_raw = raw_g.count()
+    n_tgt = tgt_g.count()
+    rcnt = raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tcnt = tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    # raw-side buckets cover every bucket any scored doc touches
+    lr = F.round(
+        F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+        - F.log(F.lit(float(n_tgt + n_buckets)))
+        - F.log(F.col("__cr") + F.lit(1.0))
+        + F.log(F.lit(float(n_raw + n_buckets))),
+        12,
+    )
+    ratio = (
+        rcnt.join(tcnt, on="__b", how="left")
+        .select("__b", lr.alias("__lr"))
+    )
+    scored = (
+        raw_g.join(F.broadcast(ratio), on="__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("__lr"), 4).alias("log_w"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The selection step: keep the ``k`` most target-like documents by
+    DSIR weight (deterministic tie-break on id — resampling with Gumbel
+    noise is the paper's variant for diversity; a seeded Gumbel column
+    would slot in here). TakeOrdered plan: no global sort materializes."""
+    w = dsir_weights(df, target, id_col, text_col, n_buckets)
+    return w.orderBy(F.col("log_w").desc(), F.col(id_col)).limit(k)

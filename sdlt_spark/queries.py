@@ -3570,6 +3570,63 @@ def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dsir_weights",
+    # DSIR (Xie et al. 2023): hashed unigram+bigram bucket models with
+    # Laplace smoothing; log_w = sum over a doc's gram occurrences of
+    # log p_target(b) - log p_raw(b). Target model = the lang='en' slice.
+    # Per-bucket log-ratio rounds to 12 decimals BEFORE the per-doc sum
+    # (both engines), so libm/summation-order last-ulp noise is dead at
+    # the 4-decimal output precision.
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+    bi AS (
+      SELECT doc_id, t[i] || '_' || t[i+1] AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks)
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+               % 2147483647 % 4096 AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    tgt AS (SELECT g.b FROM grams g JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'),
+    tcnt AS (SELECT b, count(*) AS ct FROM tgt GROUP BY b),
+    rcnt AS (SELECT b, count(*) AS cr FROM grams GROUP BY b),
+    ratio AS (
+      SELECT r.b,
+             round(ln(coalesce(t.ct, 0) + 1.0)
+                   - ln((SELECT count(*) FROM tgt) + 4096)
+                   - ln(r.cr + 1.0)
+                   + ln((SELECT count(*) FROM grams) + 4096), 12) AS lr
+      FROM rcnt r LEFT JOIN tcnt t USING (b)
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_grams, round(sum(lr), 4) AS lw
+      FROM grams JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS INT) AS n_grams,
+           coalesce(s.lw, 0.0) AS log_w
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 extension — DSIR importance weights (arXiv:2302.03169): score
+    every document by how lang='en'-like its hashed n-gram distribution
+    is. The bucket models are two bounded B-row aggregates that broadcast
+    at any corpus size; scoring is one broadcast join + one per-doc
+    shuffle (operators/sampling.py dsir_weights; dsir_topk is the
+    selection step)."""
+    from sdlt_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@_q(
     "dedup_cluster_sizes",
     "SELECT cluster, count(*) AS size FROM ("
     + _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9)

@@ -274,3 +274,28 @@ def test_exact_substring_dedup_full_doc_collapses(spark):
     assert out[1]["text"] == text
     assert out[2]["text"] == "" and out[2]["removed_tokens"] == 10
     assert out[3]["text"] == "tiny doc" and out[3]["removed_tokens"] == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity: documents whose n-grams match the target corpus get
+    higher weight than off-distribution ones; null-text docs weight 0; topk
+    picks the target-like slice deterministically."""
+    from sdlt_spark.operators.sampling import dsir_topk, dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "quantum flux capacitor hums in violet resonance"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+    assert w[1]["log_w"] > w[2]["log_w"]
+    assert w[3]["log_w"] == 0.0 and w[3]["n_grams"] == 0
+    top = dsir_topk(raw, target, 1).collect()
+    assert [r["doc_id"] for r in top] == [1]
