@@ -1625,6 +1625,24 @@ def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q("delta_clone", _ORDERS_PROJ_SQL)
+def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE: one metadata commit pointing at the source's
+    files by absolute path (zero data movement at any table size —
+    PROTOCOL.md-legal, the delta-spark CLONE shape). Reading the clone
+    must hash-match the plain projection oracle through the
+    absolute-path resolution."""
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import clone_delta_export
+
+    src = _delta_fixture(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="sdlt_delta_clone_") + "/orders"
+    clone_delta_export(src, dest)
+    return DeltaTableReader(spark, dest).read()
+
+
 @_q("delta_restore", _ORDERS_PROJ_SQL)
 def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta RESTORE on a written table: roll back past the fixture's
@@ -6149,6 +6167,21 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins exact merges on a hand-computed corpus."""
     return _text.bpe_merge_table(
         _t(spark, sf_dir, "documents"), "text", num_merges=5
+    )
+
+
+@_q("bpe_encode", None)  # induced vocab is iterative; encode inherits that
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: induce 5 merges on the corpus, then encode every
+    document with them (operators/text.py::bpe_apply — one Arrow-batched
+    map-only pass replaying the merges in rank order). Deterministic
+    end-to-end; the property test pins losslessness (rejoined bpe_tokens
+    == original text) and replay-equality on a hand corpus. Scalar-shaped
+    output (token counts before/after) for the driver's canonicalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _text.bpe_merge_table(docs, "text", num_merges=5)
+    return _text.bpe_apply(docs, merges).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
     )
 
 

@@ -628,6 +628,15 @@ class DeltaTableReader:
 
         return decoded_file_path(col)
 
+    def _fs_path(self, rel: str) -> str:
+        """Add-action path -> filesystem path; PROTOCOL.md allows paths
+        relative to the table root OR absolute (the shallow-clone shape)
+        — one resolver (store/paths.resolve_table_path) for every scan,
+        DV, CDF, and stats site."""
+        from sdlt_spark.store.paths import resolve_table_path
+
+        return resolve_table_path(self.path, rel)
+
     def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
         """One parquet scan over the DV-free live files (snapshot schema
         supplied explicitly — early files of a schema-evolved table read
@@ -685,7 +694,7 @@ class DeltaTableReader:
             # the conf only takes effect for schemas that carry
             # parquet.field.id metadata, so it is safe session-wide
             self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        paths = [os.path.join(self.path, rel) for rel in rels]
+        paths = [self._fs_path(rel) for rel in rels]
         df = self.spark.read.schema(scan_schema).parquet(*paths)
         if keys:
             df = df.withColumn(
@@ -728,7 +737,7 @@ class DeltaTableReader:
                 raw = [
                     pvals.get(snap.physical_name(f.name)) for f in part_fields
                 ]
-                rows.append((os.path.join(self.path, rel), *raw))
+                rows.append((self._fs_path(rel), *raw))
 
             pmap = self.spark.createDataFrame(
                 rows,
@@ -787,7 +796,7 @@ class DeltaTableReader:
         table_root = self.path
         desc_rows = [
             (
-                os.path.join(self.path, rel),
+                self._fs_path(rel),
                 json.dumps(desc),
             )
             for rel, desc in live_dvs.items()
@@ -1144,7 +1153,7 @@ class DeltaTableReader:
         ]
         out = []
         for batch in self._unique_rel_batches(units):
-            paths = [os.path.join(self.path, rel) for rel, _, _ in batch]
+            paths = [self._fs_path(rel) for rel, _, _ in batch]
             df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             df = df.withColumn(
                 "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
@@ -1155,7 +1164,7 @@ class DeltaTableReader:
             pmap = self.spark.createDataFrame(
                 [
                     (
-                        os.path.join(self.path, rel),
+                        self._fs_path(rel),
                         v,
                         *[
                             (pvals or {}).get(snap.physical_name(f.name))
@@ -1234,7 +1243,7 @@ class DeltaTableReader:
             )
             rows = [
                 (
-                    os.path.join(self.path, rel),
+                    self._fs_path(rel),
                     v,
                     *[
                         (pvals or {}).get(snap.physical_name(f.name))
@@ -1286,7 +1295,7 @@ class DeltaTableReader:
             part_set = set(snap.partition_columns)
             desc_rows = [
                 (
-                    os.path.join(self.path, rel),
+                    self._fs_path(rel),
                     json.dumps(new),
                     json.dumps(old) if old else None,
                     json.dumps(
@@ -1377,7 +1386,7 @@ class DeltaTableReader:
             st = snap.stats.get(rel)
             n = st.get("numRecords") if st else None
             if n is None:
-                n = pq.read_metadata(os.path.join(self.path, rel)).num_rows
+                n = pq.read_metadata(self._fs_path(rel)).num_rows
             total += int(n)
         for desc in snap.dvs.values():
             total -= int(desc.get("cardinality", 0))

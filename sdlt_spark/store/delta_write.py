@@ -103,12 +103,13 @@ class DeltaLogWriter:
         version = self._next_version()
         ts = int(time.time() * 1000)
         actions: list[dict] = []
-        if protocol is not None and not dvs:
-            # caller-supplied upgrade (e.g. a SYNC that first introduces
-            # CHECK constraints must raise minWriterVersion to 3 or stock
-            # writers keep ignoring them); a DV commit's (3,7) supersedes
+        if protocol is not None:
+            # caller-supplied protocol wins outright — clones copy the
+            # source's full feature set, and a SYNC that both carries DVs
+            # and first introduces CHECK constraints passes the merged
+            # (3,7)+checkConstraints form itself
             actions.append({"protocol": protocol})
-        if dvs:
+        elif dvs:
             # DV-bearing tables are protocol (3, 7) with the feature named
             # — emitted as an upgrade action when the first DV arrives
             # after table creation (spec-legal in any commit)
@@ -811,6 +812,17 @@ def export_vintage_to_delta(
                 "minReaderVersion": cur.get("minReaderVersion", 1),
                 "minWriterVersion": 3,
             }
+    # a sync that BOTH carries DVs and first introduces constraints needs
+    # the merged feature-protocol form — explicit protocol wins in commit()
+    if protocol_arg is not None and any(
+        a[0] in dvs_out for a in adds
+    ):
+        protocol_arg = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "checkConstraints"],
+        }
     try:
         if is_sync and not adds and not removes and schema_json_arg is None:
             return writer._next_version() - 1  # already in sync: no empty commit
@@ -873,7 +885,11 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(None, dest)  # metadata-only: no session
     snap = reader.snapshot()
-    live = {os.path.normpath(os.path.join(dest, rel)) for rel in snap.files}
+    from sdlt_spark.store.paths import resolve_table_path
+
+    live = {
+        os.path.normpath(resolve_table_path(dest, rel)) for rel in snap.files
+    }
     # DV sidecars referenced by live add actions are live too (a swept
     # .bin would make every read of its covered file fail loudly)
     from sdlt_spark.store.delta_dv import dv_file_path
@@ -894,7 +910,7 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     for (rel, _uid), rem in snap.tombstones.items():
         ts = rem.get("deletionTimestamp")
         at = ts / 1000.0 if ts is not None else _time.time()
-        abs_f = os.path.normpath(os.path.join(dest, rel))
+        abs_f = os.path.normpath(resolve_table_path(dest, rel))
         removed_at[abs_f] = max(removed_at.get(abs_f, 0.0), at)
         # a tombstoned logical file's DV sidecar ages on the same clock
         # (time travel inside the window still needs to expand it)
@@ -963,6 +979,7 @@ def optimize_delta_export(
     from pyspark.sql import functions as F
 
     from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.paths import resolve_table_path
 
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(spark, dest)
@@ -980,7 +997,7 @@ def optimize_delta_export(
     for rel in sorted(snap.files):
         if rel in snap.dvs:
             continue  # purge is a different op; see docstring
-        abs_f = os.path.join(dest, rel)
+        abs_f = resolve_table_path(dest, rel)
         try:
             size = os.path.getsize(abs_f)
         except OSError:
@@ -1014,7 +1031,7 @@ def optimize_delta_export(
 
     writer = DeltaLogWriter(dest)
     bin_by_abs = {
-        os.path.join(dest, rel): f"{i:06d}"
+        resolve_table_path(dest, rel): f"{i:06d}"
         for i, (_, members) in enumerate(bins)
         for rel in members
     }
@@ -1105,6 +1122,7 @@ def _zorder_delta_export(
     bucket bounds."""
     from pyspark.sql import functions as F
 
+    from sdlt_spark.store.paths import resolve_table_path
     from sdlt_spark.store.zcurve import zorder_key
 
     part_set = set(snap.partition_columns)
@@ -1133,7 +1151,7 @@ def _zorder_delta_export(
         nbytes = 0
         for rel in members:
             try:
-                nbytes += os.path.getsize(os.path.join(dest, rel))
+                nbytes += os.path.getsize(resolve_table_path(dest, rel))
             except OSError:
                 pass
         n_files += max(1, (nbytes + target_file_bytes - 1) // target_file_bytes)
@@ -1147,7 +1165,7 @@ def _zorder_delta_export(
             x
             for pk, members in ordered
             for rel in members
-            for x in (F.lit(os.path.join(dest, rel)), F.lit(tok_of[pk]))
+            for x in (F.lit(resolve_table_path(dest, rel)), F.lit(tok_of[pk]))
         ]
     )
     df = df.withColumn("__grp", grp_map[F.col("__delta_path")]).drop(
@@ -1201,6 +1219,78 @@ def _zorder_delta_export(
     return produced
 
 
+def clone_delta_export(src_path: str, dest_path: str) -> int:
+    """Delta SHALLOW CLONE: create a NEW Delta table at ``dest_path``
+    whose add actions point at the SOURCE table's data files by absolute
+    path — PROTOCOL.md explicitly allows absolute add paths, and this is
+    exactly the table shape delta-spark's ``CREATE TABLE ... SHALLOW
+    CLONE`` writes. One metadata commit, zero data movement: cloning a
+    100 TB table costs a log replay plus O(file-list) JSON.
+
+    Carried over verbatim: schema, partition columns, configuration
+    (constraints included), the full protocol feature set, per-file
+    stats (no footer re-reads), partition values, and deletion vectors —
+    ``u``-storage descriptors (relative to the source root) convert to
+    ``p`` (absolute path) descriptors so they resolve from the clone.
+
+    The clone then evolves independently: appends/OPTIMIZE land under
+    the clone root; its VACUUM only walks the clone root, so the source
+    table's files are physically untouchable from the clone side (and
+    the source's own vacuum can still delete files the clone references
+    — Delta's documented shallow-clone hazard, unchanged here)."""
+    from sdlt_spark.store.delta_dv import dv_file_path
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    src = os.path.abspath(src_path)
+    dest = os.path.abspath(dest_path)
+    log_dir = os.path.join(dest, _LOG)
+    if os.path.isdir(log_dir) and any(
+        f.endswith(".json") or ".checkpoint" in f for f in os.listdir(log_dir)
+    ):
+        raise FileExistsError(f"{dest} already has a _delta_log; clone "
+                              "targets must be fresh")
+    snap = DeltaTableReader(None, src).snapshot()  # metadata-only
+    from sdlt_spark.store.paths import resolve_table_path
+
+    adds: list[tuple[str, dict]] = []
+    stats_override: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
+    for rel in sorted(snap.files):
+        abs_src = resolve_table_path(src, rel)  # src may itself be a clone
+        adds.append((abs_src, snap.files[rel]))
+        st = snap.stats.get(rel)
+        if st:
+            stats_override[abs_src] = {
+                "rows": st.get("numRecords", 0),
+                "min": st.get("minValues", {}),
+                "max": st.get("maxValues", {}),
+            }
+        desc = snap.dvs.get(rel)
+        if desc:
+            if desc.get("storageType") == "i":
+                dvs[abs_src] = dict(desc)  # inline blobs travel in the log
+            else:
+                conv = dict(desc)
+                conv["storageType"] = "p"
+                conv["pathOrInlineDv"] = dv_file_path(desc, src)
+                dvs[abs_src] = conv
+    writer = DeltaLogWriter(dest)
+    return writer.commit(
+        adds=adds,
+        schema_json=snap.metadata.get("schemaString"),
+        partition_columns=snap.metadata.get("partitionColumns")
+        or snap.partition_columns,
+        operation="CLONE",
+        collect_stats=False,
+        stats_override=stats_override,
+        dvs=dvs or None,
+        configuration=snap.metadata.get("configuration") or {},
+        protocol=snap.protocol
+        or {"minReaderVersion": 1, "minWriterVersion": 2},
+        operation_params={"sourceTable": src},
+    )
+
+
 def restore_delta_export(dest_path: str, version: int) -> int:
     """Delta's RESTORE for a table this module writes: roll the CURRENT
     state back to ``version``'s file set in ONE metadata commit — adds
@@ -1227,10 +1317,12 @@ def restore_delta_export(dest_path: str, version: int) -> int:
     current_keys = {_key(current, rel) for rel in current.files}
     from sdlt_spark.store.delta_dv import dv_file_path
 
+    from sdlt_spark.store.paths import resolve_table_path
+
     missing = [
         rel
         for rel in target.files
-        if not os.path.exists(os.path.join(dest, rel))
+        if not os.path.exists(resolve_table_path(dest, rel))
     ]
     for rel, desc in target.dvs.items():
         p = dv_file_path(desc, dest)

@@ -21,3 +21,31 @@ def decoded_file_path(col: Column) -> Column:
     """URI-reported file path → decoded absolute os.path string."""
     p = F.regexp_replace(col, "^file:/+", "/")
     return F.url_decode(F.replace(p, F.lit("+"), F.lit("%2B")))
+
+
+def resolve_table_path(root: str, p: str) -> str:
+    """A Delta add/remove/cdc ``path`` (already URL-unquoted by log
+    replay) → filesystem path. PROTOCOL.md allows paths RELATIVE to the
+    table root *or ABSOLUTE* — the shallow-clone shape, where a cloned
+    table's adds point straight at the source table's files. Plain
+    absolute paths and ``file:`` URIs both occur in the wild."""
+    import os
+
+    if p.startswith("file:"):
+        # file:///abs, file://host/abs, file:/abs -> the path part
+        tail = p.split(":", 1)[1]
+        return "/" + tail.lstrip("/")
+    if os.path.isabs(p):
+        return p
+    return os.path.join(root, p)
+
+
+def is_table_local(root: str, p: str) -> bool:
+    """True when the resolved path lives UNDER the table root — the only
+    files maintenance ops (VACUUM delete, OPTIMIZE rewrite-and-remove)
+    may touch. A shallow clone's external references must never be
+    deleted out from under the source table."""
+    import os
+
+    resolved = os.path.abspath(resolve_table_path(root, p))
+    return resolved.startswith(os.path.abspath(root) + os.sep)

@@ -2410,3 +2410,85 @@ def test_type_widening_reads_narrow_files_as_wide(spark, tmp_path):
         "int", "float", "date"
     ]
     assert sorted(row["k"] for row in old.collect()) == [1, 2]
+
+
+def test_shallow_clone_reads_and_evolves_independently(spark, tmp_path):
+    """clone_delta_export: a one-commit metadata clone whose adds point at
+    the SOURCE's files by absolute path (the delta-spark SHALLOW CLONE
+    shape, legal per PROTOCOL.md). Content, stats-based pruning, partition
+    values, and DVs all work through the clone; appends to the clone land
+    under the clone root and never touch the source; the clone's vacuum
+    cannot delete source files."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import (
+        clone_delta_export,
+        vacuum_delta_export,
+    )
+
+    src = str(tmp_path / "src")
+    w = DeltaLogWriter(src)
+    _write_part(f"{src}/data/a.parquet", [1, 2, 3])
+    w.commit(adds=[("data/a.parquet", {})], schema_json=_SCHEMA)
+    _write_part(f"{src}/data/b.parquet", [4, 5])
+    d = write_dv_file(src, [0], "00000000-0000-4000-8000-0000000000c1")
+    w.commit(adds=[("data/b.parquet", {})], dvs={"data/b.parquet": d})
+
+    dest = str(tmp_path / "clone")
+    v = clone_delta_export(src, dest)
+    assert v == 0
+    rc = DeltaTableReader(spark, dest)
+    got = sorted(x["k"] for x in rc.read().collect())
+    assert got == [1, 2, 3, 5]  # DV masks 4 through the clone too
+    # metadata count shortcut works from stats carried without re-reads
+    assert rc.count() == 4
+    # appends to the clone are clone-local; the source never changes
+    _write_part(f"{dest}/data/c.parquet", [9])
+    DeltaLogWriter(dest).commit(adds=[("data/c.parquet", {})])
+    assert sorted(x["k"] for x in rc.read().collect()) == [1, 2, 3, 5, 9]
+    rs = DeltaTableReader(spark, src)
+    assert sorted(x["k"] for x in rs.read().collect()) == [1, 2, 3, 5]
+    # clone vacuum walks only the clone root: source files survive even
+    # with zero retention
+    deleted = vacuum_delta_export(dest, retention_hours=0.0)
+    assert deleted == []
+    assert os.path.exists(f"{src}/data/a.parquet")
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError, match="fresh"):
+        clone_delta_export(src, dest)
+
+
+def test_shallow_clone_partitioned_with_spaces_and_time_travel(spark, tmp_path):
+    """Clone of a partitioned source whose file names need URL encoding:
+    partition values re-attach through the absolute-path broadcast map,
+    read_where prunes on them, and the clone's own history starts fresh
+    (version 0 = the clone commit)."""
+    from sdlt_spark.store.delta_write import clone_delta_export
+
+    src = str(tmp_path / "src dir")  # space in the SOURCE ROOT path
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(src)
+    for i, p in enumerate(("a", "b")):
+        rel = f"data/part {p}.parquet"  # space in the file name
+        _write_part(os.path.join(src, rel), [i * 10, i * 10 + 1])
+        w.commit(
+            adds=[(rel, {"p": p})],
+            schema_json=schema if i == 0 else None,
+            partition_columns=["p"] if i == 0 else None,
+        )
+    dest = str(tmp_path / "clone")
+    clone_delta_export(src, dest)
+    r = DeltaTableReader(spark, dest)
+    assert sorted((x["p"], x["k"]) for x in r.read().collect()) == [
+        ("a", 0), ("a", 1), ("b", 10), ("b", 11)
+    ]
+    assert sorted(x["k"] for x in r.read_where("p", "b", "b").collect()) == [10, 11]
+    assert r.latest_version() == 0

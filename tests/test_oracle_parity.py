@@ -54,6 +54,7 @@ NO_ORACLE_ALLOWLIST = {
     "hll_distinct_merge": "tests/test_properties.py (sketch-union ±5% vs exact)",
     "kmeans_fit": "tests/test_clustering.py (exact-assignment oracle)",
     "bpe_merges": "tests/test_text.py (pinned merge-sequence unit test)",
+    "bpe_encode": "tests/test_text.py::test_bpe_apply_replays_induction_and_is_lossless",
     "multimodal_features": "tests/test_multimodal.py (plumbing/shape tests)",
     "semantic_dedup": "tests/test_dedup.py::test_semantic_dedup_planted_duplicates",
     "ann_pq_topk": "tests/test_similarity.py::test_ann_pq_recall_on_planted_neighbor_fixture",

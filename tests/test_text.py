@@ -173,3 +173,38 @@ def test_bpe_merge_table_sampled_bound(spark):
     got2 = [(r["rank"], r["left"], r["right"]) for r in out2.collect()]
     assert got1 == got2  # seeded: reruns induce the same vocabulary
     assert got1 == [(0, "a", "b"), (1, "a b", "c")]
+
+
+def test_bpe_apply_replays_induction_and_is_lossless(spark):
+    """bpe_apply with the induced merge table: (a) merged units appear in
+    the encoded stream and counts shrink accordingly; (b) segmentation is
+    LOSSLESS — joining bpe_tokens with single spaces reproduces the
+    original text; (c) encoding the training corpus reproduces the exact
+    token stream the induction ended on (same greedy fuse, same order);
+    (d) null text passes through as nulls."""
+    from sdlt_spark.operators.text import bpe_apply, bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big and new york is old"),
+            (2, "new york new york"),
+            (3, "boston is neither new nor york"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_merge_table(docs, num_merges=2)
+    got = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+    m = [(r["left"], r["right"], r["merged"]) for r in merges.collect()]
+    assert m[0][:2] == ("new", "york")  # most frequent adjacent pair
+    # lossless: rejoin == original
+    for did, text in [(1, "new york is big and new york is old"),
+                      (2, "new york new york"),
+                      (3, "boston is neither new nor york")]:
+        assert " ".join(got[did]["bpe_tokens"]) == text
+    assert got[2]["n_tokens"] == 4 and got[2]["n_bpe_tokens"] == 2
+    assert got[2]["bpe_tokens"] == ["new york", "new york"]
+    assert got[4]["bpe_tokens"] is None and got[4]["n_tokens"] is None
+    # list-form merges accepted too
+    got2 = {r["doc_id"]: r for r in bpe_apply(docs, m).collect()}
+    assert got2[1]["bpe_tokens"] == got[1]["bpe_tokens"]
