@@ -1625,6 +1625,28 @@ def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DeltaTableReader(spark, root).read()
 
 
+@_q(
+    "delta_min_max",
+    "SELECT CAST(min(o_orderkey) AS BIGINT) AS lo, "
+    "CAST(max(o_orderkey) AS BIGINT) AS hi, "
+    "CAST(count(*) AS BIGINT) AS n FROM orders",
+)
+def delta_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-plane aggregates over a Delta table: min/max from the add
+    actions' stats and COUNT(*) from numRecords — log-replay cost instead
+    of a table scan (DeltaTableReader.min_max / .count). The fixture's
+    replay includes a remove, so stale-file stats leaking in would
+    mismatch."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_fixture(spark, sf_dir)
+    r = DeltaTableReader(spark, root)
+    lo, hi = r.min_max("o_orderkey")
+    return spark.createDataFrame(
+        [(int(lo), int(hi), int(r.count()))], "lo bigint, hi bigint, n bigint"
+    )
+
+
 @_q("delta_clone", _ORDERS_PROJ_SQL)
 def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta SHALLOW CLONE: one metadata commit pointing at the source's
@@ -2625,6 +2647,70 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ch_peak", 2).alias("peak_r"),
         F.element_at("first_frame", 1).alias("first_l"),
         F.element_at("first_frame", 2).alias("first_r"),
+    )
+
+
+@_q(
+    "multimodal_audio_resample",
+    # the multimodal_audio fixture decimated by 2: surviving frames are
+    # i in {0,2,4}, so mean folds to base*16 + 3*2 + 7 = base*16 + 13,
+    # the peak is the i=4 frame, rate halves, duration is preserved
+    "SELECT doc_id AS media_id, CAST(4000 AS INT) AS sample_rate, "
+    "CAST(3 AS BIGINT) AS n_frames, "
+    "CAST(3 AS DOUBLE) / CAST(4000 AS DOUBLE) AS duration_sec, "
+    "CAST((doc_id % 11) * 16 + 13 AS DOUBLE) AS mean_l, "
+    "CAST(-((doc_id % 11) * 16 + 13) AS DOUBLE) AS mean_r, "
+    "CAST((doc_id % 11) * 16 + 19 AS INT) AS peak_l, "
+    "CAST((doc_id % 11) * 16 + 7 AS INT) AS first_l "
+    "FROM documents",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 chain: WAV encode -> resample_audio(factor=2) -> decode_audio.
+    Decimation keeps every 2nd frame and halves the rate (duration
+    invariant); the oracle folds the surviving arithmetic series — a
+    resampler that slipped the phase, dropped the wrong frames, or forgot
+    the rate change hash-mismatches."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import pandas as pd
+
+        from sdlt_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 11
+                i = np.arange(6)
+                mono = 16 * base + 3 * i + 7
+                payloads.append(
+                    encode_wav(np.stack([mono, -mono], axis=1), 8000)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _encode,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    decoded = _mm.decode_audio(_mm.resample_audio(media, factor=2))
+    return decoded.select(
+        "media_id",
+        "sample_rate",
+        "n_frames",
+        "duration_sec",
+        F.element_at("ch_mean", 1).alias("mean_l"),
+        F.element_at("ch_mean", 2).alias("mean_r"),
+        F.element_at("ch_peak", 1).alias("peak_l"),
+        F.element_at("first_frame", 1).alias("first_l"),
     )
 
 

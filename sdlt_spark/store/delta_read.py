@@ -1392,6 +1392,69 @@ class DeltaTableReader:
             total -= int(desc.get("cardinality", 0))
         return total
 
+    def min_max(self, col: str, version: int | None = None) -> tuple:
+        """Exact (min, max) of a NUMERIC column from METADATA where
+        possible: add-action stats supply per-file bounds (parquet zone
+        maps are true values for numerics, never truncated the way long
+        string stats are); only files that are stat-less or DV-covered
+        fall back to a real scan restricted to just those files (a DV may
+        have deleted the extreme row, so their stats are bounds, not
+        witnesses). At 100 TB: a log replay plus a scan of the exception
+        files instead of the table.
+
+        Non-numeric columns take the honest full-scan path (Delta string
+        stats may be prefix-truncated; dates/timestamps round-trip JSON
+        as strings) — correctness first, shortcut second."""
+        from pyspark.sql.types import NumericType
+
+        snap = self.snapshot(version=version)
+        if col not in snap.schema.names:
+            raise KeyError(col)
+        numeric = isinstance(snap.schema[col].dataType, NumericType)
+        is_part = col in snap.partition_columns
+        phys = snap.physical_name(col)
+        mins: list = []
+        maxs: list = []
+        need_scan: list[str] = []
+        for rel in sorted(snap.files):
+            if not numeric:
+                need_scan.append(rel)
+                continue
+            if is_part:
+                v = (snap.files[rel] or {}).get(phys)
+                if v is not None:
+                    fv = float(v)
+                    mins.append(fv if fv != int(fv) else int(fv))
+                    maxs.append(mins[-1])
+                continue  # a null partition value contributes nothing
+            st = snap.stats.get(rel)
+            lo = (st or {}).get("minValues", {}).get(phys)
+            hi = (st or {}).get("maxValues", {}).get(phys)
+            if rel in snap.dvs or lo is None or hi is None:
+                # all-null files record no bounds — but telling "all null"
+                # apart from "stats skipped the column" needs nullCount +
+                # numRecords, so only that exact case avoids the scan
+                n = (st or {}).get("numRecords")
+                nulls = (st or {}).get("nullCount", {}).get(phys)
+                if rel not in snap.dvs and n is not None and nulls == n:
+                    continue
+                need_scan.append(rel)
+                continue
+            mins.append(lo)
+            maxs.append(hi)
+        if need_scan:
+            row = (
+                self._read_file_subset(snap, need_scan)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .head()
+            )
+            if row["lo"] is not None:
+                mins.append(row["lo"])
+                maxs.append(row["hi"])
+        if not mins:
+            return (None, None)
+        return (min(mins), max(maxs))
+
     def history(self) -> list[dict]:
         """Commit metadata (version, timestamp, operation) from commitInfo
         actions — enough for a user to pick time-travel targets."""

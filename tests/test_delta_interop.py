@@ -2492,3 +2492,60 @@ def test_shallow_clone_partitioned_with_spaces_and_time_travel(spark, tmp_path):
     ]
     assert sorted(x["k"] for x in r.read_where("p", "b", "b").collect()) == [10, 11]
     assert r.latest_version() == 0
+
+
+def test_min_max_metadata_shortcut_and_dv_fallback(spark, tmp_path):
+    """min_max: numeric bounds come from log stats without touching data;
+    DV-covered files re-scan (their stats may witness a deleted row);
+    all-null stat files are recognized from nullCount; string columns take
+    the honest full-scan path."""
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    _write_part(f"{root}/data/a.parquet", [5, 6, 7])
+    _write_part(f"{root}/data/b.parquet", [1, 2, 100])
+    w.commit(
+        adds=[("data/a.parquet", {}), ("data/b.parquet", {})],
+        schema_json=_SCHEMA,
+    )
+    r = DeltaTableReader(spark, root)
+    assert r.min_max("k") == (1, 100)
+    # DV deletes the extremes of b -> metadata alone would lie; the
+    # fallback scan of just that file corrects it
+    d = write_dv_file(root, [0, 2], "00000000-0000-4000-8000-0000000000d1")
+    w.commit(adds=[("data/b.parquet", {})], dvs={"data/b.parquet": d})
+    assert r.min_max("k") == (2, 7)
+    # string column: full scan (stats may be truncated in the wild) —
+    # and the scan applies the DV, so v1/v100 are gone
+    assert r.min_max("v") == ("v2", "v7")
+    with pytest.raises(KeyError):
+        r.min_max("nope")
+
+
+def test_min_max_partition_values_and_time_travel(spark, tmp_path):
+    """Partition-column min_max reads the log's partitionValues (typed),
+    and version= respects the historical file set."""
+    root = str(tmp_path / "dt")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    for i, rv in enumerate((3, 9)):
+        rel = f"data/r={rv}/f.parquet"
+        _write_part(os.path.join(root, rel), [i])
+        w.commit(
+            adds=[(rel, {"r": str(rv)})],
+            schema_json=schema if i == 0 else None,
+            partition_columns=["r"] if i == 0 else None,
+        )
+    r = DeltaTableReader(spark, root)
+    assert r.min_max("r") == (3, 9)
+    assert r.min_max("r", version=0) == (3, 3)

@@ -242,3 +242,28 @@ def test_decode_audio_real_wav_and_error_rows(spark):
     assert got[2]["ch_mean"] == [7.0] and got[2]["sample_rate"] == 8000
     assert got[3]["sample_rate"] is None and "RIFF" in got[3]["decode_error"]
     assert got[4]["decode_error"] == "null payload"
+
+
+def test_resample_audio_decimates_and_round_trips(spark):
+    import numpy as np
+
+    from sdlt_spark.operators import audiocodec as ac
+
+    mono = np.arange(10, dtype=np.int64) * 100  # 0..900
+    loud = np.array([[1 << 20], [2 << 20], [3 << 20]], dtype=np.int64)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(ac.encode_wav(mono[:, None], 16000))),
+            (2, bytearray(ac.encode_wav(loud, 8000, bits=32))),
+            (3, bytearray(b"not a wav")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in mm.resample_audio(media, factor=2).collect()}
+    rate, ch, got = ac.decode_wav(bytes(out[1]["payload"]))
+    assert (rate, ch) == (8000, 1)
+    assert got[:, 0].tolist() == [0, 200, 400, 600, 800]
+    # wide samples re-encode at 32-bit, losslessly
+    rate2, _, got2 = ac.decode_wav(bytes(out[2]["payload"]))
+    assert rate2 == 4000 and got2[:, 0].tolist() == [1 << 20, 3 << 20]
+    assert out[3]["payload"] is None and "RIFF" in out[3]["resample_error"]
