@@ -1647,6 +1647,95 @@ def delta_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "delta_delete",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 1)",
+)
+def delta_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write predicate DELETE against a written Delta table
+    (store/delta_mutate.py) — the reference's predicate delete
+    (README.md:281) executed as a real remove+add commit on the open
+    format; only files containing matches rewrite."""
+    from sdlt_spark.store.delta_mutate import delete_delta_export
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_fixture(spark, sf_dir)
+    delete_delta_export(
+        root, spark, "o_orderstatus = 'F' AND o_orderkey % 4 = 1"
+    )
+    return DeltaTableReader(spark, root).read()
+
+
+@_q(
+    "delta_delete_dv",
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE NOT (o_orderkey % 7 = 3)",
+)
+def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: matched positions land as roaring
+    deletion-vector sidecars (built executor-side), zero data files
+    rewritten; the snapshot read applies the DV anti-join."""
+    from sdlt_spark.store.delta_mutate import delete_delta_export
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_fixture(spark, sf_dir)
+    delete_delta_export(root, spark, "o_orderkey % 7 = 3", mode="dv")
+    return DeltaTableReader(spark, root).read()
+
+
+@_q(
+    "delta_update",
+    "SELECT o_orderkey, o_orderstatus, "
+    "CASE WHEN o_orderstatus = 'P' THEN round(o_totalprice, 2) + 1.0 "
+    "ELSE round(o_totalprice, 2) END AS o_totalprice FROM orders",
+)
+def delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write predicate UPDATE on a written Delta table:
+    assignments apply to the pre-update row (cast to the column's type),
+    NULL-predicate rows stay, only matching files rewrite."""
+    from sdlt_spark.store.delta_mutate import update_delta_export
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_fixture(spark, sf_dir)
+    update_delta_export(
+        root,
+        spark,
+        "o_orderstatus = 'P'",
+        {"o_totalprice": "o_totalprice + 1.0"},
+    )
+    return DeltaTableReader(spark, root).read()
+
+
+@_q(
+    "delta_merge",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+    UNION ALL
+    SELECT o.o_orderkey, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o ANTI JOIN src s ON o.o_orderkey = s.o_orderkey
+    """,
+)
+def delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (whenMatchedUpdateAll + whenNotMatchedInsertAll) straight
+    into a written Delta table — the reference's M1 merge
+    (README.md:125-130) on the open format: one semi-join finds touched
+    files, only those rewrite, unmatched source rows append."""
+    from sdlt_spark.store.delta_mutate import merge_delta_export
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    root = _delta_fixture(spark, sf_dir)
+    merge_delta_export(
+        root, spark, _merge_src(spark, sf_dir), ["o_orderkey"]
+    )
+    return DeltaTableReader(spark, root).read()
+
+
 @_q("delta_clone", _ORDERS_PROJ_SQL)
 def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta SHALLOW CLONE: one metadata commit pointing at the source's

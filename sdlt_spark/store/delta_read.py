@@ -63,7 +63,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    LongType,
     MapType,
+    StringType,
     StructField,
     StructType,
 )
@@ -637,7 +639,9 @@ class DeltaTableReader:
 
         return resolve_table_path(self.path, rel)
 
-    def _read_file_subset(self, snap: _Snapshot, rels: list[str]) -> DataFrame:
+    def _read_file_subset(
+        self, snap: _Snapshot, rels: list[str], keep_path: bool = False
+    ) -> DataFrame:
         """One parquet scan over the DV-free live files (snapshot schema
         supplied explicitly — early files of a schema-evolved table read
         missing columns as typed nulls, and Catalyst gets pushdown over
@@ -648,18 +652,36 @@ class DeltaTableReader:
         100 TB the difference is shuffling GBs vs the whole table, and AQE
         broadcasts the deleted-positions side when it fits). Partition
         columns re-attach via a broadcast (file -> values) map join: no
-        per-partition plan fan-out at any partition count."""
+        per-partition plan fan-out at any partition count.
+
+        ``keep_path=True`` appends the ``__delta_path`` (decoded fs path)
+        and ``__delta_pos`` (row position) identity keys to the output —
+        the mutation layer (store/delta_mutate.py) uses them to find
+        touched files and build deletion vectors."""
+        empty_schema = snap.schema
+        if keep_path:
+            empty_schema = StructType(
+                list(snap.schema.fields)
+                + [
+                    StructField("__delta_path", StringType(), True),
+                    StructField("__delta_pos", LongType(), True),
+                ]
+            )
         if not rels:
-            return self.spark.createDataFrame([], snap.schema)
+            return self.spark.createDataFrame([], empty_schema)
         plain = [r for r in rels if r not in snap.dvs]
         covered = [r for r in rels if r in snap.dvs]
         parts = []
         if plain:
-            parts.append(self._scan_subset(snap, plain, with_dvs=False))
+            parts.append(
+                self._scan_subset(snap, plain, with_dvs=False, keep_path=keep_path)
+            )
         if covered:
-            parts.append(self._scan_subset(snap, covered, with_dvs=True))
+            parts.append(
+                self._scan_subset(snap, covered, with_dvs=True, keep_path=keep_path)
+            )
         if not parts:
-            return self.spark.createDataFrame([], snap.schema)
+            return self.spark.createDataFrame([], empty_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -713,9 +735,13 @@ class DeltaTableReader:
         ]
 
     def _scan_subset(
-        self, snap: _Snapshot, rels: list[str], with_dvs: bool
+        self,
+        snap: _Snapshot,
+        rels: list[str],
+        with_dvs: bool,
+        keep_path: bool = False,
     ) -> DataFrame:
-        need_keys = with_dvs or bool(snap.partition_columns)
+        need_keys = with_dvs or bool(snap.partition_columns) or keep_path
         df, data_fields, part_fields = self._keyed_scan(
             snap, rels, keys=need_keys
         )
@@ -782,6 +808,8 @@ class DeltaTableReader:
             else:
                 ordered.append(data_cols[di])
                 di += 1
+        if keep_path:
+            ordered += [F.col("__delta_path"), F.col("__delta_pos")]
         return df.select(*ordered)
 
     def _anti_join_dvs(self, df: DataFrame, live_dvs: dict[str, dict]) -> DataFrame:

