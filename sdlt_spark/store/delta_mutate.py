@@ -50,9 +50,44 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from sdlt_spark.store.delta_read import DeltaTableReader
-from sdlt_spark.store.delta_write import DeltaLogWriter
+from sdlt_spark.store.delta_write import DeltaCommitConflictError, DeltaLogWriter
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Delta's optimistic concurrency, conservative flavor: every verb derives
+# its touched-file set and rewrite from ONE snapshot and commits with
+# expected_version = snapshot + 1. If any other writer committed first —
+# an append whose rows might match the predicate, a compaction that
+# rewrote a touched file, another mutation — the CAS loses and the WHOLE
+# operation recomputes against the fresh snapshot (never a blind
+# re-publish: two writers rewriting one file would otherwise duplicate
+# its rows, and a remove of an already-removed logical file would
+# resurrect the winner's output). Recompute-everything is strictly more
+# conservative than delta-spark's per-exception conflict matrix
+# (ConcurrentAppend / ConcurrentDeleteRead / ConcurrentDeleteDelete):
+# it serializes every interleaving it would reject, at the cost of
+# retrying some it would allow. Data files placed by a losing attempt
+# are removed immediately (vacuum's orphan sweep would also reclaim
+# them, but a retry loop shouldn't leak O(retries) copies).
+_MUTATION_RETRIES = 5
+
+
+def _mutate(spark, dest_path: str, attempt) -> int:
+    last: Exception | None = None
+    for _ in range(_MUTATION_RETRIES):
+        dest, reader, snap = _open(spark, dest_path)
+        writer = DeltaLogWriter(dest)
+        placed: list[str] = []
+        try:
+            return attempt(dest, reader, snap, writer, placed)
+        except DeltaCommitConflictError as exc:
+            last = exc
+            for rel in placed:
+                try:
+                    os.remove(os.path.join(dest, rel))
+                except OSError:
+                    pass
+    raise last
 
 
 def _open(spark, dest_path: str):
@@ -159,34 +194,38 @@ def delete_delta_export(
     positions as roaring deletion-vector sidecars — O(matched rows)
     written, zero data files rewritten; the right shape for point/GDPR
     deletes on a 100 TB table. Returns the committed version."""
-    dest, reader, snap = _open(spark, dest_path)
-    cond = F.expr(condition)
-    live = sorted(snap.files)
-    writer = DeltaLogWriter(dest)
-    params = {"predicate": condition}
-    if mode == "dv":
-        return _delete_dv(dest, reader, snap, writer, cond, params)
-    if mode != "cow":
+    if mode not in ("cow", "dv"):
         raise ValueError(f"mode={mode!r}; expected 'cow' or 'dv'")
-    keyed = reader._read_file_subset(snap, live, keep_path=True)
-    touched = _touched_rels(reader, snap, keyed.filter(cond))
-    if not touched:
-        return writer.commit(operation="DELETE", operation_params=params)
-    rows = reader._read_file_subset(snap, touched)  # DV-applied
-    survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
-    adds, stats = _write_data_files(
-        dest, survivors, snap.partition_columns, n_files=len(touched)
-    )
-    return writer.commit(
-        adds=adds,
-        removes=_removes(snap, touched),
-        stats_override=stats,
-        operation="DELETE",
-        operation_params=params,
-    )
+
+    def _attempt(dest, reader, snap, writer, placed):
+        cond = F.expr(condition)
+        params = {"predicate": condition}
+        if mode == "dv":
+            return _delete_dv(dest, reader, snap, writer, cond, params, placed)
+        live = sorted(snap.files)
+        keyed = reader._read_file_subset(snap, live, keep_path=True)
+        touched = _touched_rels(reader, snap, keyed.filter(cond))
+        if not touched:
+            return writer.commit(operation="DELETE", operation_params=params)
+        rows = reader._read_file_subset(snap, touched)  # DV-applied
+        survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+        adds, stats = _write_data_files(
+            dest, survivors, snap.partition_columns, n_files=len(touched)
+        )
+        placed.extend(rel for rel, _ in adds)
+        return writer.commit(
+            adds=adds,
+            removes=_removes(snap, touched),
+            stats_override=stats,
+            operation="DELETE",
+            operation_params=params,
+            expected_version=snap.version + 1,
+        )
+
+    return _mutate(spark, dest_path, _attempt)
 
 
-def _delete_dv(dest, reader, snap, writer, cond, params) -> int:
+def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
     """Merge-on-read DELETE: per touched file, union the newly matched
     positions with the file's prior DV (the scan already excludes
     prior-DV rows, so re-deleting is a no-op) and write ONE new roaring
@@ -231,6 +270,12 @@ def _delete_dv(dest, reader, snap, writer, cond, params) -> int:
         return writer.commit(operation="DELETE", operation_params=params)
     by_abs = {reader._fs_path(rel): rel for rel in snap.files}
     new_dvs = {by_abs[r["path"]]: json.loads(r["descriptor"]) for r in descs}
+    from sdlt_spark.store.delta_dv import dv_file_path
+
+    for desc in new_dvs.values():
+        abs_dv = dv_file_path(desc, dest)
+        if abs_dv:
+            placed.append(os.path.relpath(abs_dv, dest))
     touched = sorted(new_dvs)
     params = dict(params, deletionVectors="true")
     return writer.commit(
@@ -239,6 +284,7 @@ def _delete_dv(dest, reader, snap, writer, cond, params) -> int:
         dvs=new_dvs,
         operation="DELETE",
         operation_params=params,
+        expected_version=snap.version + 1,
     )
 
 
@@ -253,41 +299,45 @@ def update_delta_export(
     partitions — the rewrite regroups by the NEW values. Touched files'
     DVs fold in (the rewrite materializes them, delta-spark's UPDATE
     contract). Returns the committed version."""
-    dest, reader, snap = _open(spark, dest_path)
-    types = {f.name: f.dataType for f in snap.schema.fields}
-    for c in assignments:
-        if c not in types:
-            raise KeyError(f"unknown column {c!r}")
-    cond = F.expr(condition)
-    live = sorted(snap.files)
-    writer = DeltaLogWriter(dest)
-    params = {"predicate": condition}
-    keyed = reader._read_file_subset(snap, live, keep_path=True)
-    touched = _touched_rels(reader, snap, keyed.filter(cond))
-    if not touched:
-        return writer.commit(operation="UPDATE", operation_params=params)
-    rows = reader._read_file_subset(snap, touched)
-    safe = F.coalesce(cond, F.lit(False))
-    updated = rows.select(
-        *[
-            F.when(safe, F.expr(assignments[f.name]).cast(f.dataType))
-            .otherwise(F.col(f.name))
-            .alias(f.name)
-            if f.name in assignments
-            else F.col(f.name)
-            for f in snap.schema.fields
-        ]
-    )
-    adds, stats = _write_data_files(
-        dest, updated, snap.partition_columns, n_files=len(touched)
-    )
-    return writer.commit(
-        adds=adds,
-        removes=_removes(snap, touched),
-        stats_override=stats,
-        operation="UPDATE",
-        operation_params=params,
-    )
+
+    def _attempt(dest, reader, snap, writer, placed):
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        for c in assignments:
+            if c not in types:
+                raise KeyError(f"unknown column {c!r}")
+        cond = F.expr(condition)
+        live = sorted(snap.files)
+        params = {"predicate": condition}
+        keyed = reader._read_file_subset(snap, live, keep_path=True)
+        touched = _touched_rels(reader, snap, keyed.filter(cond))
+        if not touched:
+            return writer.commit(operation="UPDATE", operation_params=params)
+        rows = reader._read_file_subset(snap, touched)
+        safe = F.coalesce(cond, F.lit(False))
+        updated = rows.select(
+            *[
+                F.when(safe, F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+        adds, stats = _write_data_files(
+            dest, updated, snap.partition_columns, n_files=len(touched)
+        )
+        placed.extend(rel for rel, _ in adds)
+        return writer.commit(
+            adds=adds,
+            removes=_removes(snap, touched),
+            stats_override=stats,
+            operation="UPDATE",
+            operation_params=params,
+            expected_version=snap.version + 1,
+        )
+
+    return _mutate(spark, dest_path, _attempt)
 
 
 def merge_delta_export(
@@ -309,43 +359,47 @@ def merge_delta_export(
     semi-join (AQE broadcasts the source side when it fits), only those
     rewrite; unmatched source rows append. Returns the committed
     version."""
-    dest, reader, snap = _open(spark, dest_path)
-    tcols = [f.name for f in snap.schema.fields]
-    src = source.select(*tcols)  # errors if a target column is missing
-    live = sorted(snap.files)
-    writer = DeltaLogWriter(dest)
-    params = {
-        "predicate": " AND ".join(f"{k} = source.{k}" for k in on),
-        "clauses": "updateAll,insertAll"
-        + (",matchedDelete" if when_matched_delete else ""),
-    }
-    keyed = reader._read_file_subset(snap, live, keep_path=True)
-    touched = _touched_rels(
-        reader, snap, keyed.join(src.select(*on).distinct(), on, "left_semi")
-    )
-    incoming = src
-    if touched:
-        rows = reader._read_file_subset(snap, touched)
-        kept = rows.join(src.select(*on), on, "left_anti")
-        if when_matched_delete is not None:
-            del_cond = F.coalesce(F.expr(when_matched_delete), F.lit(False))
-            drop_keys = (
-                src.join(rows.select(*on).distinct(), on, "left_semi")
-                .filter(del_cond)
-                .select(*on)
-                .distinct()
-            )
-            incoming = src.join(drop_keys, on, "left_anti")
-        new_data = incoming.unionByName(kept)
-    else:
-        new_data = incoming
-    adds, stats = _write_data_files(
-        dest, new_data, snap.partition_columns, n_files=max(1, len(touched))
-    )
-    return writer.commit(
-        adds=adds,
-        removes=_removes(snap, touched),
-        stats_override=stats,
-        operation="MERGE",
-        operation_params=params,
-    )
+
+    def _attempt(dest, reader, snap, writer, placed):
+        tcols = [f.name for f in snap.schema.fields]
+        src = source.select(*tcols)  # errors if a target column is missing
+        live = sorted(snap.files)
+        params = {
+            "predicate": " AND ".join(f"{k} = source.{k}" for k in on),
+            "clauses": "updateAll,insertAll"
+            + (",matchedDelete" if when_matched_delete else ""),
+        }
+        keyed = reader._read_file_subset(snap, live, keep_path=True)
+        touched = _touched_rels(
+            reader, snap, keyed.join(src.select(*on).distinct(), on, "left_semi")
+        )
+        incoming = src
+        if touched:
+            rows = reader._read_file_subset(snap, touched)
+            kept = rows.join(src.select(*on), on, "left_anti")
+            if when_matched_delete is not None:
+                del_cond = F.coalesce(F.expr(when_matched_delete), F.lit(False))
+                drop_keys = (
+                    src.join(rows.select(*on).distinct(), on, "left_semi")
+                    .filter(del_cond)
+                    .select(*on)
+                    .distinct()
+                )
+                incoming = src.join(drop_keys, on, "left_anti")
+            new_data = incoming.unionByName(kept)
+        else:
+            new_data = incoming
+        adds, stats = _write_data_files(
+            dest, new_data, snap.partition_columns, n_files=max(1, len(touched))
+        )
+        placed.extend(rel for rel, _ in adds)
+        return writer.commit(
+            adds=adds,
+            removes=_removes(snap, touched),
+            stats_override=stats,
+            operation="MERGE",
+            operation_params=params,
+            expected_version=snap.version + 1,
+        )
+
+    return _mutate(spark, dest_path, _attempt)

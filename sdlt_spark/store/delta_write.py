@@ -31,6 +31,15 @@ import uuid
 _LOG = "_delta_log"
 
 
+class DeltaCommitConflictError(RuntimeError):
+    """A concurrent writer committed the version this commit expected —
+    the Delta analogue of :class:`sdlt_spark.store.vintage.
+    CommitConflictError`. Raised only when the caller passed
+    ``expected_version`` (i.e. opted into optimistic concurrency);
+    callers re-resolve the log, recompute against the new snapshot, and
+    retry."""
+
+
 class DeltaLogWriter:
     """Append spec-shaped commits to a ``_delta_log``. The caller supplies
     relative data-file paths it has already written under the table root."""
@@ -39,6 +48,10 @@ class DeltaLogWriter:
         self.path = os.path.abspath(path)
         self.log_dir = os.path.join(self.path, _LOG)
         os.makedirs(self.log_dir, exist_ok=True)
+
+    def latest_version(self) -> int:
+        """Current head version, -1 on an empty log."""
+        return self._next_version() - 1
 
     def _next_version(self) -> int:
         """Max over JSON commits AND checkpoint versions + 1 — a log whose
@@ -75,6 +88,7 @@ class DeltaLogWriter:
         data_change: bool = True,
         protocol: dict | None = None,
         operation_params: dict[str, str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -101,6 +115,16 @@ class DeltaLogWriter:
         already-known ``{"rows", "min", "max"}`` zone (the VintageTable
         stats shape) to avoid re-reading footers on export."""
         version = self._next_version()
+        if expected_version is not None and version != expected_version:
+            # Delta's optimistic concurrency: the caller derived this commit
+            # from the snapshot at expected_version - 1; another writer won
+            # the race, so publishing would be a lost update (e.g. both
+            # sides rewriting one file duplicates its rows). The caller
+            # must re-resolve the log and recompute.
+            raise DeltaCommitConflictError(
+                f"expected to commit version {expected_version} but the log "
+                f"is at {version - 1}: a concurrent writer committed first"
+            )
         ts = int(time.time() * 1000)
         actions: list[dict] = []
         if protocol is not None:
@@ -246,6 +270,11 @@ class DeltaLogWriter:
             os.link(tmp, final)
         except FileExistsError:
             os.remove(tmp)
+            if expected_version is not None:
+                raise DeltaCommitConflictError(
+                    f"version {version} was committed concurrently while "
+                    "this commit was being written"
+                ) from None
             raise
         os.remove(tmp)
         return version

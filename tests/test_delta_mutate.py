@@ -298,6 +298,121 @@ def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
         delete_delta_export(root, spark, "k = 1")
 
 
+def _all_logged_paths(root):
+    """Every data path any commit ever added (live or since removed)."""
+    import urllib.parse
+
+    log = os.path.join(root, "_delta_log")
+    paths = set()
+    for f in sorted(os.listdir(log)):
+        if not f.endswith(".json"):
+            continue
+        for line in open(os.path.join(log, f)):
+            a = json.loads(line)
+            if "add" in a:
+                paths.add(urllib.parse.unquote(a["add"]["path"]))
+    return paths
+
+
+def test_commit_expected_version_cas(tmp_path):
+    from sdlt_spark.store.delta_write import DeltaCommitConflictError
+
+    root = str(tmp_path / "cas")
+    w = DeltaLogWriter(root)
+    w.commit(schema_json=_SCHEMA, expected_version=0)
+    assert w.latest_version() == 0
+    with pytest.raises(DeltaCommitConflictError):
+        w.commit(expected_version=0)  # already taken
+    with pytest.raises(DeltaCommitConflictError):
+        w.commit(expected_version=5)  # the log is only at 0
+    assert w.commit(expected_version=1) == 1
+
+
+def test_concurrent_append_is_not_clobbered(spark, tmp_path, monkeypatch):
+    """Lost-update prevention: a writer appending matching rows between
+    our snapshot and our commit wins the version CAS; the DELETE must
+    recompute on the fresh snapshot (so the raced-in k=2 row dies too —
+    the serializable outcome), never blind-publish its stale rewrite."""
+    root = _table(spark, tmp_path, {"a": [1, 2, 3]})
+    real_commit = DeltaLogWriter.commit
+    state = {"raced": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if kwargs.get("expected_version") is not None and not state["raced"]:
+            state["raced"] = True
+            rel = "data/racer.parquet"
+            _write_part(spark, os.path.join(root, rel), [2, 20])
+            real_commit(DeltaLogWriter(root), adds=[(rel, {})])
+        return real_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DeltaLogWriter, "commit", racing_commit)
+    delete_delta_export(root, spark, "k = 2")
+    assert sorted(k for k, _ in _content(spark, root)) == [1, 3, 20]
+    # the losing attempt's rewrite files were cleaned up, not leaked
+    on_disk = set()
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(
+                    os.path.relpath(os.path.join(dirpath, f), root)
+                )
+    assert on_disk <= _all_logged_paths(root)
+
+
+def test_concurrent_dv_delete_retries_and_cleans_sidecars(
+    spark, tmp_path, monkeypatch
+):
+    root = _table(spark, tmp_path, {"a": [1, 2, 3, 4]})
+    real_commit = DeltaLogWriter.commit
+    state = {"raced": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if kwargs.get("expected_version") is not None and not state["raced"]:
+            state["raced"] = True
+            rel = "data/racer.parquet"
+            _write_part(spark, os.path.join(root, rel), [40, 41])
+            real_commit(DeltaLogWriter(root), adds=[(rel, {})])
+        return real_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DeltaLogWriter, "commit", racing_commit)
+    delete_delta_export(root, spark, "k % 2 = 0", mode="dv")
+    assert sorted(k for k, _ in _content(spark, root)) == [1, 3, 41]
+    # exactly the referenced DV sidecars remain — the losing attempt's
+    # vector files were removed with the retry
+    snap = DeltaTableReader(spark, root).snapshot()
+    from sdlt_spark.store.delta_dv import dv_file_path
+
+    referenced = {
+        os.path.relpath(p, root)
+        for p in (dv_file_path(d, root) for d in snap.dvs.values())
+        if p
+    }
+    on_disk = {
+        f for f in os.listdir(root) if f.startswith("deletion_vector")
+    }
+    assert on_disk == referenced and len(on_disk) == 2
+
+
+def test_conflict_retries_exhausted_raises(spark, tmp_path, monkeypatch):
+    from sdlt_spark.store.delta_write import DeltaCommitConflictError
+
+    root = _table(spark, tmp_path, {"a": [1, 2]})
+    real_commit = DeltaLogWriter.commit
+    n = {"i": 0}
+
+    def always_racing(self, *args, **kwargs):
+        if kwargs.get("expected_version") is not None:
+            n["i"] += 1
+            rel = f"data/racer{n['i']}.parquet"
+            _write_part(spark, os.path.join(root, rel), [100 + n["i"]])
+            real_commit(DeltaLogWriter(root), adds=[(rel, {})])
+        return real_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(DeltaLogWriter, "commit", always_racing)
+    with pytest.raises(DeltaCommitConflictError):
+        delete_delta_export(root, spark, "k = 1")
+
+
 def test_cow_delete_then_time_travel(spark, tmp_path):
     # the pre-delete snapshot must still read bit-for-bit (removes are
     # tombstones, not file deletion)
