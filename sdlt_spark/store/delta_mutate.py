@@ -34,9 +34,12 @@ fall back to interpreting as row-level inserts+deletes. An UPDATE
 therefore surfaces in a change feed as delete+insert rather than
 ``update_preimage``/``update_postimage``.
 
-Column-mapped tables are refused loudly (rewritten files would need
-field-id/physical-name round-tripping; the read path supports them, the
-mutation path does not yet).
+Column-mapped tables (``name`` and ``id`` modes) mutate too: rewritten
+files are written under each column's PHYSICAL name with its parquet
+field id attached (top-level via the alias metadata Spark's parquet
+writer honors, nested via the physical cast type), so both this repo's
+reader and stock delta-spark keep resolving them; predicates,
+assignments and constraints stay in LOGICAL names throughout.
 """
 
 from __future__ import annotations
@@ -94,12 +97,75 @@ def _open(spark, dest_path: str):
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(spark, dest)
     snap = reader.snapshot()
-    if snap.mapping:
-        raise ValueError(
-            "mutations on column-mapped Delta tables are not supported "
-            "(rewritten files would need field-id round-tripping)"
-        )
     return dest, reader, snap
+
+
+def _to_physical(df: DataFrame, snap):
+    """Rename a LOGICAL-schema rewrite result to the table's PHYSICAL
+    column names for writing, attaching each field's parquet field id
+    (``delta.columnMapping.id``) — top-level ids ride the alias metadata
+    (which Spark's parquet writer emits when
+    ``spark.sql.parquet.fieldId.write.enabled`` is on), nested ids ride
+    the physical cast type. Returns (df, physical partition columns);
+    identity on unmapped tables."""
+    from sdlt_spark.store.delta_read import _field_id_meta, _physical_type
+
+    if not snap.mapping:
+        return df, list(snap.partition_columns)
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    cols = []
+    for f in snap.schema.fields:
+        c = F.col(f.name).cast(_physical_type(f.dataType, with_ids=True))
+        meta = _field_id_meta(f, with_ids=True)
+        phys = snap.physical_name(f.name)
+        cols.append(c.alias(phys, metadata=meta) if meta else c.alias(phys))
+    return df.select(*cols), [
+        snap.physical_name(c) for c in snap.partition_columns
+    ]
+
+
+def _enforce_constraints(df: DataFrame, snap) -> None:
+    """delta-spark's write-side invariant enforcement: rows an UPDATE or
+    MERGE is about to publish must satisfy the table's CHECK constraints
+    (``delta.constraints.*`` in the metaData configuration) and NOT NULL
+    columns (``nullable: false`` in the schema) — a mutation that could
+    sneak violating rows past them would break every downstream reader
+    relying on the invariant. ONE aggregation pass counts violations of
+    every constraint simultaneously (no per-constraint job); tables
+    without constraints skip the scan entirely."""
+    config = (snap.metadata or {}).get("configuration") or {}
+    labeled = [
+        (
+            f"CHECK constraint {k[len('delta.constraints.'):]} ({v})",
+            ~F.coalesce(F.expr(v).cast("boolean"), F.lit(True)),
+        )
+        for k, v in sorted(config.items())
+        if k.startswith("delta.constraints.")
+    ] + [
+        (
+            f"NOT NULL constraint on column {f.name}",
+            F.col(f.name).isNull(),
+        )
+        for f in snap.schema.fields
+        if not f.nullable
+    ]
+    if not labeled:
+        return
+    counts = df.agg(
+        *[
+            F.sum(F.when(bad, 1).otherwise(0)).alias(f"c{i}")
+            for i, (_label, bad) in enumerate(labeled)
+        ]
+    ).first()
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    for i, (label, _bad) in enumerate(labeled):
+        n = counts[f"c{i}"]
+        if n:
+            raise ConstraintViolationError(
+                f"{label} violated by {n} row(s) this mutation would "
+                "write; aborted before commit"
+            )
 
 
 def _touched_rels(reader, snap, matched: DataFrame) -> list[str]:
@@ -209,8 +275,9 @@ def delete_delta_export(
             return writer.commit(operation="DELETE", operation_params=params)
         rows = reader._read_file_subset(snap, touched)  # DV-applied
         survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+        out, part_cols = _to_physical(survivors, snap)
         adds, stats = _write_data_files(
-            dest, survivors, snap.partition_columns, n_files=len(touched)
+            dest, out, part_cols, n_files=len(touched)
         )
         placed.extend(rel for rel, _ in adds)
         return writer.commit(
@@ -278,12 +345,18 @@ def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
             placed.append(os.path.relpath(abs_dv, dest))
     touched = sorted(new_dvs)
     params = dict(params, deletionVectors="true")
+    from sdlt_spark.store.delta_write import upgraded_dv_protocol
+
     return writer.commit(
         adds=[(rel, snap.files[rel] or {}) for rel in touched],
         removes=_removes(snap, touched),
         dvs=new_dvs,
         operation="DELETE",
         operation_params=params,
+        # first DV on the table upgrades the protocol to (3,7) WITH the
+        # legacy-implied features carried forward (a bare deletionVectors
+        # list would make stock readers drop e.g. columnMapping)
+        protocol=upgraded_dv_protocol(snap.protocol),
         expected_version=snap.version + 1,
     )
 
@@ -324,8 +397,10 @@ def update_delta_export(
                 for f in snap.schema.fields
             ]
         )
+        _enforce_constraints(updated, snap)
+        out, part_cols = _to_physical(updated, snap)
         adds, stats = _write_data_files(
-            dest, updated, snap.partition_columns, n_files=len(touched)
+            dest, out, part_cols, n_files=len(touched)
         )
         placed.extend(rel for rel, _ in adds)
         return writer.commit(
@@ -389,8 +464,10 @@ def merge_delta_export(
             new_data = incoming.unionByName(kept)
         else:
             new_data = incoming
+        _enforce_constraints(new_data, snap)
+        out, part_cols = _to_physical(new_data, snap)
         adds, stats = _write_data_files(
-            dest, new_data, snap.partition_columns, n_files=max(1, len(touched))
+            dest, out, part_cols, n_files=max(1, len(touched))
         )
         placed.extend(rel for rel, _ in adds)
         return writer.commit(

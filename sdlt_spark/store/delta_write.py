@@ -40,6 +40,57 @@ class DeltaCommitConflictError(RuntimeError):
     retry."""
 
 
+# PROTOCOL.md's legacy-version -> implicit-feature mapping: a table at
+# e.g. (2, 5) implicitly has columnMapping; upgrading it to table
+# features (3, 7) MUST enumerate those implicit features or stock
+# readers stop applying them (a (3,7) protocol listing only
+# deletionVectors on a column-mapped table would make delta-spark
+# read physical column names as data).
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def upgraded_dv_protocol(existing: dict | None) -> dict:
+    """The protocol action for a commit that introduces deletion vectors
+    on a table: (3, 7) naming deletionVectors PLUS every feature the
+    existing protocol implied — explicit readerFeatures/writerFeatures
+    carried verbatim, legacy versions translated per PROTOCOL.md. When
+    the existing protocol already names deletionVectors it is returned
+    unchanged (re-emitting an identical protocol action is spec-legal
+    and idempotent)."""
+    existing = existing or {}
+    r = existing.get("minReaderVersion", 1)
+    w = existing.get("minWriterVersion", 1)
+    rf = set(existing.get("readerFeatures") or [])
+    wf = set(existing.get("writerFeatures") or [])
+    if r >= 3 and "deletionVectors" in rf:
+        return dict(existing)
+    if r < 3:
+        for lvl, feats in _LEGACY_READER_FEATURES.items():
+            if r >= lvl:
+                rf.update(feats)
+    if w < 7:
+        for lvl, feats in _LEGACY_WRITER_FEATURES.items():
+            if w >= lvl:
+                wf.update(feats)
+    rf.add("deletionVectors")
+    # every reader feature must also appear in writerFeatures (spec)
+    wf.add("deletionVectors")
+    wf.update(rf)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
 class DeltaLogWriter:
     """Append spec-shaped commits to a ``_delta_log``. The caller supplies
     relative data-file paths it has already written under the table root."""

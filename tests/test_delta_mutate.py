@@ -262,8 +262,14 @@ def test_merge_no_matches_appends_only(spark, tmp_path):
     assert not [a for a in acts if "remove" in a]
 
 
-def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
-    root = str(tmp_path / "cm")
+def _mapped_table(spark, tmp_path, mode):
+    """Column-mapped fixture: logical (k, v) stored physically as
+    (col-k, col-v) with field ids 1/2 — the layout delta-spark produces
+    under ``delta.columnMapping.mode`` name/id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / f"map_{mode}")
     schema = json.dumps(
         {
             "type": "struct",
@@ -274,28 +280,148 @@ def test_mutations_refuse_column_mapped_tables(spark, tmp_path):
                     "nullable": True,
                     "metadata": {
                         "delta.columnMapping.id": 1,
-                        "delta.columnMapping.physicalName": "col-abc",
+                        "delta.columnMapping.physicalName": "col-k",
                     },
-                }
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-v",
+                    },
+                },
+            ],
+        }
+    )
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pa_schema = pa.schema(
+        [
+            pa.field(
+                "col-k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}
+            ),
+            pa.field(
+                "col-v", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+            ),
+        ]
+    )
+    for fname, rows in (("a", [1, 2, 3]), ("b", [10, 11])):
+        pq.write_table(
+            pa.table(
+                [
+                    pa.array(rows, pa.int64()),
+                    pa.array([f"v{r}" for r in rows]),
+                ],
+                schema=pa_schema,
+            ),
+            os.path.join(root, f"data/{fname}.parquet"),
+        )
+    DeltaLogWriter(root).commit(
+        adds=[("data/a.parquet", {}), ("data/b.parquet", {})],
+        schema_json=schema,
+        configuration={"delta.columnMapping.mode": mode},
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+    )
+    return root
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_mutations_on_column_mapped_table(spark, tmp_path, mode):
+    import pyarrow.parquet as pq
+
+    root = _mapped_table(spark, tmp_path, mode)
+    ino_b = _inode(root, "data/b.parquet")
+    delete_delta_export(root, spark, "k = 2")
+    assert _content(spark, root) == [
+        (1, "v1"),
+        (3, "v3"),
+        (10, "v10"),
+        (11, "v11"),
+    ]
+    assert _inode(root, "data/b.parquet") == ino_b
+    # the rewritten file is PHYSICAL: col-k/col-v names, field ids 1/2
+    snap = DeltaTableReader(spark, root).snapshot()
+    new = [rel for rel in snap.files if rel.startswith("data/part-")]
+    assert len(new) == 1
+    sch = pq.read_schema(os.path.join(root, new[0]))
+    assert sch.names == ["col-k", "col-v"]
+    assert [f.metadata[b"PARQUET:field_id"] for f in sch] == [b"1", b"2"]
+    # UPDATE and MERGE keep speaking logical names over the same table
+    update_delta_export(root, spark, "k = 1", {"v": "upper(v)"})
+    src = spark.createDataFrame([(11, "X11"), (99, "v99")], "k long, v string")
+    merge_delta_export(root, spark, src, ["k"])
+    assert _content(spark, root) == [
+        (1, "V1"),
+        (3, "v3"),
+        (10, "v10"),
+        (11, "X11"),
+        (99, "v99"),
+    ]
+
+
+def test_dv_delete_on_column_mapped_table(spark, tmp_path):
+    root = _mapped_table(spark, tmp_path, "id")
+    ino_a = _inode(root, "data/a.parquet")
+    delete_delta_export(root, spark, "k % 2 = 1", mode="dv")
+    assert _content(spark, root) == [(2, "v2"), (10, "v10")]
+    assert _inode(root, "data/a.parquet") == ino_a  # merge-on-read
+    # the (3,7) upgrade must carry the legacy-implied columnMapping
+    # feature forward — a bare [deletionVectors] readerFeatures list
+    # would make stock v3 readers stop applying the mapping
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    ]
+    proto = [a["protocol"] for a in acts if "protocol" in a][0]
+    assert proto["minReaderVersion"] == 3
+    assert set(proto["readerFeatures"]) >= {"columnMapping", "deletionVectors"}
+    assert set(proto["writerFeatures"]) >= {"columnMapping", "deletionVectors"}
+
+
+def _constrained_table(spark, tmp_path):
+    root = str(tmp_path / "ct")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
             ],
         }
     )
     w = DeltaLogWriter(root)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    pq.write_table(
-        pa.table({"col-abc": pa.array([1], pa.int64())}),
-        os.path.join(root, "data/a.parquet"),
-    )
+    _write_part(spark, os.path.join(root, "data/a.parquet"), [1, 2, 3])
     w.commit(
         adds=[("data/a.parquet", {})],
         schema_json=schema,
-        configuration={"delta.columnMapping.mode": "name"},
+        configuration={"delta.constraints.k_pos": "k > 0"},
     )
-    with pytest.raises(ValueError, match="column-mapped"):
-        delete_delta_export(root, spark, "k = 1")
+    return root
+
+
+def test_update_violating_check_constraint_aborts(spark, tmp_path):
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    root = _constrained_table(spark, tmp_path)
+    with pytest.raises(ConstraintViolationError, match="k_pos"):
+        update_delta_export(root, spark, "k = 2", {"k": "-5"})
+    # aborted BEFORE commit: no new version, no rows changed
+    assert DeltaTableReader(spark, root).latest_version() == 0
+    assert sorted(k for k, _ in _content(spark, root)) == [1, 2, 3]
+    # a conforming update still goes through
+    update_delta_export(root, spark, "k = 2", {"k": "20"})
+    assert sorted(k for k, _ in _content(spark, root)) == [1, 3, 20]
+
+
+def test_merge_null_into_not_null_column_aborts(spark, tmp_path):
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    root = _constrained_table(spark, tmp_path)
+    src = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(ConstraintViolationError, match="NOT NULL"):
+        merge_delta_export(root, spark, src, ["k"])
+    assert DeltaTableReader(spark, root).latest_version() == 0
 
 
 def _all_logged_paths(root):
