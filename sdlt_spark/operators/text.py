@@ -671,3 +671,61 @@ def bpe_apply(
         .mapInPandas(_encode, out_schema)
         .withColumnRenamed("id", id_col)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style statistical quality score: per-document mean negative
+    log probability of each token given its predecessor, under an
+    add-alpha-smoothed bigram model trained on the corpus itself
+    (Wenzek et al., "CCNet", LREC'20 trains a KenLM 5-gram; the bigram
+    form keeps the model a pure relational artifact). High score = rare
+    transitions = boilerplate/noise; the standard pre-training filter is
+    a percentile cut on this column.
+
+    P(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V), V = corpus
+    vocabulary size. c(w1) is the CONTEXT count (occurrences of w1 with a
+    successor), so probabilities sum to 1 over the vocabulary per context.
+
+    Scale: bigram extraction is map-only (zip_with over two array slices —
+    no posexplode + window shuffle for adjacency). Two histogram
+    aggregations shuffle compact (token-pair, count) rows, then join back
+    onto the exploded bigrams — AQE broadcasts them while the vocabulary
+    is small and falls back to shuffle joins when it isn't. The vocabulary
+    size is a 1-row broadcast. Documents with < 2 tokens have no bigram
+    transitions and are absent from the output (consistent with the
+    DuckDB oracle's QUALIFY filter)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), pair_len),
+        F.slice(toks, F.lit(2), pair_len),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    vocab = (
+        df.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("vocab"))
+    )
+    p = (F.col("cnt2") + F.lit(alpha)) / (
+        F.col("cnt1") + F.lit(alpha) * F.col("vocab")
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log(p)), 3).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

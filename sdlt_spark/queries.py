@@ -5555,6 +5555,42 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, u.i, t[u.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    bg AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM toks QUALIFY w2 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS cnt1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS vocab FROM toks)
+    SELECT doc_id,
+           round(avg(-ln((cnt2 + 0.5) / (cnt1 + 0.5 * vocab))), 3)
+             AS avg_neg_logprob,
+           count(*) AS n_bigrams
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score (the step up from
+    unigram_logprob): mean -ln P(w_i | w_{i-1}) per document under an
+    add-0.5-smoothed bigram model trained on the corpus itself. Bigram
+    extraction is map-only (zip_with over two array slices — adjacency
+    without a posexplode + window shuffle); the two histogram aggs shuffle
+    compact (pair, count) rows; the vocab size is a 1-row broadcast."""
+    from sdlt_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 session-3: embedding clustering (operators/clustering.py)
 # ---------------------------------------------------------------------------

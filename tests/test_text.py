@@ -208,3 +208,26 @@ def test_bpe_apply_replays_induction_and_is_lossless(spark):
     # list-form merges accepted too
     got2 = {r["doc_id"]: r for r in bpe_apply(docs, m).collect()}
     assert got2[1]["bpe_tokens"] == got[1]["bpe_tokens"]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus: "a b a b" and "a c". vocab = {a,b,c}, V=3, alpha=0.5.
+    # context counts c1: a->3 (a b twice, a c once), b->1 (b a once)
+    # bigram counts c2: (a,b)=2, (b,a)=1, (a,c)=1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.bigram_logprob(docs).collect()}
+    # docs with < 2 tokens (or NULL text) have no transitions -> absent
+    assert set(got) == {1, 2}
+    p_ab = (2 + 0.5) / (3 + 0.5 * 4)  # vocab = {a,b,c,solo} -> V=4
+    p_ba = (1 + 0.5) / (1 + 0.5 * 4)
+    p_ac = (1 + 0.5) / (3 + 0.5 * 4)
+    exp1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp2 = -math.log(p_ac)
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    assert abs(got[1]["avg_neg_logprob"] - round(exp1, 3)) < 1e-9
+    assert abs(got[2]["avg_neg_logprob"] - round(exp2, 3)) < 1e-9
