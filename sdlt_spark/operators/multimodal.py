@@ -337,3 +337,128 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_no", "frame"),
     )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over decoded image payloads —
+    the standard near-duplicate-image fingerprint (Krawetz's
+    "Kind of Like That" gradient hash): grayscale, block-mean downsample
+    to a 9x8 grid, then one bit per horizontally adjacent cell pair
+    (brighter-to-the-right = 1), 8 bits x 8 rows = 64 bits.
+
+    The 64-bit hash is emitted as two non-negative 32-bit halves
+    (``dhash_hi`` = rows 0-3 big-endian, ``dhash_lo`` = rows 4-7) so both
+    engines and the driver's canonicalizer stay in signed-int64 range.
+    Decode/size failures yield null hashes + ``decode_error`` (a corrupt
+    image in a 100 TB corpus must not kill the job).
+
+    Scale: one Arrow-batched mapInPandas stage — per-batch Python, dense
+    numpy pooling, partition-local, no shuffle. Pair discovery happens
+    downstream in :func:`dhash_neardup` via banded equi-joins; the hash
+    itself is the only per-image state (16 bytes), so the shuffle key for
+    a 100 TB image corpus is 60k x smaller than the payloads."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash_hi", T.LongType(), True),
+            T.StructField("dhash_lo", T.LongType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+    GW, GH = 9, 8  # dHash grid: 9 cols -> 8 comparisons, 8 rows
+
+    def _block_mean(gray: "np.ndarray", gh: int, gw: int) -> "np.ndarray":
+        h, w = gray.shape
+        re = (np.arange(gh + 1) * h) // gh
+        ce = (np.arange(gw + 1) * w) // gw
+        rows = np.add.reduceat(gray, re[:-1], axis=0)
+        cells = np.add.reduceat(rows, ce[:-1], axis=1)
+        area = np.outer(np.diff(re), np.diff(ce))
+        return cells / area
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdlt_spark.operators.imagecodec import decode
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in ("media_id", "dhash_hi", "dhash_lo", "decode_error")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    w, h, c, px = decode(bytes(payload))
+                    if w < GW or h < GH:
+                        raise ValueError(f"image {w}x{h} smaller than dHash grid")
+                    gray = px.astype(np.float64).mean(axis=2)
+                    g = _block_mean(gray, GH, GW)
+                    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64)
+                    weights = np.uint64(1) << np.arange(7, -1, -1, dtype=np.uint64)
+                    rb = bits @ weights  # one byte per row, MSB = leftmost pair
+                    shifts = np.uint64(1) << np.array([24, 16, 8, 0], dtype=np.uint64)
+                    rows["dhash_hi"].append(int(rb[:4] @ shifts))
+                    rows["dhash_lo"].append(int(rb[4:] @ shifts))
+                    rows["decode_error"].append(None)
+                except Exception as exc:  # noqa: BLE001 — error row, not a dead job
+                    rows["dhash_hi"].append(None)
+                    rows["dhash_lo"].append(None)
+                    rows["decode_error"].append(str(exc))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(_hash, out_schema)
+
+
+def dhash_neardup(media: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance — the image
+    twin of ``operators/dedup.simhash_neardup``. Candidates come from a
+    banded equi-join on the 8 per-row hash bytes (pigeonhole: two hashes
+    within hamming distance <= 7 differ in at most 7 of the 8 row bytes,
+    so they MUST agree on at least one — recall is guaranteed, never
+    all-pairs), then verified with ``bit_count`` over the XOR of the
+    32-bit halves. Everything after the decode UDF is JVM expressions:
+    byte extraction is shifts+masks, the band join shuffles on the
+    compact (band_idx, byte) key, verification is codegen'd popcount.
+
+    ``max_hamming`` must stay < 8 for the pigeonhole guarantee (8 bands)."""
+    if not 0 <= max_hamming < 8:
+        raise ValueError("max_hamming must be in [0, 8) for 8-band pigeonhole recall")
+    h = image_dhash(media).filter(F.col("decode_error").isNull())
+    bands = F.array(
+        *[F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(255)) for s in (24, 16, 8, 0)],
+        *[F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(255)) for s in (24, 16, 8, 0)],
+    )
+    e = h.select(
+        "media_id", "dhash_hi", "dhash_lo", F.posexplode(bands).alias("band", "byte")
+    )
+    a = e.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        "band",
+        "byte",
+    )
+    b = e.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        "band",
+        "byte",
+    )
+    cand = (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -6539,3 +6539,130 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("distinct_users"),
     )
     return per_rows.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Round-7: perceptual image hashing (operators/multimodal.image_dhash)
+# ---------------------------------------------------------------------------
+# Fixture pixels are a closed-form function of doc_id: pixel (r, c, ch) of a
+# 9x8 BMP is 8 * bit_{(c+r) % 9}(doc_id) + ch, so grayscale(r, c) =
+# 8 * bit + 1 and every dHash comparison bit reduces to the doc_id bit
+# transition t_j = [bit_{(j+1)%9} = 1 AND bit_j = 0] at j = (c+r) % 9 —
+# SQL-computable exactly. A hasher that mixed up grid orientation, bit
+# order within a row byte, or row-to-half packing hash-mismatches.
+
+
+def _dhash_t_sql(j: int) -> str:
+    jn = (j + 1) % 9
+    return (
+        f"(CASE WHEN ((doc_id >> {jn}) & 1) = 1 "
+        f"AND ((doc_id >> {j}) & 1) = 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _dhash_rowbyte_sql(r: int) -> str:
+    return " + ".join(
+        f"({_dhash_t_sql((c + r) % 9)} * {1 << (7 - c)})" for c in range(8)
+    )
+
+
+# CAST each row byte to BIGINT before the shift-multiply: DuckDB folds the
+# CASE sums as INT32 and 128 * 2^24 overflows otherwise
+_DHASH_HI_SQL = " + ".join(
+    f"(CAST(({_dhash_rowbyte_sql(r)}) AS BIGINT) * {1 << (8 * (3 - r))})"
+    for r in range(4)
+)
+_DHASH_LO_SQL = " + ".join(
+    f"(CAST(({_dhash_rowbyte_sql(r)}) AS BIGINT) * {1 << (8 * (7 - r))})"
+    for r in range(4, 8)
+)
+
+
+def _dhash_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9x8 BMP per document with the closed-form pixel formula above."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import pandas as pd
+
+        from sdlt_spark.operators.imagecodec import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r, c, ch = np.meshgrid(
+                    np.arange(8), np.arange(9), np.arange(3), indexing="ij"
+                )
+                bit = (did >> ((c + r) % 9)) & 1
+                payloads.append(encode_bmp((8 * bit + ch).astype(np.uint8)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _encode,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+@_q(
+    "image_dhash",
+    f"SELECT doc_id AS media_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS dhash_hi, "
+    f"CAST({_DHASH_LO_SQL} AS BIGINT) AS dhash_lo FROM documents",
+)
+def image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension: perceptual difference hash over REAL decoded BMPs —
+    grayscale, 9x8 block-mean grid, brighter-to-the-right bits, packed as
+    two 32-bit halves. One Arrow-batched map stage; 16 bytes of state per
+    image regardless of payload size."""
+    media = _dhash_fixture_media(spark, sf_dir)
+    return _mm.image_dhash(media).select("media_id", "dhash_hi", "dhash_lo")
+
+
+@_q(
+    "image_neardup_dhash",
+    f"""
+    WITH h AS (
+      SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
+             CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
+           ((a.hi >> 24) & 255) = ((b.hi >> 24) & 255)
+        OR ((a.hi >> 16) & 255) = ((b.hi >> 16) & 255)
+        OR ((a.hi >> 8) & 255) = ((b.hi >> 8) & 255)
+        OR (a.hi & 255) = (b.hi & 255)
+        OR ((a.lo >> 24) & 255) = ((b.lo >> 24) & 255)
+        OR ((a.lo >> 16) & 255) = ((b.lo >> 16) & 255)
+        OR ((a.lo >> 8) & 255) = ((b.lo >> 8) & 255)
+        OR (a.lo & 255) = (b.lo & 255))
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 7
+    """,
+)
+def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance: banded
+    equi-join on the 8 per-row hash bytes (pigeonhole recall guarantee for
+    hamming <= 7 — never all-pairs), codegen'd popcount verification. The
+    oracle's OR-join enumerates the same candidate set relationally; both
+    sides emit identical verified pairs. On the fixture, pairs at hamming 0
+    (same 9-bit transition vector) AND hamming 7 (one flipped transition,
+    caught through the one unaffected row byte) both occur, so the verify
+    filter is genuinely exercised."""
+    media = _dhash_fixture_media(spark, sf_dir)
+    return _mm.dhash_neardup(media, max_hamming=7)

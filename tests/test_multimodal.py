@@ -267,3 +267,78 @@ def test_resample_audio_decimates_and_round_trips(spark):
     rate2, _, got2 = ac.decode_wav(bytes(out[2]["payload"]))
     assert rate2 == 4000 and got2[:, 0].tolist() == [1 << 20, 3 << 20]
     assert out[3]["payload"] is None and "RIFF" in out[3]["resample_error"]
+
+
+def _bmp_media(spark, arrays):
+    """(media_id, payload) DataFrame from a list of HxWx3 uint8 arrays."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sdlt_spark.operators.imagecodec import encode_bmp
+
+    rows = [(i, bytearray(encode_bmp(a)) if a is not None else None)
+            for i, a in enumerate(arrays)]
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def test_image_dhash_pooling_invariance(spark):
+    """A 2x nearest-upscaled image block-pools back to the same grid, so its
+    dHash must equal the original's; bit/byte packing is pinned by hand."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)  # 16x18, exact 2x2 blocks
+    out = {r["media_id"]: r for r in
+           mm.image_dhash(_bmp_media(spark, [base, up])).collect()}
+    assert out[0]["decode_error"] is None and out[1]["decode_error"] is None
+    assert (out[0]["dhash_hi"], out[0]["dhash_lo"]) == (
+        out[1]["dhash_hi"], out[1]["dhash_lo"])
+    # hand-pack the expected hash from the grayscale means
+    g = base.astype(float).mean(axis=2)
+    bits = (g[:, 1:] > g[:, :-1]).astype(int)
+    rb = [int("".join(map(str, row)), 2) for row in bits]
+    hi = (rb[0] << 24) | (rb[1] << 16) | (rb[2] << 8) | rb[3]
+    lo = (rb[4] << 24) | (rb[5] << 16) | (rb[6] << 8) | rb[7]
+    assert (out[0]["dhash_hi"], out[0]["dhash_lo"]) == (hi, lo)
+    assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_image_dhash_error_rows(spark):
+    import numpy as np
+
+    too_small = np.zeros((4, 4, 3), dtype=np.uint8)
+    media = _bmp_media(spark, [too_small, None])
+    corrupt = spark.createDataFrame(
+        [(2, bytearray(b"JFIF not a bmp"))], media.schema)
+    out = {r["media_id"]: r for r in
+           mm.image_dhash(media.unionByName(corrupt)).collect()}
+    assert out[0]["dhash_hi"] is None and "smaller than" in out[0]["decode_error"]
+    assert out[1]["dhash_hi"] is None and out[1]["decode_error"] is not None
+    assert out[2]["dhash_hi"] is None and out[2]["decode_error"] is not None
+
+
+def test_dhash_neardup_planted_pair(spark):
+    """A copy perturbed inside one grid row flips <= 8 bits -> found; an
+    independent random image is far in hamming -> absent."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3, 4, :] = 255 - near[3, 4, :]  # one cell of one row: <= 2 bits flip
+    far = rng.randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             mm.dhash_neardup(_bmp_media(spark, [base, near, far]),
+                              max_hamming=7).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    with pytest.raises(ValueError):
+        mm.dhash_neardup(_bmp_media(spark, [base]), max_hamming=8)
