@@ -6666,3 +6666,90 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is genuinely exercised."""
     media = _dhash_fixture_media(spark, sf_dir)
     return _mm.dhash_neardup(media, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# Round-7: Delta Row Tracking (PROTOCOL.md "Row Tracking")
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "delta_row_tracking",
+    # v0 = even orderkeys sorted (ids 0..n_even-1), v1 = odd sorted
+    # (ids n_even..): fresh row id = baseRowId + position in file, and the
+    # file order is pinned by the sortWithinPartitions below — so the ids
+    # and the per-commit default row commit versions fold analytically
+    """
+    WITH e AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    o AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    n AS (SELECT count(*) AS n_even FROM e)
+    SELECT o_orderkey, CAST(rid AS BIGINT) AS row_id,
+           CAST(0 AS BIGINT) AS row_commit_version FROM e
+    UNION ALL
+    SELECT o_orderkey, CAST(n_even + rid AS BIGINT) AS row_id,
+           CAST(1 AS BIGINT) AS row_commit_version FROM o, n
+    """,
+)
+def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Row Tracking end-to-end: two commits append disjoint fresh
+    row-id ranges (baseRowId on each add, rowIdHighWaterMark in the
+    delta.rowTracking domainMetadata, writer protocol v7 naming
+    rowTracking+domainMetadata), then ``read_with_row_ids`` surfaces
+    row_id = baseRowId + ``_metadata.row_index`` via ONE broadcast
+    (file -> base) map join and row_commit_version from each add's
+    defaultRowCommitVersion. The oracle recomputes both analytically from
+    the pinned file sort order."""
+    import os as _os
+    import tempfile
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        allocate_base_row_ids,
+        row_tracking_protocol,
+    )
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_rowtrack_") + "/orders"
+    proj = _t(spark, sf_dir, "orders").select("o_orderkey")
+
+    def _write(sub: str, frame: DataFrame) -> list[str]:
+        abs_dir = _os.path.join(root, sub)
+        frame.repartition(1).sortWithinPartitions("o_orderkey").write.mode(
+            "errorifexists"
+        ).parquet(abs_dir)
+        return [
+            f"{sub}/{f}"
+            for f in sorted(_os.listdir(abs_dir))
+            if f.endswith(".parquet")
+        ]
+
+    evens = _write("c0", proj.filter(F.col("o_orderkey") % 2 == 0))
+    odds = _write("c1", proj.filter(F.col("o_orderkey") % 2 == 1))
+    w = DeltaLogWriter(root)
+    base0, hwm0 = allocate_base_row_ids(root, evens, prior_hwm=-1)
+    w.commit(
+        adds=[(f, {}) for f in evens],
+        schema_json=proj.schema.json(),
+        protocol=row_tracking_protocol(),
+        base_row_ids=base0,
+        row_id_high_water_mark=hwm0,
+    )
+    reader = DeltaTableReader(spark, root)
+    base1, hwm1 = allocate_base_row_ids(root, odds)
+    assert base1[odds[0]] == hwm0 + 1, (base1, hwm0)
+    w.commit(
+        adds=[(f, {}) for f in odds],
+        base_row_ids=base1,
+        row_id_high_water_mark=hwm1,
+    )
+    return reader.read_with_row_ids().select(
+        "o_orderkey", "row_id", "row_commit_version"
+    )

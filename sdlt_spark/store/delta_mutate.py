@@ -100,7 +100,71 @@ def _open(spark, dest_path: str):
     return dest, reader, snap
 
 
-def _to_physical(df: DataFrame, snap):
+def _row_tracking(snap):
+    """``(mat_rid, mat_rcv, needs_config)`` when the table has Row
+    Tracking enabled, else None. ``needs_config`` is True when the
+    materialized column names are not yet in the table configuration (a
+    fresh delta-spark table before its first rewrite) — the mutation's
+    commit then declares them, exactly as delta-spark does on first
+    materialization. A rewrite that ignored tracking would silently
+    re-number every surviving row."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        MATERIALIZED_ROW_COMMIT_COL,
+        MATERIALIZED_ROW_ID_COL,
+    )
+
+    cfg = snap.metadata.get("configuration") or {}
+    wf = set(snap.protocol.get("writerFeatures") or [])
+    if cfg.get("delta.enableRowTracking") != "true" and "rowTracking" not in wf:
+        return None
+    mat_rid, mat_rcv = DeltaTableReader._row_tracking_cols(snap)
+    needs_config = not (mat_rid and mat_rcv)
+    return (
+        mat_rid or MATERIALIZED_ROW_ID_COL,
+        mat_rcv or MATERIALIZED_ROW_COMMIT_COL,
+        needs_config,
+    )
+
+
+def _tracked_read(reader, snap, rels):
+    """Touched-file read carrying row_id / row_commit_version (plus the
+    __delta_path/__delta_pos keys, dropped by the caller)."""
+    extras = [c for c in reader._row_tracking_cols(snap) if c]
+    df = reader._read_file_subset(
+        snap, rels, keep_path=True, extra_physical=extras
+    )
+    df = reader._attach_row_ids(snap, df, rels)
+    return df.drop("__delta_path", "__delta_pos", *extras)
+
+
+def _tracking_commit_kwargs(dest, reader, snap, adds, tracking):
+    """Commit kwargs a rewrite on a row-tracked table must carry: fresh
+    disjoint baseRowId ranges for the new files (+ the bumped high-water
+    mark), and — first time only — the metaData re-emit declaring the
+    materialized column names."""
+    from sdlt_spark.store.delta_write import allocate_base_row_ids
+
+    _mat_rid, _mat_rcv, needs_config = tracking
+    rels = [rel for rel, _ in adds]
+    base_ids, hwm = allocate_base_row_ids(
+        dest, rels, prior_hwm=reader.row_id_high_water_mark(snap)
+    )
+    out = {"base_row_ids": base_ids, "row_id_high_water_mark": hwm}
+    if needs_config:
+        from sdlt_spark.store.delta_write import row_tracking_configuration
+
+        cfg = dict(snap.metadata.get("configuration") or {})
+        cfg.update(row_tracking_configuration())
+        out["schema_json"] = snap.metadata.get(
+            "schemaString", snap.schema.json()
+        )
+        out["partition_columns"] = snap.partition_columns
+        out["configuration"] = cfg
+    return out
+
+
+def _to_physical(df: DataFrame, snap, extra_cols: tuple[str, ...] = ()):
     """Rename a LOGICAL-schema rewrite result to the table's PHYSICAL
     column names for writing, attaching each field's parquet field id
     (``delta.columnMapping.id``) — top-level ids ride the alias metadata
@@ -119,6 +183,9 @@ def _to_physical(df: DataFrame, snap):
         meta = _field_id_meta(f, with_ids=True)
         phys = snap.physical_name(f.name)
         cols.append(c.alias(phys, metadata=meta) if meta else c.alias(phys))
+    # hidden columns (materialized row ids) are already physical: no
+    # logical mapping, no field id — carried verbatim
+    cols.extend(F.col(c) for c in extra_cols)
     return df.select(*cols), [
         snap.physical_name(c) for c in snap.partition_columns
     ]
@@ -273,13 +340,32 @@ def delete_delta_export(
         touched = _touched_rels(reader, snap, keyed.filter(cond))
         if not touched:
             return writer.commit(operation="DELETE", operation_params=params)
-        rows = reader._read_file_subset(snap, touched)  # DV-applied
-        survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
-        out, part_cols = _to_physical(survivors, snap)
+        tracking = _row_tracking(snap)
+        extra_cols: tuple[str, ...] = ()
+        if tracking:
+            # surviving rows are UNCHANGED: they carry their stable row id
+            # and original row commit version into the rewritten file as
+            # materialized columns (delta-spark's DELETE contract)
+            mat_rid, mat_rcv, _ = tracking
+            rows = _tracked_read(reader, snap, touched)
+            survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+            survivors = survivors.withColumnRenamed(
+                "row_id", mat_rid
+            ).withColumnRenamed("row_commit_version", mat_rcv)
+            extra_cols = (mat_rid, mat_rcv)
+        else:
+            rows = reader._read_file_subset(snap, touched)  # DV-applied
+            survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+        out, part_cols = _to_physical(survivors, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=len(touched)
         )
         placed.extend(rel for rel, _ in adds)
+        extra_kwargs = (
+            _tracking_commit_kwargs(dest, reader, snap, adds, tracking)
+            if tracking
+            else {}
+        )
         return writer.commit(
             adds=adds,
             removes=_removes(snap, touched),
@@ -287,6 +373,7 @@ def delete_delta_export(
             operation="DELETE",
             operation_params=params,
             expected_version=snap.version + 1,
+            **extra_kwargs,
         )
 
     return _mutate(spark, dest_path, _attempt)
@@ -347,12 +434,25 @@ def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
     params = dict(params, deletionVectors="true")
     from sdlt_spark.store.delta_write import upgraded_dv_protocol
 
+    # a DV re-add names the SAME physical file: it must keep the file's
+    # original baseRowId and defaultRowCommitVersion (positions — and so
+    # fresh row ids — are untouched by a merge-on-read delete)
+    base_row_ids = {
+        rel: snap.row_ids[rel][0] for rel in touched if rel in snap.row_ids
+    }
+    row_commit_versions = {
+        rel: snap.row_ids[rel][1]
+        for rel in touched
+        if rel in snap.row_ids and snap.row_ids[rel][1] is not None
+    }
     return writer.commit(
         adds=[(rel, snap.files[rel] or {}) for rel in touched],
         removes=_removes(snap, touched),
         dvs=new_dvs,
         operation="DELETE",
         operation_params=params,
+        base_row_ids=base_row_ids or None,
+        row_commit_versions=row_commit_versions or None,
         # first DV on the table upgrades the protocol to (3,7) WITH the
         # legacy-implied features carried forward (a bare deletionVectors
         # list would make stock readers drop e.g. columnMapping)
@@ -385,8 +485,28 @@ def update_delta_export(
         touched = _touched_rels(reader, snap, keyed.filter(cond))
         if not touched:
             return writer.commit(operation="UPDATE", operation_params=params)
-        rows = reader._read_file_subset(snap, touched)
+        tracking = _row_tracking(snap)
+        extra_cols: tuple[str, ...] = ()
+        rows = (
+            _tracked_read(reader, snap, touched)
+            if tracking
+            else reader._read_file_subset(snap, touched)
+        )
         safe = F.coalesce(cond, F.lit(False))
+        id_cols = []
+        if tracking:
+            # an UPDATE preserves row identity: every row keeps its stable
+            # id; rows the predicate touched get the NEW commit as their
+            # row commit version, untouched neighbors keep their old one
+            mat_rid, mat_rcv, _ = tracking
+            extra_cols = (mat_rid, mat_rcv)
+            id_cols = [
+                F.col("row_id").alias(mat_rid),
+                F.when(safe, F.lit(snap.version + 1))
+                .otherwise(F.col("row_commit_version"))
+                .cast("long")
+                .alias(mat_rcv),
+            ]
         updated = rows.select(
             *[
                 F.when(safe, F.expr(assignments[f.name]).cast(f.dataType))
@@ -395,14 +515,20 @@ def update_delta_export(
                 if f.name in assignments
                 else F.col(f.name)
                 for f in snap.schema.fields
-            ]
+            ],
+            *id_cols,
         )
         _enforce_constraints(updated, snap)
-        out, part_cols = _to_physical(updated, snap)
+        out, part_cols = _to_physical(updated, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=len(touched)
         )
         placed.extend(rel for rel, _ in adds)
+        extra_kwargs = (
+            _tracking_commit_kwargs(dest, reader, snap, adds, tracking)
+            if tracking
+            else {}
+        )
         return writer.commit(
             adds=adds,
             removes=_removes(snap, touched),
@@ -410,6 +536,7 @@ def update_delta_export(
             operation="UPDATE",
             operation_params=params,
             expected_version=snap.version + 1,
+            **extra_kwargs,
         )
 
     return _mutate(spark, dest_path, _attempt)
@@ -448,9 +575,18 @@ def merge_delta_export(
         touched = _touched_rels(
             reader, snap, keyed.join(src.select(*on).distinct(), on, "left_semi")
         )
+        tracking = _row_tracking(snap)
+        extra_cols: tuple[str, ...] = ()
+        if tracking:
+            mat_rid, mat_rcv, _ = tracking
+            extra_cols = (mat_rid, mat_rcv)
         incoming = src
         if touched:
-            rows = reader._read_file_subset(snap, touched)
+            rows = (
+                _tracked_read(reader, snap, touched)
+                if tracking
+                else reader._read_file_subset(snap, touched)
+            )
             kept = rows.join(src.select(*on), on, "left_anti")
             if when_matched_delete is not None:
                 del_cond = F.coalesce(F.expr(when_matched_delete), F.lit(False))
@@ -461,15 +597,46 @@ def merge_delta_export(
                     .distinct()
                 )
                 incoming = src.join(drop_keys, on, "left_anti")
+            if tracking:
+                # whenMatchedUpdateAll preserves row identity: a matched
+                # source row inherits the target row's stable id with the
+                # NEW commit as its row commit version; inserts carry
+                # nulls and get FRESH ids from the add's baseRowId + pos.
+                # Kept (unmatched) rows carry both through unchanged.
+                incoming = incoming.join(
+                    rows.select(*on, F.col("row_id")), on, "left"
+                ).select(
+                    *tcols,
+                    F.col("row_id").alias(mat_rid),
+                    F.when(
+                        F.col("row_id").isNotNull(), F.lit(snap.version + 1)
+                    )
+                    .cast("long")
+                    .alias(mat_rcv),
+                )
+                kept = kept.withColumnRenamed(
+                    "row_id", mat_rid
+                ).withColumnRenamed("row_commit_version", mat_rcv)
             new_data = incoming.unionByName(kept)
         else:
+            if tracking:
+                incoming = incoming.select(
+                    *tcols,
+                    F.lit(None).cast("long").alias(mat_rid),
+                    F.lit(None).cast("long").alias(mat_rcv),
+                )
             new_data = incoming
         _enforce_constraints(new_data, snap)
-        out, part_cols = _to_physical(new_data, snap)
+        out, part_cols = _to_physical(new_data, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=max(1, len(touched))
         )
         placed.extend(rel for rel, _ in adds)
+        extra_kwargs = (
+            _tracking_commit_kwargs(dest, reader, snap, adds, tracking)
+            if tracking
+            else {}
+        )
         return writer.commit(
             adds=adds,
             removes=_removes(snap, touched),
@@ -477,6 +644,7 @@ def merge_delta_export(
             operation="MERGE",
             operation_params=params,
             expected_version=snap.version + 1,
+            **extra_kwargs,
         )
 
     return _mutate(spark, dest_path, _attempt)

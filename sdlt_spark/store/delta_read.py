@@ -186,6 +186,10 @@ class _Snapshot:
     # live domainMetadata actions by domain (PROTOCOL.md: checkpoints must
     # carry them — they hold e.g. clustering state for stock readers)
     domains: dict = field(default_factory=dict)
+    # row tracking (PROTOCOL.md "Row Tracking"): add-action path ->
+    # (baseRowId, defaultRowCommitVersion) for files whose writer assigned
+    # them; fresh row id of a row = baseRowId + its position in the file
+    row_ids: dict = field(default_factory=dict)
 
     def physical_name(self, logical: str) -> str:
         return self.mapping.get(logical, logical)
@@ -524,6 +528,13 @@ class DeltaTableReader:
         # re-adding a logical file cancels its own tombstone (delta-spark's
         # InMemoryLogReplay does the same, keyed on the uniqueId)
         snap.tombstones.pop((path, dv_unique_id(dv)), None)
+        if add.get("baseRowId") is not None:
+            snap.row_ids[path] = (
+                add["baseRowId"],
+                add.get("defaultRowCommitVersion"),
+            )
+        else:
+            snap.row_ids.pop(path, None)
         raw_stats = add.get("stats")
         if raw_stats:
             try:
@@ -546,6 +557,7 @@ class DeltaTableReader:
             snap.files.pop(path, None)
             snap.stats.pop(path, None)
             snap.dvs.pop(path, None)
+            snap.row_ids.pop(path, None)
         # the tombstone is tracked either way (it names a logical file
         # that WAS live at some point); vacuum retention keys off it.
         # Stored with the path DECODED so checkpoint writers re-quote it
@@ -619,6 +631,108 @@ class DeltaTableReader:
         snap = self.snapshot(version=version, timestamp=timestamp)
         return self._read_file_subset(snap, sorted(snap.files))
 
+    def row_id_high_water_mark(self, snap: _Snapshot | None = None) -> int:
+        """Highest row id ever assigned in the table (PROTOCOL.md "Row
+        Tracking": kept in the ``delta.rowTracking`` domainMetadata so
+        concurrent writers can allocate disjoint ranges). -1 on a table
+        that never assigned one."""
+        if snap is None:
+            snap = self.snapshot()
+        dm = snap.domains.get("delta.rowTracking")
+        if not dm:
+            return -1
+        try:
+            cfg = dm.get("configuration")
+            if isinstance(cfg, str):
+                cfg = json.loads(cfg)
+            return int(cfg.get("rowIdHighWaterMark", -1))
+        except (TypeError, ValueError, json.JSONDecodeError):
+            return -1
+
+    def read_with_row_ids(
+        self, version: int | None = None, timestamp: float | None = None
+    ) -> DataFrame:
+        """Snapshot read surfacing Delta Row Tracking ids (PROTOCOL.md
+        "Row Tracking", delta-spark's ``_metadata.row_id``): two extra
+        columns, ``row_id`` (stable across OPTIMIZE/UPDATE once
+        materialized) and ``row_commit_version`` (the commit that last
+        wrote each row). Fresh values come from the add action's
+        ``baseRowId`` plus the row's physical position —
+        ``_metadata.row_index``, attached via ONE broadcast (file ->
+        baseRowId) map join — overridden per row by the hidden
+        materialized columns when the table's configuration names them
+        (files written before materialization read them as null, so the
+        coalesce falls back to fresh values exactly as the spec says).
+        DV-deleted rows drop out of the scan but surviving positions are
+        physical, so their fresh ids are untouched by a DV delete."""
+        snap = self.snapshot(version=version, timestamp=timestamp)
+        rels = sorted(snap.files)
+        missing = [r for r in rels if r not in snap.row_ids]
+        if missing:
+            raise DeltaProtocolError(
+                f"row tracking unavailable: {len(missing)} live file(s) lack "
+                f"baseRowId (e.g. {missing[0]}) — the table was not written "
+                "with the rowTracking writer feature"
+            )
+        out_schema = StructType(
+            list(snap.schema.fields)
+            + [
+                StructField("row_id", LongType(), True),
+                StructField("row_commit_version", LongType(), True),
+            ]
+        )
+        if not rels:
+            return self.spark.createDataFrame([], out_schema)
+        extras = [c for c in self._row_tracking_cols(snap) if c]
+        df = self._read_file_subset(
+            snap, rels, keep_path=True, extra_physical=extras
+        )
+        df = self._attach_row_ids(snap, df, rels)
+        return df.select(
+            *[F.col(f.name) for f in snap.schema.fields],
+            "row_id",
+            "row_commit_version",
+        )
+
+    @staticmethod
+    def _row_tracking_cols(snap: _Snapshot) -> tuple[str | None, str | None]:
+        """The configured materialized (row id, row commit version)
+        physical column names, or Nones."""
+        cfg = snap.metadata.get("configuration") or {}
+        return (
+            cfg.get("delta.rowTracking.materializedRowIdColumnName"),
+            cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+        )
+
+    def _attach_row_ids(self, snap: _Snapshot, df: DataFrame, rels: list[str]):
+        """Append ``row_id`` / ``row_commit_version`` to a keyed scan
+        (``keep_path=True`` plus the configured materialized columns in
+        ``extra_physical``): one broadcast (file -> baseRowId,
+        defaultRowCommitVersion) map join, materialized values override
+        fresh ones per row. Shared by :meth:`read_with_row_ids` and the
+        CoW mutation layer (which must carry stable ids into rewritten
+        files)."""
+        mat_id, mat_rcv = self._row_tracking_cols(snap)
+        rows = [
+            (self._fs_path(r), snap.row_ids[r][0], snap.row_ids[r][1])
+            for r in rels
+        ]
+        rmap = self.spark.createDataFrame(
+            rows, "__delta_path string, __base_row_id long, __default_rcv long"
+        )
+        df = df.join(F.broadcast(rmap), "__delta_path", "left")
+        rid = F.col("__base_row_id") + F.col("__delta_pos")
+        rcv = F.col("__default_rcv")
+        if mat_id:
+            rid = F.coalesce(F.col(mat_id), rid)
+        if mat_rcv:
+            rcv = F.coalesce(F.col(mat_rcv), rcv)
+        return (
+            df.withColumn("row_id", rid.cast("long"))
+            .withColumn("row_commit_version", rcv.cast("long"))
+            .drop("__base_row_id", "__default_rcv")
+        )
+
     @staticmethod
     def _norm_path_col(col):
         """``_metadata.file_path`` -> plain decoded os.path string, so it
@@ -640,7 +754,11 @@ class DeltaTableReader:
         return resolve_table_path(self.path, rel)
 
     def _read_file_subset(
-        self, snap: _Snapshot, rels: list[str], keep_path: bool = False
+        self,
+        snap: _Snapshot,
+        rels: list[str],
+        keep_path: bool = False,
+        extra_physical: list[str] | None = None,
     ) -> DataFrame:
         """One parquet scan over the DV-free live files (snapshot schema
         supplied explicitly — early files of a schema-evolved table read
@@ -674,11 +792,17 @@ class DeltaTableReader:
         parts = []
         if plain:
             parts.append(
-                self._scan_subset(snap, plain, with_dvs=False, keep_path=keep_path)
+                self._scan_subset(
+                    snap, plain, with_dvs=False, keep_path=keep_path,
+                    extra_physical=extra_physical,
+                )
             )
         if covered:
             parts.append(
-                self._scan_subset(snap, covered, with_dvs=True, keep_path=keep_path)
+                self._scan_subset(
+                    snap, covered, with_dvs=True, keep_path=keep_path,
+                    extra_physical=extra_physical,
+                )
             )
         if not parts:
             return self.spark.createDataFrame([], empty_schema)
@@ -687,7 +811,13 @@ class DeltaTableReader:
             out = out.unionByName(p)
         return out
 
-    def _keyed_scan(self, snap: _Snapshot, rels: list[str], keys: bool = True):
+    def _keyed_scan(
+        self,
+        snap: _Snapshot,
+        rels: list[str],
+        keys: bool = True,
+        extra_physical: list[str] | None = None,
+    ):
         """The shared scan every read path builds on: the listed files
         under the snapshot's PHYSICAL data schema (explicit — early files
         of a schema-evolved table read missing columns as typed nulls)
@@ -709,6 +839,10 @@ class DeltaTableReader:
                 )
                 for f in data_fields
             ]
+            # hidden physical columns outside the logical schema (e.g. the
+            # materialized row-id column of a row-tracked table): files
+            # written before materialization read them as typed nulls
+            + [StructField(c, LongType(), True) for c in (extra_physical or [])]
         )
         if by_id:
             # 'id' mapping: Spark matches requested fields to parquet
@@ -740,10 +874,11 @@ class DeltaTableReader:
         rels: list[str],
         with_dvs: bool,
         keep_path: bool = False,
+        extra_physical: list[str] | None = None,
     ) -> DataFrame:
         need_keys = with_dvs or bool(snap.partition_columns) or keep_path
         df, data_fields, part_fields = self._keyed_scan(
-            snap, rels, keys=need_keys
+            snap, rels, keys=need_keys, extra_physical=extra_physical
         )
         data_cols = self._logical_cols(snap, data_fields)
 
@@ -810,6 +945,7 @@ class DeltaTableReader:
                 di += 1
         if keep_path:
             ordered += [F.col("__delta_path"), F.col("__delta_pos")]
+        ordered += [F.col(c) for c in (extra_physical or [])]
         return df.select(*ordered)
 
     def _anti_join_dvs(self, df: DataFrame, live_dvs: dict[str, dict]) -> DataFrame:

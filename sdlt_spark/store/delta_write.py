@@ -91,6 +91,81 @@ def upgraded_dv_protocol(existing: dict | None) -> dict:
     }
 
 
+def row_tracking_protocol(existing: dict | None = None) -> dict:
+    """Protocol action for a commit that enables Row Tracking: writer
+    version 7 naming ``rowTracking`` + ``domainMetadata`` (the high-water
+    mark lives in domain metadata) plus every feature the existing
+    protocol implied. Row tracking is a WRITER feature — readers that
+    ignore it still read the data correctly — so the reader version is
+    left wherever it was."""
+    existing = existing or {}
+    r = existing.get("minReaderVersion", 1)
+    w = existing.get("minWriterVersion", 1)
+    rf = set(existing.get("readerFeatures") or [])
+    wf = set(existing.get("writerFeatures") or [])
+    if w >= 7 and "rowTracking" in wf:
+        return dict(existing)
+    if w < 7:
+        for lvl, feats in _LEGACY_WRITER_FEATURES.items():
+            if w >= lvl:
+                wf.update(feats)
+    wf.update({"rowTracking", "domainMetadata"})
+    wf.update(rf)
+    out = {"minReaderVersion": r, "minWriterVersion": 7, "writerFeatures": sorted(wf)}
+    if r >= 3 or rf:
+        out["readerFeatures"] = sorted(rf)
+    return out
+
+
+MATERIALIZED_ROW_ID_COL = "_sdlt_row_id"
+MATERIALIZED_ROW_COMMIT_COL = "_sdlt_row_commit_version"
+
+
+def row_tracking_configuration() -> dict[str, str]:
+    """Table configuration enabling Row Tracking with materialized-column
+    names pre-declared (delta-spark generates uuid-suffixed names when it
+    first materializes; declaring them at creation means every writer —
+    including this repo's CoW mutations — agrees on where stable ids
+    live). The columns are HIDDEN: not in the logical schema, present
+    physically in files written by rewrites."""
+    return {
+        "delta.enableRowTracking": "true",
+        "delta.rowTracking.materializedRowIdColumnName": MATERIALIZED_ROW_ID_COL,
+        "delta.rowTracking.materializedRowCommitVersionColumnName": (
+            MATERIALIZED_ROW_COMMIT_COL
+        ),
+    }
+
+
+def allocate_base_row_ids(
+    table_path: str, rels: list[str], prior_hwm: int | None = None
+) -> tuple[dict[str, int], int]:
+    """Assign disjoint fresh-row-id ranges to the files about to be
+    committed: ``(base_row_ids, new_high_water_mark)`` in
+    :meth:`DeltaLogWriter.commit`'s shape. Each file's range is
+    [base, base + numRecords) — numRecords comes from the parquet footer
+    (metadata-only, no data read). ``prior_hwm`` defaults to the table's
+    current ``delta.rowTracking`` domain state (-1 on a fresh table)."""
+    if prior_hwm is None:
+        prior_hwm = -1
+        try:
+            from sdlt_spark.store.delta_read import DeltaTableReader
+
+            reader = DeltaTableReader(None, table_path)
+            prior_hwm = reader.row_id_high_water_mark()
+        except (FileNotFoundError, ValueError):
+            pass  # fresh table: no log yet / no metaData action
+    from sdlt_spark.store.vintage import _read_footer_stats
+
+    next_id = prior_hwm + 1
+    out: dict[str, int] = {}
+    for rel in rels:
+        out[rel] = next_id
+        zone = _read_footer_stats(os.path.join(table_path, rel))
+        next_id += int((zone or {}).get("rows", 0))
+    return out, next_id - 1
+
+
 class DeltaLogWriter:
     """Append spec-shaped commits to a ``_delta_log``. The caller supplies
     relative data-file paths it has already written under the table root."""
@@ -140,6 +215,9 @@ class DeltaLogWriter:
         protocol: dict | None = None,
         operation_params: dict[str, str] | None = None,
         expected_version: int | None = None,
+        base_row_ids: dict[str, int] | None = None,
+        row_id_high_water_mark: int | None = None,
+        row_commit_versions: dict[str, int] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -242,6 +320,16 @@ class DeltaLogWriter:
             }
             if dvs and rel in dvs:
                 add["deletionVector"] = dvs[rel]
+            if base_row_ids and rel in base_row_ids:
+                # PROTOCOL.md "Row Tracking": fresh row id of a row =
+                # baseRowId + its position in the file; the commit that
+                # wrote the rows is their default row commit version — a
+                # re-add of an unchanged file (DV update) overrides it
+                # with the file's ORIGINAL version via row_commit_versions
+                add["baseRowId"] = int(base_row_ids[rel])
+                add["defaultRowCommitVersion"] = int(
+                    (row_commit_versions or {}).get(rel, version)
+                )
             zone = (stats_override or {}).get(rel)
             if zone is None and collect_stats and os.path.exists(abs_f):
                 try:
@@ -289,6 +377,20 @@ class DeltaLogWriter:
                         "partitionValues": {},
                         "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
                         "dataChange": False,
+                    }
+                }
+            )
+        if row_id_high_water_mark is not None:
+            # row-id allocation state rides in domainMetadata so concurrent
+            # writers can CAS disjoint ranges (PROTOCOL.md "Row Tracking")
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": int(row_id_high_water_mark)}
+                        ),
+                        "removed": False,
                     }
                 }
             )
@@ -410,6 +512,10 @@ class DeltaLogWriter:
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
                 ("deletionVector", dv_t),
+                # row tracking: losing these to a checkpoint would shift
+                # every fresh row id after JSON log cleanup
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
             ]
         )
         txn_t = pa.struct(
@@ -493,6 +599,7 @@ class DeltaLogWriter:
             abs_f = os.path.join(self.path, rel)
             st = snap.stats.get(rel)
             dv = snap.dvs.get(rel)
+            base, dcv = snap.row_ids.get(rel, (None, None))
             add_payload.append(
                 {
                     "path": urllib.parse.quote(rel),
@@ -502,6 +609,8 @@ class DeltaLogWriter:
                     "dataChange": False,
                     "stats": json.dumps(st) if st else None,
                     "deletionVector": dv,
+                    "baseRowId": base,
+                    "defaultRowCommitVersion": dcv,
                 }
             )
 
