@@ -6753,3 +6753,79 @@ def delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reader.read_with_row_ids().select(
         "o_orderkey", "row_id", "row_commit_version"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: mutation-written Change Data Feed (real cdc actions)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "delta_cdf_mutations",
+    # v1 UPDATE doubles o_totalprice of 'F' rows (pre+post images), v2
+    # DELETE drops orderkeys % 7 = 0 from the post-update state — all
+    # closed-form over the orders projection
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      FROM orders
+    ),
+    state1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+           'update_postimage', 1
+    FROM base WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 2
+    FROM state1 WHERE o_orderkey % 7 = 0
+    """,
+)
+def delta_cdf_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side Change Data Feed: on a table with
+    ``delta.enableChangeDataFeed=true``, UPDATE and DELETE commits write
+    ``_change_data/`` parquet named in ``cdc`` actions — so the CDF
+    reader surfaces the UPDATE as update_preimage/update_postimage pairs
+    (not the delete+insert a derivation-based feed degrades to) and the
+    DELETE as exact delete rows. The reader path is the SAME
+    walk_changes/_cdc_frames machinery stock delta-spark CDF files go
+    through."""
+    import tempfile
+
+    from sdlt_spark.store.delta_mutate import (
+        delete_delta_export,
+        update_delta_export,
+    )
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = tempfile.mkdtemp(prefix="sdlt_delta_cdfmut_") + "/orders"
+    proj = _orders_proj(spark, sf_dir)
+    import os as _os
+
+    abs_dir = _os.path.join(root, "c0")
+    proj.coalesce(1).write.mode("errorifexists").parquet(abs_dir)
+    adds = [
+        (f"c0/{f}", {})
+        for f in sorted(_os.listdir(abs_dir))
+        if f.endswith(".parquet")
+    ]
+    DeltaLogWriter(root).commit(
+        adds=adds,
+        schema_json=proj.schema.json(),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v1 = update_delta_export(
+        root, spark, "o_orderstatus = 'F'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    v2 = delete_delta_export(root, spark, "o_orderkey % 7 = 0")
+    assert (v1, v2) == (1, 2)
+    return DeltaTableReader(spark, root).table_changes(1, 2)

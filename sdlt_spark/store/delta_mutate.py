@@ -28,11 +28,14 @@ grouped per file — the driver never sees a row position), the data files
 stay untouched, and the commit swaps each logical file for the same path
 with the new descriptor. Prior DVs union in, so re-deleting is a no-op.
 
-CDF note: these commits carry plain dataChange add/remove actions and no
-``cdc`` files — exactly what CDF readers (ours and stock delta-spark's)
-fall back to interpreting as row-level inserts+deletes. An UPDATE
-therefore surfaces in a change feed as delete+insert rather than
-``update_preimage``/``update_postimage``.
+CDF: when the table sets ``delta.enableChangeDataFeed=true``, every verb
+also writes ``_change_data/`` parquet and names it in ``cdc`` actions —
+PROTOCOL.md requires CDF readers to use those INSTEAD of deriving from
+add/remove, which is what lets an UPDATE surface as
+``update_preimage``/``update_postimage`` (and a MERGE as its true
+update/insert/delete mix) rather than delete+insert. On tables without
+the flag, commits stay derivation-shaped (plain add/remove), exactly
+what stock readers fall back to.
 
 Column-mapped tables (``name`` and ``id`` modes) mutate too: rewritten
 files are written under each column's PHYSICAL name with its parquet
@@ -161,6 +164,50 @@ def _tracking_commit_kwargs(dest, reader, snap, adds, tracking):
         )
         out["partition_columns"] = snap.partition_columns
         out["configuration"] = cfg
+    return out
+
+
+def _cdf_enabled(snap) -> bool:
+    cfg = snap.metadata.get("configuration") or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _write_change_files(dest: str, df: DataFrame, n_files: int) -> list[str]:
+    """Write change rows (table columns + ``_change_type``) as
+    ``_change_data/`` parquet — PROTOCOL.md "Add CDC File": when a commit
+    carries ``cdc`` actions, CDF readers use them INSTEAD of deriving
+    changes from add/remove, which is what lets an UPDATE surface as
+    update_preimage/update_postimage rather than delete+insert. Partition
+    columns are INLINED in the parquet (spec-legal; the reader's
+    inline-wins rule applies). Same staged-write discipline as data
+    files; zero-row parts drop out. Returns rel paths for
+    ``DeltaLogWriter.commit(cdc=...)``."""
+    staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
+    rels: list[str] = []
+    try:
+        df.repartition(max(1, n_files)).write.mode("errorifexists").parquet(
+            staging
+        )
+        os.makedirs(os.path.join(dest, "_change_data"), exist_ok=True)
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            abs_part = os.path.join(staging, fname)
+            z = _zone(abs_part)
+            if z is not None and z.get("rows", 0) == 0:
+                continue
+            rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+            os.replace(abs_part, os.path.join(dest, rel))
+            rels.append(rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return rels
+
+
+def _cdc_physical(change: DataFrame, snap) -> DataFrame:
+    """Change rows (logical names + _change_type) -> the table's physical
+    column names, the same translation data files get."""
+    out, _parts = _to_physical(change, snap, extra_cols=("_change_type",))
     return out
 
 
@@ -356,6 +403,18 @@ def delete_delta_export(
         else:
             rows = reader._read_file_subset(snap, touched)  # DV-applied
             survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
+        logical = [f.name for f in snap.schema.fields]
+        cdc_rels: list[str] = []
+        if _cdf_enabled(snap):
+            change = (
+                rows.filter(F.coalesce(cond, F.lit(False)))
+                .select(*logical)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_rels = _write_change_files(
+                dest, _cdc_physical(change, snap), len(touched)
+            )
+            placed.extend(cdc_rels)
         out, part_cols = _to_physical(survivors, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=len(touched)
@@ -370,6 +429,7 @@ def delete_delta_export(
             adds=adds,
             removes=_removes(snap, touched),
             stats_override=stats,
+            cdc=cdc_rels or None,
             operation="DELETE",
             operation_params=params,
             expected_version=snap.version + 1,
@@ -389,6 +449,18 @@ def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
 
     live = sorted(snap.files)
     keyed = reader._read_file_subset(snap, live, keep_path=True)
+    cdc_rels: list[str] = []
+    if _cdf_enabled(snap):
+        logical = [f.name for f in snap.schema.fields]
+        change = (
+            keyed.filter(cond)
+            .select(*logical)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_rels = _write_change_files(
+            dest, _cdc_physical(change, snap), n_files=4
+        )
+        placed.extend(cdc_rels)
     matched = keyed.filter(cond).select(
         F.col("__delta_path").alias("path"), F.col("__delta_pos").alias("pos")
     )
@@ -449,6 +521,7 @@ def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
         adds=[(rel, snap.files[rel] or {}) for rel in touched],
         removes=_removes(snap, touched),
         dvs=new_dvs,
+        cdc=cdc_rels or None,
         operation="DELETE",
         operation_params=params,
         base_row_ids=base_row_ids or None,
@@ -507,17 +580,29 @@ def update_delta_export(
                 .cast("long")
                 .alias(mat_rcv),
             ]
-        updated = rows.select(
-            *[
-                F.when(safe, F.expr(assignments[f.name]).cast(f.dataType))
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                if f.name in assignments
-                else F.col(f.name)
-                for f in snap.schema.fields
-            ],
-            *id_cols,
-        )
+        assign_cols = [
+            F.when(safe, F.expr(assignments[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in snap.schema.fields
+        ]
+        updated = rows.select(*assign_cols, *id_cols)
+        logical = [f.name for f in snap.schema.fields]
+        cdc_rels: list[str] = []
+        if _cdf_enabled(snap):
+            matched = rows.filter(safe)
+            pre = matched.select(*logical).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = matched.select(*assign_cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            cdc_rels = _write_change_files(
+                dest, _cdc_physical(pre.unionByName(post), snap), len(touched)
+            )
+            placed.extend(cdc_rels)
         _enforce_constraints(updated, snap)
         out, part_cols = _to_physical(updated, snap, extra_cols)
         adds, stats = _write_data_files(
@@ -533,6 +618,7 @@ def update_delta_export(
             adds=adds,
             removes=_removes(snap, touched),
             stats_override=stats,
+            cdc=cdc_rels or None,
             operation="UPDATE",
             operation_params=params,
             expected_version=snap.version + 1,
@@ -581,6 +667,7 @@ def merge_delta_export(
             mat_rid, mat_rcv, _ = tracking
             extra_cols = (mat_rid, mat_rcv)
         incoming = src
+        cdc_rels: list[str] = []
         if touched:
             rows = (
                 _tracked_read(reader, snap, touched)
@@ -588,6 +675,7 @@ def merge_delta_export(
                 else reader._read_file_subset(snap, touched)
             )
             kept = rows.join(src.select(*on), on, "left_anti")
+            drop_keys = None
             if when_matched_delete is not None:
                 del_cond = F.coalesce(F.expr(when_matched_delete), F.lit(False))
                 drop_keys = (
@@ -597,6 +685,44 @@ def merge_delta_export(
                     .distinct()
                 )
                 incoming = src.join(drop_keys, on, "left_anti")
+            if _cdf_enabled(snap):
+                # MERGE change feed: replaced target rows surface as
+                # update_preimage (the incoming row is the postimage),
+                # matched-delete rows as delete, unmatched source rows as
+                # insert — the reader then uses these INSTEAD of the
+                # commit's add/remove (which would read as delete+insert)
+                tgt_matched = rows.join(
+                    src.select(*on), on, "left_semi"
+                ).select(*tcols)
+                if drop_keys is not None:
+                    deleted_pre = tgt_matched.join(
+                        drop_keys, on, "left_semi"
+                    ).withColumn("_change_type", F.lit("delete"))
+                    upd_pre = tgt_matched.join(
+                        drop_keys, on, "left_anti"
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                else:
+                    deleted_pre = None
+                    upd_pre = tgt_matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                upd_post = (
+                    incoming.join(rows.select(*on), on, "left_semi")
+                    .select(*tcols)
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                ins = (
+                    incoming.join(rows.select(*on), on, "left_anti")
+                    .select(*tcols)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+                change = upd_pre.unionByName(upd_post).unionByName(ins)
+                if deleted_pre is not None:
+                    change = change.unionByName(deleted_pre)
+                cdc_rels = _write_change_files(
+                    dest, _cdc_physical(change, snap), max(1, len(touched))
+                )
+                placed.extend(cdc_rels)
             if tracking:
                 # whenMatchedUpdateAll preserves row identity: a matched
                 # source row inherits the target row's stable id with the
@@ -641,6 +767,7 @@ def merge_delta_export(
             adds=adds,
             removes=_removes(snap, touched),
             stats_override=stats,
+            cdc=cdc_rels or None,
             operation="MERGE",
             operation_params=params,
             expected_version=snap.version + 1,

@@ -1319,6 +1319,11 @@ class DeltaTableReader:
         for batch in self._unique_rel_batches(units):
             paths = [self._fs_path(rel) for rel, _, _ in batch]
             df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # change-data files of a column-mapped table carry PHYSICAL
+            # column names, like data files — translate back to logical
+            for logical, phys in snap.mapping.items():
+                if phys in df.columns and logical not in df.columns:
+                    df = df.withColumnRenamed(phys, logical)
             df = df.withColumn(
                 "__delta_path", self._norm_path_col(F.col("_metadata.file_path"))
             )

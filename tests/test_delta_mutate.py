@@ -547,3 +547,94 @@ def test_cow_delete_then_time_travel(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     assert sorted(x["k"] for x in r.read(version=0).collect()) == [1, 2, 3]
     assert sorted(x["k"] for x in r.read().collect()) == [1]
+
+
+def _cdf_table(spark, tmp_path, files):
+    """Like _table but with Change Data Feed enabled."""
+    root = str(tmp_path / "cdf")
+    w = DeltaLogWriter(root)
+    adds = []
+    for name, rows in files.items():
+        rel = f"data/{name}.parquet"
+        _write_part(spark, os.path.join(root, rel), rows)
+        adds.append((rel, {}))
+    w.commit(
+        adds=adds,
+        schema_json=_SCHEMA,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    return root
+
+
+def _changes(spark, root, v):
+    return sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in DeltaTableReader(spark, root).table_changes(v, v).collect()
+    )
+
+
+def test_cdf_update_emits_pre_and_post_images(spark, tmp_path):
+    root = _cdf_table(spark, tmp_path, {"a": [1, 2, 3]})
+    v = update_delta_export(root, spark, "k = 2", {"v": "'patched'"})
+    assert _changes(spark, root, v) == [
+        (2, "patched", "update_postimage"),
+        (2, "v2", "update_preimage"),
+    ]
+    # the commit carries a cdc action naming _change_data parquet
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    ]
+    cdc = [a["cdc"]["path"] for a in acts if "cdc" in a]
+    assert cdc and all(p.startswith("_change_data/") for p in cdc)
+
+
+def test_cdf_delete_cow_and_dv_emit_delete_rows(spark, tmp_path):
+    root = _cdf_table(spark, tmp_path, {"a": [1, 2, 3], "b": [10, 11]})
+    v1 = delete_delta_export(root, spark, "k = 2", mode="cow")
+    assert _changes(spark, root, v1) == [(2, "v2", "delete")]
+    v2 = delete_delta_export(root, spark, "k = 10", mode="dv")
+    assert _changes(spark, root, v2) == [(10, "v10", "delete")]
+    # snapshot reads agree after both modes
+    got = sorted(
+        r["k"] for r in DeltaTableReader(spark, root).read().collect()
+    )
+    assert got == [1, 3, 11]
+
+
+def test_cdf_merge_emits_mixed_change_types(spark, tmp_path):
+    root = _cdf_table(spark, tmp_path, {"a": [1, 2, 3]})
+    src = spark.createDataFrame(
+        [(2, "upd"), (3, "drop-me"), (99, "new")], "k long, v string"
+    )
+    v = merge_delta_export(
+        root, spark, src, on=["k"], when_matched_delete="v = 'drop-me'"
+    )
+    assert _changes(spark, root, v) == [
+        (2, "upd", "update_postimage"),
+        (2, "v2", "update_preimage"),
+        (3, "v3", "delete"),
+        (99, "new", "insert"),
+    ]
+    got = {r["k"]: r["v"] for r in DeltaTableReader(spark, root).read().collect()}
+    assert got == {1: "v1", 2: "upd", 99: "new"}
+
+
+def test_cdf_untouched_merge_stays_derivation_shaped(spark, tmp_path):
+    # a pure-insert MERGE writes no cdc files: the reader derives inserts
+    # from the adds (writing both would double-count)
+    root = _cdf_table(spark, tmp_path, {"a": [1]})
+    src = spark.createDataFrame([(99, "new")], "k long, v string")
+    v = merge_delta_export(root, spark, src, on=["k"])
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    ]
+    assert not [a for a in acts if "cdc" in a]
+    assert _changes(spark, root, v) == [(99, "new", "insert")]
+
+
+def test_no_cdf_config_means_no_change_data_files(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2]})
+    update_delta_export(root, spark, "k = 2", {"v": "'x'"})
+    assert not os.path.isdir(os.path.join(root, "_change_data"))
