@@ -713,8 +713,10 @@ class DeltaTableReader:
         CoW mutation layer (which must carry stable ids into rewritten
         files)."""
         mat_id, mat_rcv = self._row_tracking_cols(snap)
+        # a file without baseRowId (pre-tracking history) contributes null
+        # fresh values — its rows may still carry materialized ids
         rows = [
-            (self._fs_path(r), snap.row_ids[r][0], snap.row_ids[r][1])
+            (self._fs_path(r), *snap.row_ids.get(r, (None, None)))
             for r in rels
         ]
         rmap = self.spark.createDataFrame(

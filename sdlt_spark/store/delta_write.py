@@ -1140,6 +1140,41 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     return sorted(deleted)
 
 
+def _tracked_rewrite_scan(reader, snap, rels):
+    """Keyed physical scan of ``rels`` for an OPTIMIZE-style rewrite —
+    ``(df, tracking)``. On a row-tracked table the stable ids are
+    attached and renamed to the materialized hidden columns, so a
+    dataChange=false rewrite cannot renumber rows (PROTOCOL.md: row ids
+    must be preserved across OPTIMIZE; delta-spark materializes them the
+    same way)."""
+    from sdlt_spark.store.delta_mutate import _row_tracking
+
+    tracking = _row_tracking(snap)
+    extras = [c for c in reader._row_tracking_cols(snap) if c]
+    df, _data_fields, _part_fields = reader._keyed_scan(
+        snap, rels, keys=True, extra_physical=extras if tracking else None
+    )
+    if tracking:
+        mat_rid, mat_rcv, _needs = tracking
+        df = reader._attach_row_ids(snap, df, rels)
+        if extras:
+            df = df.drop(*extras)
+        df = df.withColumnRenamed("row_id", mat_rid).withColumnRenamed(
+            "row_commit_version", mat_rcv
+        )
+    return df, tracking
+
+
+def _tracked_rewrite_kwargs(dest, reader, snap, produced, tracking) -> dict:
+    if not tracking:
+        return {}
+    from sdlt_spark.store.delta_mutate import _tracking_commit_kwargs
+
+    return _tracking_commit_kwargs(
+        dest, reader, snap, [(rel, {}) for rel in produced], tracking
+    )
+
+
 def optimize_delta_export(
     dest_path: str,
     spark,
@@ -1232,8 +1267,9 @@ def optimize_delta_export(
     rels = [rel for _, members in bins for rel in members]
     # scan the files' RAW (physical) columns with the decoded path key
     # attached — partition values stay log-only (Delta's layout: compacted
-    # files, like their sources, do not contain partition columns)
-    df, _data_fields, _part_fields = reader._keyed_scan(snap, rels, keys=True)
+    # files, like their sources, do not contain partition columns); on a
+    # row-tracked table stable ids materialize into the compacted files
+    df, tracking = _tracked_rewrite_scan(reader, snap, rels)
     mapping = F.create_map(*[F.lit(x) for kv in bin_by_abs.items() for x in kv])
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
     produced: list[str] = []
@@ -1275,6 +1311,7 @@ def optimize_delta_export(
             removes=rels,
             operation="OPTIMIZE",
             data_change=False,
+            **_tracked_rewrite_kwargs(dest, reader, snap, produced, tracking),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1345,7 +1382,7 @@ def _zorder_delta_export(
                 pass
         n_files += max(1, (nbytes + target_file_bytes - 1) // target_file_bytes)
 
-    df, _data_fields, _part_fields = reader._keyed_scan(snap, rels, keys=True)
+    df, tracking = _tracked_rewrite_scan(reader, snap, rels)
     covered = {rel: snap.dvs[rel] for rel in rels if rel in snap.dvs}
     if covered:
         df = reader._anti_join_dvs(df, covered)
@@ -1402,6 +1439,7 @@ def _zorder_delta_export(
             operation="OPTIMIZE",
             data_change=False,
             operation_params={"zOrderBy": json.dumps(zorder_by)},
+            **_tracked_rewrite_kwargs(dest, reader, snap, produced, tracking),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

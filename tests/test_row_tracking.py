@@ -206,3 +206,23 @@ def test_row_tracking_protocol_carries_legacy_features():
             "checkConstraints", "changeDataFeed", "generatedColumns"} <= wf
     # idempotent on an already-tracked protocol
     assert row_tracking_protocol(p) == p
+
+
+def test_optimize_preserves_ids(spark, tmp_path):
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = _tracked_table(tmp_path, {"a": [1, 2], "b": [3, 4], "c": [5]})
+    before = _ids(spark, root)
+    produced = optimize_delta_export(root, spark)
+    assert produced  # the small files were compacted
+    assert _ids(spark, root) == before  # materialized through the rewrite
+
+
+def test_zorder_preserves_ids(spark, tmp_path):
+    from sdlt_spark.store.delta_write import optimize_delta_export
+
+    root = _tracked_table(tmp_path, {"a": [3, 1, 4], "b": [2, 5]})
+    before = _ids(spark, root)
+    produced = optimize_delta_export(root, spark, zorder_by=["k", "v"])
+    assert produced
+    assert _ids(spark, root) == before
