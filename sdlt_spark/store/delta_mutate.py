@@ -282,6 +282,53 @@ def _enforce_constraints(df: DataFrame, snap) -> None:
             )
 
 
+def _generated_columns(snap) -> dict[str, str]:
+    """Columns whose field metadata carries ``delta.generationExpression``
+    (PROTOCOL.md "Generated Columns" / the generatedColumns writer
+    feature) -> their SQL expressions."""
+    out = {}
+    for f in snap.schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def _enforce_generated(df: DataFrame, snap) -> None:
+    """Generated-column enforcement, delta-spark's write-side contract:
+    every row about to be written must satisfy
+    ``col <=> generationExpression`` (null-safe — a generated column may
+    legitimately be null when its inputs are). Piggybacks on the same
+    one-aggregation-pass shape as :func:`_enforce_constraints`; tables
+    without generated columns skip the scan entirely."""
+    gen = _generated_columns(snap)
+    if not gen:
+        return
+    types = {f.name: f.dataType for f in snap.schema.fields}
+    labeled = [
+        (
+            f"generated column {c} ({expr})",
+            ~F.col(c).eqNullSafe(F.expr(expr).cast(types[c])),
+        )
+        for c, expr in sorted(gen.items())
+    ]
+    counts = df.agg(
+        *[
+            F.sum(F.when(bad, 1).otherwise(0)).alias(f"g{i}")
+            for i, (_label, bad) in enumerate(labeled)
+        ]
+    ).first()
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    for i, (label, _bad) in enumerate(labeled):
+        n = counts[f"g{i}"]
+        if n:
+            raise ConstraintViolationError(
+                f"{label} violated by {n} row(s) this mutation would "
+                "write; aborted before commit"
+            )
+
+
 def _touched_rels(reader, snap, matched: DataFrame) -> list[str]:
     """DISTINCT ``__delta_path`` of the matched rows, mapped back to
     log-relative paths. O(touched files) on the driver."""
@@ -548,9 +595,17 @@ def update_delta_export(
 
     def _attempt(dest, reader, snap, writer, placed):
         types = {f.name: f.dataType for f in snap.schema.fields}
+        gen = _generated_columns(snap)
         for c in assignments:
             if c not in types:
                 raise KeyError(f"unknown column {c!r}")
+            if c in gen:
+                # delta-spark rejects direct writes to generated columns;
+                # their values recompute below when dependencies change
+                raise ValueError(
+                    f"column {c} is generated ({gen[c]}) and cannot be "
+                    "assigned directly"
+                )
         cond = F.expr(condition)
         live = sorted(snap.files)
         params = {"predicate": condition}
@@ -589,6 +644,13 @@ def update_delta_export(
             for f in snap.schema.fields
         ]
         updated = rows.select(*assign_cols, *id_cols)
+        if gen:
+            # recompute generated columns over the POST-assignment rows
+            # (their expressions may reference updated dependencies);
+            # untouched rows recompute to the value they already carry
+            updated = updated.withColumns(
+                {c: F.expr(e).cast(types[c]) for c, e in gen.items()}
+            )
         logical = [f.name for f in snap.schema.fields]
         cdc_rels: list[str] = []
         if _cdf_enabled(snap):
@@ -596,9 +658,12 @@ def update_delta_export(
             pre = matched.select(*logical).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = matched.select(*assign_cols).withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
+            post = matched.select(*assign_cols)
+            if gen:
+                post = post.withColumns(
+                    {c: F.expr(e).cast(types[c]) for c, e in gen.items()}
+                )
+            post = post.withColumn("_change_type", F.lit("update_postimage"))
             cdc_rels = _write_change_files(
                 dest, _cdc_physical(pre.unionByName(post), snap), len(touched)
             )
@@ -753,6 +818,10 @@ def merge_delta_export(
                 )
             new_data = incoming
         _enforce_constraints(new_data, snap)
+        # source rows supply generated columns explicitly (MERGE requires
+        # every target column): validate them against their expressions
+        # rather than silently overwriting what the caller provided
+        _enforce_generated(new_data, snap)
         out, part_cols = _to_physical(new_data, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=max(1, len(touched))

@@ -278,11 +278,16 @@ class DeltaLogWriter:
             )
         elif version == 0 and protocol is None:
             # CHECK constraints (delta.constraints.*) are a writer-version-3
-            # feature: stock writers must see >= (1,3) or they would append
-            # rows without enforcing the invariant
-            min_writer = 3 if any(
+            # feature, generated columns writer-version-4: stock writers
+            # must see the floor or they would append rows without
+            # enforcing the invariant / recomputing the expression
+            min_writer = 2
+            if any(
                 k.startswith("delta.constraints.") for k in (configuration or {})
-            ) else 2
+            ):
+                min_writer = 3
+            if schema_json and "delta.generationExpression" in schema_json:
+                min_writer = 4
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
             )

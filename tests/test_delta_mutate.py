@@ -638,3 +638,80 @@ def test_no_cdf_config_means_no_change_data_files(spark, tmp_path):
     root = _table(spark, tmp_path, {"a": [1, 2]})
     update_delta_export(root, spark, "k = 2", {"v": "'x'"})
     assert not os.path.isdir(os.path.join(root, "_change_data"))
+
+
+_GEN_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {
+                "name": "k2",
+                "type": "long",
+                "nullable": True,
+                "metadata": {"delta.generationExpression": "k * 2"},
+            },
+        ],
+    }
+)
+
+
+def _gen_table(spark, tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "gen")
+    rel = "data/a.parquet"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(rows, pa.int64()),
+                "v": pa.array([f"v{r}" for r in rows]),
+                "k2": pa.array([r * 2 for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(root, rel),
+    )
+    DeltaLogWriter(root).commit(adds=[(rel, {})], schema_json=_GEN_SCHEMA)
+    return root
+
+
+def test_generated_column_recomputes_on_update(spark, tmp_path):
+    root = _gen_table(spark, tmp_path, [1, 2, 3])
+    # creation protocol names writer version 4 (generatedColumns floor)
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    ]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    update_delta_export(root, spark, "k = 2", {"k": "k + 10"})
+    got = {
+        r["k"]: r["k2"] for r in DeltaTableReader(spark, root).read().collect()
+    }
+    assert got == {1: 2, 12: 24, 3: 6}  # k2 followed k
+
+
+def test_generated_column_rejects_direct_assignment(spark, tmp_path):
+    root = _gen_table(spark, tmp_path, [1])
+    with pytest.raises(ValueError, match="generated"):
+        update_delta_export(root, spark, "k = 1", {"k2": "99"})
+
+
+def test_merge_validates_generated_values(spark, tmp_path):
+    from sdlt_spark.store.vintage import ConstraintViolationError
+
+    root = _gen_table(spark, tmp_path, [1, 2])
+    bad = spark.createDataFrame([(2, "u", 99)], "k long, v string, k2 long")
+    with pytest.raises(ConstraintViolationError, match="generated column k2"):
+        merge_delta_export(root, spark, bad, on=["k"])
+    ok = spark.createDataFrame([(2, "u", 4), (5, "n", 10)],
+                               "k long, v string, k2 long")
+    merge_delta_export(root, spark, ok, on=["k"])
+    got = {
+        r["k"]: (r["v"], r["k2"])
+        for r in DeltaTableReader(spark, root).read().collect()
+    }
+    assert got == {1: ("v1", 2), 2: ("u", 4), 5: ("n", 10)}
