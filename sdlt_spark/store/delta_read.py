@@ -88,6 +88,14 @@ _SUPPORTED_READER_FEATURES = {
     # Both the GA and preview feature names gate the same semantics.
     "typeWidening",
     "typeWidening-preview",
+    # Variant columns (schemaString type "variant"): Spark 4's parquet
+    # reader/writer handle the binary (metadata, value) encoding natively,
+    # and the explicit-schema scan passes the type straight through — GA
+    # and preview names gate the same semantics. Shredded variants
+    # (variantShredding-preview) are NOT listed: reading a shredded file
+    # as plain variant would drop the typed_value shards.
+    "variantType",
+    "variantType-preview",
 }
 
 _PHYS_KEY = "delta.columnMapping.physicalName"

@@ -2549,3 +2549,61 @@ def test_min_max_partition_values_and_time_travel(spark, tmp_path):
     r = DeltaTableReader(spark, root)
     assert r.min_max("r") == (3, 9)
     assert r.min_max("r", version=0) == (3, 3)
+
+
+def test_variant_column_reads_through_feature_gate(spark, tmp_path):
+    """A table naming the variantType reader feature (Spark 4 / modern
+    Databricks shape) opens and its variant cells extract correctly;
+    an unknown reader feature still refuses loudly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sdlt_spark.store.delta_read import DeltaProtocolError, DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "vt")
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.parse_json(
+            F.format_string('{"a": %s, "b": "x%s"}', "id", "id")
+        ).alias("j"),
+    )
+    abs_dir = os.path.join(root, "c0")
+    df.coalesce(1).write.parquet(abs_dir)
+    adds = [
+        (f"c0/{f}", {}) for f in sorted(os.listdir(abs_dir))
+        if f.endswith(".parquet")
+    ]
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=adds,
+        schema_json=df.schema.json(),
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"],
+        },
+    )
+    out = (
+        DeltaTableReader(spark, root)
+        .read()
+        .select(
+            "k",
+            F.try_variant_get("j", "$.a", "long").alias("a"),
+            F.try_variant_get("j", "$.b", "string").alias("b"),
+        )
+    )
+    got = {r["k"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == {i: (i, f"x{i}") for i in range(5)}
+    # a genuinely unknown feature still bounces
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    acts = [_json.loads(line) for line in open(log)]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"]["readerFeatures"] = ["somethingFuturistic"]
+    with open(log, "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(DeltaProtocolError, match="somethingFuturistic"):
+        DeltaTableReader(spark, root).read()

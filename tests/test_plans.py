@@ -500,3 +500,74 @@ def test_partitioned_import_read_is_single_scan_broadcast_join(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan
     assert "Union" not in plan, plan               # no per-partition fan-out
     assert df.count() == 16
+
+
+def test_bigram_logprob_broadcasts_vocab_scalar(spark):
+    """Bigram extraction must be map-only (zip_with over slices — no
+    posexplode+window shuffle for adjacency) and the vocab size a 1-row
+    broadcast; the histogram joins may broadcast or shuffle (AQE), but
+    never a cartesian product."""
+    plan = plan_of(spark, "bigram_logprob")
+    assert "Window" not in plan  # adjacency came from zip_with, not lead()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_dhash_neardup_bands_not_all_pairs(spark):
+    """Candidate pairs come from the (band, byte) equi-join — the plan
+    must contain a hash join on those keys and no cartesian product."""
+    plan = plan_of(spark, "image_neardup_dhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)
+
+
+def test_row_tracking_read_is_scan_plus_broadcast_map(spark, tmp_path):
+    """read_with_row_ids = ONE parquet scan + ONE broadcast (file -> base)
+    map join; no shuffle, no second scan, at any file count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        allocate_base_row_ids,
+        row_tracking_configuration,
+        row_tracking_protocol,
+    )
+
+    root = str(tmp_path / "rtp")
+    import json as _json
+
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    adds = []
+    for i in range(4):
+        rel = f"data/f{i}.parquet"
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array(range(i * 10, i * 10 + 5), pa.int64())}),
+            os.path.join(root, rel),
+        )
+        adds.append((rel, {}))
+    base, hwm = allocate_base_row_ids(root, [r for r, _ in adds], prior_hwm=-1)
+    DeltaLogWriter(root).commit(
+        adds=adds,
+        schema_json=schema,
+        protocol=row_tracking_protocol(),
+        configuration=row_tracking_configuration(),
+        base_row_ids=base,
+        row_id_high_water_mark=hwm,
+    )
+    df = DeltaTableReader(spark, root).read_with_row_ids()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle anywhere
