@@ -282,6 +282,53 @@ def _enforce_constraints(df: DataFrame, snap) -> None:
             )
 
 
+def _check_append_only(snap, verb: str) -> None:
+    """``delta.appendOnly=true`` (the appendOnly writer feature, v2):
+    row-deleting / row-modifying commits are forbidden — the whole point
+    of the flag is that downstream consumers may assume rows never
+    disappear. delta-spark raises the same way."""
+    cfg = (snap.metadata or {}).get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            f"{verb} is not allowed on an append-only table "
+            "(delta.appendOnly=true)"
+        )
+
+
+def _identity_columns(snap) -> dict[str, dict]:
+    """Fields carrying ``delta.identity.*`` metadata (PROTOCOL.md
+    "Identity Columns", the identityColumns writer feature, v6) ->
+    {start, step, hwm, explicit}."""
+    out = {}
+    for f in snap.schema.fields:
+        md = f.metadata or {}
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "hwm": None if hwm is None else int(hwm),
+                "explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _bump_identity_hwm(schema_str: str, updates: dict[str, int]) -> str:
+    """Re-emit the schemaString with each identity column's
+    ``delta.identity.highWaterMark`` advanced — how Delta records
+    identity allocation state (it lives in field metadata, not
+    domainMetadata)."""
+    d = json.loads(schema_str)
+    for f in d.get("fields", []):
+        if f.get("name") in updates:
+            f.setdefault("metadata", {})[
+                "delta.identity.highWaterMark"
+            ] = updates[f["name"]]
+    return json.dumps(d)
+
+
 def _generated_columns(snap) -> dict[str, str]:
     """Columns whose field metadata carries ``delta.generationExpression``
     (PROTOCOL.md "Generated Columns" / the generatedColumns writer
@@ -425,6 +472,7 @@ def delete_delta_export(
         raise ValueError(f"mode={mode!r}; expected 'cow' or 'dv'")
 
     def _attempt(dest, reader, snap, writer, placed):
+        _check_append_only(snap, "DELETE")
         cond = F.expr(condition)
         params = {"predicate": condition}
         if mode == "dv":
@@ -594,6 +642,7 @@ def update_delta_export(
     contract). Returns the committed version."""
 
     def _attempt(dest, reader, snap, writer, placed):
+        _check_append_only(snap, "UPDATE")
         types = {f.name: f.dataType for f in snap.schema.fields}
         gen = _generated_columns(snap)
         for c in assignments:
@@ -605,6 +654,10 @@ def update_delta_export(
                 raise ValueError(
                     f"column {c} is generated ({gen[c]}) and cannot be "
                     "assigned directly"
+                )
+            if c in _identity_columns(snap):
+                raise ValueError(
+                    f"column {c} is an IDENTITY column and cannot be updated"
                 )
         cond = F.expr(condition)
         live = sorted(snap.files)
@@ -726,6 +779,65 @@ def merge_delta_export(
         touched = _touched_rels(
             reader, snap, keyed.join(src.select(*on).distinct(), on, "left_semi")
         )
+        if touched:
+            # a MERGE that matches existing keys rewrites rows; a
+            # pure-insert merge is still legal on an append-only table
+            _check_append_only(snap, "MERGE with matched keys")
+        ident = _identity_columns(snap)
+        ident_auto = sorted(c for c, s in ident.items() if not s["explicit"])
+        types_by_name = {f.name: f.dataType for f in snap.schema.fields}
+        if ident_auto:
+            # GENERATED ALWAYS AS IDENTITY: the source must not supply
+            # values (delta-spark's rule) — matched rows inherit the
+            # target's value, inserts get system-assigned ones below
+            bad = src.agg(
+                *[
+                    F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(
+                        f"i{i}"
+                    )
+                    for i, c in enumerate(ident_auto)
+                ]
+            ).first()
+            for i, c in enumerate(ident_auto):
+                if bad[f"i{i}"]:
+                    raise ValueError(
+                        f"column {c} is GENERATED ALWAYS AS IDENTITY; the "
+                        "MERGE source must not supply values for it"
+                    )
+
+        def _apply_identity(inc, tgt_rows):
+            if not ident_auto:
+                return inc
+            if tgt_rows is not None:
+                # matched source rows keep the TARGET row's identity (an
+                # updateAll never rewrites an identity column); min() makes
+                # duplicate-keyed targets deterministic
+                tgt = tgt_rows.groupBy(*on).agg(
+                    *[F.min(c).alias(f"__tgt_{c}") for c in ident_auto]
+                )
+                inc = inc.join(tgt, on, "left")
+                for c in ident_auto:
+                    inc = inc.withColumn(c, F.col(f"__tgt_{c}")).drop(
+                        f"__tgt_{c}"
+                    )
+            # inserts: fresh values beyond the high-water mark; the spec
+            # allows gaps, so a partition-skewed monotonic id is fine —
+            # no global sort, no shuffle
+            mid = F.monotonically_increasing_id()
+            for c in ident_auto:
+                s = ident[c]
+                nxt = s["start"] if s["hwm"] is None else s["hwm"] + s["step"]
+                inc = inc.withColumn(
+                    c,
+                    F.coalesce(
+                        F.col(c),
+                        (F.lit(nxt) + F.lit(s["step"]) * mid).cast(
+                            types_by_name[c]
+                        ),
+                    ),
+                )
+            return inc
+
         tracking = _row_tracking(snap)
         extra_cols: tuple[str, ...] = ()
         if tracking:
@@ -750,6 +862,7 @@ def merge_delta_export(
                     .distinct()
                 )
                 incoming = src.join(drop_keys, on, "left_anti")
+            incoming = _apply_identity(incoming, rows)
             if _cdf_enabled(snap):
                 # MERGE change feed: replaced target rows surface as
                 # update_preimage (the incoming row is the postimage),
@@ -810,6 +923,7 @@ def merge_delta_export(
                 ).withColumnRenamed("row_commit_version", mat_rcv)
             new_data = incoming.unionByName(kept)
         else:
+            incoming = _apply_identity(incoming, None)
             if tracking:
                 incoming = incoming.select(
                     *tcols,
@@ -832,6 +946,71 @@ def merge_delta_export(
             if tracking
             else {}
         )
+        if ident_auto and adds:
+            # advance each identity column's high-water mark from the
+            # written files' footer zones (metadata-only — kept rows sit
+            # at or below the old mark, so max over all rows is correct);
+            # a missing zone falls back to ONE bounded agg over the new
+            # files, never the table
+            hwm_updates: dict[str, int] = {}
+            fallback: list[str] = []
+            for c in ident_auto:
+                s = ident[c]
+                phys = snap.physical_name(c)
+                key = "max" if s["step"] > 0 else "min"
+                vals = []
+                for rel, _pv in adds:
+                    z = stats.get(rel) or {}
+                    v = (z.get(key) or {}).get(phys)
+                    if v is None:
+                        fallback.append(c)
+                        break
+                    vals.append(int(v))
+                else:
+                    ext = max(vals) if s["step"] > 0 else min(vals)
+                    cur = s["hwm"]
+                    hwm_updates[c] = (
+                        ext
+                        if cur is None
+                        else (max(cur, ext) if s["step"] > 0 else min(cur, ext))
+                    )
+            if fallback:
+                new_files = [os.path.join(dest, rel) for rel, _pv in adds]
+                row = reader.spark.read.parquet(*new_files).agg(
+                    *[
+                        (
+                            F.max(snap.physical_name(c))
+                            if ident[c]["step"] > 0
+                            else F.min(snap.physical_name(c))
+                        ).alias(f"h{i}")
+                        for i, c in enumerate(fallback)
+                    ]
+                ).first()
+                for i, c in enumerate(fallback):
+                    v = row[f"h{i}"]
+                    if v is None:
+                        continue
+                    s, cur = ident[c], ident[c]["hwm"]
+                    v = int(v)
+                    hwm_updates[c] = (
+                        v
+                        if cur is None
+                        else (max(cur, v) if s["step"] > 0 else min(cur, v))
+                    )
+            if hwm_updates:
+                base_schema = extra_kwargs.get("schema_json") or snap.metadata.get(
+                    "schemaString", snap.schema.json()
+                )
+                extra_kwargs["schema_json"] = _bump_identity_hwm(
+                    base_schema, hwm_updates
+                )
+                extra_kwargs.setdefault(
+                    "configuration",
+                    dict(snap.metadata.get("configuration") or {}),
+                )
+                extra_kwargs.setdefault(
+                    "partition_columns", snap.partition_columns
+                )
         return writer.commit(
             adds=adds,
             removes=_removes(snap, touched),

@@ -288,6 +288,8 @@ class DeltaLogWriter:
                 min_writer = 3
             if schema_json and "delta.generationExpression" in schema_json:
                 min_writer = 4
+            if schema_json and "delta.identity." in schema_json:
+                min_writer = 6  # identityColumns floor
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
             )

