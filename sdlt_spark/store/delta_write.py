@@ -218,6 +218,7 @@ class DeltaLogWriter:
         base_row_ids: dict[str, int] | None = None,
         row_id_high_water_mark: int | None = None,
         row_commit_versions: dict[str, int] | None = None,
+        domain_metadata: list[dict] | None = None,
     ) -> int:
         """One commit: ``adds`` = (relative path, partitionValues) pairs,
         ``removes`` = relative paths, or ``(relative path, deletionVector
@@ -384,6 +385,19 @@ class DeltaLogWriter:
                         "partitionValues": {},
                         "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
                         "dataChange": False,
+                    }
+                }
+            )
+        for dm in domain_metadata or []:
+            # caller-supplied domainMetadata actions (clustering state,
+            # app domains, ...) — configuration must already be a string
+            # per PROTOCOL.md
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm["domain"],
+                        "configuration": dm.get("configuration", "{}"),
+                        "removed": bool(dm.get("removed", False)),
                     }
                 }
             )
@@ -1147,6 +1161,71 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     return sorted(deleted)
 
 
+def set_clustering_columns(dest_path: str, cols: list[str]) -> int:
+    """Declare (or change) a table's liquid-clustering columns — the
+    ``delta.clustering`` domainMetadata modern delta-spark writes for
+    ``CLUSTER BY`` tables. One metadata commit; the layout itself is
+    applied by the next :func:`optimize_delta_export`, which defaults its
+    clustering key to these columns. The protocol upgrades to writer v7
+    naming ``clusteringColumns`` (the feature readers may ignore) +
+    ``domainMetadata`` (where the state lives)."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    dest = os.path.abspath(dest_path)
+    reader = DeltaTableReader(None, dest)
+    snap = reader.snapshot()
+    missing = [c for c in cols if c not in snap.schema.names]
+    if missing:
+        raise ValueError(f"clustering columns not in schema: {missing}")
+    proto = snap.protocol or {}
+    w = proto.get("minWriterVersion", 1)
+    wf = set(proto.get("writerFeatures") or [])
+    if w < 7:
+        for lvl, feats in _LEGACY_WRITER_FEATURES.items():
+            if w >= lvl:
+                wf.update(feats)
+    wf.update({"clusteringColumns", "domainMetadata"})
+    wf.update(proto.get("readerFeatures") or [])
+    new_proto = {
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf),
+    }
+    if proto.get("readerFeatures") or proto.get("minReaderVersion", 1) >= 3:
+        new_proto["readerFeatures"] = sorted(proto.get("readerFeatures") or [])
+    writer = DeltaLogWriter(dest)
+    return writer.commit(
+        operation="CLUSTER BY",
+        operation_params={"clusterBy": json.dumps(cols)},
+        protocol=new_proto,
+        domain_metadata=[
+            {
+                "domain": "delta.clustering",
+                # the spec nests each clustering column as a name-path
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cols]}
+                ),
+            }
+        ],
+        expected_version=snap.version + 1,
+    )
+
+
+def clustering_columns(snap) -> list[str]:
+    """The table's declared liquid-clustering columns (top-level names),
+    [] when unclustered."""
+    dm = snap.domains.get("delta.clustering")
+    if not dm:
+        return []
+    cfg = dm.get("configuration")
+    try:
+        if isinstance(cfg, str):
+            cfg = json.loads(cfg)
+        return [path[0] for path in (cfg or {}).get("clusteringColumns", [])]
+    except (TypeError, ValueError, json.JSONDecodeError, IndexError):
+        return []
+
+
 def _tracked_rewrite_scan(reader, snap, rels):
     """Keyed physical scan of ``rels`` for an OPTIMIZE-style rewrite —
     ``(df, tracking)``. On a row-tracked table the stable ids are
@@ -1220,6 +1299,13 @@ def optimize_delta_export(
             "OPTIMIZE of a column-mapped table is not supported (rewritten "
             "files would need field-id/physical-name round-tripping)"
         )
+    if not zorder_by:
+        # a liquid-clustered table's OPTIMIZE clusters on its declared
+        # columns by default (delta-spark's behavior for CLUSTER BY
+        # tables); an explicit zorder_by still overrides
+        declared = clustering_columns(snap)
+        if len(declared) >= 2:
+            zorder_by = declared
     if zorder_by:
         return _zorder_delta_export(
             dest, spark, reader, snap, zorder_by, target_file_bytes

@@ -2607,3 +2607,78 @@ def test_variant_column_reads_through_feature_gate(spark, tmp_path):
         f.write("\n".join(_json.dumps(a) for a in acts) + "\n")
     with pytest.raises(DeltaProtocolError, match="somethingFuturistic"):
         DeltaTableReader(spark, root).read()
+
+
+def test_liquid_clustering_declared_and_optimize_applies_it(spark, tmp_path):
+    """set_clustering_columns writes the delta.clustering domainMetadata
+    (+ writer-v7 protocol naming clusteringColumns); a subsequent plain
+    OPTIMIZE clusters on the declared columns; the domain survives a
+    checkpoint."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        clustering_columns,
+        optimize_delta_export,
+        set_clustering_columns,
+    )
+
+    root = str(tmp_path / "lc")
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "a", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "b", "type": "long", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    adds = []
+    for i in range(2):
+        rel = f"data/f{i}.parquet"
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "a": pa.array([3 - i, 7 - i, 11 - i], pa.int64()),
+                    "b": pa.array([i, i + 5, i + 9], pa.int64()),
+                }
+            ),
+            os.path.join(root, rel),
+        )
+        adds.append((rel, {}))
+    w.commit(adds=adds, schema_json=schema)
+    with pytest.raises(ValueError, match="not in schema"):
+        set_clustering_columns(root, ["nope"])
+    v = set_clustering_columns(root, ["a", "b"])
+    reader = DeltaTableReader(spark, root)
+    snap = reader.snapshot()
+    assert clustering_columns(snap) == ["a", "b"]
+    assert "clusteringColumns" in set(snap.protocol["writerFeatures"])
+    before = sorted(
+        (r["a"], r["b"]) for r in reader.read().collect()
+    )
+    produced = optimize_delta_export(root, spark)  # no zorder_by given
+    assert produced  # the rewrite happened, clustered on (a, b)
+    acts = [
+        _json.loads(line)
+        for line in open(
+            os.path.join(root, "_delta_log", f"{v + 1:020d}.json")
+        )
+    ]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert _json.loads(ci["operationParameters"]["zOrderBy"]) == ["a", "b"]
+    after = sorted((r["a"], r["b"]) for r in reader.read().collect())
+    assert after == before  # dataChange=false: content identical
+    # domain survives a checkpoint + log cleanup
+    DeltaLogWriter(root).write_checkpoint()
+    for f in os.listdir(os.path.join(root, "_delta_log")):
+        if f.endswith(".json") and f[:-5].isdigit():
+            os.remove(os.path.join(root, "_delta_log", f))
+    snap2 = DeltaTableReader(spark, root).snapshot()
+    assert clustering_columns(snap2) == ["a", "b"]
