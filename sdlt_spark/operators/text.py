@@ -729,3 +729,56 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Boilerplate HTML -> training text (the trafilatura-class extraction
+    step every web-crawl pipeline runs, reduced to its deterministic
+    core): drop <script>/<style> subtrees wholesale, strip every
+    remaining tag, decode the common entities, collapse whitespace.
+    Appends ``out_col`` plus ``n_links`` (anchor count — a standard
+    page-quality signal: link farms score high).
+
+    Entirely codegen'd regexp_replace/regexp_count expressions — map-only,
+    no Python, no shuffle; at 100 TB this runs at parquet-scan speed. The
+    patterns avoid lookarounds so the SAME strings run under Java regex
+    (Spark) and RE2 (DuckDB oracle)."""
+    c = F.col(html_col)
+    n_links = F.regexp_count(c, F.lit(r"(?i)<a[\s>]")).cast("int")
+    # subtree drops first (their inner text is NOT content), then tags
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST: earlier would double-decode &amp;lt;
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumns({out_col: c, "n_links": n_links})
+
+
+def html_to_text_oracle_sql(table: str, html_expr: str) -> str:
+    """DuckDB SQL recomputing html_to_text exactly — same patterns, RE2
+    flavor, with the 'g' (global) flag DuckDB needs for replace-all."""
+    steps = f"regexp_replace({html_expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    steps = f"regexp_replace({steps}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    steps = f"regexp_replace({steps}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ):
+        steps = f"replace({steps}, '{ent}', '{rep}')"
+    text = f"trim(regexp_replace({steps}, '\\s+', ' ', 'g'))"
+    links = f"len(regexp_extract_all({html_expr}, '(?i)<a[\\s>]'))"
+    return text, links

@@ -6829,3 +6829,56 @@ def delta_cdf_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = delete_delta_export(root, spark, "o_orderkey % 7 = 0")
     assert (v1, v2) == (1, 2)
     return DeltaTableReader(spark, root).table_changes(1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Round-7: HTML -> text extraction (operators/text.html_to_text)
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    '<html><head><style>p{color:red}</style>'
+    '<script>var a="</p>";</script></head><body><h1>Doc '
+)
+_HTML_MID = '</h1><p>'
+_HTML_POST = '</p><a href="/x">link</a> &amp; &lt;raw&gt;</body></html>'
+
+
+def _html_oracle() -> str:
+    from sdlt_spark.operators.text import html_to_text_oracle_sql
+
+    pre = _HTML_PRE.replace("'", "''")
+    mid = _HTML_MID.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    html = f"('{pre}' || doc_id || '{mid}' || text || '{post}')"
+    text_sql, links_sql = html_to_text_oracle_sql("documents", html)
+    return (
+        f"SELECT doc_id, {text_sql} AS text, "
+        f"CAST({links_sql} AS INT) AS n_links FROM documents"
+    )
+
+
+@_q("html_extract_text", _html_oracle())
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl boilerplate removal: wrap each document in a synthetic
+    page (style + script subtrees — the script BODY contains a '</p>'
+    literal, so a greedy or tag-only stripper corrupts the output — plus
+    an anchor and entities), then extract training text with
+    operators/text.html_to_text. Pure codegen'd regexp expressions —
+    map-only, scan-speed at any corpus size; the DuckDB oracle reruns the
+    SAME patterns under RE2."""
+    from sdlt_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_MID),
+            F.col("text"),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    return html_to_text(pages, "html", "text").select(
+        "doc_id", "text", "n_links"
+    )

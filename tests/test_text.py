@@ -231,3 +231,23 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
     assert abs(got[1]["avg_neg_logprob"] - round(exp1, 3)) < 1e-9
     assert abs(got[2]["avg_neg_logprob"] - round(exp2, 3)) < 1e-9
+
+
+def test_html_to_text_hand_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            # script body contains a '</p>' literal: a tag-only stripper
+            # would leak 'var a=' into the text
+            (1, '<p>Hello</p><script>var a="</p>";</script><p>world</p>'),
+            (2, '<style>p {c: 1}</style>A &amp;&lt;B&gt; &nbsp; C'),
+            (3, '<a href="/x">one</a> <A HREF="/y">two</A> <p>done</p>'),
+            (4, None),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_links"])
+           for r in text.html_to_text(docs).collect()}
+    assert out[1] == ("Hello world", 0)
+    assert out[2] == ('A &<B> C', 0)
+    assert out[3] == ("one two done", 2)
+    assert out[4] == (None, None)
