@@ -6882,3 +6882,76 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_to_text(pages, "html", "text").select(
         "doc_id", "text", "n_links"
     )
+
+
+@_q(
+    "multimodal_vad",
+    # active spans are a closed-form function of doc parity (see builder):
+    # even docs -> windows {1} and {4,5}; odd -> {1,2} and {5}; the
+    # amplitude (= segment peak) is 1000 + doc_id % 7
+    """
+    WITH amp AS (SELECT doc_id, CAST(1000 + doc_id % 7 AS INT) AS a
+                 FROM documents)
+    SELECT doc_id AS media_id, 0 AS seg_idx, 1 AS start_window,
+           1 AS end_window, 1 AS n_windows, a AS peak
+    FROM amp WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 1, 4, 5, 2, a FROM amp WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 0, 1, 2, 2, a FROM amp WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 1, 5, 5, 1, a FROM amp WHERE doc_id % 2 = 1
+    """,
+)
+def multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension, REAL energy-threshold VAD: build a 64-frame stereo
+    WAV per document with silence everywhere except two known spans
+    (even docs: frames [8,16) and [32,48); odd: [8,24) and [40,48)),
+    decode it honestly and segment with operators/multimodal.vad_segments
+    (window 8, threshold 10). A segmenter that mis-merged adjacent
+    windows, mis-indexed the trailing window, or measured energy on one
+    channel only hash-mismatches the analytic oracle."""
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _encode(batches):
+        import pandas as pd
+
+        from sdlt_spark.operators.audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1000 + did % 7
+                i = np.arange(64)
+                if did % 2 == 0:
+                    act = ((i >= 8) & (i < 16)) | ((i >= 32) & (i < 48))
+                else:
+                    act = ((i >= 8) & (i < 24)) | ((i >= 40) & (i < 48))
+                mono = np.where(act, amp, 0)
+                payloads.append(
+                    encode_wav(np.stack([mono, -mono], axis=1), 8000)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _encode,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    return _mm.vad_segments(media, frame_window=8, threshold=10.0).select(
+        "media_id",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        "start_window",
+        "end_window",
+        "n_windows",
+        "peak",
+    )

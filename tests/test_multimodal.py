@@ -342,3 +342,42 @@ def test_dhash_neardup_planted_pair(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
     with pytest.raises(ValueError):
         mm.dhash_neardup(_bmp_media(spark, [base]), max_hamming=8)
+
+
+def test_vad_segments_hand_cases(spark):
+    import numpy as np
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from sdlt_spark.operators.audiocodec import encode_wav
+
+    def wav(mono):
+        mono = np.asarray(mono)
+        return bytearray(encode_wav(np.stack([mono, -mono], axis=1), 8000))
+
+    rows = [
+        # 10 frames, window 4 -> 3 windows (last partial of 2): active
+        # span covers frames 4..9 -> windows 1 and 2 merge into one seg.
+        # The partial window's energy uses its REAL frame count (2), so
+        # amplitude 50 gives energy 50 > threshold, not 25.
+        (0, wav([0, 0, 0, 0, 50, 50, 50, 50, 50, 50])),
+        (1, wav([0] * 8)),          # silence -> no segments
+        (2, None),                  # error row
+    ]
+    media = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
+    )
+    out = mm.vad_segments(media, frame_window=4, threshold=10.0).collect()
+    segs = [(r["media_id"], r["seg_idx"], r["start_window"],
+             r["end_window"], r["n_windows"], r["peak"])
+            for r in out if r["decode_error"] is None]
+    assert segs == [(0, 0, 1, 2, 2, 50)]
+    errs = [r["media_id"] for r in out if r["decode_error"] is not None]
+    assert errs == [2]
+    assert not [r for r in out if r["media_id"] == 1]
