@@ -1575,9 +1575,18 @@ def clone_delta_export(src_path: str, dest_path: str) -> int:
     adds: list[tuple[str, dict]] = []
     stats_override: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    base_row_ids: dict[str, int] = {}
+    row_commit_versions: dict[str, int] = {}
     for rel in sorted(snap.files):
         abs_src = resolve_table_path(src, rel)  # src may itself be a clone
         adds.append((abs_src, snap.files[rel]))
+        if rel in snap.row_ids:
+            # a shallow clone keeps the source's row ids (delta-spark's
+            # CLONE contract) — dropping them would renumber every row
+            base, dcv = snap.row_ids[rel]
+            base_row_ids[abs_src] = base
+            if dcv is not None:
+                row_commit_versions[abs_src] = dcv
         st = snap.stats.get(rel)
         if st:
             stats_override[abs_src] = {
@@ -1608,6 +1617,14 @@ def clone_delta_export(src_path: str, dest_path: str) -> int:
         protocol=snap.protocol
         or {"minReaderVersion": 1, "minWriterVersion": 2},
         operation_params={"sourceTable": src},
+        base_row_ids=base_row_ids or None,
+        row_commit_versions=row_commit_versions or None,
+        # the clone's own allocation must start past the source's mark
+        row_id_high_water_mark=(
+            DeltaTableReader(None, src).row_id_high_water_mark(snap)
+            if base_row_ids
+            else None
+        ),
     )
 
 
@@ -1674,6 +1691,20 @@ def restore_delta_export(dest_path: str, version: int) -> int:
         target.schema.json() != current.schema.json()
         or target_config != current_config
     )
+    # row tracking: re-added files must carry their ORIGINAL
+    # (baseRowId, defaultRowCommitVersion) — a restore that dropped them
+    # would renumber every restored row (the high-water mark domain is
+    # monotonic, so it stays wherever the current state left it)
+    base_row_ids = {
+        rel: target.row_ids[rel][0]
+        for rel, _ in adds
+        if rel in target.row_ids
+    }
+    row_commit_versions = {
+        rel: target.row_ids[rel][1]
+        for rel, _ in adds
+        if rel in target.row_ids and target.row_ids[rel][1] is not None
+    }
     return writer.commit(
         adds=adds,
         removes=removes,
@@ -1683,4 +1714,6 @@ def restore_delta_export(dest_path: str, version: int) -> int:
         configuration=target_config if meta_changed else None,
         dvs={rel: target.dvs[rel] for rel, _ in adds if rel in target.dvs}
         or None,
+        base_row_ids=base_row_ids or None,
+        row_commit_versions=row_commit_versions or None,
     )

@@ -226,3 +226,23 @@ def test_zorder_preserves_ids(spark, tmp_path):
     produced = optimize_delta_export(root, spark, zorder_by=["k", "v"])
     assert produced
     assert _ids(spark, root) == before
+
+
+def test_restore_and_clone_preserve_row_ids(spark, tmp_path):
+    from sdlt_spark.store.delta_write import (
+        clone_delta_export,
+        restore_delta_export,
+    )
+
+    root = _tracked_table(tmp_path, {"a": [1, 2, 3], "b": [10, 11]})
+    v1_ids = _ids(spark, root)
+    delete_delta_export(root, spark, "k = 2", mode="cow")
+    # restore back to the pre-delete state: re-added file keeps its base
+    restore_delta_export(root, version=1)
+    assert _ids(spark, root) == v1_ids
+    # a shallow clone carries ids AND the high-water mark
+    dest = str(tmp_path / "clone")
+    clone_delta_export(root, dest)
+    assert _ids(spark, dest) == v1_ids
+    r = DeltaTableReader(spark, dest)
+    assert r.row_id_high_water_mark() >= 4
