@@ -87,6 +87,17 @@ class DeltaStreamSink:
                 if snap.schema.json() == schema_json:
                     schema_json = None
 
+        # a row-tracked target (rowTracking writer feature / config) needs
+        # every add to carry a fresh baseRowId range — an append without
+        # one would break read_with_row_ids for the whole table
+        tracked = False
+        if exists and snap is not None:
+            cfg = snap.metadata.get("configuration") or {}
+            wf = set((snap.protocol or {}).get("writerFeatures") or [])
+            tracked = (
+                cfg.get("delta.enableRowTracking") == "true"
+                or "rowTracking" in wf
+            )
         staging = os.path.join(self.dest, f".staging-{uuid.uuid4().hex}")
         writer = DeltaLogWriter(self.dest)  # creates dest + _delta_log
         os.makedirs(os.path.join(self.dest, "data"), exist_ok=True)
@@ -101,11 +112,23 @@ class DeltaStreamSink:
                     os.path.join(staging, f), os.path.join(self.dest, out_rel)
                 )
                 adds.append((out_rel, {}))
+            row_kwargs = {}
+            if tracked and adds:
+                from sdlt_spark.store.delta_write import allocate_base_row_ids
+
+                base, hwm = allocate_base_row_ids(
+                    self.dest, [rel for rel, _ in adds]
+                )
+                row_kwargs = {
+                    "base_row_ids": base,
+                    "row_id_high_water_mark": hwm,
+                }
             version = writer.commit(
                 adds=adds,
                 schema_json=schema_json,
                 operation="STREAMING UPDATE",
                 txn=(self.app_id, batch_id),
+                **row_kwargs,
             )
         finally:
             shutil.rmtree(staging, ignore_errors=True)

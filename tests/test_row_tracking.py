@@ -246,3 +246,24 @@ def test_restore_and_clone_preserve_row_ids(spark, tmp_path):
     assert _ids(spark, dest) == v1_ids
     r = DeltaTableReader(spark, dest)
     assert r.row_id_high_water_mark() >= 4
+
+
+def test_stream_sink_appends_assign_fresh_ids(spark, tmp_path):
+    from sdlt_spark.streaming.delta_sink import DeltaStreamSink
+
+    root = _tracked_table(tmp_path, {"a": [1, 2, 3]})
+    sink = DeltaStreamSink(root, app_id="t")
+    sink.write_batch(
+        spark.createDataFrame([(50, "s0"), (51, "s1")], "k long, v string"),
+        batch_id=0,
+    )
+    got = _ids(spark, root)
+    assert got[1] == (0, 0) and got[3] == (2, 0)
+    new_ids = {got[50][0], got[51][0]}
+    assert new_ids == {3, 4}  # fresh range past the old mark
+    assert DeltaTableReader(spark, root).row_id_high_water_mark() == 4
+    # a replayed batch is skipped: no double allocation
+    assert sink.write_batch(
+        spark.createDataFrame([(50, "s0")], "k long, v string"), batch_id=0
+    ) is None
+    assert DeltaTableReader(spark, root).row_id_high_water_mark() == 4
