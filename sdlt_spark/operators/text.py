@@ -782,3 +782,28 @@ def html_to_text_oracle_sql(table: str, html_expr: str) -> str:
     text = f"trim(regexp_replace({steps}, '\\s+', ' ', 'g'))"
     links = f"len(regexp_extract_all({html_expr}, '(?i)<a[\\s>]'))"
     return text, links
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "deduped",
+) -> DataFrame:
+    """Within-document duplicate-line removal (the Gopher/CCNet
+    paragraph-dedup step: navigation bars, footers, and cookie banners
+    repeat VERBATIM inside a page; keep each line's first occurrence in
+    order). Appends ``out_col`` plus ``n_lines`` / ``n_unique`` counts.
+
+    Pure codegen'd array expressions — split, order-preserving
+    array_distinct, re-join — map-only at scan speed; no Python, no
+    shuffle, no per-line state beyond the row."""
+    lines = F.split(F.col(text_col), "\n")
+    uniq = F.array_distinct(lines)  # keeps FIRST occurrence order
+    return df.withColumns(
+        {
+            out_col: F.array_join(uniq, "\n"),
+            "n_lines": F.size(lines).cast("int"),
+            "n_unique": F.size(uniq).cast("int"),
+        }
+    )

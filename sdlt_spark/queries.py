@@ -6955,3 +6955,40 @@ def multimodal_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_windows",
         "peak",
     )
+
+
+@_q(
+    "dedup_lines",
+    # fixture page = nav \n text \n nav \n footer \n footer: with text
+    # single-line and distinct from the literals, the dedup is closed-form
+    """
+    SELECT doc_id,
+           'NAV MENU' || chr(10) || text || chr(10) || 'footer (c) 2026'
+             AS deduped,
+           CAST(5 AS INT) AS n_lines, CAST(3 AS INT) AS n_unique
+    FROM documents
+    """,
+)
+def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document boilerplate-line removal: wrap each document in a
+    synthetic page whose nav and footer lines REPEAT, dedup with
+    operators/text.dedup_lines (order-preserving array_distinct — first
+    occurrence wins), and emit the cleaned text + line counts. Map-only
+    codegen'd array expressions; the oracle reconstructs the cleaned page
+    analytically, so a dedup that reordered or dropped the wrong
+    occurrence hash-mismatches."""
+    from sdlt_spark.operators.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV MENU"),
+            F.col("text"),
+            F.lit("NAV MENU"),
+            F.lit("footer (c) 2026"),
+            F.lit("footer (c) 2026"),
+        ).alias("text"),
+    )
+    return dedup_lines(pages).select("doc_id", "deduped", "n_lines", "n_unique")

@@ -251,3 +251,15 @@ def test_html_to_text_hand_cases(spark):
     assert out[2] == ('A &<B> C', 0)
     assert out[3] == ("one two done", 2)
     assert out[4] == (None, None)
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["deduped"], r["n_lines"], r["n_unique"])
+           for r in text.dedup_lines(docs).collect()}
+    assert out[1] == ("a\nb\nc", 5, 3)
+    assert out[2] == ("x", 1, 1)
+    assert out[3] == (None, None, None)
