@@ -137,6 +137,15 @@ def row_tracking_configuration() -> dict[str, str]:
     }
 
 
+def _read_footer_stats_safe(abs_path: str) -> dict | None:
+    try:
+        from sdlt_spark.store.vintage import _read_footer_stats
+
+        return _read_footer_stats(abs_path)
+    except Exception:  # noqa: BLE001 — stats are an optimization
+        return None
+
+
 def allocate_base_row_ids(
     table_path: str, rels: list[str], prior_hwm: int | None = None
 ) -> tuple[dict[str, int], int]:
@@ -741,6 +750,7 @@ def export_vintage_to_delta(
     checkpoint_interval: int = 10,
     dv_mode: str = "rewrite",
     tombstone_retention_hours: float = 168.0,
+    row_tracking: bool = False,
 ) -> int:
     """Publish the current snapshot of a ``VintageTable`` as a Delta table
     a stock Delta reader can open — and keep it in sync: re-exporting to
@@ -1033,6 +1043,57 @@ def export_vintage_to_delta(
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors", "checkConstraints"],
         }
+    # Row tracking on the export: requested at creation (row_tracking=True)
+    # or inherited by a sync whose target is already tracked — every add
+    # then carries a fresh baseRowId range and the HWM domain advances
+    target_tracked = False
+    if is_sync and snap is not None:
+        wf_now = set((snap.protocol or {}).get("writerFeatures") or [])
+        target_tracked = (
+            existing_config.get("delta.enableRowTracking") == "true"
+            or "rowTracking" in wf_now
+        )
+    want_tracking = row_tracking or target_tracked
+    rt_config: dict[str, str] = {}
+    if want_tracking and not target_tracked:
+        # first tracked commit: protocol upgrade + configuration keys
+        base_proto = protocol_arg or (snap.protocol if is_sync else None)
+        if base_proto is None:
+            if dvs_out:
+                base_proto = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            else:
+                base_proto = {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 3 if desired_config else 2,
+                }
+        protocol_arg = row_tracking_protocol(base_proto)
+        rt_config = row_tracking_configuration()
+        if schema_json_arg is None:
+            schema_json_arg = schema_json  # config change forces metaData
+    row_kwargs: dict = {}
+    if want_tracking and adds:
+        prior = (
+            DeltaTableReader(None, dest).row_id_high_water_mark(snap)
+            if is_sync and snap is not None
+            else -1
+        )
+        next_id = prior + 1
+        base_ids: dict[str, int] = {}
+        for rel, _pv in adds:
+            base_ids[rel] = next_id
+            z = stats_override.get(rel)
+            if z is None or z.get("rows") is None:
+                z = _read_footer_stats_safe(os.path.join(dest, rel))
+            next_id += int((z or {}).get("rows", 0))
+        row_kwargs = {
+            "base_row_ids": base_ids,
+            "row_id_high_water_mark": next_id - 1,
+        }
     try:
         if is_sync and not adds and not removes and schema_json_arg is None:
             return writer._next_version() - 1  # already in sync: no empty commit
@@ -1058,11 +1119,13 @@ def export_vintage_to_delta(
                         if not k.startswith("delta.constraints.")
                     },
                     **desired_config,
+                    **rt_config,
                 }
                 if schema_json_arg is not None
                 else None
             ),
             protocol=protocol_arg,
+            **row_kwargs,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

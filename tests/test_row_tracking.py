@@ -267,3 +267,40 @@ def test_stream_sink_appends_assign_fresh_ids(spark, tmp_path):
         spark.createDataFrame([(50, "s0")], "k long, v string"), batch_id=0
     ) is None
     assert DeltaTableReader(spark, root).row_id_high_water_mark() == 4
+
+
+def test_export_with_row_tracking_and_sync(spark, tmp_path):
+    """export_vintage_to_delta(row_tracking=True): the export is a
+    row-tracked Delta table from v0; an incremental SYNC allocates fresh
+    disjoint ranges for its new files and old ids stay stable."""
+    from sdlt_spark import tables
+    from sdlt_spark.store.delta_write import export_vintage_to_delta
+    from sdlt_spark.store.vintage import VintageTable
+
+    src = tables.load(spark, "/root/testdata/sf0.001", "region").select(
+        "r_regionkey", "r_name"
+    )
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(src.coalesce(1))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest, row_tracking=True)
+    r = DeltaTableReader(spark, dest)
+    ids0 = {
+        row["r_regionkey"]: row["row_id"]
+        for row in r.read_with_row_ids().collect()
+    }
+    assert sorted(ids0.values()) == list(range(len(ids0)))
+    hwm0 = r.row_id_high_water_mark()
+    assert hwm0 == len(ids0) - 1
+    # mutate the source, sync: new file gets a range past the mark
+    extra = spark.createDataFrame([(90, "NOWHERE")], "r_regionkey int, r_name string")
+    t.write(extra, mode="append")
+    export_vintage_to_delta(t, dest, row_tracking=True)
+    ids1 = {
+        row["r_regionkey"]: row["row_id"]
+        for row in r.read_with_row_ids().collect()
+    }
+    for k, v in ids0.items():
+        assert ids1[k] == v  # untouched files keep their fresh ids
+    assert ids1[90] > hwm0
+    assert r.row_id_high_water_mark() > hwm0
