@@ -1,0 +1,82 @@
+"""Graph algorithms over edge DataFrames.
+
+The dedup clustering in :mod:`sdlt_spark.operators.dedup` already does
+join-based label propagation (connected components); this module adds
+PageRank — link-based document ranking, the classic seed-quality signal
+in web-crawl curation (OPIC/Harmonic centrality serve the same role in
+e.g. Common Crawl pipelines).
+
+Determinism design: floating-point PageRank is NOT reproducible across
+engines (per-group float sums reorder under shuffle), so ``pagerank``
+here runs in INTEGER arithmetic — contributions are integer-divided
+BEFORE the sum, the damping is applied by integer multiply-then-divide
+AFTER the sum, and integer addition is associative — making every
+iteration bit-identical in Spark and any SQL engine, at any parallelism.
+Ranks are fixed-point: ``scale`` = 1.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over an (src, dst) edge list.
+
+    r_0(v) = scale;  r_{k+1}(v) = (100 - d)% * scale
+                                  + d% * Σ_{u -> v} (r_k(u) DIV deg(u))
+    with the percent applied as multiply-then-integer-divide AFTER the
+    sum. Dangling contributions are dropped (their mass leaves the
+    system), matching the common sparse formulation.
+
+    Scale shape per iteration: ONE equi-join of the edge list with the
+    current rank vector on ``src`` (AQE broadcasts the vector while it
+    fits; both sides shuffle on the key otherwise) and ONE partial-agg
+    groupBy on ``dst`` — O(edges) shuffled per iteration, the driver
+    holds nothing. The out-degree table is computed once and reused.
+    Plan depth grows linearly with ``iterations``; for long walks,
+    localCheckpoint every few rounds (the k-means/label-propagation
+    pattern elsewhere in this repo).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # JVM long division (`div`), never float: exact in both
+                # engines at any magnitude
+                F.expr("rank div __deg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damping_pct} * coalesce(__s, CAST(0 AS "
+                f"BIGINT))) div 100 AS BIGINT)"
+            ).alias("rank"),
+        )
+    return ranks

@@ -6992,3 +6992,53 @@ def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_lines(pages).select("doc_id", "deduped", "n_lines", "n_unique")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: link-graph PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    # integer fixed-point PageRank unrolled: every step is exact BIGINT
+    # arithmetic (contributions integer-divided BEFORE the sum, damping
+    # multiply-then-div AFTER), so the oracle is hash-exact regardless of
+    # shuffle/aggregation order in either engine
+    parts = [
+        "WITH n AS (SELECT count(*) AS cnt FROM documents),",
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + u.i) % cnt AS dst",
+        "      FROM documents, n, unnest([1, 2, 3]) AS u(i)),",
+        "r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank",
+        "       FROM documents)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f", r{k} AS (SELECT d.doc_id AS node, "
+            f"CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM documents d LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank // 3) AS s "
+            f"FROM e JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst"
+            f") s ON s.node = d.doc_id)"
+        )
+    parts.append(f"SELECT node, rank FROM r{iterations}")
+    return "\n".join(parts)
+
+
+@_q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based document ranking (the crawl-curation seed-quality
+    signal): 3 PageRank iterations over a synthetic 3-regular link graph
+    (doc u links to (7u+i) mod N, i=1..3). Integer fixed-point arithmetic
+    makes the iterative result EXACTLY reproducible — float PageRank
+    would hash-differ across engines through per-group sum reordering.
+    Per iteration: one edge-vector equi-join + one partial-agg groupBy —
+    O(edges) shuffled, nothing on the driver beyond the node count."""
+    from sdlt_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("__i"),
+    ).select("src", ((F.col("src") * 7 + F.col("__i")) % n).alias("dst"))
+    return pagerank(edges, iterations=3)

@@ -1,0 +1,45 @@
+"""Integer fixed-point PageRank (operators/graph.py)."""
+
+import pytest
+
+from sdlt_spark.operators.graph import pagerank
+
+
+def test_pagerank_hand_computed_cycle(spark):
+    # 3-cycle: every node has deg 1, rank stays at the stationary value
+    # base + 85% of the incoming rank, converging toward scale
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    r1 = {r["node"]: r["rank"] for r in pagerank(e, iterations=1).collect()}
+    assert r1 == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+    r5 = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert r5 == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_hub_and_spoke(spark):
+    # 1 -> 0, 2 -> 0, 0 -> 1: node 0 collects two full contributions
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=1).collect()}
+    s = 1_000_000
+    assert got[0] == 150_000 + (85 * (s + s)) // 100
+    assert got[1] == 150_000 + (85 * s) // 100
+    assert got[2] == 150_000  # dangling-in: nothing points at 2
+
+
+def test_pagerank_mass_bound_and_determinism(spark):
+    # mass never exceeds the initial total (dangling mass leaks out, the
+    # base term re-injects 15%); two runs are bit-identical
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(50), rnd.randrange(50)) for _ in range(200)]
+    e = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    a = sorted((r["node"], r["rank"]) for r in pagerank(e, iterations=4).collect())
+    b = sorted((r["node"], r["rank"]) for r in pagerank(e, iterations=4).collect())
+    assert a == b
+    n_nodes = len(a)
+    assert sum(r for _, r in a) <= n_nodes * 1_000_000
+    assert all(r >= 150_000 for _, r in a)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping_pct=100)
