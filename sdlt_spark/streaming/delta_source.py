@@ -128,9 +128,33 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError(f"mode={self._mode!r}; expected 'cdc' or 'appends'")
         self._schema = schema
         start = options.get("startingversion")
-        self._initial = (
-            int(start) - 1 if start is not None else _reader(self._path).latest_version()
-        )
+        start_ts = options.get("startingtimestamp")
+        if start is not None and start_ts is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if start_ts is not None:
+            # delta-spark's startingTimestamp: first commit AT OR AFTER the
+            # timestamp streams; _resolve_timestamp returns the last commit
+            # at-or-before, so start one past it — unless the timestamp
+            # precedes the whole log, where version 0 streams (delta-spark
+            # raises only for FUTURE timestamps; we mirror the lenient
+            # at-or-after rule and let an empty tail mean 'nothing yet')
+            import datetime as _dt
+
+            try:
+                ts = float(start_ts)
+            except ValueError:
+                ts = _dt.datetime.fromisoformat(str(start_ts)).timestamp()
+            r = _reader(self._path)
+            try:
+                self._initial = r._resolve_timestamp(ts)
+            except ValueError:
+                self._initial = -1  # before the first commit: stream all
+        elif start is not None:
+            self._initial = int(start) - 1
+        else:
+            self._initial = _reader(self._path).latest_version()
         mcpt = options.get("maxcommitspertrigger")
         self._max_commits = int(mcpt) if mcpt is not None else None
         if self._max_commits is not None and self._max_commits < 1:

@@ -982,3 +982,57 @@ def test_delta_append_stream_refuses_dv_bearing_cdc_add(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="deletion-vector"):
         list(r.partitions({"version": -1}, {"version": 0}))
+
+
+def test_delta_cdc_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the first commit AT OR AFTER the
+    timestamp (delta-spark's rule); a pre-log timestamp streams from v0;
+    passing both start options raises."""
+    import json as _json
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaChangeDataSource
+
+    spark.dataSource.register(DeltaChangeDataSource)
+    root = str(tmp_path / "dts")
+    os.makedirs(root)
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    _pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), f"{root}/a.parquet")
+    w.commit(adds=[("a.parquet", {})], schema_json=schema)  # v0
+    _time.sleep(1.2)  # inCommitTimestamp has ms resolution; keep a gap
+    cut = _time.time()
+    _time.sleep(1.2)
+    _pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), f"{root}/b.parquet")
+    w.commit(adds=[("b.parquet", {})])  # v1, after the cut
+
+    def _collect(**opts):
+        reader = spark.readStream.format("delta_cdc").option("path", root)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        name = f"cdc_ts_{len(opts)}_{int(cut)}"
+        q = reader.load().writeStream.format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            return sorted(
+                (r["k"], r["_commit_version"])
+                for r in spark.sql(f"select * from {name}").collect()
+            )
+        finally:
+            q.stop()
+
+    assert _collect(startingTimestamp=str(cut)) == [(2, 1)]
+    assert _collect(startingTimestamp="1999-01-01T00:00:00") == [(1, 0), (2, 1)]
+    with pytest.raises(Exception, match="not both"):
+        _collect(startingTimestamp=str(cut), startingVersion="0")
