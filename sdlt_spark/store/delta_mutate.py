@@ -752,6 +752,7 @@ def merge_delta_export(
     source: DataFrame,
     on: list[str],
     when_matched_delete: str | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE (upsert): ``whenMatchedUpdateAll`` + ``whenNotMatchedInsertAll``
     — every source row lands, matched target rows are replaced — plus an
@@ -767,6 +768,40 @@ def merge_delta_export(
     version."""
 
     def _attempt(dest, reader, snap, writer, placed):
+        new_cols: list[str] = []
+        if schema_evolution:
+            # delta-spark's autoMerge: source-only columns APPEND to the
+            # table schema as nullable fields; the evolved snapshot drives
+            # every scan below, so pre-evolution files read the new
+            # columns as typed nulls with no rewrite
+            import dataclasses
+
+            from pyspark.sql.types import StructField, StructType
+
+            have = {f.name for f in snap.schema.fields}
+            new_cols = [c for c in source.columns if c not in have]
+            if new_cols and snap.mapping:
+                raise ValueError(
+                    "schema evolution on a column-mapped table is not "
+                    "supported (new fields would need physical names + "
+                    "field ids assigned)"
+                )
+            if new_cols:
+                evolved = StructType(
+                    list(snap.schema.fields)
+                    + [
+                        StructField(c, source.schema[c].dataType, True)
+                        for c in new_cols
+                    ]
+                )
+                snap = dataclasses.replace(
+                    snap,
+                    schema=evolved,
+                    metadata={
+                        **snap.metadata,
+                        "schemaString": evolved.json(),
+                    },
+                )
         tcols = [f.name for f in snap.schema.fields]
         src = source.select(*tcols)  # errors if a target column is missing
         live = sorted(snap.files)
@@ -946,6 +981,14 @@ def merge_delta_export(
             if tracking
             else {}
         )
+        if new_cols:
+            # evolved schema re-emits in this commit's metaData (with the
+            # existing configuration carried — an absent dict would wipe it)
+            extra_kwargs["schema_json"] = snap.metadata["schemaString"]
+            extra_kwargs.setdefault(
+                "configuration", dict(snap.metadata.get("configuration") or {})
+            )
+            extra_kwargs.setdefault("partition_columns", snap.partition_columns)
         if ident_auto and adds:
             # advance each identity column's high-water mark from the
             # written files' footer zones (metadata-only — kept rows sit

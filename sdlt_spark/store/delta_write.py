@@ -265,6 +265,25 @@ class DeltaLogWriter:
                 f"is at {version - 1}: a concurrent writer committed first"
             )
         ts = int(time.time() * 1000)
+        if version > 0:
+            # inCommitTimestamp must be STRICTLY monotonic (PROTOCOL.md —
+            # timestampAsOf binary-searches on it): under clock skew or
+            # sub-ms commit bursts, bump past the previous commit's clock
+            prev = os.path.join(self.log_dir, f"{version - 1:020d}.json")
+            try:
+                with open(prev) as pf:
+                    for line in pf:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            prev_ict = a["commitInfo"].get("inCommitTimestamp")
+                            if prev_ict is not None and ts <= prev_ict:
+                                ts = prev_ict + 1
+                            break
+            except OSError:
+                pass  # previous commit checkpointed away: mtimes rule there
         actions: list[dict] = []
         if protocol is not None:
             # caller-supplied protocol wins outright — clones copy the

@@ -2682,3 +2682,39 @@ def test_liquid_clustering_declared_and_optimize_applies_it(spark, tmp_path):
             os.remove(os.path.join(root, "_delta_log", f))
     snap2 = DeltaTableReader(spark, root).snapshot()
     assert clustering_columns(snap2) == ["a", "b"]
+
+
+def test_in_commit_timestamps_strictly_monotonic(spark, tmp_path):
+    """Sub-ms commit bursts must still produce strictly increasing
+    inCommitTimestamps — timestampAsOf binary-searches on them."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "ict")
+    os.makedirs(root)
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), f"{root}/a.parquet")
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {})], schema_json=schema)
+    for _ in range(10):  # a burst far faster than 1 ms per commit
+        w.commit(operation="WRITE")
+    icts = []
+    for v in range(11):
+        with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    icts.append(a["commitInfo"]["inCommitTimestamp"])
+                    break
+    assert all(b > a for a, b in zip(icts, icts[1:])), icts

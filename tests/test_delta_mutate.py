@@ -826,3 +826,32 @@ def test_identity_rejects_explicit_values(spark, tmp_path):
         merge_delta_export(root, spark, src, on=["v"])
     with pytest.raises(ValueError, match="IDENTITY"):
         update_delta_export(root, spark, "v = 'a'", {"id": "5"})
+
+
+def test_merge_schema_evolution_appends_columns(spark, tmp_path):
+    root = _table(spark, tmp_path, {"a": [1, 2], "b": [10]})
+    src = spark.createDataFrame(
+        [(2, "upd", 7.5), (99, "new", 9.0)], "k long, v string, score double"
+    )
+    # without the flag, the extra column is dropped (no evolution)
+    merge_delta_export(root, spark, src, on=["k"])
+    assert "score" not in DeltaTableReader(spark, root).read().columns
+    # with it, the schema evolves and pre-evolution rows read null
+    v = merge_delta_export(root, spark, src, on=["k"], schema_evolution=True)
+    r = DeltaTableReader(spark, root)
+    got = {row["k"]: (row["v"], row["score"]) for row in r.read().collect()}
+    assert got == {
+        1: ("v1", None),
+        2: ("upd", 7.5),
+        10: ("v10", None),
+        99: ("new", 9.0),
+    }
+    # the evolved metaData landed in the merge commit itself
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    ]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert "score" in meta["schemaString"]
+    # time travel to the pre-evolution version keeps the OLD schema
+    assert "score" not in r.read(version=v - 1).columns
