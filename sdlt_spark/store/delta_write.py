@@ -1376,11 +1376,11 @@ def optimize_delta_export(
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(spark, dest)
     snap = reader.snapshot()
-    if snap.mapping:
-        raise ValueError(
-            "OPTIMIZE of a column-mapped table is not supported (rewritten "
-            "files would need field-id/physical-name round-tripping)"
-        )
+    if snap.mapping_mode == "id":
+        # the keyed scan's schema carries each column's parquet.field.id
+        # metadata; this conf makes the rewrite EMIT those ids, so id-mode
+        # readers keep resolving the compacted files
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     if not zorder_by:
         # a liquid-clustered table's OPTIMIZE clusters on its declared
         # columns by default (delta-spark's behavior for CLUSTER BY

@@ -2718,3 +2718,77 @@ def test_in_commit_timestamps_strictly_monotonic(spark, tmp_path):
                     icts.append(a["commitInfo"]["inCommitTimestamp"])
                     break
     assert all(b > a for a, b in zip(icts, icts[1:])), icts
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_optimize_column_mapped_table(spark, tmp_path, mode):
+    """OPTIMIZE of a column-mapped table: the compacted files carry
+    PHYSICAL names (and field ids in 'id' mode) so mapped readers keep
+    resolving them; logical content is unchanged."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        optimize_delta_export,
+    )
+
+    root = str(tmp_path / f"cm_{mode}")
+    os.makedirs(os.path.join(root, "data"))
+    rels = []
+    for i, vals in enumerate(([1, 2], [3, 4])):
+        rel = f"data/f{i}.parquet"
+        if mode == "id":
+            # id mode matches by footer field id, names are noise
+            schema = pa.schema(
+                [pa.field("anything", pa.int64(),
+                          metadata={b"PARQUET:field_id": b"1"})]
+            )
+            pq.write_table(
+                pa.table({"anything": pa.array(vals, pa.int64())}, schema=schema),
+                os.path.join(root, rel),
+            )
+        else:
+            pq.write_table(
+                pa.table({"col-k1": pa.array(vals, pa.int64())}),
+                os.path.join(root, rel),
+            )
+        rels.append(rel)
+    schema_json = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-k1",
+                    },
+                }
+            ],
+        }
+    )
+    DeltaLogWriter(root).commit(
+        adds=[(r, {}) for r in rels],
+        schema_json=schema_json,
+        configuration={
+            "delta.columnMapping.mode": mode,
+            "delta.columnMapping.maxColumnId": "1",
+        },
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+    )
+    r = DeltaTableReader(spark, root)
+    before = sorted(x["k"] for x in r.read().collect())
+    produced = optimize_delta_export(root, spark)
+    assert produced, "two small files must compact"
+    after = sorted(x["k"] for x in r.read().collect())
+    assert after == before == [1, 2, 3, 4]
+    # the compacted file carries the PHYSICAL column name
+    raw = pq.read_schema(os.path.join(root, produced[0]))
+    if mode == "name":
+        assert raw.names == ["col-k1"]
