@@ -807,3 +807,55 @@ def dedup_lines(
             "n_unique": F.size(uniq).cast("int"),
         }
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate compression ratio per document — the RefinedWeb/Gopher-class
+    redundancy signal: highly repetitive text (keyword stuffing, templated
+    boilerplate, scraped lists) compresses far below natural prose, so a
+    low ratio is a strong junk indicator that needs no tokenizer or model.
+
+    ratio = len(zlib(text)) / len(utf8(text)); emitted with both byte
+    counts. NULL/empty text -> null ratio. Deterministic for a fixed zlib
+    level (the DEFLATE output for a given input+level is stable across
+    CPython builds, which is what pins the regression test).
+
+    Scale: Arrow-batched pandas UDF — per-batch Python, compute-bound,
+    partition-local, no shuffle; the output is 3 scalars per document."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<raw_bytes: long, deflate_bytes: long>")
+    def _sizes(col):
+        raw, comp = [], []
+        for t in col:
+            if t is None:
+                raw.append(None)
+                comp.append(None)
+            else:
+                b = t.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_bytes": raw, "deflate_bytes": comp})
+
+    out = df.withColumn("__sz", _sizes(F.col(text_col)))
+    return out.select(
+        id_col,
+        F.col("__sz.raw_bytes").alias("raw_bytes"),
+        F.col("__sz.deflate_bytes").alias("deflate_bytes"),
+        F.when(
+            F.col("__sz.raw_bytes") > 0,
+            F.round(
+                F.col("__sz.deflate_bytes").cast("double")
+                / F.col("__sz.raw_bytes"),
+                4,
+            ),
+        ).alias("compression_ratio"),
+    )

@@ -7042,3 +7042,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("__i"),
     ).select("src", ((F.col("src") * 7 + F.col("__i")) % n).alias("dst"))
     return pagerank(edges, iterations=3)
+
+
+@_q("compression_ratio", None)
+def compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/Gopher-class redundancy filter: per-document deflate
+    ratio (repetitive boilerplate compresses far below natural prose).
+    Arrow-batched UDF, no shuffle; rows-only (DuckDB has no zlib) —
+    regression-guarded by tests/test_text.py::
+    test_compression_ratio_separates_repetitive_text."""
+    from sdlt_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))

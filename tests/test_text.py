@@ -263,3 +263,26 @@ def test_dedup_lines_first_occurrence_order(spark):
     assert out[1] == ("a\nb\nc", 5, 3)
     assert out[2] == ("x", 1, 1)
     assert out[3] == (None, None, None)
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    import zlib
+
+    prose = ("the quick brown fox jumps over the lazy dog and then wanders "
+             "through seventeen unrelated meadows describing each uniquely ")
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),               # keyword stuffing
+            (2, prose * 4),                   # varied prose
+            (3, ""),                          # empty -> null ratio
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.compression_ratio(docs).collect()}
+    assert out[1]["compression_ratio"] < 0.1 < out[2]["compression_ratio"]
+    # exact deflate size pins determinism (stable for fixed level)
+    assert out[1]["deflate_bytes"] == len(zlib.compress(("spam " * 200).encode(), 6))
+    assert out[1]["raw_bytes"] == 1000
+    assert out[3]["compression_ratio"] is None and out[3]["raw_bytes"] == 0
+    assert out[4]["raw_bytes"] is None and out[4]["compression_ratio"] is None
