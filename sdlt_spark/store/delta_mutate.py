@@ -85,7 +85,7 @@ def _mutate(spark, dest_path: str, attempt) -> int:
         writer = DeltaLogWriter(dest)
         placed: list[str] = []
         try:
-            return attempt(dest, reader, snap, writer, placed)
+            version = attempt(dest, reader, snap, writer, placed)
         except DeltaCommitConflictError as exc:
             last = exc
             for rel in placed:
@@ -93,6 +93,22 @@ def _mutate(spark, dest_path: str, attempt) -> int:
                     os.remove(os.path.join(dest, rel))
                 except OSError:
                     pass
+            continue
+        # delta.checkpointInterval (delta-spark checkpoints every N
+        # commits; its default is 10): bounded replay for long-lived
+        # mutation streams. Failure here never fails the mutation — the
+        # commit is already durable, the checkpoint is an optimization.
+        cfg = (snap.metadata or {}).get("configuration") or {}
+        try:
+            interval = int(cfg.get("delta.checkpointInterval", 0))
+        except (TypeError, ValueError):
+            interval = 0
+        if interval > 0 and version > 0 and version % interval == 0:
+            try:
+                writer.write_checkpoint(version)
+            except Exception:  # noqa: BLE001
+                pass
+        return version
     raise last
 
 

@@ -855,3 +855,22 @@ def test_merge_schema_evolution_appends_columns(spark, tmp_path):
     assert "score" in meta["schemaString"]
     # time travel to the pre-evolution version keeps the OLD schema
     assert "score" not in r.read(version=v - 1).columns
+
+
+def test_checkpoint_interval_config_auto_checkpoints(spark, tmp_path):
+    root = str(tmp_path / "ci")
+    rel = "data/a.parquet"
+    _write_part(spark, os.path.join(root, rel), [1, 2, 3, 4])
+    DeltaLogWriter(root).commit(
+        adds=[(rel, {})],
+        schema_json=_SCHEMA,
+        configuration={"delta.checkpointInterval": "2"},
+    )
+    delete_delta_export(root, spark, "k = 1", mode="dv")   # v1
+    delete_delta_export(root, spark, "k = 2", mode="dv")   # v2 -> checkpoint
+    log = os.path.join(root, "_delta_log")
+    ckpts = [f for f in os.listdir(log) if ".checkpoint" in f and f.endswith(".parquet")]
+    assert any(f.startswith(f"{2:020d}") for f in ckpts), ckpts
+    # the table still reads correctly through the checkpoint
+    got = sorted(r["k"] for r in DeltaTableReader(spark, root).read().collect())
+    assert got == [3, 4]
