@@ -137,6 +137,39 @@ def row_tracking_configuration() -> dict[str, str]:
     }
 
 
+_STAT_STRING_PREFIX = 32
+
+
+def _truncate_stat_strings(values: dict, is_max: bool) -> dict:
+    """Delta writers bound per-file string stats to a 32-char prefix —
+    at 100 TB the log's stats otherwise dominate its size for wide string
+    tables. Truncation must stay SAFE for data skipping: a min prefix is
+    <= the true min by construction; a truncated MAX must be bumped to a
+    string >= every value it summarizes (increment the last retained
+    char; if every retained char is already at the ceiling, drop the
+    bound entirely — no upper bound beats a wrong one)."""
+    out = {}
+    for k, v in values.items():
+        if isinstance(v, str) and len(v) > _STAT_STRING_PREFIX:
+            p = v[:_STAT_STRING_PREFIX]
+            if not is_max:
+                out[k] = p
+                continue
+            bumped = None
+            for i in range(len(p) - 1, -1, -1):
+                cp = ord(p[i])
+                if cp < 0x10FFFF:
+                    bumped = p[:i] + chr(cp + 1)
+                    break
+            if bumped is not None:
+                out[k] = bumped
+            # else: omit the max bound — callers treat a missing bound as
+            # "cannot prune", never as "empty"
+        else:
+            out[k] = v
+    return out
+
+
 def _read_footer_stats_safe(abs_path: str) -> dict | None:
     try:
         from sdlt_spark.store.vintage import _read_footer_stats
@@ -378,8 +411,12 @@ class DeltaLogWriter:
                 add["stats"] = json.dumps(
                     {
                         "numRecords": zone.get("rows", 0),
-                        "minValues": zone.get("min", {}),
-                        "maxValues": zone.get("max", {}),
+                        "minValues": _truncate_stat_strings(
+                            zone.get("min", {}), is_max=False
+                        ),
+                        "maxValues": _truncate_stat_strings(
+                            zone.get("max", {}), is_max=True
+                        ),
                     }
                 )
             actions.append({"add": add})

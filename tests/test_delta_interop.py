@@ -2792,3 +2792,60 @@ def test_optimize_column_mapped_table(spark, tmp_path, mode):
     raw = pq.read_schema(os.path.join(root, produced[0]))
     if mode == "name":
         assert raw.names == ["col-k1"]
+
+
+def test_string_stats_truncate_to_safe_prefixes(spark, tmp_path):
+    """Long string stats truncate to 32-char prefixes (log-size control):
+    min = plain prefix (<= true min), max = prefix with last char bumped
+    (>= every value), ceiling chars drop the bound; skipping stays SAFE."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        _truncate_stat_strings,
+    )
+
+    long_lo = "a" * 40
+    long_hi = "m" * 33 + "zz"
+    root = str(tmp_path / "ts")
+    os.makedirs(os.path.join(root, "data"))
+    rel = "data/a.parquet"
+    pq.write_table(
+        pa.table({"s": pa.array([long_lo, long_hi])}), os.path.join(root, rel)
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "s", "type": "string", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    DeltaLogWriter(root).commit(
+        adds=[(rel, {})],
+        schema_json=schema,
+        stats_override={rel: {"rows": 2, "min": {"s": long_lo}, "max": {"s": long_hi}}},
+    )
+    acts = [
+        _json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    ]
+    st = _json.loads(next(a["add"]["stats"] for a in acts if "add" in a))
+    assert st["minValues"]["s"] == "a" * 32          # prefix <= true min
+    assert st["maxValues"]["s"] == "m" * 31 + "n"    # bumped > every value
+    assert len(st["maxValues"]["s"]) == 32
+    r = DeltaTableReader(spark, root)
+    # value inside the summarized range: file kept
+    assert r.read_where("s", "b", "c").count() == 0  # kept+scanned, no rows
+    assert set(r.read_where("s", long_lo, long_lo).inputFiles())
+    # clearly beyond the bumped max: pruned without scanning
+    assert r.read_where("s", "z", None).inputFiles() == []
+    # ceiling chars: the max bound drops instead of lying
+    out = _truncate_stat_strings({"s": chr(0x10FFFF) * 40}, is_max=True)
+    assert "s" not in out
+    out_min = _truncate_stat_strings({"s": chr(0x10FFFF) * 40}, is_max=False)
+    assert out_min["s"] == chr(0x10FFFF) * 32
