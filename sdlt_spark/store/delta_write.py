@@ -408,17 +408,20 @@ class DeltaLogWriter:
                 except Exception:
                     zone = None  # stats are an optimization, never a blocker
             if zone is not None:
-                add["stats"] = json.dumps(
-                    {
-                        "numRecords": zone.get("rows", 0),
-                        "minValues": _truncate_stat_strings(
-                            zone.get("min", {}), is_max=False
-                        ),
-                        "maxValues": _truncate_stat_strings(
-                            zone.get("max", {}), is_max=True
-                        ),
-                    }
-                )
+                stats_payload = {
+                    "numRecords": zone.get("rows", 0),
+                    "minValues": _truncate_stat_strings(
+                        zone.get("min", {}), is_max=False
+                    ),
+                    "maxValues": _truncate_stat_strings(
+                        zone.get("max", {}), is_max=True
+                    ),
+                }
+                if zone.get("nulls"):
+                    # Delta's nullCount: IS NULL / IS NOT NULL skipping for
+                    # stock readers (ours keeps files with missing entries)
+                    stats_payload["nullCount"] = zone["nulls"]
+                add["stats"] = json.dumps(stats_payload)
             actions.append({"add": add})
         for item in removes or []:
             rel, rem_dv = item if isinstance(item, tuple) else (item, None)

@@ -258,13 +258,22 @@ def _read_footer_stats(abs_path: str) -> dict:
     md = pq.ParquetFile(abs_path).metadata
     mins: dict = {}
     maxs: dict = {}
+    nulls: dict = {}
     unusable: set[str] = set()
+    null_unusable: set[str] = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             name = col.path_in_schema
             st = col.statistics
+            # per-column null counts (Delta stats' nullCount: IS NULL /
+            # IS NOT NULL skipping) — usable only if EVERY row group
+            # recorded one
+            if st is not None and st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                null_unusable.add(name)
             lo = hi = None
             if st is not None and st.has_min_max:
                 try:
@@ -288,7 +297,9 @@ def _read_footer_stats(abs_path: str) -> dict:
     for name in unusable:
         mins.pop(name, None)
         maxs.pop(name, None)
-    return {"rows": md.num_rows, "min": mins, "max": maxs}
+    for name in null_unusable:
+        nulls.pop(name, None)
+    return {"rows": md.num_rows, "min": mins, "max": maxs, "nulls": nulls}
 
 
 @dataclass

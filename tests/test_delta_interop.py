@@ -2849,3 +2849,42 @@ def test_string_stats_truncate_to_safe_prefixes(spark, tmp_path):
     assert "s" not in out
     out_min = _truncate_stat_strings({"s": chr(0x10FFFF) * 40}, is_max=False)
     assert out_min["s"] == chr(0x10FFFF) * 32
+
+
+def test_commit_stats_carry_null_counts(spark, tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "nc")
+    os.makedirs(os.path.join(root, "data"))
+    rel = "data/a.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, None, 3, None], pa.int64()),
+                "v": pa.array(["a", "b", None, "d"]),
+            }
+        ),
+        os.path.join(root, rel),
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    DeltaLogWriter(root).commit(adds=[(rel, {})], schema_json=schema)
+    acts = [
+        _json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    ]
+    st = _json.loads(next(a["add"]["stats"] for a in acts if "add" in a))
+    assert st["nullCount"] == {"k": 2, "v": 1}
+    assert st["numRecords"] == 4
