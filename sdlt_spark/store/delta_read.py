@@ -1046,7 +1046,13 @@ class DeltaTableReader:
             mn = (st.get("minValues") or {}).get(phys)
             mx = (st.get("maxValues") or {}).get(phys)
             if mn is None or mx is None:
-                keep.append(rel)  # no zone: must read
+                # an all-null column can't match a range predicate —
+                # nullCount == numRecords prunes where min/max can't
+                nc = (st.get("nullCount") or {}).get(phys)
+                nr = st.get("numRecords")
+                if nc is not None and nr is not None and nc == nr:
+                    continue
+                keep.append(rel)  # no usable zone: must read
                 continue
             try:
                 overlap = (lo is None or mx >= lo) and (hi is None or mn <= hi)

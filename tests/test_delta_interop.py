@@ -2888,3 +2888,39 @@ def test_commit_stats_carry_null_counts(spark, tmp_path):
     st = _json.loads(next(a["add"]["stats"] for a in acts if "add" in a))
     assert st["nullCount"] == {"k": 2, "v": 1}
     assert st["numRecords"] == 4
+
+
+def test_read_where_prunes_all_null_files_via_null_count(spark, tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "nn")
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(
+        pa.table({"k": pa.array([None, None], pa.int64())}),
+        os.path.join(root, "data/nulls.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([5, 6], pa.int64())}),
+        os.path.join(root, "data/vals.parquet"),
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    DeltaLogWriter(root).commit(
+        adds=[("data/nulls.parquet", {}), ("data/vals.parquet", {})],
+        schema_json=schema,
+    )
+    df = DeltaTableReader(spark, root).read_where("k", 1, 10)
+    assert {os.path.basename(p) for p in df.inputFiles()} == {"vals.parquet"}
+    assert sorted(r["k"] for r in df.collect()) == [5, 6]
