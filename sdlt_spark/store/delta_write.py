@@ -1198,11 +1198,38 @@ def export_vintage_to_delta(
     return version
 
 
-def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[str]:
+def _parse_retention_interval(raw: str) -> float | None:
+    """``delta.deletedFileRetentionDuration`` -> hours. The documented
+    shape is ``interval <n> <unit>`` (hour[s]/day[s]/week[s], also
+    minute[s]/second[s]); unparseable values return None (caller keeps
+    its default — a misread retention must never shorten the window)."""
+    units = {
+        "second": 1 / 3600.0,
+        "minute": 1 / 60.0,
+        "hour": 1.0,
+        "day": 24.0,
+        "week": 168.0,
+    }
+    try:
+        parts = str(raw).strip().lower().split()
+        if parts and parts[0] == "interval":
+            parts = parts[1:]
+        n = float(parts[0])
+        unit = parts[1].rstrip("s")
+        return n * units[unit]
+    except (IndexError, ValueError, KeyError, AttributeError):
+        return None
+
+
+def vacuum_delta_export(
+    dest_path: str, retention_hours: float | None = None
+) -> list[str]:
     """Delta-style VACUUM for an exported table: physically delete data
     files that are not referenced by the CURRENT snapshot and whose
-    modification time is older than the retention window (Delta's default
-    168 h). Time travel to versions needing those files stops working —
+    modification time is older than the retention window. The window
+    comes from, in order: the explicit argument, the table's
+    ``delta.deletedFileRetentionDuration`` configuration, Delta's default
+    168 h. Time travel to versions needing those files stops working —
     exactly Delta's documented trade-off. Returns the deleted relative
     paths.
 
@@ -1217,6 +1244,13 @@ def vacuum_delta_export(dest_path: str, retention_hours: float = 168.0) -> list[
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(None, dest)  # metadata-only: no session
     snap = reader.snapshot()
+    if retention_hours is None:
+        cfg = (snap.metadata.get("configuration") or {}).get(
+            "delta.deletedFileRetentionDuration"
+        )
+        parsed = _parse_retention_interval(cfg) if cfg else None
+        # NOT `or`: a configured "interval 0 hours" means zero, not default
+        retention_hours = 168.0 if parsed is None else parsed
     from sdlt_spark.store.paths import resolve_table_path
 
     live = {

@@ -2924,3 +2924,49 @@ def test_read_where_prunes_all_null_files_via_null_count(spark, tmp_path):
     df = DeltaTableReader(spark, root).read_where("k", 1, 10)
     assert {os.path.basename(p) for p in df.inputFiles()} == {"vals.parquet"}
     assert sorted(r["k"] for r in df.collect()) == [5, 6]
+
+
+def test_vacuum_honors_retention_duration_config(spark, tmp_path):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        _parse_retention_interval,
+        vacuum_delta_export,
+    )
+
+    assert _parse_retention_interval("interval 2 days") == 48.0
+    assert _parse_retention_interval("interval 1 week") == 168.0
+    assert _parse_retention_interval("36 hours") == 36.0
+    assert _parse_retention_interval("interval 30 minutes") == 0.5
+    assert _parse_retention_interval("nonsense") is None
+
+    root = str(tmp_path / "vr")
+    os.makedirs(os.path.join(root, "data"))
+    for name in ("a", "b"):
+        pq.write_table(
+            pa.table({"k": pa.array([1], pa.int64())}),
+            os.path.join(root, f"data/{name}.parquet"),
+        )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("data/a.parquet", {})],
+        schema_json=schema,
+        configuration={"delta.deletedFileRetentionDuration": "interval 0 hours"},
+    )
+    # swap a -> b; with the configured ZERO retention, default-arg vacuum
+    # reclaims the tombstoned file immediately
+    w.commit(adds=[("data/b.parquet", {})], removes=["data/a.parquet"])
+    gone = vacuum_delta_export(root)
+    assert gone == ["data/a.parquet"]
