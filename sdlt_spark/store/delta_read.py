@@ -639,6 +639,41 @@ class DeltaTableReader:
         snap = self.snapshot(version=version, timestamp=timestamp)
         return self._read_file_subset(snap, sorted(snap.files))
 
+    def history_df(self) -> DataFrame:
+        """``DESCRIBE HISTORY`` as a DataFrame (the dict-list form lives
+        in :meth:`history`): one row per surviving JSON commit —
+        (version, timestamp, operation, operation_parameters,
+        read_version). Commits cleaned up into a checkpoint have no
+        commitInfo left and are simply absent, matching delta-spark's
+        behavior on a vacuumed log. Metadata-plane: O(commits) small-file
+        reads on the driver, no data scan."""
+        rows = []
+        for v in self._commit_versions():
+            op, params = None, None
+            try:
+                with open(self._commit_path(v)) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            ci = a["commitInfo"]
+                            op = ci.get("operation")
+                            params = json.dumps(
+                                ci.get("operationParameters") or {}
+                            )
+                            break
+            except OSError:
+                continue
+            ts = self._commit_timestamp(v)
+            rows.append((v, float(ts), op, params, v - 1 if v > 0 else None))
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp double, operation string, "
+            "operation_parameters string, read_version long",
+        )
+
     def row_id_high_water_mark(self, snap: _Snapshot | None = None) -> int:
         """Highest row id ever assigned in the table (PROTOCOL.md "Row
         Tracking": kept in the ``delta.rowTracking`` domainMetadata so

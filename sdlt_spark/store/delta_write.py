@@ -1784,7 +1784,9 @@ def clone_delta_export(src_path: str, dest_path: str) -> int:
     )
 
 
-def restore_delta_export(dest_path: str, version: int) -> int:
+def restore_delta_export(
+    dest_path: str, version: int | None = None, timestamp: float | None = None
+) -> int:
     """Delta's RESTORE for a table this module writes: roll the CURRENT
     state back to ``version``'s file set in ONE metadata commit — adds
     re-point at the old snapshot's files (which must still exist, i.e.
@@ -1800,6 +1802,11 @@ def restore_delta_export(dest_path: str, version: int) -> int:
 
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(None, dest)  # metadata-only: no session
+    if (version is None) == (timestamp is None):
+        raise ValueError("pass version OR timestamp, exactly one")
+    if timestamp is not None:
+        # RESTORE TO TIMESTAMP AS OF: same resolution rule as reads
+        version = reader._resolve_timestamp(timestamp)
     target = reader.snapshot(version=version)
     current = reader.snapshot()
 

@@ -2970,3 +2970,44 @@ def test_vacuum_honors_retention_duration_config(spark, tmp_path):
     w.commit(adds=[("data/b.parquet", {})], removes=["data/a.parquet"])
     gone = vacuum_delta_export(root)
     assert gone == ["data/a.parquet"]
+
+
+def test_restore_to_timestamp_and_history(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter, restore_delta_export
+
+    root = str(tmp_path / "rts")
+    os.makedirs(os.path.join(root, "data"))
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), f"{root}/data/a.parquet")
+    w.commit(adds=[("data/a.parquet", {})], schema_json=schema)      # v0
+    _time.sleep(1.2)
+    cut = _time.time()
+    _time.sleep(1.2)
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), f"{root}/data/b.parquet")
+    w.commit(adds=[("data/b.parquet", {})], operation="WRITE")        # v1
+    r = DeltaTableReader(spark, root)
+    v = restore_delta_export(root, timestamp=cut)  # back to v0's state
+    got = sorted(x["k"] for x in r.read().collect())
+    assert got == [1]
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_delta_export(root)
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_delta_export(root, version=0, timestamp=cut)
+    h = {row["version"]: row["operation"] for row in r.history_df().collect()}
+    assert h[0] == "WRITE" and h[v] == "RESTORE"
+    assert len(h) == v + 1
