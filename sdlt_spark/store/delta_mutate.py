@@ -188,33 +188,62 @@ def _cdf_enabled(snap) -> bool:
     return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
 
 
-def _write_change_files(dest: str, df: DataFrame, n_files: int) -> list[str]:
+def _write_change_files(
+    dest: str, df: DataFrame, n_files: int, snap=None
+) -> list[tuple[str, dict]]:
     """Write change rows (table columns + ``_change_type``) as
     ``_change_data/`` parquet — PROTOCOL.md "Add CDC File": when a commit
     carries ``cdc`` actions, CDF readers use them INSTEAD of deriving
     changes from add/remove, which is what lets an UPDATE surface as
-    update_preimage/update_postimage rather than delete+insert. Partition
-    columns are INLINED in the parquet (spec-legal; the reader's
-    inline-wins rule applies). Same staged-write discipline as data
-    files; zero-row parts drop out. Returns rel paths for
+    update_preimage/update_postimage rather than delete+insert. On a
+    partitioned table, change files are written partitioned like data
+    files (``_change_data/<col>=<val>/...``) and each cdc action carries
+    its file's partitionValues — PROTOCOL.md requires it, and stock
+    delta-spark CDF readers populate partition columns from the ACTION,
+    not the parquet, so an empty map would read as null partition values
+    there. Same staged-write discipline as data files; zero-row parts
+    drop out. Returns ``(rel path, partitionValues)`` pairs for
     ``DeltaLogWriter.commit(cdc=...)``."""
+    pcols: list[str] = []
+    if snap is not None and snap.partition_columns:
+        pcols = [snap.physical_name(c) for c in snap.partition_columns]
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
-    rels: list[str] = []
+    rels: list[tuple[str, dict]] = []
     try:
-        df.repartition(max(1, n_files)).write.mode("errorifexists").parquet(
-            staging
+        w = df.repartition(max(1, n_files), *pcols) if pcols else df.repartition(
+            max(1, n_files)
         )
+        writer = w.write.mode("errorifexists")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
         os.makedirs(os.path.join(dest, "_change_data"), exist_ok=True)
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            abs_part = os.path.join(staging, fname)
-            z = _zone(abs_part)
-            if z is not None and z.get("rows", 0) == 0:
-                continue
-            rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
-            os.replace(abs_part, os.path.join(dest, rel))
-            rels.append(rel)
+        for dirpath, dirs, files in os.walk(staging):
+            dirs.sort()
+            relscope = os.path.relpath(dirpath, staging)
+            pvals: dict = {}
+            if relscope != ".":
+                for seg in relscope.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    # Hive path escaping (%XX) — the same decoding the
+                    # data-file import path applies
+                    pvals[k] = (
+                        None if v == _HIVE_NULL else urllib.parse.unquote(v)
+                    )
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                abs_part = os.path.join(dirpath, fname)
+                z = _zone(abs_part)
+                if z is not None and z.get("rows", 0) == 0:
+                    continue
+                sub = "" if relscope == "." else relscope.replace(os.sep, "/") + "/"
+                rel = f"_change_data/{sub}cdc-{uuid.uuid4().hex}.parquet"
+                os.makedirs(
+                    os.path.dirname(os.path.join(dest, rel)), exist_ok=True
+                )
+                os.replace(abs_part, os.path.join(dest, rel))
+                rels.append((rel, pvals))
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return rels
@@ -523,9 +552,9 @@ def delete_delta_export(
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc_rels = _write_change_files(
-                dest, _cdc_physical(change, snap), len(touched)
+                dest, _cdc_physical(change, snap), len(touched), snap=snap
             )
-            placed.extend(cdc_rels)
+            placed.extend(r for r, _ in cdc_rels)
         out, part_cols = _to_physical(survivors, snap, extra_cols)
         adds, stats = _write_data_files(
             dest, out, part_cols, n_files=len(touched)
@@ -569,9 +598,9 @@ def _delete_dv(dest, reader, snap, writer, cond, params, placed) -> int:
             .withColumn("_change_type", F.lit("delete"))
         )
         cdc_rels = _write_change_files(
-            dest, _cdc_physical(change, snap), n_files=4
+            dest, _cdc_physical(change, snap), n_files=4, snap=snap
         )
-        placed.extend(cdc_rels)
+        placed.extend(r for r, _ in cdc_rels)
     matched = keyed.filter(cond).select(
         F.col("__delta_path").alias("path"), F.col("__delta_pos").alias("pos")
     )
@@ -734,9 +763,12 @@ def update_delta_export(
                 )
             post = post.withColumn("_change_type", F.lit("update_postimage"))
             cdc_rels = _write_change_files(
-                dest, _cdc_physical(pre.unionByName(post), snap), len(touched)
+                dest,
+                _cdc_physical(pre.unionByName(post), snap),
+                len(touched),
+                snap=snap,
             )
-            placed.extend(cdc_rels)
+            placed.extend(r for r, _ in cdc_rels)
         _enforce_constraints(updated, snap)
         out, part_cols = _to_physical(updated, snap, extra_cols)
         adds, stats = _write_data_files(
@@ -949,17 +981,29 @@ def merge_delta_export(
                 if deleted_pre is not None:
                     change = change.unionByName(deleted_pre)
                 cdc_rels = _write_change_files(
-                    dest, _cdc_physical(change, snap), max(1, len(touched))
+                    dest,
+                    _cdc_physical(change, snap),
+                    max(1, len(touched)),
+                    snap=snap,
                 )
-                placed.extend(cdc_rels)
+                placed.extend(r for r, _ in cdc_rels)
             if tracking:
                 # whenMatchedUpdateAll preserves row identity: a matched
                 # source row inherits the target row's stable id with the
                 # NEW commit as its row commit version; inserts carry
                 # nulls and get FRESH ids from the add's baseRowId + pos.
                 # Kept (unmatched) rows carry both through unchanged.
+                # Dedupe the target side first: duplicate-keyed target
+                # rows would otherwise fan each source row out once per
+                # duplicate — a multiplicity change vs the untracked path
+                # (one row per source row). min(row_id) keeps the result
+                # deterministic; the surviving id is the oldest identity.
                 incoming = incoming.join(
-                    rows.select(*on, F.col("row_id")), on, "left"
+                    rows.select(*on, "row_id")
+                    .groupBy(*on)
+                    .agg(F.min("row_id").alias("row_id")),
+                    on,
+                    "left",
                 ).select(
                     *tcols,
                     F.col("row_id").alias(mat_rid),

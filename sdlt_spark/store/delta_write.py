@@ -158,9 +158,16 @@ def _truncate_stat_strings(values: dict, is_max: bool) -> dict:
             bumped = None
             for i in range(len(p) - 1, -1, -1):
                 cp = ord(p[i])
-                if cp < 0x10FFFF:
-                    bumped = p[:i] + chr(cp + 1)
-                    break
+                if cp >= 0x10FFFF:
+                    continue  # cannot bump past the ceiling at this slot
+                # bumping U+D7FF would yield the lone surrogate U+D800 —
+                # json.dumps escapes it as an unpaired \ud800 that strict
+                # parsers in other Delta implementations reject, breaking
+                # THEIR log replay. Jump the whole surrogate block
+                # (U+E000 > every surrogate, so the bound stays safe).
+                nxt = 0xE000 if cp == 0xD7FF else cp + 1
+                bumped = p[:i] + chr(nxt)
+                break
             if bumped is not None:
                 out[k] = bumped
             # else: omit the max bound — callers treat a missing bound as
@@ -441,16 +448,23 @@ class DeltaLogWriter:
                     rm["size"] = os.path.getsize(abs_r)
                 rm["deletionVector"] = rem_dv
             actions.append({"remove": rm})
-        for rel in cdc or []:
+        for item in cdc or []:
             # change-data files (PROTOCOL.md "Add CDC File"): the commit's
             # row-level change set; CDF readers use these INSTEAD of
-            # deriving from add/remove
+            # deriving from add/remove. Each entry is a rel path or a
+            # (rel path, partitionValues) pair — on partitioned tables the
+            # action MUST carry the file's partition values (stock CDF
+            # readers populate partition columns from the action, not the
+            # parquet; PROTOCOL.md "Add CDC File" requires it).
+            rel, cdc_pv = (
+                item if isinstance(item, tuple) else (item, {})
+            )
             abs_f = os.path.join(self.path, rel)
             actions.append(
                 {
                     "cdc": {
                         "path": urllib.parse.quote(rel),
-                        "partitionValues": {},
+                        "partitionValues": cdc_pv or {},
                         "size": os.path.getsize(abs_f) if os.path.exists(abs_f) else 0,
                         "dataChange": False,
                     }
@@ -1148,7 +1162,19 @@ def export_vintage_to_delta(
             z = stats_override.get(rel)
             if z is None or z.get("rows") is None:
                 z = _read_footer_stats_safe(os.path.join(dest, rel))
-            next_id += int((z or {}).get("rows", 0))
+            rows = (z or {}).get("rows")
+            if rows is None:
+                # a silent 0 would hand the NEXT file an overlapping
+                # baseRowId range — duplicate row ids are a correctness
+                # corruption every downstream MERGE would compound, so a
+                # tracked export must abort, matching allocate_base_row_ids
+                # on the mutation path
+                raise OSError(
+                    f"cannot determine numRecords for {rel!r} (unreadable "
+                    "parquet footer): refusing to allocate baseRowId "
+                    "ranges for a row-tracked export"
+                )
+            next_id += int(rows)
         row_kwargs = {
             "base_row_ids": base_ids,
             "row_id_high_water_mark": next_id - 1,
@@ -1264,7 +1290,8 @@ def vacuum_delta_export(
         p = dv_file_path(desc, dest)
         if p is not None:
             live.add(os.path.normpath(p))
-    cutoff = _time.time() - retention_hours * 3600.0
+    now = _time.time()
+    cutoff = now - retention_hours * 3600.0
     # retention is keyed on the remove action's deletionTimestamp (Delta's
     # VACUUM contract), NOT the file's mtime — hard-linked exports inherit
     # the SOURCE inode's possibly ancient mtime, which would delete a
@@ -1275,7 +1302,14 @@ def vacuum_delta_export(
     removed_at: dict[str, float] = {}
     for (rel, _uid), rem in snap.tombstones.items():
         ts = rem.get("deletionTimestamp")
-        at = ts / 1000.0 if ts is not None else _time.time()
+        at = ts / 1000.0 if ts is not None else now
+        # the strictly-monotonic inCommitTimestamp bump can stamp a remove
+        # a few ms AHEAD of the wall clock (same-millisecond commits get
+        # prev_ict + 1); clamp to the sweep's own `now` so a future stamp
+        # can't outlive a zero-retention sweep run immediately after the
+        # delete (cutoff derives from the same instant, so clamped == now
+        # is never > cutoff at retention 0)
+        at = min(at, now)
         abs_f = os.path.normpath(resolve_table_path(dest, rel))
         removed_at[abs_f] = max(removed_at.get(abs_f, 0.0), at)
         # a tombstoned logical file's DV sidecar ages on the same clock

@@ -148,7 +148,17 @@ class DeltaStreamReader(DataSourceStreamReader):
                 ts = _dt.datetime.fromisoformat(str(start_ts)).timestamp()
             r = _reader(self._path)
             try:
-                self._initial = r._resolve_timestamp(ts)
+                v = r._resolve_timestamp(ts)
+                # at-or-AFTER is inclusive: when the resolved commit's
+                # timestamp equals the requested one exactly, that commit
+                # itself streams (delta-spark semantics) — back _initial
+                # off by one so the equal-timestamp commit is in the tail
+                try:
+                    if r._commit_timestamp(v) == ts:
+                        v -= 1
+                except OSError:
+                    pass  # checkpoint-cleaned commit: mtime rule stands
+                self._initial = v
             except ValueError:
                 self._initial = -1  # before the first commit: stream all
         elif start is not None:

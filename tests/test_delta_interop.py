@@ -1992,6 +1992,47 @@ def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
     assert sorted(x["k"] for x in r.read().collect()) == [2, 3]
 
 
+def test_vacuum_zero_retention_sweeps_future_stamped_tombstone(tmp_path):
+    """Regression: the strictly-monotonic inCommitTimestamp bump can stamp
+    a remove's deletionTimestamp a few ms AHEAD of the wall clock
+    (same-millisecond commits get prev_ict + 1). A zero-retention sweep
+    run immediately after must still reclaim it — the sweep clamps aging
+    timestamps to its own clock. Deterministic: the tombstone is stamped
+    a full HOUR in the future by rewriting the commit JSON, no clock
+    race."""
+    import time as _time
+
+    from sdlt_spark.store.delta_write import vacuum_delta_export
+
+    root = str(tmp_path / "dt")
+    _write_part(f"{root}/a.parquet", [1, 2, 3])
+    _write_part(f"{root}/b.parquet", [4, 5])
+    w = DeltaLogWriter(root)
+    w.commit(adds=[("a.parquet", {}), ("b.parquet", {})], schema_json=_SCHEMA)
+    w.commit(removes=["b.parquet"], operation="DELETE")
+    # forge the remove's deletionTimestamp 1 h into the future — an
+    # exaggerated version of the monotonic-bump-past-the-clock case
+    commit1 = os.path.join(root, "_delta_log", f"{1:020d}.json")
+    future_ms = int((_time.time() + 3600.0) * 1000)
+    lines = []
+    with open(commit1) as f:
+        for line in f:
+            a = json.loads(line)
+            if "remove" in a:
+                a["remove"]["deletionTimestamp"] = future_ms
+            lines.append(json.dumps(a))
+    with open(commit1, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # a real retention window keeps it (future stamp clamps to now, which
+    # is inside 168 h)
+    assert vacuum_delta_export(root, retention_hours=168.0) == []
+    # zero retention sweeps it despite the future stamp
+    deleted = vacuum_delta_export(root, retention_hours=0.0)
+    assert deleted == ["b.parquet"]
+    assert not os.path.exists(os.path.join(root, "b.parquet"))
+    assert os.path.exists(os.path.join(root, "a.parquet"))
+
+
 def test_restore_delta_export_rolls_back_metadata_only(spark, tmp_path):
     """RESTORE: one metadata commit re-points at the old snapshot's
     files; history preserved; restore-of-restore works; DV-bearing

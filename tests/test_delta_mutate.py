@@ -589,6 +589,55 @@ def test_cdf_update_emits_pre_and_post_images(spark, tmp_path):
     assert cdc and all(p.startswith("_change_data/") for p in cdc)
 
 
+def test_cdf_partitioned_actions_carry_partition_values(spark, tmp_path):
+    """On a partitioned CDF table, change files are written partitioned
+    like data files and each cdc action carries its file's
+    partitionValues — stock delta-spark CDF readers populate partition
+    columns from the ACTION (they never read them from the parquet), so
+    an empty map would surface null partition values there
+    (PROTOCOL.md "Add CDC File")."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    root = _part_table(spark, tmp_path)
+    # flip CDF on with a metadata commit (config rides the metaData)
+    w = DeltaLogWriter(root)
+    r = DeltaTableReader(spark, root)
+    snap = r.snapshot()
+    w.commit(
+        schema_json=snap.metadata["schemaString"],
+        partition_columns=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v = update_delta_export(root, spark, "k = 1", {"v": "'patched'"})
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    ]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc
+    for a in cdc:
+        # the action names the partition and the path is hive-partitioned
+        assert a["partitionValues"] == {"p": "x"}
+        assert "/p=x/" in urllib.parse.unquote(a["path"])
+        # partition column lives in the ACTION, not the parquet — exactly
+        # like data files
+        names = pq.read_schema(
+            os.path.join(root, urllib.parse.unquote(a["path"]))
+        ).names
+        assert "p" not in names
+    # our own CDF reader re-attaches p from the action's partitionValues
+    got = sorted(
+        (x["k"], x["v"], x["p"], x["_change_type"])
+        for x in DeltaTableReader(spark, root).table_changes(v, v).collect()
+    )
+    assert got == [
+        (1, "patched", "x", "update_postimage"),
+        (1, "v1", "x", "update_preimage"),
+    ]
+
+
 def test_cdf_delete_cow_and_dv_emit_delete_rows(spark, tmp_path):
     root = _cdf_table(spark, tmp_path, {"a": [1, 2, 3], "b": [10, 11]})
     v1 = delete_delta_export(root, spark, "k = 2", mode="cow")

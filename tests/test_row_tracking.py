@@ -164,6 +164,29 @@ def test_merge_matched_keeps_id_inserts_get_fresh(spark, tmp_path):
     assert len({i for i, _ in got.values()}) == len(got)
 
 
+def test_merge_duplicate_keyed_target_keeps_source_multiplicity(
+    spark, tmp_path
+):
+    """Regression: a duplicate-keyed TARGET must not fan each matched
+    source row out once per duplicate — the tracked path dedupes the
+    (key, row_id) side before its identity join, so multiplicity matches
+    the untracked path (one row per source row) and the survivor keeps
+    the OLDEST duplicate's row id (deterministic min)."""
+    root = _tracked_table(tmp_path, {"a": [1, 2, 2]})  # k=2 duplicated
+    src = DeltaTableReader(spark, root).spark.createDataFrame(
+        [(2, "upd")], "k long, v string"
+    )
+    merge_delta_export(root, spark, src, on=["k"])
+    rows = DeltaTableReader(spark, root).read().collect()
+    # upsert-all semantics: BOTH k=2 duplicates matched and were replaced
+    # by the single source row — exactly one k=2 survives
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, "v1"), (2, "upd")]
+    got = _ids(spark, root)
+    assert len(got) == 2
+    assert got[2][0] == 1  # min(row_id) of the duplicate pair (ids 1, 2)
+    assert got[1][0] == 0
+
+
 def test_second_cow_mutation_keeps_materialized_ids(spark, tmp_path):
     # materialized columns must survive a SECOND rewrite (read back from
     # the hidden column, re-written forward)

@@ -1017,11 +1017,14 @@ def test_delta_cdc_stream_starting_timestamp(spark, tmp_path):
     _pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), f"{root}/b.parquet")
     w.commit(adds=[("b.parquet", {})])  # v1, after the cut
 
+    calls = [0]
+
     def _collect(**opts):
         reader = spark.readStream.format("delta_cdc").option("path", root)
         for k, v in opts.items():
             reader = reader.option(k, v)
-        name = f"cdc_ts_{len(opts)}_{int(cut)}"
+        calls[0] += 1
+        name = f"cdc_ts_{calls[0]}_{int(cut)}"
         q = reader.load().writeStream.format("memory").queryName(name).start()
         try:
             q.processAllAvailable()
@@ -1034,5 +1037,12 @@ def test_delta_cdc_stream_starting_timestamp(spark, tmp_path):
 
     assert _collect(startingTimestamp=str(cut)) == [(2, 1)]
     assert _collect(startingTimestamp="1999-01-01T00:00:00") == [(1, 0), (2, 1)]
+    # EXACT equality is inclusive (delta-spark: first commit at or AFTER
+    # the timestamp streams — equal counts): asking for precisely v1's
+    # commit clock streams v1, not the empty tail past it
+    from sdlt_spark.store.delta_read import DeltaTableReader
+
+    ts1 = DeltaTableReader(None, root)._commit_timestamp(1)
+    assert _collect(startingTimestamp=repr(ts1)) == [(2, 1)]
     with pytest.raises(Exception, match="not both"):
         _collect(startingTimestamp=str(cut), startingVersion="0")
