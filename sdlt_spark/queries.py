@@ -944,6 +944,46 @@ def vintage_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "vintage_clause_evolve",
+    """
+    WITH src AS (
+      SELECT o_orderkey, round(o_totalprice * 2.0, 2) AS new_price
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL AND o.o_orderstatus = 'F'
+                THEN s.new_price ELSE round(o.o_totalprice, 2)
+           END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL AND o.o_orderstatus = 'F'
+                THEN 'HIGH' ELSE CAST(NULL AS STRING)
+           END AS o_priority
+    FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+    """,
+)
+def vintage_clause_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 × conditional clauses — Delta autoMerge composed with
+    ``whenMatchedUpdate(condition, set)`` in ONE commit (the composition
+    the reference reaches via README.md:330,372 autoMerge plus
+    conditional clauses): the source carries a new ``o_priority`` column;
+    only matched rows passing the condition receive it (and the doubled
+    price), every other row — matched-but-unconditioned, unmatched, and
+    rows in untouched files — reads it as a typed NULL."""
+    src = _merge_src(spark, sf_dir).withColumn("o_priority", F.lit("HIGH"))
+    t = _fresh_vintage(spark, sf_dir)
+    t.merge(
+        src,
+        ["o_orderkey"],
+        matched_update={
+            "o_totalprice": "src_o_totalprice",
+            "o_priority": "src_o_priority",
+        },
+        matched_condition="o_orderstatus = 'F'",
+        schema_evolution=True,
+    )
+    return t.read()
+
+
+@_q(
     "vintage_diff",
     """
     SELECT o_orderkey, o_orderstatus, CAST(0.0 AS DOUBLE) AS o_totalprice,

@@ -1397,8 +1397,10 @@ class VintageTable:
 
         Conditions/update expressions see TARGET columns by bare name and
         SOURCE columns as ``src_<name>`` (e.g. ``"o_totalprice <
-        src_o_totalprice"``). Clause mode currently excludes
-        ``schema_evolution`` (raises), composes with
+        src_o_totalprice"``). Clause mode composes with
+        ``schema_evolution`` (Delta's autoMerge with conditional clauses:
+        new source columns join the schema in the same commit; matched
+        rows no clause updates keep typed nulls there) and with
         ``not_matched_by_source_delete``.
         """
         clause_mode = (
@@ -1408,11 +1410,6 @@ class VintageTable:
         )
         if matched_condition is not None and matched_update is None:
             raise ValueError("matched_condition requires matched_update")
-        if clause_mode and schema_evolution:
-            raise NotImplementedError(
-                "conditional merge clauses with schema_evolution are not "
-                "supported; evolve the schema with a separate merge first"
-            )
         if order_col is not None:
             from pyspark.sql import Window
 
@@ -1523,10 +1520,29 @@ class VintageTable:
 
         if clause_mode:
             # ---- Delta conditional-clause semantics (see docstring) ----
+            # schema_evolution (autoMerge with clauses): the schema evolves
+            # FIRST, inside this same commit — new source columns append to
+            # the target schema, touched rows get typed-null padding there,
+            # and only clause-updated rows can receive non-null values
+            if schema_evolution:
+                from pyspark.sql.types import StructType
+
+                known = {f.name for f in target_schema.fields}
+                target_schema = StructType(
+                    list(target_schema.fields)
+                    + [f for f in src.schema.fields if f.name not in known]
+                )
             tcols = [f.name for f in target_schema.fields]
             # inserts = source rows whose key exists NOWHERE in the target;
-            # every matched key's rows live in touched files by construction
-            ins_src = src.select(*tcols)
+            # every matched key's rows live in touched files by construction.
+            # Under evolution a source missing an old table column pads it
+            # with nulls (autoMerge insertAll); otherwise the source must
+            # supply every table column (select errors, like Delta)
+            ins_src = (
+                _pad_to(src, target_schema)
+                if schema_evolution
+                else src.select(*tcols)
+            )
             src_extra = src.select(
                 *key_cols,
                 *[
@@ -1626,12 +1642,22 @@ class VintageTable:
                 params["changeData"] = change_dir
             if txn_id is not None:
                 params["txnId"] = str(txn_id)
+            if not self.exists():
+                clause_schema_json = new_data.schema.json()
+            elif schema_evolution and set(tcols) != {
+                f.name for f in self._schema_at().fields
+            }:
+                # evolved schema recorded with THIS commit; time travel
+                # below it replays the prior metaData, old schema intact
+                clause_schema_json = target_schema.json()
+            else:
+                clause_schema_json = None
             return self._commit(
                 "MERGE",
                 params,
                 add,
                 touched,
-                schema_json=None if self.exists() else new_data.schema.json(),
+                schema_json=clause_schema_json,
             )
 
         if touched:

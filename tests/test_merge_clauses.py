@@ -109,13 +109,67 @@ def test_clause_change_feed_rows(spark, tmp_path):
     ]
 
 
-def test_clause_mode_rejects_schema_evolution(spark, tmp_path):
+def test_clause_mode_requires_update_for_condition(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "t"))
-    src = _src(spark, [(1, 1, 1.0)])
-    with pytest.raises(NotImplementedError, match="schema_evolution"):
-        t.merge(src, ["k"], matched_update={"v": "src_v"}, schema_evolution=True)
     with pytest.raises(ValueError, match="matched_condition"):
-        t.merge(src, ["k"], matched_condition="v < 0")
+        t.merge(_src(spark, [(1, 1, 1.0)]), ["k"], matched_condition="v < 0")
+
+
+def test_clause_merge_with_schema_evolution_single_commit(spark, tmp_path):
+    """autoMerge composed with conditional clauses (Delta's behavior): a
+    new source column joins the schema in the SAME commit; only
+    clause-updated rows get its value, every other row reads it as a
+    typed null; time travel below the commit keeps the old schema."""
+    t = _mk(spark, str(tmp_path / "t"))
+    v0 = t.latest_version()
+    src = spark.createDataFrame(
+        [(1, 111.0, "one"), (2, 222.0, "two"), (50, 555.0, "fifty")],
+        "k long, v double, tag string",
+    )
+    v1 = t.merge(
+        src,
+        ["k"],
+        matched_update={"v": "src_v", "tag": "src_tag"},
+        matched_condition="v < 15",  # k=1 (v=10) updates; k=2 (v=20) not
+        schema_evolution=True,
+    )
+    assert v1 == v0 + 1  # ONE commit evolved + merged
+    df = t.read()
+    assert [f.name for f in df.schema.fields] == ["k", "grp", "v", "tag"]
+    got = {r["k"]: (r["v"], r["tag"]) for r in df.collect()}
+    assert got[1] == (111.0, "one")    # matched + condition -> updated
+    assert got[2] == (20.0, None)      # matched, condition false: untouched
+    assert got[3] == (30.0, None)      # unmatched old row: typed null
+    assert got[50] == (555.0, "fifty")  # insert carries the new column
+    # source missing an OLD column pads it with null on insert (autoMerge)
+    assert got[50] == (555.0, "fifty") and df.filter(
+        (F.col("k") == 50) & F.col("grp").isNull()
+    ).count() == 1
+    assert len(got) == 21
+    # time travel below the evolving commit: old 3-column schema intact
+    old = t.read(version=v0)
+    assert [f.name for f in old.schema.fields] == ["k", "grp", "v"]
+
+
+def test_clause_evolution_insert_only_and_delete(spark, tmp_path):
+    """Evolution also composes with matched_delete and insert_condition
+    (no matched_update at all)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(3, 1.0, "x"), (300, 2.0, "y"), (301, -9.0, "z")],
+        "k long, v double, tag string",
+    )
+    t.merge(
+        src,
+        ["k"],
+        matched_delete="v = 30",    # k=3 (v=30) deleted
+        insert_condition="v > 0",   # source bare names: k=301 filtered
+        schema_evolution=True,
+    )
+    got = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert 3 not in got
+    assert got[300] == "y"
+    assert len(got) == 20  # 19 survivors + k=300 (k=301 filtered out)
 
 
 def test_clause_merge_is_time_travelable_and_cow(spark, tmp_path):
