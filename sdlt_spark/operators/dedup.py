@@ -818,14 +818,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for all pairs sharing at least one
     shingle. The shared-shingle equi join IS the candidate generator — pairs
-    with zero overlap (jaccard 0) never materialize."""
+    with zero overlap (jaccard 0) never materialize.
+
+    ``max_doc_frequency`` caps the skew of that join: a shingle appearing
+    in d documents contributes d·(d-1)/2 candidate pairs, so ONE stopword
+    trigram shared by a million web documents is a quadratic hot key. With
+    the cap, shingles whose document frequency exceeds it are dropped from
+    CANDIDATE GENERATION only (the standard inverted-index df-cut) — the
+    verify step still counts every shared shingle, so reported jaccard
+    values stay exact; what's sacrificed is recall for pairs whose only
+    overlap is ultra-common shingles, which sit far below any useful
+    threshold anyway. The dropped-shingle set is O(distinct hot shingles)
+    — tiny — so Catalyst broadcasts the anti-join. MinHash-LSH remains
+    the designated scale path for all-pairs near-dup at 100 TB."""
     grams = doc_ngrams(df, id_col, text_col, n)
+    cand = grams
+    if max_doc_frequency is not None:
+        hot = (
+            grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_frequency)
+            .select("ngram")
+        )
+        cand = grams.join(F.broadcast(hot), "ngram", "left_anti")
     return jaccard_verify(
-        grams.alias("g")
-        .join(grams.withColumnRenamed(id_col, "id_b").alias("h"), "ngram")
+        cand.alias("g")
+        .join(cand.withColumnRenamed(id_col, "id_b").alias("h"), "ngram")
         .filter(F.col(f"g.{id_col}") < F.col("id_b"))
         .select(F.col(f"g.{id_col}").alias("id_a"), "id_b")
         .distinct(),

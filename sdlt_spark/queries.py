@@ -2545,11 +2545,21 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
       WHERE len(t) >= 3
     ),
+    -- df-cap: shingles in > 1000 docs leave CANDIDATE GENERATION only
+    -- (the quadratic-hot-key guard); intersection/union still count them
+    hot AS (SELECT ngram FROM grams GROUP BY ngram HAVING count(*) > 1000),
+    cand AS (SELECT g.* FROM grams g ANTI JOIN hot h USING (ngram)),
     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM grams a JOIN grams b USING (ngram)
+    cpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM cand a JOIN cand b USING (ngram)
       WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b, count(*) AS inter
+      FROM cpairs
+      JOIN grams ga ON ga.doc_id = id_a
+      JOIN grams gb ON gb.doc_id = id_b AND gb.ngram = ga.ngram
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -2562,7 +2572,11 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", n=3, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        n=3,
+        threshold=0.2,
+        max_doc_frequency=1000,
     )
 
 

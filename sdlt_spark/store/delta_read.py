@@ -91,11 +91,19 @@ _SUPPORTED_READER_FEATURES = {
     # Variant columns (schemaString type "variant"): Spark 4's parquet
     # reader/writer handle the binary (metadata, value) encoding natively,
     # and the explicit-schema scan passes the type straight through — GA
-    # and preview names gate the same semantics. Shredded variants
-    # (variantShredding-preview) are NOT listed: reading a shredded file
-    # as plain variant would drop the typed_value shards.
+    # and preview names gate the same semantics.
     "variantType",
     "variantType-preview",
+    # Shredded variants (Parquet VariantShredding.md): files carry
+    # per-field typed_value shards next to the binary value/metadata
+    # pair. Spark 4.1's parquet reader reassembles shredded OR unshredded
+    # groups into the logical variant whenever the requested schema says
+    # VariantType (spark.sql.variant.allowReadingShredded, default true)
+    # — _keyed_scan always supplies the snapshot schema explicitly, so
+    # typed_value shards fold back losslessly; tested against a
+    # force-shredded fixture in tests/test_delta_interop.py.
+    "variantShredding",
+    "variantShredding-preview",
 }
 
 _PHYS_KEY = "delta.columnMapping.physicalName"

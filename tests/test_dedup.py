@@ -60,6 +60,47 @@ def test_ngram_jaccard(docs):
     assert any(2 in k for k in got)  # near-dup pair found via shared shingles
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle_skew(spark):
+    """Skew guard: plant ONE shingle shared by 10k docs — uncapped, the
+    candidate self-join would materialize ~50M pairs from that single hot
+    key. With max_doc_frequency the hot shingle leaves candidate
+    generation, candidates stay bounded, and pairs sharing NON-hot
+    shingles are still found with EXACT jaccard (the verify step counts
+    every shared shingle, hot ones included)."""
+    n_docs = 10_000
+    rows = [(i, f"HOT HOT HOT u{i} v{i} w{i}") for i in range(n_docs)]
+    # one genuine near-dup pair sharing non-hot shingles (and the hot one)
+    rows.append((n_docs, "HOT HOT HOT alpha beta gamma delta"))
+    rows.append((n_docs + 1, "HOT HOT HOT alpha beta gamma delta"))
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the capped candidate set is tiny: assert the bound directly on the
+    # same building blocks the operator composes
+    grams = dedup.doc_ngrams(docs_df, "doc_id", "text", 3)
+    hot = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 100)
+    )
+    assert hot.count() >= 1  # the planted hot shingles ("HOT HOT HOT", ...)
+    capped = grams.join(hot.select("ngram"), "ngram", "left_anti")
+    n_cand = (
+        capped.alias("g")
+        .join(capped.withColumnRenamed("doc_id", "id_b").alias("h"), "ngram")
+        .filter(F.col("g.doc_id") < F.col("id_b"))
+        .select(F.col("g.doc_id"), "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 10  # bounded: only the planted pair's shingles collide
+    out = dedup.ngram_jaccard_pairs(
+        docs_df, "doc_id", n=3, threshold=0.5, max_doc_frequency=100
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # exact jaccard INCLUDING the hot shingles both docs share: identical
+    # texts -> 1.0, not the capped-set ratio
+    assert got == {(n_docs, n_docs + 1): 1.0}
+
+
 def test_minhash_no_false_high_jaccard(docs):
     """Verification step bounds LSH false positives: any reported pair's
     jaccard is the exact value, so thresholding is exact post-verify."""

@@ -2650,6 +2650,85 @@ def test_variant_column_reads_through_feature_gate(spark, tmp_path):
         DeltaTableReader(spark, root).read()
 
 
+def test_shredded_variant_reads_and_reassembles(spark, tmp_path):
+    """A table naming variantShredding-preview opens and its SHREDDED
+    variant cells reassemble losslessly: shredded fields come back from
+    their typed_value shards, unshredded residual fields from the binary
+    value, and a mixed table (one shredded file, one plain file) reads
+    uniformly. Spark 4.1's parquet reader does the reassembly whenever
+    the requested schema says VariantType (Parquet VariantShredding.md);
+    the explicit-schema scan guarantees that request."""
+    from pyspark.sql import functions as F
+
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "vs")
+
+    def _variant_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.parse_json(
+                F.format_string(
+                    '{"a": %s, "b": "x%s", "resid": [%s, 7]}', "id", "id", "id"
+                )
+            ).alias("j"),
+        )
+
+    # file 1: force-shredded on (a, b); "resid" stays in the binary value
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set(
+        "spark.sql.variant.forceShreddingSchemaForTest", "a long, b string"
+    )
+    try:
+        _variant_df(0, 3).coalesce(1).write.parquet(os.path.join(root, "c0"))
+    finally:
+        spark.conf.unset("spark.sql.variant.forceShreddingSchemaForTest")
+        spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+    # the fixture must be PHYSICALLY shredded (typed_value shards in the
+    # footer schema) — otherwise this test silently degrades to the plain
+    # variant path
+    shredded = [
+        f
+        for f in os.listdir(os.path.join(root, "c0"))
+        if f.endswith(".parquet")
+    ]
+    with open(os.path.join(root, "c0", shredded[0]), "rb") as fh:
+        assert b"typed_value" in fh.read()
+    # file 2: plain unshredded variant — mixed layouts are spec-legal
+    _variant_df(3, 5).coalesce(1).write.parquet(os.path.join(root, "c1"))
+    adds = [
+        (f"{sub}/{f}", {})
+        for sub in ("c0", "c1")
+        for f in sorted(os.listdir(os.path.join(root, sub)))
+        if f.endswith(".parquet")
+    ]
+    schema_json = _variant_df(0, 1).schema.json()
+    DeltaLogWriter(root).commit(
+        adds=adds,
+        schema_json=schema_json,
+        protocol={
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding-preview"],
+            "writerFeatures": ["variantType", "variantShredding-preview"],
+        },
+    )
+    out = (
+        DeltaTableReader(spark, root)
+        .read()
+        .select(
+            "k",
+            F.try_variant_get("j", "$.a", "long").alias("a"),
+            F.try_variant_get("j", "$.b", "string").alias("b"),
+            F.try_variant_get("j", "$.resid[0]", "long").alias("r0"),
+            F.try_variant_get("j", "$.resid[1]", "long").alias("r1"),
+        )
+    )
+    got = {r["k"]: (r["a"], r["b"], r["r0"], r["r1"]) for r in out.collect()}
+    assert got == {i: (i, f"x{i}", i, 7) for i in range(5)}
+
+
 def test_liquid_clustering_declared_and_optimize_applies_it(spark, tmp_path):
     """set_clustering_columns writes the delta.clustering domainMetadata
     (+ writer-v7 protocol naming clusteringColumns); a subsequent plain
