@@ -11,7 +11,8 @@ Layout:
 """
 
 from sdlt_spark.session import get_spark
+from sdlt_spark.sql_dml import SqlDispatcher
 from sdlt_spark.store import VintageTable
 
-__all__ = ["get_spark", "VintageTable"]
+__all__ = ["get_spark", "SqlDispatcher", "VintageTable"]
 __version__ = "0.1.0"

@@ -1100,6 +1100,54 @@ def vintage_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "vintage_sql_dml",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus,
+             round(o.o_totalprice, 2) AS o_totalprice
+      FROM orders o ANTI JOIN src s USING (o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN CAST(0.0 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM merged WHERE o_orderstatus <> 'F'
+    """,
+)
+def vintage_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML surface end-to-end (MERGE INTO / DELETE FROM / UPDATE
+    / SELECT over a registered table — how most lakehouse users drive
+    Delta; the reference's API choreography re-expressed as statements):
+    an upsert, a predicate delete, and a predicate update land as three
+    commits via :class:`sdlt_spark.sql_dml.SqlDispatcher`, each hitting
+    the same CoW verbs as the Python API."""
+    from sdlt_spark.sql_dml import SqlDispatcher
+
+    d = SqlDispatcher(spark)
+    d.register("orders_v", _fresh_vintage(spark, sf_dir))
+    _merge_src(spark, sf_dir).createOrReplaceTempView("sql_dml_src")
+    d.sql(
+        "MERGE INTO orders_v USING sql_dml_src "
+        "ON orders_v.o_orderkey = sql_dml_src.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    d.sql("DELETE FROM orders_v WHERE o_orderstatus = 'F'")
+    d.sql(
+        "UPDATE orders_v SET o_totalprice = CAST(0.0 AS DOUBLE) "
+        "WHERE o_orderstatus = 'P'"
+    )
+    return d.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_v"
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Hand-build a REAL Delta table (JSON ``_delta_log``) holding the
     orders projection: v0 loads a full file, v1 'compacts' it into two

@@ -653,10 +653,11 @@ class DeltaTableReader:
         (version, timestamp, operation, operation_parameters,
         read_version). Commits cleaned up into a checkpoint have no
         commitInfo left and are simply absent, matching delta-spark's
-        behavior on a vacuumed log. Metadata-plane: O(commits) small-file
+        behavior on a vacuumed log. Rows come newest-first, delta-spark's
+        DESCRIBE HISTORY order. Metadata-plane: O(commits) small-file
         reads on the driver, no data scan."""
         rows = []
-        for v in self._commit_versions():
+        for v in sorted(self._commit_versions(), reverse=True):
             op, params = None, None
             try:
                 with open(self._commit_path(v)) as f:

@@ -1,0 +1,226 @@
+"""SQL DML surface (sdlt_spark.sql_dml): the choreography replay
+re-expressed as the SQL statements most lakehouse users actually write —
+INSERT OVERWRITE / MERGE INTO / DELETE FROM / UPDATE / DESCRIBE HISTORY /
+VERSION AS OF — hitting all 12 reference checkpoints
+(/root/reference/README.md:64-387), plus parse-level unit coverage of
+the clause grammar and the Delta-export adapter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdlt_spark.sql_dml import SqlDispatcher, SqlParseError
+from sdlt_spark.store import VintageTable
+from sdlt_spark.store.sdmx import read_submission
+
+IN = "/root/reference/in"
+
+
+def _n(df) -> int:
+    return df.collect()[0]["n"]
+
+
+def test_sql_choreography(spark, tmp_path):
+    d = SqlDispatcher(spark)
+    d.register("exr", VintageTable(spark, str(tmp_path / "exr")))
+    for i in range(7):
+        read_submission(
+            spark, f"{IN}/data.{i}.csv", with_obs_com=(i == 6)
+        ).createOrReplaceTempView(f"batch{i}")
+
+    upsert = (
+        "MERGE INTO exr USING batch{i} ON exr.KEY = batch{i}.KEY "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+
+    # 1. initial load: 504 (README.md:64,173)
+    d.sql("INSERT OVERWRITE exr SELECT * FROM batch0")
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 504
+    # 2. +Jan/Feb 2020 merge: 508 (README.md:133)
+    d.sql(upsert.format(i=1))
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 508
+    # 3. +CHF coverage extension: 762 (README.md:162)
+    d.sql(upsert.format(i=2))
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 762
+    # 4. VERSION AS OF 0 still 504 (README.md:173)
+    assert _n(d.sql("SELECT count(*) AS n FROM exr VERSION AS OF 0")) == 504
+    # 5. full replacement: 474 (README.md:177)
+    d.sql("INSERT OVERWRITE exr SELECT * FROM batch3")
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 474
+    # 6. VERSION AS OF 1 = post-first-merge state: 508 (README.md:199-203)
+    assert _n(d.sql("SELECT count(*) AS n FROM exr VERSION AS OF 1")) == 508
+    # 7. forecast merge: 477; 2020-03 rows carry OBS_STATUS='F'
+    #    (README.md:229-237)
+    d.sql(upsert.format(i=4))
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 477
+    mar = d.sql(
+        "SELECT OBS_STATUS, OBS_VALUE, KEY FROM exr "
+        "WHERE TIME_PERIOD = '2020-03'"
+    ).collect()
+    assert len(mar) == 3 and {r["OBS_STATUS"] for r in mar} == {"F"}
+    old_vals = {r["KEY"]: r["OBS_VALUE"] for r in mar}
+    # 8. final-values merge: still 477, revised values, status 'A'
+    #    (README.md:265-273)
+    d.sql(upsert.format(i=5))
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 477
+    mar2 = d.sql(
+        "SELECT OBS_STATUS, OBS_VALUE, KEY FROM exr "
+        "WHERE TIME_PERIOD = '2020-03'"
+    ).collect()
+    assert {r["OBS_STATUS"] for r in mar2} == {"A"}
+    assert any(r["OBS_VALUE"] != old_vals[r["KEY"]] for r in mar2)
+    # 9. delete RUB: 318 = 477 - 159 (README.md:278-282)
+    d.sql("DELETE FROM exr WHERE CURRENCY = 'RUB'")
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == 318
+    assert (
+        _n(d.sql("SELECT count(*) AS n FROM exr WHERE CURRENCY = 'RUB'")) == 0
+    )
+    # 10. series-level attribute update: CHF DECIMALS -> 5, NOK stays 4
+    #     (README.md:285-297)
+    d.sql("UPDATE exr SET DECIMALS = 5 WHERE CURRENCY = 'CHF'")
+    decs = {
+        r["CURRENCY"]: r["d"]
+        for r in d.sql(
+            "SELECT CURRENCY, max(DECIMALS) AS d FROM exr "
+            "WHERE CURRENCY IN ('CHF', 'NOK') GROUP BY CURRENCY"
+        ).collect()
+    }
+    assert decs == {"CHF": 5, "NOK": 4}
+    # 11. history: 8 versions, ops newest-first (README.md:305-319)
+    hist = d.sql("DESCRIBE HISTORY exr").collect()
+    assert [r["version"] for r in hist] == list(range(7, -1, -1))
+    assert [r["operation"] for r in hist] == [
+        "UPDATE", "DELETE", "MERGE", "MERGE", "WRITE", "MERGE", "MERGE",
+        "WRITE",
+    ]
+    # 12. schema-evolving merge via the autoMerge toggle (README.md:330,
+    #     372-387): OBS_COM readable afterwards, null on unrelated rows
+    d.sql("SET sdlt.sql.autoMerge = true")
+    d.sql(upsert.format(i=6))
+    snap = d.sql("SELECT * FROM exr")
+    assert "OBS_COM" in snap.columns
+    com = d.sql(
+        "SELECT OBS_COM FROM exr "
+        "WHERE CURRENCY = 'CHF' AND TIME_PERIOD = '2020-03'"
+    ).collect()
+    assert [r["OBS_COM"] for r in com] == ["Improved precision"]
+    assert (
+        _n(d.sql("SELECT count(*) AS n FROM exr WHERE OBS_COM IS NULL"))
+        == snap.count() - 1
+    )
+
+
+@pytest.fixture()
+def small(spark, tmp_path):
+    d = SqlDispatcher(spark)
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(k, k % 5, float(k * 10)) for k in range(20)],
+            "k long, grp long, v double",
+        )
+    )
+    d.register("t", t)
+    return d
+
+
+def test_sql_merge_conditional_clauses(spark, small):
+    d = small
+    spark.createDataFrame(
+        [(1, 9, 111.0), (2, 9, 222.0), (50, 9, 555.0)],
+        "k long, grp long, v double",
+    ).createOrReplaceTempView("s")
+    d.sql(
+        "MERGE INTO t AS tg USING s AS sr ON tg.k = sr.k "
+        "WHEN MATCHED AND tg.v < 15 THEN "
+        "UPDATE SET v = sr.v, grp = sr.grp "
+        "WHEN NOT MATCHED AND sr.v > 400 THEN INSERT *"
+    )
+    got = {r["k"]: (r["grp"], r["v"]) for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == (9, 111.0)   # matched + condition -> updated
+    assert got[2] == (2, 20.0)    # matched, condition false -> unchanged
+    assert got[50] == (9, 555.0)  # insert passed its condition
+    assert len(got) == 21
+
+
+def test_sql_merge_matched_delete_and_nmbs(spark, small):
+    d = small
+    spark.createDataFrame(
+        [(0, 0, 1.0), (3, 0, 0.0)], "k long, grp long, v double"
+    ).createOrReplaceTempView("s2")
+    d.sql(
+        "MERGE INTO t USING s2 ON t.k = s2.k "
+        "WHEN MATCHED AND t.v = 30 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND t.grp = 0 THEN DELETE"
+    )
+    got = sorted(r["k"] for r in d.sql("SELECT k FROM t").collect())
+    # k=3 (v=30) deleted by clause; grp-0 keys not in source (5,10,15)
+    # deleted by NMBS; k=0 matched-but-unconditioned stays
+    assert 3 not in got and {5, 10, 15}.isdisjoint(got) and 0 in got
+    assert len(got) == 16
+
+
+def test_sql_parse_refusals(spark, small):
+    d = small
+    with pytest.raises(SqlParseError, match="unknown table"):
+        d.sql("DELETE FROM nope WHERE 1=1")
+    with pytest.raises(SqlParseError, match="ON must be"):
+        d.sql(
+            "MERGE INTO t USING t ON t.k > t.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(SqlParseError, match="INSERT \\*"):
+        d.sql(
+            "MERGE INTO t USING t ON t.k = t.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)"
+        )
+
+
+def test_sql_delta_export_adapter(spark, tmp_path):
+    from sdlt_spark.store.delta_write import export_vintage_to_delta
+
+    t = VintageTable(spark, str(tmp_path / "v"))
+    t.write(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        )
+    )
+    dest = str(tmp_path / "d")
+    export_vintage_to_delta(t, dest)
+    d = SqlDispatcher(spark)
+    d.register_delta("dt", dest)
+    d.sql("DELETE FROM dt WHERE k >= 8")
+    d.sql("UPDATE dt SET v = v + 100 WHERE k = 0")
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM dt").collect()}
+    assert len(got) == 8 and got[0] == 100.0 and got[1] == 1.0
+    hist = d.sql("DESCRIBE HISTORY dt").collect()
+    assert [r["operation"] for r in hist[:2]] == ["UPDATE", "DELETE"]
+    spark.createDataFrame(
+        [(1, -1.0), (99, 99.0)], "k long, v double"
+    ).createOrReplaceTempView("dsrc")
+    d.sql(
+        "MERGE INTO dt USING dsrc ON dt.k = dsrc.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM dt").collect()}
+    assert got[1] == -1.0 and got[99] == 99.0 and len(got) == 9
+    # conditional clauses refuse loudly on the delta adapter
+    with pytest.raises(SqlParseError, match="conditional clauses"):
+        d.sql(
+            "MERGE INTO dt USING dsrc ON dt.k = dsrc.k "
+            "WHEN MATCHED AND dt.v < 0 THEN UPDATE SET v = dsrc.v"
+        )
+
+
+def test_sql_timestamp_time_travel(spark, tmp_path):
+    d = SqlDispatcher(spark)
+    t = VintageTable(spark, str(tmp_path / "tt"))
+    t.write(spark.createDataFrame([(1,)], "k long"))
+    ts = t._commits()[-1].timestamp
+    t.write(spark.createDataFrame([(1,), (2,)], "k long"), mode="overwrite")
+    d.register("tt", t)
+    assert (
+        _n(d.sql(f"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '{ts}'")) == 1
+    )
+    assert _n(d.sql("SELECT count(*) AS n FROM tt")) == 2
