@@ -66,6 +66,16 @@ BENCH_QUERIES = [
     "boilerplate_dedup",
     "url_blocklist",
     "token_budget_sample",
+    # round-8 additions: the heaviest round-7 LLM-pipeline operators, so
+    # their perf trends are recorded from here on (47-query suite)
+    "graph_pagerank",
+    "exact_substring_dedup",
+    "image_neardup_dhash",
+    "html_extract_text",
+    "dsir_weights",
+    "ann_pq_topk",
+    "bigram_logprob",
+    "semantic_dedup",
 ]
 
 

@@ -1097,6 +1097,10 @@ def exact_substring_dedup(
     The cut itself is a broadcast-friendly join (spans are a small
     fraction of the corpus) plus a codegen'd higher-order filter over the
     token array — no Python in the row path."""
+    # one small file = one task: the window explode (in spans) and the
+    # per-row token filter would serialize on a single core
+    if _scan_underparallel(df):
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     spans = duplicated_substring_spans(df, id_col, text_col, min_tokens, key)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

@@ -208,13 +208,31 @@ def dsir_weights(
     log-ratio is computed in a fixed algebraic form and rounded to 12
     decimals BEFORE the per-doc sum, so engine libm last-ulp differences
     and summation-order noise stay ~1e-12 — invisible at the advertised
-    4-decimal output precision."""
+    4-decimal output precision.
+
+    Pass discipline: an under-parallel scan (one small file = one task)
+    is repartitioned so the explode+md5 — the dominant cost — uses every
+    core, and the corpus totals n_raw/n_tgt come from summing the B-row
+    (persisted) bucket models instead of separate count() jobs, so the
+    gram table's lineage evaluates twice (model pass + scoring pass), not
+    four times. The gram table itself is deliberately NOT persisted —
+    it is O(token occurrences), corpus-sized at 100 TB."""
+    from sdlt_spark.operators.dedup import _scan_underparallel
+
+    if _scan_underparallel(df):
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par)
+        target = target.repartition(par)
     raw_g = hashed_ngram_buckets(df, id_col, text_col, n_buckets)
     tgt_g = hashed_ngram_buckets(target, id_col, text_col, n_buckets)
-    n_raw = raw_g.count()
-    n_tgt = tgt_g.count()
-    rcnt = raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
-    tcnt = tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    rcnt = (
+        raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")).persist()
+    )
+    tcnt = (
+        tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
+    )
+    n_raw = rcnt.agg(F.sum("__cr")).head()[0] or 0
+    n_tgt = tcnt.agg(F.sum("__ct")).head()[0] or 0
     # raw-side buckets cover every bucket any scored doc touches
     lr = F.round(
         F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))

@@ -6686,7 +6686,13 @@ def _dhash_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+    from sdlt_spark.operators.dedup import _scan_underparallel
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # one small parquet file = one task; the Python BMP encode (and the
+    # decode+dhash downstream) would serialize on a single core
+    if _scan_underparallel(docs):
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def _encode(batches):
         import pandas as pd
