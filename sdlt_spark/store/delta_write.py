@@ -888,27 +888,24 @@ def export_vintage_to_delta(
     data, dvs = vintage._split_live(live)
     fparts = vintage._file_partitions()
     part_cols: list[str] = []
+    mat_rels: list[str] = []
     if any(rel in fparts for rel in data):
         # a zero-copy partitioned import: the raw files lack their
         # partition columns (the values live in the vintage sidecar).
-        # When EVERY live data file still has sidecar values, the export
-        # round-trips as a PARTITIONED Delta table — the sidecar values
-        # become the add actions' partitionValues, still zero-copy. Once
-        # mutations have materialized the column into SOME rewritten
-        # files (which have no sidecar entry, and whose values live only
-        # in the data), a partitioned export can't be built without
-        # scanning — refuse loudly, as before.
-        if all(rel in fparts for rel in data):
-            part_cols = sorted({c for vals in fparts.values() for c in vals})
-        else:
-            from sdlt_spark.store.delta_read import DeltaProtocolError
-
-            raise DeltaProtocolError(
-                "export of a partially-materialized partitioned import is "
-                "not supported (some files carry the partition column "
-                "inline, some only in the sidecar); materialize first "
-                "(compact() or write(read()))"
-            )
+        # Files with sidecar values round-trip zero-copy — the values
+        # become the add actions' partitionValues. Files a mutation has
+        # MATERIALIZED (no sidecar entry; the partition column lives only
+        # inline, and one rewritten file can span several partition
+        # values) are rewrite-SPLIT by partition value at export time:
+        # one bounded distributed job over just the materialized bytes
+        # per sync, each (source file, partition tuple) landing in its
+        # own data file with the column hoisted into partitionValues —
+        # the shape every partitioned Delta reader requires.
+        dset = set(data)
+        part_cols = sorted(
+            {c for rel, vals in fparts.items() if rel in dset for c in vals}
+        )
+        mat_rels = sorted(rel for rel in data if rel not in fparts)
     src_stats = vintage._file_stats()
     coverage = vintage._dv_coverage(dvs) if dvs else {}
     covering: dict[str, list[str]] = {rel: [] for rel in data}
@@ -927,6 +924,14 @@ def export_vintage_to_delta(
             "dv_mode='rewrite' cannot export a partitioned zero-copy import "
             "with live deletion vectors; use dv_mode='preserve'"
         )
+    if mat_rels and any(covering[rel] for rel in mat_rels):
+        # preserve-mode (the only mode reaching here with DVs): a roaring
+        # descriptor indexes row positions in the ORIGINAL file, and the
+        # split rewrite reorders them — the one remaining refusal
+        raise ValueError(
+            "cannot export a materialized partition file that live "
+            "deletion vectors still cover; compact() the source first"
+        )
 
     def _token(rel: str) -> str:
         # mode participates for covered files only, so flipping dv_mode
@@ -935,8 +940,13 @@ def export_vintage_to_delta(
         key = rel + "|" + mode_tag + ",".join(sorted(covering[rel]))
         return hashlib.md5(key.encode()).hexdigest()[:20]
 
+    # materialized partition files get their export names from the split
+    # job below (one name per (source file, partition tuple) — unknowable
+    # without the scan), not from the static name map
     wanted: dict[str, str] = {
-        f"data/part-{_token(rel)}.parquet": rel for rel in data
+        f"data/part-{_token(rel)}.parquet": rel
+        for rel in data
+        if rel not in set(mat_rels)
     }
     os.makedirs(os.path.join(dest, "data"), exist_ok=True)
 
@@ -1044,13 +1054,83 @@ def export_vintage_to_delta(
             if not (covering[rel] and out in covered_new and out not in produced)
         }
 
+    # rewrite-SPLIT every materialized partition file: one distributed job
+    # over ONLY the materialized bytes, grouped by (source token, partition
+    # tuple) so each group lands in exactly one output file with the
+    # partition columns hoisted out of the data (partitionBy drops them)
+    # and into the directory name → the add action's partitionValues.
+    # Output names are content-addressed on (token, partition tuple), so a
+    # re-sync re-scans the materialized files (their leaf set is unknowable
+    # without a scan) but re-links nothing that already exists.
+    mat_pv: dict[str, dict] = {}
+    if mat_rels:
+        import urllib.parse as _urlparse
+
+        from sdlt_spark.store.paths import decoded_file_path
+
+        spark = vintage.spark
+        tok_by_abs = {vintage._abs(rel): _token(rel) for rel in mat_rels}
+        mdf = vintage._read_files(mat_rels)
+        mapping = F.create_map(
+            *[F.lit(x) for kv in tok_by_abs.items() for x in kv]
+        )
+        mdf = mdf.withColumn(
+            "__tok", mapping[decoded_file_path(F.col("_metadata.file_path"))]
+        ).repartition(max(1, len(mat_rels)), "__tok", *part_cols)
+        mat_dir = os.path.join(staging, "matsplit")
+        mdf.write.partitionBy("__tok", *part_cols).mode(
+            "errorifexists"
+        ).parquet(mat_dir)
+
+        def _leafs(d: str, pv: dict) -> list[tuple[str, dict]]:
+            sub = [
+                f for f in os.listdir(d)
+                if "=" in f and os.path.isdir(os.path.join(d, f))
+            ]
+            if not sub:
+                parts = sorted(
+                    f for f in os.listdir(d) if f.endswith(".parquet")
+                )
+                return [(os.path.join(d, parts[0]), pv)] if parts else []
+            out = []
+            for s in sub:
+                col, raw = s.split("=", 1)
+                val = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _urlparse.unquote(raw)
+                )
+                out.extend(_leafs(os.path.join(d, s), {**pv, col: val}))
+            return out
+
+        for d in os.listdir(mat_dir):
+            if not d.startswith("__tok="):
+                continue
+            tok = d.split("=", 1)[1]
+            for leaf_file, pv in _leafs(os.path.join(mat_dir, d), {}):
+                pv_key = json.dumps(pv, sort_keys=True)
+                name = hashlib.md5(
+                    f"{tok}|pv|{pv_key}".encode()
+                ).hexdigest()[:20]
+                out_rel = f"data/part-{name}.parquet"
+                wanted[out_rel] = d  # keep it out of the remove set
+                mat_pv[out_rel] = pv
+                if out_rel in existing:
+                    continue  # unchanged since the last sync
+                pending_moves.append(
+                    (leaf_file, os.path.join(dest, out_rel))
+                )
+                produced.add(out_rel)
+
     stats_override: dict[str, dict] = {}
     adds: list[tuple[str, dict]] = []
     link_dir = os.path.join(staging, "link")
     for out_rel in sorted(set(wanted) - set(existing)):
         rel = wanted[out_rel]
         if out_rel in produced:
-            adds.append((out_rel, {}))  # stats via footer read at commit
+            # stats via footer read at commit; split outputs carry their
+            # partition tuple
+            adds.append((out_rel, mat_pv.get(out_rel, {})))
             continue
         src = vintage._abs(rel)
         os.makedirs(link_dir, exist_ok=True)
@@ -1157,11 +1237,18 @@ def export_vintage_to_delta(
         )
         next_id = prior + 1
         base_ids: dict[str, int] = {}
+        # new adds still live under .staging-* at this point (pending_moves
+        # publishes them just before the commit) — footer reads must hit
+        # the staged file, not the not-yet-existing dest path
+        staged_for = {
+            os.path.relpath(final, dest): staged
+            for staged, final in pending_moves
+        }
         for rel, _pv in adds:
             base_ids[rel] = next_id
             z = stats_override.get(rel)
             if z is None or z.get("rows") is None:
-                z = _read_footer_stats_safe(os.path.join(dest, rel))
+                z = _read_footer_stats_safe(staged_for.get(rel, os.path.join(dest, rel)))
             rows = (z or {}).get("rows")
             if rows is None:
                 # a silent 0 would hand the NEXT file an overlapping

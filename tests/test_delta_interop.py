@@ -1350,10 +1350,18 @@ def test_import_partitioned_delta_zero_copy(spark, tmp_path):
         (4, None),
     ]
     # after the mutation the table is PARTIALLY materialized (one rewritten
-    # file carries r inline, the rest only in the sidecar): a partitioned
-    # export can't be built without scanning — refused loudly
-    with pytest.raises(DeltaProtocolError, match="partially-materialized"):
-        export_vintage_to_delta(t, str(tmp_path / "exp"))
+    # file carries r inline, the rest only in the sidecar): the export
+    # rewrite-splits the materialized file by partition value and the
+    # round trip stays partitioned — NULL partition value included
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    r = DeltaTableReader(spark, dest)
+    snap = r.snapshot()
+    assert snap.partition_columns == ["r"]
+    got = sorted(
+        (x["k"], x["r"], x["v"]) for x in r.read().collect()
+    )
+    assert got == [(1, 0, "v1"), (2, 0, "v2"), (3, 1, "updated"), (4, None, "v4")]
 
 
 def test_import_still_refuses_column_mapped(spark, tmp_path):
@@ -1953,10 +1961,82 @@ def test_partitioned_import_round_trips_to_partitioned_export(spark, tmp_path):
         os.stat(os.path.join(dest, rel)).st_ino for rel in snap.files
     }
     assert exp_inodes == src_inodes
-    # a mutation materializes the column; the mixed table refuses loudly
+    # a mutation materializes the column into the rewritten file; the
+    # export rewrite-splits it: the add carries partitionValues, the
+    # split data file does NOT contain the partition column, and the
+    # untouched file still round-trips zero-copy (same inode)
     t.update("k = 3", {"v": "'x'"})
-    with pytest.raises(DeltaProtocolError, match="partially-materialized"):
-        export_vintage_to_delta(t, str(tmp_path / "exp2"))
+    dest2 = str(tmp_path / "exp2")
+    export_vintage_to_delta(t, dest2)
+    r2 = DeltaTableReader(spark, dest2)
+    snap2 = r2.snapshot()
+    assert snap2.partition_columns == ["r"]
+    got2 = sorted((x["k"], x["r"], x["v"]) for x in r2.read().collect())
+    assert got2 == [(1, 0, "v1"), (2, 0, "v2"), (3, 1, "x")]
+    pv_by_rel = dict(snap2.files)  # add path -> partitionValues
+    split_rels = [rel for rel in snap2.files if pv_by_rel.get(rel) == {"r": "1"}]
+    assert split_rels, "split output must carry its partition tuple"
+    import pyarrow.parquet as _pq
+
+    phys = _pq.read_schema(os.path.join(dest2, split_rels[0]))
+    assert "r" not in phys.names and "k" in phys.names
+    assert (
+        os.stat(os.path.join(dest2, [rel for rel in snap2.files if pv_by_rel.get(rel) == {"r": "0"}][0])).st_ino
+        == os.stat(f"{root}/r=0/a.parquet").st_ino
+    )
+    # a no-change re-sync re-derives the same content-addressed names and
+    # commits nothing
+    v_before = snap2.version
+    export_vintage_to_delta(t, dest2)
+    assert DeltaTableReader(spark, dest2).snapshot().version == v_before
+
+
+def test_export_splits_multi_partition_materialized_file(spark, tmp_path):
+    """A mutation whose rewrite spans SEVERAL partitions (rows from r=0
+    and r=1 materialized inline, possibly in one file) still exports as a
+    partitioned Delta table: the split job fans each partition tuple into
+    its own data file with matching partitionValues."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "src")
+    _write_part(f"{root}/r=0/a.parquet", [1, 2])
+    _write_part(f"{root}/r=1/b.parquet", [3, 4])
+    _write_part(f"{root}/r=2/c.parquet", [5])
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[
+            ("r=0/a.parquet", {"r": "0"}),
+            ("r=1/b.parquet", {"r": "1"}),
+            ("r=2/c.parquet", {"r": "2"}),
+        ],
+        schema_json=_PART_SCHEMA,
+        partition_columns=["r"],
+    )
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    # touch BOTH r=0 and r=1 in one mutation; r=2 stays sidecar-only
+    t.update("k = 1 OR k = 3", {"v": "'touched'"})
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    r = DeltaTableReader(spark, dest)
+    snap = r.snapshot()
+    assert snap.partition_columns == ["r"]
+    got = sorted((x["k"], x["r"], x["v"]) for x in r.read().collect())
+    assert got == [
+        (1, 0, "touched"),
+        (2, 0, "v2"),
+        (3, 1, "touched"),
+        (4, 1, "v4"),
+        (5, 2, "v5"),
+    ]
+    # every add names exactly one partition tuple and split files keep the
+    # column out of the data
+    import pyarrow.parquet as _pq
+
+    for rel, pv in snap.files.items():
+        assert set(pv) == {"r"}
+        assert "r" not in _pq.read_schema(os.path.join(dest, rel)).names
+    # partition pruning on the export sees consistent values
+    assert {pv["r"] for pv in snap.files.values()} == {"0", "1", "2"}
 
 
 def test_vacuum_sweeps_orphaned_dv_sidecars(spark, tmp_path):
