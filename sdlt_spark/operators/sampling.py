@@ -278,3 +278,53 @@ def dsir_topk(
     would slot in here). TakeOrdered plan: no global sort materializes."""
     w = dsir_weights(df, target, id_col, text_col, n_buckets)
     return w.orderBy(F.col("log_w").desc(), F.col(id_col)).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys (Information Processing Letters 2006): each row
+    draws key = ln(u)/w with u a seeded md5-uniform in (0, 1], and the
+    global top-``n`` keys are exactly a weight-proportional sample
+    drawn without replacement. The mixture-construction workhorse when
+    quotas must follow a quality or importance weight rather than a
+    stratum.
+
+    Deterministic (seeded hash, no RNG state), append-stable per id, and
+    single-pass: the plan is a map-only key computation into a
+    distributed TakeOrderedAndProject — per-partition top-n heaps, no
+    corpus shuffle, no driver data path. The key rounds to 12 decimals
+    with id as the tie-break, so engine libm last-ulp noise cannot flip
+    the selection boundary (the bigram_logprob discipline — the same
+    expression is portable ANSI SQL for the audit side)."""
+    # u = (first 13 md5 hex digits + 1) / (16^13 + 1): 52 bits, exact in
+    # a double, never 0 (ln(0) would be -inf on one engine, an error on
+    # another)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13) + 1.0)
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__es_key")
+    )

@@ -859,3 +859,73 @@ def compression_ratio(
             ),
         ).alias("compression_ratio"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """EXACT corpus heavy hitters with bounded memory: every token whose
+    total count strictly exceeds ``total_tokens / k``, via the classic
+    two-pass Misra-Gries + recount scheme (Misra & Gries, Science of
+    Computer Programming 1982).
+
+    Pass 1 streams each partition through a k-counter Misra-Gries summary
+    (Arrow batches; state bounded at k entries however large the
+    partition). Any token with global count > n/k must exceed the local
+    n_p/(k+1) survival bound in at least one partition, so the union of
+    per-partition survivors is a guaranteed candidate SUPERSET. Pass 2
+    recounts only candidates — the token explode feeds a broadcast
+    semi-join before the aggregation, so the shuffle carries
+    O(#candidates) groups instead of O(vocabulary) — and the exact
+    ``cnt * k > total`` filter removes the false positives.
+
+    A plain groupBy(token).count() is exact too, but its partial
+    aggregates shuffle one row per DISTINCT token per partition — at
+    100 TB of web text that is a vocabulary-sized hash aggregate per
+    task and a multi-billion-group shuffle. This shape keeps both sides
+    bounded: k counters per task, #candidates <= k * #partitions rows
+    shuffled."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k={k}; need k >= 2")
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in text.split(" "):
+                    c = counters.get(tok)
+                    if c is not None:
+                        counters[tok] = c + 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all absorbs the unseen token (MG step);
+                        # zeroed counters drop, keeping the dict at <= k
+                        counters = {
+                            t: c - 1 for t, c in counters.items() if c > 1
+                        }
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = df.select(text_col).mapInPandas(_mg, "token string").distinct()
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    total = df.agg(
+        F.sum(
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+                F.size(F.split(F.col(text_col), " "))
+            )
+        ).alias("__total")
+    )
+    return (
+        toks.join(F.broadcast(cands), "token", "semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("__total"))
+        .select("token", "cnt")
+    )

@@ -2111,6 +2111,50 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "heavy_hitters",
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    HAVING count(*) * 50 > (SELECT count(*) FROM toks)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens above a 1/50 corpus share) with bounded
+    per-task memory: two-pass Misra-Gries candidates + recount
+    (operators/text.py heavy_hitters) — the shape that survives a
+    vocabulary too large for per-partition hash aggregates. The oracle
+    recomputes the same set relationally, proving the sketch pass loses
+    nothing."""
+    from sdlt_spark.operators.text import heavy_hitters as _hh
+
+    return _hh(_t(spark, sf_dir, "documents"), "text", k=50)
+
+
+@_q(
+    "weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             round(ln((CAST('0x' || substr(md5(concat_ws(':', 'wsample-v1',
+                       CAST(doc_id AS STRING))), 1, 13) AS BIGINT) + 1.0)
+                      / 4503599627370497.0) / n_chars, 12) AS k
+      FROM documents
+    ) ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis exponential keys, operators/sampling.py weighted_sample):
+    the 100 documents drawn with probability proportional to length,
+    deterministically. TakeOrdered plan — per-partition heaps, no corpus
+    shuffle; the oracle evaluates the identical portable key expression."""
+    from sdlt_spark.operators.sampling import weighted_sample as _ws
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return _ws(docs, "doc_id", "n_chars", 100)
+
+
+@_q(
     "text_quality",
     r"""
     SELECT doc_id,

@@ -286,3 +286,65 @@ def test_compression_ratio_separates_repetitive_text(spark):
     assert out[1]["raw_bytes"] == 1000
     assert out[3]["compression_ratio"] is None and out[3]["raw_bytes"] == 0
     assert out[4]["raw_bytes"] is None and out[4]["compression_ratio"] is None
+
+
+def test_heavy_hitters_exact_under_forced_decrements(spark):
+    """k=2 counters with a long tail forces constant Misra-Gries
+    decrements; the two-pass result must still equal the brute-force
+    answer exactly (candidate superset + exact recount)."""
+    rows = []
+    # 'hot' = 450 of 750 tokens (60%), 'warm' = 150 (20%), tail of 150
+    # distinct singletons: with k=2 only counts strictly > 375 qualify
+    for i in range(150):
+        rows.append((i, "hot hot hot warm " + f"tail{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    got = {
+        (r["token"], r["cnt"])
+        for r in text.heavy_hitters(df, "text", k=2).collect()
+    }
+    brute = (
+        df.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in brute)
+    want = {(r["t"], r["count"]) for r in brute if r["count"] * 2 > total}
+    assert got == want == {("hot", 450)}
+
+
+def test_heavy_hitters_matches_brute_force_on_corpus(spark):
+    df = tables.load(spark, SF, "documents")
+    got = {
+        (r["token"], r["cnt"])
+        for r in text.heavy_hitters(df, "text", k=40).collect()
+    }
+    brute = (
+        df.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in brute)
+    want = {(r["t"], r["count"]) for r in brute if r["count"] * 40 > total}
+    assert got == want and got
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from sdlt_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 30).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 30).collect())
+    assert a == b and len(a) == 30
+    # the 20 heavy rows (1000x weight) should essentially all be drawn
+    assert sum(1 for i in a if i < 20) >= 18
+    # a different seed reshuffles the light tail but stays deterministic
+    c = sorted(
+        r["id"]
+        for r in weighted_sample(df, "id", "w", 30, seed="other").collect()
+    )
+    assert c != a
+    # n >= rows returns everything
+    assert len(weighted_sample(df, "id", "w", 500).collect()) == 200
