@@ -1,0 +1,126 @@
+"""Build an sf1-equivalent dataset by replicating sf0.1 FACTOR times with
+key offsets, so the bench suite can be run at a 10x scale point.
+
+Replication preserves join fan-out and duplicate structure while keeping
+cross-replica rows distinct (the SCALE.md methodology):
+
+- Every key column is offset per replica by ``i * (max_key + 1)`` so
+  orders/lineitem/customer/supplier/part joins keep exactly the sf0.1
+  fan-out, 10x over.
+- ``nation`` / ``region`` are fixed dimensions (as in TPC-H, they do not
+  scale with SF) and are copied once.
+- ``documents.text`` is passed through a per-replica Caesar cipher
+  (identity for replica 0) — a bijection on letters, so within-replica
+  duplicate/near-duplicate structure is preserved EXACTLY (dedup pair
+  counts scale linearly) while cross-replica texts share no shingles
+  (no artificial quadratic duplicate blow-up between replicas).
+- ``embeddings.embedding`` gets a per-replica coordinate permutation —
+  norm- and distance-preserving within a replica (cluster structure and
+  in-replica near-dup pairs replicate exactly) while corresponding
+  cross-replica vectors decorrelate to chance cosine.
+
+Usage: python scripts/make_scale_replica.py [out_dir] [factor]
+Defaults: /tmp/sdlt_sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import string
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (table, [(key column, offset stride)]) — stride = max_key + 1 at sf0.1
+KEYED = {
+    "lineitem": [("l_orderkey", 150_000), ("l_partkey", 20_000),
+                 ("l_suppkey", 1_000)],
+    "orders": [("o_orderkey", 150_000), ("o_custkey", 15_000)],
+    "customer": [("c_custkey", 15_000)],
+    "supplier": [("s_suppkey", 1_000)],
+    "part": [("p_partkey", 20_000)],
+    "events": [("event_id", 100_000), ("user_id", 1_500)],
+    "documents": [("doc_id", 5_000)],
+}
+COPY_ONCE = ["nation", "region"]
+
+
+def _caesar_maps(i: int) -> tuple[str, str]:
+    lo = string.ascii_lowercase
+    up = string.ascii_uppercase
+    s = i % 26
+    return lo + up, lo[s:] + lo[:s] + up[s:] + up[:s]
+
+
+def build(out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY_ONCE:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    for t, keys in KEYED.items():
+        parts = []
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchall()]
+        for i in range(factor):
+            sel = []
+            for c in cols:
+                expr = c
+                for k, stride in keys:
+                    if c == k:
+                        expr = f"({c} + {i * stride})"
+                if t == "documents" and c == "text" and i > 0:
+                    src_chars, dst_chars = _caesar_maps(i)
+                    expr = f"translate(text, '{src_chars}', '{dst_chars}')"
+                sel.append(f"{expr} AS {c}")
+            parts.append(
+                f"SELECT {', '.join(sel)} "
+                f"FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO "
+            f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    # embeddings: numpy path for the per-replica coordinate permutation
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_ids = tbl.column("vec_id").to_numpy()
+    labels = tbl.column("label").to_numpy()
+    emb = np.stack(tbl.column("embedding").to_pandas().to_numpy())
+    dim = emb.shape[1]
+    out_ids, out_lbl, out_emb = [], [], []
+    for i in range(factor):
+        perm = (np.arange(dim) if i == 0
+                else np.random.RandomState(1234 + i).permutation(dim))
+        out_ids.append(vec_ids + i * 2_000)
+        out_lbl.append(labels)
+        out_emb.append(emb[:, perm])
+    all_emb = np.concatenate(out_emb).astype(np.float32)
+    out = pa.table({
+        "vec_id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(all_emb.reshape(-1), type=pa.float32()), dim
+        ).cast(pa.list_(pa.float32())),
+        "label": pa.array(np.concatenate(out_lbl), type=pa.int32()),
+    })
+    pq.write_table(out, f"{out_dir}/embeddings.parquet")
+
+    for t in list(KEYED) + COPY_ONCE + ["embeddings"]:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdlt_sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    build(out, factor)
