@@ -571,3 +571,23 @@ def test_row_tracking_read_is_scan_plus_broadcast_map(spark, tmp_path):
     assert plan.count("Scan parquet") == 1
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # no shuffle anywhere
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """Pass 2 must semi-join the BROADCAST candidate set before the
+    aggregation (the whole point: shuffle O(candidates) groups, not the
+    vocabulary) and the total-tokens scalar joins as a 1-row broadcast,
+    never a cartesian product."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The Efraimidis-Spirakis draw must compile to TakeOrderedAndProject
+    (per-partition top-n heaps) — no global Sort materialization, no
+    shuffle of the corpus."""
+    plan = plan_of(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
