@@ -199,10 +199,13 @@ def dsir_weights(
     same as the SQL oracle's string_split).
 
     Plan shape: two bounded aggregations build the B-row bucket models
-    (B = ``n_buckets``, constant — the models BROADCAST at any corpus
-    size); scoring is the exploded gram table joined to the broadcast
-    ratio map plus ONE shuffle keyed by document id with map-side partial
-    sums. No driver data path beyond the two scalar totals.
+    (B = ``n_buckets``, constant — the models land on the DRIVER and
+    re-broadcast at any corpus size, the same bounded-driver-state class
+    as k-means centroids); scoring is the exploded gram table joined to
+    the broadcast ratio map plus ONE shuffle keyed by document id with
+    map-side partial sums. No persist() (a long-lived session must not
+    accumulate cache entries per call) and each gram table's lineage
+    evaluates exactly twice: model aggregation + scoring pass.
 
     Float discipline (for the exact DuckDB parity oracle): each bucket's
     log-ratio is computed in a fixed algebraic form and rounded to 12
@@ -212,11 +215,10 @@ def dsir_weights(
 
     Pass discipline: an under-parallel scan (one small file = one task)
     is repartitioned so the explode+md5 — the dominant cost — uses every
-    core, and the corpus totals n_raw/n_tgt come from summing the B-row
-    (persisted) bucket models instead of separate count() jobs, so the
-    gram table's lineage evaluates twice (model pass + scoring pass), not
-    four times. The gram table itself is deliberately NOT persisted —
-    it is O(token occurrences), corpus-sized at 100 TB."""
+    core. The gram table itself is deliberately NOT persisted — it is
+    O(token occurrences), corpus-sized at 100 TB."""
+    import math
+
     from sdlt_spark.operators.dedup import _scan_underparallel
 
     if _scan_underparallel(df):
@@ -225,25 +227,39 @@ def dsir_weights(
         target = target.repartition(par)
     raw_g = hashed_ngram_buckets(df, id_col, text_col, n_buckets)
     tgt_g = hashed_ngram_buckets(target, id_col, text_col, n_buckets)
-    rcnt = (
-        raw_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")).persist()
-    )
-    tcnt = (
-        tgt_g.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")).persist()
-    )
-    n_raw = rcnt.agg(F.sum("__cr")).head()[0] or 0
-    n_tgt = tcnt.agg(F.sum("__ct")).head()[0] or 0
-    # raw-side buckets cover every bucket any scored doc touches
-    lr = F.round(
-        F.log(F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
-        - F.log(F.lit(float(n_tgt + n_buckets)))
-        - F.log(F.col("__cr") + F.lit(1.0))
-        + F.log(F.lit(float(n_raw + n_buckets))),
-        12,
-    )
-    ratio = (
-        rcnt.join(tcnt, on="__b", how="left")
-        .select("__b", lr.alias("__lr"))
+    # bounded driver state: <= n_buckets rows per model, by construction
+    rc = {
+        r["__b"]: r["__cr"]
+        for r in raw_g.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+        .collect()
+    }
+    tc = {
+        r["__b"]: r["__ct"]
+        for r in tgt_g.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .collect()
+    }
+    n_raw = sum(rc.values())
+    n_tgt = sum(tc.values())
+    # raw-side buckets cover every bucket any scored doc touches; the
+    # log-ratio is computed ONCE per bucket on the driver (same libm, same
+    # 12-decimal rounding as the SQL oracle)
+    ratio_rows = [
+        (
+            int(b),
+            round(
+                math.log(tc.get(b, 0) + 1.0)
+                - math.log(float(n_tgt + n_buckets))
+                - math.log(cr + 1.0)
+                + math.log(float(n_raw + n_buckets)),
+                12,
+            ),
+        )
+        for b, cr in rc.items()
+    ]
+    ratio = df.sparkSession.createDataFrame(
+        ratio_rows, "__b long, __lr double"
     )
     scored = (
         raw_g.join(F.broadcast(ratio), on="__b")

@@ -58,6 +58,41 @@ class SqlParseError(ValueError):
     """The statement is DML-shaped but outside the supported subset."""
 
 
+def _depth0_positions(s: str, pat: re.Pattern) -> list[int]:
+    """Start offsets of ``pat`` matches at paren depth zero, outside
+    quoted string literals."""
+    ok = []
+    depth, q = 0, None
+    for ch in s:
+        ok.append(q is None and depth == 0)
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+    return [m.start() for m in pat.finditer(s) if ok[m.start()]]
+
+
+_WHEN_CLAUSE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
+_THEN = re.compile(r"\bTHEN\b", re.IGNORECASE)
+
+
+def _split_when_clauses(sql: str) -> list[str]:
+    """Split a MERGE clause tail on its top-level ``WHEN`` keywords. Only
+    a ``WHEN`` directly followed by ``MATCHED`` / ``NOT MATCHED`` at
+    paren depth zero outside string literals starts a clause — a ``CASE
+    WHEN`` inside a SET expression or condition stays attached."""
+    starts = _depth0_positions(sql, _WHEN_CLAUSE)
+    if not starts:
+        raise SqlParseError(f"MERGE needs at least one WHEN clause: {sql!r}")
+    bounds = starts + [len(sql)]
+    return [sql[a:b].strip() for a, b in zip(bounds, bounds[1:])]
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth zero."""
     out, depth, cur, q = [], 0, [], None
@@ -83,16 +118,36 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+_QUOTED = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _outside_quotes(expr: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``expr`` OUTSIDE quoted string
+    literals, leaving the literals byte-identical."""
+    out, last = [], 0
+    for m in _QUOTED.finditer(expr):
+        out.append(fn(expr[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(fn(expr[last:]))
+    return "".join(out)
+
+
 def _rewrite_aliases(expr: str, tgt_alias: str | None, src_alias: str | None) -> str:
-    """``t.x`` -> ``x``; ``s.x`` -> ``src_x`` (word-boundary, outside
-    quoted strings — good enough for the supported subset)."""
-    if tgt_alias:
-        expr = re.sub(rf"\b{re.escape(tgt_alias)}\.({_IDENT})", r"\1", expr)
-    if src_alias:
-        expr = re.sub(
-            rf"\b{re.escape(src_alias)}\.({_IDENT})", r"src_\1", expr
-        )
-    return expr
+    """``t.x`` -> ``x``; ``s.x`` -> ``src_x`` (word-boundary, and only
+    outside quoted string literals — an alias-shaped token inside a
+    literal like ``'s.k'`` must stay as written)."""
+
+    def _sub(seg: str) -> str:
+        if tgt_alias:
+            seg = re.sub(rf"\b{re.escape(tgt_alias)}\.({_IDENT})", r"\1", seg)
+        if src_alias:
+            seg = re.sub(
+                rf"\b{re.escape(src_alias)}\.({_IDENT})", r"src_\1", seg
+            )
+        return seg
+
+    return _outside_quotes(expr, _sub)
 
 
 class _DeltaExportTable:
@@ -128,6 +183,7 @@ class _DeltaExportTable:
     def merge(self, source: DataFrame, key_cols: list[str], **kw) -> int:
         from sdlt_spark.store.delta_mutate import merge_delta_export
 
+        md = kw.get("matched_delete")
         clause_kw = {
             k
             for k, v in kw.items()
@@ -140,22 +196,27 @@ class _DeltaExportTable:
                 "not_matched_by_source_delete",
             )
         }
+        if isinstance(md, str):
+            # merge_delta_export evaluates when_matched_delete on the
+            # SOURCE frame with bare names — the dispatcher's rewritten
+            # condition (bare = TARGET, src_ = source) would evaluate in
+            # the wrong namespace, silently deleting the wrong keys
+            clause_kw.add("matched_delete (conditional)")
         if clause_kw:
             raise SqlParseError(
                 "Delta-export MERGE supports WHEN MATCHED THEN UPDATE SET * "
-                "/ WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT * "
-                f"only (got clause options {sorted(clause_kw)}); use a "
-                "vintage table for conditional clauses"
+                "/ unconditional WHEN MATCHED THEN DELETE / WHEN NOT MATCHED "
+                f"THEN INSERT * only (got clause options {sorted(clause_kw)});"
+                " use a vintage table for conditional clauses"
             )
-        md = kw.get("matched_delete")
         return merge_delta_export(
             self.path,
             self.spark,
             source,
             on=key_cols,
-            when_matched_delete=(
-                md if isinstance(md, str) else None
-            ),
+            # an unconditional matched DELETE is 'true' on every source
+            # row (bool True must not silently degrade to upsert)
+            when_matched_delete="true" if md is True else None,
             schema_evolution=bool(kw.get("schema_evolution")),
         )
 
@@ -370,21 +431,41 @@ class SqlDispatcher:
                     "matched_condition",
                     "matched_delete",
                     "insert_condition",
+                    "update_all_condition",
                 )
             )
         )
         if not plain_upsert:
             if clauses.get("update_all"):
-                raise SqlParseError(
-                    "UPDATE SET * cannot mix with conditional clauses; "
-                    "list the columns explicitly"
-                )
+                # expand SET * into explicit per-source-column assignments
+                # (keys excluded — they are equal by the ON condition), so
+                # UPDATE SET * composes with conditions and matched-only
+                # merges instead of silently degrading to default upsert
+                if clauses.get("matched_update"):
+                    raise SqlParseError(
+                        "at most one WHEN MATCHED ... UPDATE clause is "
+                        "supported"
+                    )
+                clauses["matched_update"] = {
+                    c: f"src_{c}" for c in source.columns if c not in key_cols
+                }
+                if clauses.get("update_all_condition"):
+                    clauses["matched_condition"] = clauses[
+                        "update_all_condition"
+                    ]
             if clauses.get("insert_all") and clauses.get("insert_condition"):
                 kw["insert_condition"] = clauses["insert_condition"]
             elif not clauses.get("insert_all"):
                 # no insert clause at all: matched-only merge — suppress
                 # inserts entirely via a never-true condition
                 kw["insert_condition"] = "false"
+            elif not any(
+                clauses.get(k) for k in ("matched_update", "matched_delete")
+            ):
+                # insert-only merge (no matched clause): clause mode must
+                # still engage — the default verb would UPSERT matched
+                # rows, which this statement says to leave untouched
+                kw["insert_condition"] = "true"
             for k in ("matched_update", "matched_condition", "matched_delete"):
                 if clauses.get(k):
                     kw[k] = clauses[k]
@@ -417,21 +498,21 @@ class SqlDispatcher:
 
     def _parse_clauses(self, sql: str, talias: str, salias: str) -> dict:
         out: dict = {}
-        # split on top-level WHEN
-        chunks = [
-            c.strip()
-            for c in re.split(r"\bWHEN\b", sql, flags=re.IGNORECASE)
-            if c.strip()
-        ]
-        for c in chunks:
+        for c in _split_when_clauses(sql):
+            # split head/action at the first TOP-LEVEL THEN so a CASE WHEN
+            # ... THEN inside a parenthesized condition can't truncate it
+            thens = _depth0_positions(c, _THEN)
+            if not thens:
+                raise SqlParseError(f"unsupported MERGE clause: {c!r}")
+            head, action = c[: thens[0]].strip(), c[thens[0] + 4 :].strip()
             cm = re.match(
-                r"(MATCHED|NOT\s+MATCHED(?:\s+BY\s+(?:TARGET|SOURCE))?)"
-                r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
-                c,
+                r"WHEN\s+(MATCHED|NOT\s+MATCHED(?:\s+BY\s+(?:TARGET|SOURCE))?)"
+                r"(?:\s+AND\s+(.+))?$",
+                head,
                 re.IGNORECASE | re.DOTALL,
             )
             if not cm:
-                raise SqlParseError(f"unsupported MERGE clause: WHEN {c!r}")
+                raise SqlParseError(f"unsupported MERGE clause: {c!r}")
             which = re.sub(r"\s+", " ", cm.group(1).upper())
             raw_cond = cm.group(2).strip() if cm.group(2) else None
             cond = (
@@ -439,17 +520,13 @@ class SqlDispatcher:
                 if raw_cond
                 else None
             )
-            action = cm.group(3).strip()
             if which == "MATCHED":
                 if re.match(r"DELETE$", action, re.IGNORECASE):
                     out["matched_delete"] = cond if cond else True
                 elif re.match(r"UPDATE\s+SET\s+\*$", action, re.IGNORECASE):
-                    if cond:
-                        raise SqlParseError(
-                            "WHEN MATCHED AND <cond> THEN UPDATE SET * is "
-                            "not supported; list the columns"
-                        )
                     out["update_all"] = True
+                    if cond:
+                        out["update_all_condition"] = cond
                 else:
                     um = re.match(
                         r"UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL

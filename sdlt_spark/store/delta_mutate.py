@@ -50,15 +50,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
 
 from sdlt_spark.store.delta_read import DeltaTableReader
 from sdlt_spark.store.delta_write import DeltaCommitConflictError, DeltaLogWriter
-
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+from sdlt_spark.store.paths import decode_hive_segments
 
 # Delta's optimistic concurrency, conservative flavor: every verb derives
 # its touched-file set and rewrite from ONE snapshot and commits with
@@ -223,13 +221,7 @@ def _write_change_files(
             relscope = os.path.relpath(dirpath, staging)
             pvals: dict = {}
             if relscope != ".":
-                for seg in relscope.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    # Hive path escaping (%XX) — the same decoding the
-                    # data-file import path applies
-                    pvals[k] = (
-                        None if v == _HIVE_NULL else urllib.parse.unquote(v)
-                    )
+                pvals = decode_hive_segments(relscope.split(os.sep))
             for fname in sorted(files):
                 if not fname.endswith(".parquet"):
                     continue
@@ -478,10 +470,7 @@ def _write_data_files(
                 segs = relpart.split(os.sep)
                 if not all("=" in s for s in segs):
                     continue
-                for seg in segs:
-                    k, v = seg.split("=", 1)
-                    v = urllib.parse.unquote(v)
-                    pvals[k] = None if v == _HIVE_NULL else v
+                pvals = decode_hive_segments(segs)
             for fname in sorted(files):
                 if not fname.endswith(".parquet"):
                     continue

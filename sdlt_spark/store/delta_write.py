@@ -906,6 +906,15 @@ def export_vintage_to_delta(
             {c for rel, vals in fparts.items() if rel in dset for c in vals}
         )
         mat_rels = sorted(rel for rel in data if rel not in fparts)
+    if not part_cols and is_sync and snap.partition_columns:
+        # the DEST is already a partitioned Delta table but every live
+        # source file has materialized its partition column (e.g. a
+        # whole-table rewrite consumed the last sidecar entries): adds
+        # with empty partitionValues against a metaData still declaring
+        # partitionColumns would read NULL partition values in every
+        # stock reader — split ALL the files instead
+        part_cols = list(snap.partition_columns)
+        mat_rels = sorted(data)
     src_stats = vintage._file_stats()
     coverage = vintage._dv_coverage(dvs) if dvs else {}
     covering: dict[str, list[str]] = {rel: [] for rel in data}
@@ -1064,9 +1073,10 @@ def export_vintage_to_delta(
     # without a scan) but re-links nothing that already exists.
     mat_pv: dict[str, dict] = {}
     if mat_rels:
-        import urllib.parse as _urlparse
-
-        from sdlt_spark.store.paths import decoded_file_path
+        from sdlt_spark.store.paths import (
+            decode_hive_segments,
+            decoded_file_path,
+        )
 
         spark = vintage.spark
         tok_by_abs = {vintage._abs(rel): _token(rel) for rel in mat_rels}
@@ -1094,13 +1104,12 @@ def export_vintage_to_delta(
                 return [(os.path.join(d, parts[0]), pv)] if parts else []
             out = []
             for s in sub:
-                col, raw = s.split("=", 1)
-                val = (
-                    None
-                    if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else _urlparse.unquote(raw)
+                out.extend(
+                    _leafs(
+                        os.path.join(d, s),
+                        {**pv, **decode_hive_segments([s])},
+                    )
                 )
-                out.extend(_leafs(os.path.join(d, s), {**pv, col: val}))
             return out
 
         for d in os.listdir(mat_dir):

@@ -49,3 +49,21 @@ def is_table_local(root: str, p: str) -> bool:
 
     resolved = os.path.abspath(resolve_table_path(root, p))
     return resolved.startswith(os.path.abspath(root) + os.sep)
+
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def decode_hive_segments(segs) -> dict:
+    """Hive-style ``col=value`` path segments -> partitionValues dict:
+    Hive %XX escaping decoded, ``__HIVE_DEFAULT_PARTITION__`` -> None.
+    The ONE decoder shared by every staged partitionBy-output walk
+    (data files, CDC change files, export split) so an escaping or
+    null-marker fix can never drift between them."""
+    import urllib.parse
+
+    out: dict = {}
+    for seg in segs:
+        k, _, v = seg.partition("=")
+        out[k] = None if v == HIVE_NULL else urllib.parse.unquote(v)
+    return out

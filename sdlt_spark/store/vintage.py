@@ -1525,12 +1525,22 @@ class VintageTable:
             # the target schema, touched rows get typed-null padding there,
             # and only clause-updated rows can receive non-null values
             if schema_evolution:
-                from pyspark.sql.types import StructType
+                from pyspark.sql.types import StructField, StructType
 
                 known = {f.name for f in target_schema.fields}
+                # evolved columns are ALWAYS nullable: untouched/unmatched
+                # rows read them as typed nulls, so carrying a non-null
+                # source field's nullability would commit a schema the
+                # existing data violates (stock Delta writers enforce
+                # NOT NULL invariants on export) — same forced-True as
+                # merge_delta_export's evolution path
                 target_schema = StructType(
                     list(target_schema.fields)
-                    + [f for f in src.schema.fields if f.name not in known]
+                    + [
+                        StructField(f.name, f.dataType, True, f.metadata)
+                        for f in src.schema.fields
+                        if f.name not in known
+                    ]
                 )
             tcols = [f.name for f in target_schema.fields]
             # inserts = source rows whose key exists NOWHERE in the target;

@@ -3211,3 +3211,32 @@ def test_restore_to_timestamp_and_history(spark, tmp_path):
     h = {row["version"]: row["operation"] for row in r.history_df().collect()}
     assert h[0] == "WRITE" and h[v] == "RESTORE"
     assert len(h) == v + 1
+
+
+def test_export_sync_survives_full_materialization(spark, tmp_path):
+    """Review regression: a whole-table mutation that materializes EVERY
+    live file (no sidecar entries left) must not re-sync a partitioned
+    dest with empty partitionValues — all files split instead."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "src")
+    _write_part(f"{root}/r=0/a.parquet", [1, 2])
+    _write_part(f"{root}/r=1/b.parquet", [3])
+    w = DeltaLogWriter(root)
+    w.commit(
+        adds=[("r=0/a.parquet", {"r": "0"}), ("r=1/b.parquet", {"r": "1"})],
+        schema_json=_PART_SCHEMA,
+        partition_columns=["r"],
+    )
+    t = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)  # v0: zero-copy partitioned
+    t.update("true", {"v": "concat(v, '!')"})  # materializes EVERY file
+    export_vintage_to_delta(t, dest)  # sync must keep the dest partitioned
+    r = DeltaTableReader(spark, dest)
+    snap = r.snapshot()
+    assert snap.partition_columns == ["r"]
+    for rel, pv in snap.files.items():
+        assert set(pv) == {"r"}, f"{rel} lost its partitionValues"
+    got = sorted((x["k"], x["r"], x["v"]) for x in r.read().collect())
+    assert got == [(1, 0, "v1!"), (2, 0, "v2!"), (3, 1, "v3!")]

@@ -224,3 +224,151 @@ def test_sql_timestamp_time_travel(spark, tmp_path):
         _n(d.sql(f"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '{ts}'")) == 1
     )
     assert _n(d.sql("SELECT count(*) AS n FROM tt")) == 2
+
+
+def test_sql_merge_insert_only_leaves_matched_untouched(spark, small):
+    """Review regression: an insert-only MERGE (no matched clause) must
+    NOT upsert matched rows — only the unmatched source rows land."""
+    d = small
+    spark.createDataFrame(
+        [(1, 9, 999.0), (50, 9, 500.0)], "k long, grp long, v double"
+    ).createOrReplaceTempView("io_src")
+    d.sql(
+        "MERGE INTO t USING io_src ON t.k = io_src.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == 10.0  # matched row untouched (was silently 999.0)
+    assert got[50] == 500.0 and len(got) == 21
+
+
+def test_sql_merge_matched_only_update_all(spark, small):
+    """Review regression: WHEN MATCHED THEN UPDATE SET * without a NOT
+    MATCHED clause is legal Delta SQL — update matched, insert nothing."""
+    d = small
+    spark.createDataFrame(
+        [(1, 7, 111.0), (50, 7, 555.0)], "k long, grp long, v double"
+    ).createOrReplaceTempView("mo_src")
+    d.sql(
+        "MERGE INTO t USING mo_src ON t.k = mo_src.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {r["k"]: (r["grp"], r["v"]) for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == (7, 111.0)
+    assert 50 not in got and len(got) == 20
+
+
+def test_sql_merge_conditional_update_all(spark, small):
+    """WHEN MATCHED AND cond THEN UPDATE SET * expands to explicit
+    assignments gated by the condition."""
+    d = small
+    spark.createDataFrame(
+        [(1, 7, 111.0), (2, 7, 222.0), (50, 7, 555.0)],
+        "k long, grp long, v double",
+    ).createOrReplaceTempView("cu_src")
+    d.sql(
+        "MERGE INTO t USING cu_src ON t.k = cu_src.k "
+        "WHEN MATCHED AND t.v < 15 THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: (r["grp"], r["v"]) for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == (7, 111.0)   # v=10 < 15 -> updated
+    assert got[2] == (2, 20.0)    # v=20 -> untouched
+    assert got[50] == (7, 555.0)  # inserted
+    assert len(got) == 21
+
+
+def test_sql_merge_case_when_in_set_expression(spark, small):
+    """Review regression: CASE WHEN inside a SET expression must not be
+    mistaken for a clause boundary."""
+    d = small
+    spark.createDataFrame(
+        [(1, 9, -5.0), (2, 9, 7.0)], "k long, grp long, v double"
+    ).createOrReplaceTempView("cw_src")
+    d.sql(
+        "MERGE INTO t USING cw_src ON t.k = cw_src.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN cw_src.v > 0 THEN cw_src.v ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == 0.0 and got[2] == 7.0
+
+
+def test_sql_merge_alias_inside_string_literal_untouched(spark, small):
+    """Review regression: an alias-shaped token INSIDE a string literal
+    ('sr.k') must not be rewritten to src_k."""
+    d = small
+    spark.createDataFrame(
+        [(1, 9, 1.0)], "k long, grp long, v double"
+    ).createOrReplaceTempView("lit_src")
+    # the condition compares a constant to the literal 'sr.k' — always
+    # false, so nothing is updated; a buggy rewrite would turn the
+    # literal into 'src_k' and still be false, so assert via an UPDATE
+    # SET that embeds the literal in a CASE and lands it in v's sign
+    d.sql(
+        "MERGE INTO t AS tg USING lit_src AS sr ON tg.k = sr.k "
+        "WHEN MATCHED THEN UPDATE SET v = "
+        "CASE WHEN 'sr.k' = 'sr.k' THEN -1.0 ELSE -2.0 END "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM t").collect()}
+    assert got[1] == -1.0  # literal survived verbatim on both sides
+
+
+def test_sql_delta_adapter_unconditional_matched_delete(spark, tmp_path):
+    """Review regression: WHEN MATCHED THEN DELETE (no condition) on a
+    Delta export must delete the matched keys, not upsert them."""
+    from sdlt_spark.store.delta_write import export_vintage_to_delta
+
+    t = VintageTable(spark, str(tmp_path / "v"))
+    t.write(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(6)], "k long, v double"
+        )
+    )
+    dest = str(tmp_path / "d")
+    export_vintage_to_delta(t, dest)
+    d = SqlDispatcher(spark)
+    d.register_delta("dt", dest)
+    spark.createDataFrame(
+        [(2, 0.0), (99, 99.0)], "k long, v double"
+    ).createOrReplaceTempView("del_src")
+    d.sql(
+        "MERGE INTO dt USING del_src ON dt.k = del_src.k "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["v"] for r in d.sql("SELECT * FROM dt").collect()}
+    assert 2 not in got and got[99] == 99.0 and len(got) == 6
+    # CONDITIONAL matched delete refuses loudly (source-frame namespace)
+    with pytest.raises(SqlParseError, match="conditional"):
+        d.sql(
+            "MERGE INTO dt USING del_src ON dt.k = del_src.k "
+            "WHEN MATCHED AND dt.v < 3 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_sql_clause_evolution_records_nullable_schema(spark, tmp_path):
+    """Review regression: a clause-mode schema evolution must record the
+    evolved column as NULLABLE even when the source field is not (the
+    padded rows hold NULL)."""
+    d = SqlDispatcher(spark)
+    t = VintageTable(spark, str(tmp_path / "ev"))
+    t.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    d.register("ev", t)
+    src = spark.createDataFrame([(1, 9.0)], "k long, v double").withColumn(
+        "tag", F.lit("X")  # lit() is non-nullable
+    )
+    src.createOrReplaceTempView("ev_src")
+    d.sql("SET sdlt.sql.autoMerge = true")
+    d.sql(
+        "MERGE INTO ev USING ev_src ON ev.k = ev_src.k "
+        "WHEN MATCHED AND ev.v < 5 THEN UPDATE SET v = ev_src.v, "
+        "tag = ev_src.tag"
+    )
+    fields = {f.name: f for f in t._schema_at().fields}
+    assert fields["tag"].nullable is True
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got[1] == (9.0, "X") and got[2] == (2.0, None)
