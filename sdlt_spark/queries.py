@@ -2111,6 +2111,67 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_extract",
+    """
+    SELECT CAST(doc_id % 32 AS BIGINT) AS archive_id,
+           CAST(row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id)
+                - 1 AS INTEGER) AS rec_no,
+           'response' AS warc_type,
+           'http://example.com/doc/' || CAST(doc_id AS STRING) AS uri,
+           CAST(length(text) AS BIGINT) AS content_length,
+           substr(text, 1, 30) AS payload_head
+    FROM documents
+    """,
+)
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive ingestion (operators/text.py warc_records): the
+    fixture packs documents into WARC-style archives (length-framed
+    records, 32 blobs), and the parser splits them back at scan speed —
+    pure JVM regexp split + posexplode + codegen'd header extraction, no
+    Python in the row path. The oracle recomputes every record field
+    closed-form from the source documents, so a mis-split, header
+    mis-parse, or payload off-by-one all hash-mismatch."""
+    from sdlt_spark.operators.text import warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://example.com/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    arch = (
+        docs.select(
+            (F.col("doc_id") % 32).alias("archive_id"),
+            F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
+        )
+        .groupBy("archive_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("content")
+        )
+    )
+    return warc_records(arch).select(
+        "archive_id",
+        "rec_no",
+        "warc_type",
+        "uri",
+        "content_length",
+        F.substring("payload", 1, 30).alias("payload_head"),
+    )
+
+
+@_q(
     "heavy_hitters",
     """
     WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

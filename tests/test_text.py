@@ -348,3 +348,55 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     assert c != a
     # n >= rows returns everything
     assert len(weighted_sample(df, "id", "w", 500).collect()) == 200
+
+
+def _warc(docs):
+    return "".join(
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://x/{i}\r\nContent-Length: {len(t)}"
+        f"\r\n\r\n{t}\r\n\r\n"
+        for i, t in docs
+    )
+
+
+def test_warc_records_fast_and_strict_agree_on_clean_archives(spark):
+    blob = _warc([(1, "hello world"), (2, "second"), (3, "")])
+    df = spark.createDataFrame(
+        [(0, blob), (1, _warc([(9, "solo")]))],
+        "archive_id long, content string",
+    )
+    want = {
+        (0, 0, "http://x/1", 11, "hello world"),
+        (0, 1, "http://x/2", 6, "second"),
+        (0, 2, "http://x/3", 0, ""),
+        (1, 0, "http://x/9", 4, "solo"),
+    }
+    for strict in (False, True):
+        got = {
+            (r["archive_id"], r["rec_no"], r["uri"], r["content_length"],
+             r["payload"])
+            for r in text.warc_records(df, strict=strict).collect()
+        }
+        assert got == want, f"strict={strict}"
+        types = {r["warc_type"] for r in text.warc_records(df, strict=strict).collect()}
+        assert types == {"response"}
+
+
+def test_warc_records_strict_honors_length_framing(spark):
+    """A payload containing the record magic at a line start: the strict
+    Content-Length scanner parses it intact (the documented reason
+    strict exists); the fast regexp split over-splits it."""
+    evil = "line one\nWARC/1.0\r\nnot a real record"
+    blob = _warc([(1, evil), (2, "after")])
+    df = spark.createDataFrame([(0, blob)], "archive_id long, content string")
+    got = {
+        (r["rec_no"], r["uri"], r["payload"])
+        for r in text.warc_records(df, strict=True).collect()
+    }
+    assert got == {
+        (0, "http://x/1", evil),
+        (1, "http://x/2", "after"),
+    }
+    # the fast path's documented caveat: it splits INSIDE the evil payload
+    fast = text.warc_records(df, strict=False).collect()
+    assert len(fast) == 3
