@@ -118,6 +118,36 @@ def apply_dv_mask(tbl, abs_path: str, dv_paths: tuple[str, ...], table_root: str
     return tbl
 
 
+def pad_table_to_schema(tbl, schema, overrides=None, fallbacks=None):
+    """pyarrow Table -> Arrow table cast/padded to the Spark ``schema``:
+    ``overrides`` win over file columns (bookkeeping constants like
+    ``_commit_version``/``_change_type``), existing columns cast,
+    ``fallbacks`` fill columns the file lacks (log-carried partition
+    values), everything else reads as typed NULLs. The ONE pad/cast
+    ladder shared by the batch snapshot reader and both streaming change
+    sources — a cast-safety or decimal fix here serves all three."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    overrides = overrides or {}
+    fallbacks = fallbacks or {}
+    n = tbl.num_rows
+    arrays, names = [], []
+    for field in schema.fields:
+        at = to_arrow_type(field.dataType)
+        if field.name in overrides:
+            arr = pa.array([overrides[field.name]] * n, type=at)
+        elif field.name in tbl.column_names:
+            arr = tbl[field.name].combine_chunks().cast(at)
+        elif field.name in fallbacks:
+            arr = pa.array([fallbacks[field.name]] * n, type=at)
+        else:
+            arr = pa.nulls(n, at)
+        arrays.append(arr)
+        names.append(field.name)
+    return pa.table(arrays, names=names)
+
+
 @dataclass
 class _SnapshotFilePartition(InputPartition):
     abs_path: str
@@ -152,25 +182,13 @@ class VintageSnapshotReader(DataSourceReader):
         """Executor-side: one parquet file -> Arrow batches cast/padded to
         the snapshot schema (files from pre-evolution commits lack newer
         columns and get typed NULLs); deletion-vector positions dropped."""
-        import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(partition.abs_path)
         tbl = apply_dv_mask(
             tbl, partition.abs_path, partition.dv_paths, partition.table_root
         )
-        n = tbl.num_rows
-        arrays, names = [], []
-        for field in self._schema.fields:
-            at = to_arrow_type(field.dataType)
-            if field.name in tbl.column_names:
-                arr = tbl[field.name].combine_chunks().cast(at)
-            else:
-                arr = pa.nulls(n, at)
-            arrays.append(arr)
-            names.append(field.name)
-        yield from pa.table(arrays, names=names).to_batches()
+        yield from pad_table_to_schema(tbl, self._schema).to_batches()
 
 
 class VintagePushdownReader(VintageSnapshotReader):

@@ -368,12 +368,16 @@ class VintageTable:
     def _log_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR)
 
-    def _commits(self, after: int = -1) -> list[_Commit]:
-        """Commit entries with version > ``after``, in version order. Passing
-        a checkpoint version keeps log replay O(commits-since-checkpoint)
-        instead of O(all versions) — at one merge/minute a year-old table has
-        ~500k commits, and reading them all per snapshot is the driver
-        bottleneck Delta's ``_last_checkpoint`` exists to avoid."""
+    def _commits(self, after: int = -1, up_to: int | None = None) -> list[_Commit]:
+        """Commit entries with ``after < version [<= up_to]``, in version
+        order. Passing a checkpoint version keeps log replay
+        O(commits-since-checkpoint) instead of O(all versions) — at one
+        merge/minute a year-old table has ~500k commits, and reading them
+        all per snapshot is the driver bottleneck Delta's
+        ``_last_checkpoint`` exists to avoid. ``up_to`` bounds the other
+        side: a capped streaming source replaying a deep backlog parses
+        only its (start, end] batch instead of the whole remaining log
+        per trigger."""
         log_dir = self._log_path()
         if not os.path.isdir(log_dir):
             return []
@@ -381,7 +385,8 @@ class VintageTable:
         for fname in sorted(os.listdir(log_dir)):
             # commit entries only (8-digit version); skips file_stats.json etc.
             if fname.endswith(".json") and fname[:-5].isdigit():
-                if int(fname[:-5]) <= after:
+                v = int(fname[:-5])
+                if v <= after or (up_to is not None and v > up_to):
                     continue
                 with open(os.path.join(log_dir, fname)) as f:
                     out.append(_Commit.from_json(f.read()))
@@ -1327,16 +1332,26 @@ class VintageTable:
             schema_json=self._schema_at().json(),
         )
 
-    def last_txn_id(self) -> str | None:
+    def last_txn_id(self, app: str | None = None) -> str | None:
         """The ``txn_id`` of the most recent commit that recorded one, or
         None — the read half of the write(txn_id=...) idempotence pattern.
         Scans commits newest-first and stops at the first token, so a
         non-transactional commit interleaved by another writer doesn't hide
-        the sink's own progress marker."""
+        the sink's own progress marker.
+
+        With ``app``, only tokens written as ``'<app>:<id>'`` count and the
+        ``<id>`` part is returned — Delta's appId-scoped setTransaction
+        contract, so two independent streams (or an unrelated txn writer)
+        sharing one table cannot swallow each other's batch watermarks."""
+        prefix = None if app is None else f"{app}:"
         for c in reversed(self._commits()):
             tid = (c.operation_parameters or {}).get("txnId")
-            if tid is not None:
+            if tid is None:
+                continue
+            if prefix is None:
                 return tid
+            if tid.startswith(prefix):
+                return tid[len(prefix) :]
         return None
 
     @_retry_conflicts

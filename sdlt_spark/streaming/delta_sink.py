@@ -68,24 +68,69 @@ class DeltaStreamSink:
         from sdlt_spark.store.delta_read import DeltaTableReader
 
         spark = df.sparkSession
-        exists = os.path.isdir(os.path.join(self.dest, _LOG)) and any(
-            True for _ in os.listdir(os.path.join(self.dest, _LOG))
+        log_dir = os.path.join(self.dest, _LOG)
+        # "exists" = the log holds actual commits or a checkpoint. A log
+        # dir with replayable state that FAILS to replay is corrupt and
+        # must fail loudly below — swallowing it would silently drop the
+        # txn exactly-once guard and duplicate replayed batches.
+        exists = os.path.isdir(log_dir) and any(
+            (f.endswith(".json") and f[:-5].isdigit())
+            or f == "_last_checkpoint"
+            for f in os.listdir(log_dir)
         )
         schema_json: str | None = df.schema.json()
+        snap = None
+        config_arg: dict | None = None
         if exists:
-            # ONE snapshot replay serves both the txn watermark and the
-            # schema comparison — this is the per-batch hot path
-            try:
-                snap = DeltaTableReader(spark, self.dest).snapshot()
-            except FileNotFoundError:
-                snap = None
-            if snap is not None:
-                last = snap.txns.get(self.app_id)
-                if last is not None and batch_id <= last:
-                    return None  # replayed batch: already durable, skip
-                # repeat metaData only on schema change (evolution)
-                if snap.schema.json() == schema_json:
-                    schema_json = None
+            # ONE snapshot replay serves the txn watermark, the schema
+            # comparison and the target-shape checks — the per-batch hot
+            # path
+            snap = DeltaTableReader(spark, self.dest).snapshot()
+            if snap.partition_columns:
+                # adds with empty partitionValues against a partitioned
+                # metaData read as NULL partition values in every stock
+                # reader — refuse rather than corrupt
+                raise ValueError(
+                    "DeltaStreamSink cannot append to a PARTITIONED table "
+                    f"(partitionColumns={snap.partition_columns}); write "
+                    "through export_vintage_to_delta or an unpartitioned "
+                    "target"
+                )
+            if snap.mapping_mode != "none":
+                raise ValueError(
+                    "DeltaStreamSink cannot append to a column-mapped "
+                    f"table (mode={snap.mapping_mode!r}): batch files "
+                    "would carry logical names stock readers can't resolve"
+                )
+            last = snap.txns.get(self.app_id)
+            if last is not None and batch_id <= last:
+                return None  # replayed batch: already durable, skip
+            if snap.schema.json() == schema_json:
+                schema_json = None  # unchanged: don't repeat metaData
+            else:
+                # additive evolution ONLY: every table column must survive
+                # with its type, and nullability can only loosen — a
+                # narrower batch would otherwise REPLACE the table schema
+                # wholesale, silently dropping columns for every reader
+                bat = {f.name: f for f in df.schema.fields}
+                for f in snap.schema.fields:
+                    b = bat.get(f.name)
+                    if (
+                        b is None
+                        or b.dataType != f.dataType
+                        or (f.nullable and not b.nullable)
+                    ):
+                        raise ValueError(
+                            "micro-batch schema is not an additive "
+                            f"evolution of the table schema: column "
+                            f"{f.name!r} is missing, retyped, or "
+                            "null-tightened in the batch"
+                        )
+                # the evolved metaData must carry the table's existing
+                # configuration forward, not reset it to {}
+                config_arg = dict(
+                    snap.metadata.get("configuration") or {}
+                ) or None
 
         # a row-tracked target (rowTracking writer feature / config) needs
         # every add to carry a fresh baseRowId range — an append without
@@ -126,6 +171,7 @@ class DeltaStreamSink:
             version = writer.commit(
                 adds=adds,
                 schema_json=schema_json,
+                configuration=config_arg,
                 operation="STREAMING UPDATE",
                 txn=(self.app_id, batch_id),
                 **row_kwargs,

@@ -152,9 +152,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                 # at-or-AFTER is inclusive: when the resolved commit's
                 # timestamp equals the requested one exactly, that commit
                 # itself streams (delta-spark semantics) — back _initial
-                # off by one so the equal-timestamp commit is in the tail
+                # off past EVERY commit sharing the timestamp (coarse
+                # mtime granularity can stamp several commits identically;
+                # each is at-or-after and must stream)
                 try:
-                    if r._commit_timestamp(v) == ts:
+                    while v >= 0 and r._commit_timestamp(v) == ts:
                         v -= 1
                 except OSError:
                     pass  # checkpoint-cleaned commit: mtime rule stands
@@ -215,50 +217,58 @@ class DeltaStreamReader(DataSourceStreamReader):
             if self._mode == "appends":
                 # delta-spark's plain readStream contract: appends flow as
                 # table rows; a data-modifying commit FAILS unless
-                # skipChangeCommits dropped it (which walk_changes already
-                # did when the option is set)
+                # skipChangeCommits drops it. walk_changes already drops
+                # most such commits when the option is set, but a cdc
+                # commit can still surface a modification here (e.g. a
+                # DV-bearing add) — with the option set, the commit must
+                # SKIP, never raise advice to set the option already set.
+                modification = None
                 if deletes or dv_grown:
-                    raise DeltaProtocolError(
+                    modification = (
                         f"commit {v} modifies existing rows; mode=appends "
                         "streams only appends — set skipChangeCommits to "
                         "drop data-modifying commits"
                     )
-                if cdc_paths:
+                elif cdc_paths:
                     # the appended ROWS live in the commit's add files (cdc
                     # files are the CDC readers' view); a cdc commit that
-                    # also removed files is a modification
+                    # also removed files — or added a DV-masked file — is
+                    # a modification
                     actions = r._commit_actions(v)
                     if any(
                         a["remove"].get("dataChange", True)
                         for a in actions
                         if "remove" in a
                     ):
-                        raise DeltaProtocolError(
-                            f"commit {v} modifies existing rows; mode=appends "
-                            "streams only appends — set skipChangeCommits"
+                        modification = (
+                            f"commit {v} modifies existing rows; "
+                            "mode=appends streams only appends — set "
+                            "skipChangeCommits"
                         )
-                    if any(
+                    elif any(
                         a["add"].get("deletionVector")
                         for a in actions
                         if "add" in a
                     ):
-                        # an added file whose rows are pre-masked by a DV is
-                        # not an append of the file's rows — same refusal as
-                        # the non-cdc underivable path
-                        raise DeltaProtocolError(
-                            f"commit {v} adds a deletion-vector-bearing file; "
-                            "mode=appends cannot derive its rows — set "
-                            "skipChangeCommits"
+                        modification = (
+                            f"commit {v} adds a deletion-vector-bearing "
+                            "file; mode=appends cannot derive its rows — "
+                            "set skipChangeCommits"
                         )
-                    inserts = [
-                        (
-                            urllib.parse.unquote(a["add"]["path"]),
-                            a["add"].get("partitionValues") or {},
-                        )
-                        for a in actions
-                        if "add" in a and a["add"].get("dataChange", True)
-                    ]
-                    cdc_paths = []
+                    else:
+                        inserts = [
+                            (
+                                urllib.parse.unquote(a["add"]["path"]),
+                                a["add"].get("partitionValues") or {},
+                            )
+                            for a in actions
+                            if "add" in a and a["add"].get("dataChange", True)
+                        ]
+                        cdc_paths = []
+                if modification is not None:
+                    if self._skip_change_commits:
+                        continue
+                    raise DeltaProtocolError(modification)
 
             for rel, pvals in cdc_paths:
                 parts.append(
@@ -308,7 +318,6 @@ class DeltaStreamReader(DataSourceStreamReader):
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
         from sdlt_spark.store.delta_dv import dv_positions
 
@@ -333,23 +342,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             mask[np.asarray(keep, dtype=np.int64)] = True
         if mask is not None:
             tbl = tbl.filter(pa.array(mask))
-        n = tbl.num_rows
-        arrays, names = [], []
-        for fld in self._schema.fields:
-            at = to_arrow_type(fld.dataType)
-            if fld.name == "_commit_version":
-                arr = pa.array([partition.version] * n, type=at)
-            elif fld.name == "_change_type" and partition.tag is not None:
-                arr = pa.array([partition.tag] * n, type=at)
-            elif fld.name in tbl.column_names:
-                arr = tbl[fld.name].combine_chunks().cast(at)
-            elif fld.name in partition.pvals:
-                arr = pa.array([partition.pvals[fld.name]] * n, type=at)
-            else:
-                arr = pa.nulls(n, at)
-            arrays.append(arr)
-            names.append(fld.name)
-        yield from pa.table(arrays, names=names).to_batches()
+        from sdlt_spark.store.batch_source import pad_table_to_schema
+
+        overrides: dict = {"_commit_version": partition.version}
+        if partition.tag is not None:
+            overrides["_change_type"] = partition.tag
+        yield from pad_table_to_schema(
+            tbl, self._schema, overrides=overrides, fallbacks=partition.pvals
+        ).to_batches()
 
 
 class DeltaChangeDataSource(DataSource):

@@ -66,6 +66,23 @@ def event_schema(source_path: str | None = None) -> T.StructType:
     )
 
 
+def _event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """The parquet readStream for the events fixture, SELF-CONTAINED: a
+    TIMESTAMP(NANOS) source needs ``spark.sql.legacy.parquet.nanosAsLong``
+    or the scan throws PARQUET_TYPE_ILLEGAL — tables.load sets it for the
+    batch path, and the streaming helpers must not depend on the caller
+    having gone through it first."""
+    schema = event_schema(source_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("path", source_dir)
+        .load()
+    )
+
+
 def normalize_events(raw: DataFrame) -> DataFrame:
     """Normalize ts to a session-tz timestamp, matching tables.load batch
     semantics: ns-long -> µs truncation, TIMESTAMP_NTZ -> UTC-session cast."""
@@ -124,12 +141,7 @@ def run_stream_once(
     """Drive a parquet-source streaming query to completion against a static
     directory (smoke-test harness; production swaps the source for Kafka /
     files-arriving and the sink for a VintageTable foreachBatch writer)."""
-    raw = (
-        spark.readStream.schema(event_schema(source_dir))
-        .format("parquet")
-        .option("path", source_dir)
-        .load()
-    )
+    raw = _event_stream(spark, source_dir)
     out = transform(normalize_events(raw))
     q = (
         out.writeStream.format("memory")
@@ -182,39 +194,43 @@ def stream_into_vintage(
     def _sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # exactly-once guard (Delta's txnVersion pattern): a batch replayed
-        # after a crash between table commit and stream checkpoint would be
-        # value-idempotent for an upsert, but it would still append a
-        # phantom commit — and with change_feed=True, phantom CDC rows that
-        # downstream consumers would double-apply. Skip folded batches.
+        # exactly-once guard (Delta's APP-SCOPED txnVersion pattern): a
+        # batch replayed after a crash between table commit and stream
+        # checkpoint would be value-idempotent for an upsert, but it would
+        # still append a phantom commit — and with change_feed=True,
+        # phantom CDC rows downstream consumers would double-apply. The
+        # watermark is scoped by ``query_name`` so a SECOND stream (or any
+        # other txn_id writer) sharing the table can never swallow this
+        # stream's batches.
         if table.exists():
-            last = table.last_txn_id()
+            last = table.last_txn_id(app=query_name)
             if last is not None and int(last) >= batch_id:
                 return
         deduped = _dedup(batch_df)
+        txn = f"{query_name}:{batch_id}"
         if not table.exists():
-            table.write(deduped, mode="errorifexists", txn_id=str(batch_id))
+            table.write(deduped, mode="errorifexists", txn_id=txn)
         else:
             # batch already deduped above — skip merge's validation agg job
             table.merge(
                 deduped,
                 key_cols,
                 on_duplicate_source="assume_unique",
-                txn_id=str(batch_id),
+                txn_id=txn,
             )
 
-    raw = (
-        spark.readStream.schema(event_schema(source_dir))
-        .format("parquet")
-        .option("path", source_dir)
-        .load()
-    )
+    raw = _event_stream(spark, source_dir)
     q = (
         normalize_events(raw)
         .writeStream.foreachBatch(_sink)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", table_path + "/_stream_checkpoint")
+        # checkpoint is per QUERY (like the txn watermark): two streams
+        # feeding one table must not share offsets
+        .option(
+            "checkpointLocation",
+            f"{table_path}/_stream_checkpoint_{query_name}",
+        )
         .start()
     )
     q.awaitTermination()
@@ -368,6 +384,7 @@ def enrich_stream(
     dim: DataFrame,
     on: str,
     dim_cols: list[str] | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Stream-static enrichment join: decorate a stream with dimension
     attributes from a batch table. The static side needs NO watermark and
@@ -376,8 +393,15 @@ def enrich_stream(
     when it fits, which is the 100 TB shape: the fact stream never
     shuffles for the join. Left join keeps unmatched events (late dim
     arrivals enrich as NULL rather than dropping facts). Works identically
-    on static frames for the batch-parity oracle."""
+    on static frames for the batch-parity oracle.
+
+    ``broadcast``: None (default) lets Spark pick from its size estimate
+    and ``autoBroadcastJoinThreshold`` — a tens-of-GB dimension falls back
+    to a shuffle join instead of OOMing the driver; True forces the hint
+    for a dimension you KNOW fits; False never hints."""
     d = dim
     if dim_cols is not None:
         d = dim.select(on, *dim_cols)
-    return events.join(F.broadcast(d), on, "left")
+    if broadcast:
+        d = F.broadcast(d)
+    return events.join(d, on, "left")

@@ -158,7 +158,10 @@ class VintageStreamReader(DataSourceStreamReader):
         # O(history) log entries and this runs every micro-batch. Change
         # semantics come from the SAME resolver table_changes uses, so
         # batch and streaming CDC can never drift.
-        commits = {c.version: c for c in t._commits(after=start["version"])}
+        commits = {
+            c.version: c
+            for c in t._commits(after=start["version"], up_to=end["version"])
+        }
         parts: list[_ChangeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             c = commits.get(v)
@@ -203,32 +206,24 @@ class VintageStreamReader(DataSourceStreamReader):
         padded to the stream schema (pre-evolution files lack new columns;
         change-data files carry _change_type, file-level ones get the
         partition's constant tag)."""
-        import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
 
-        from sdlt_spark.store.batch_source import apply_dv_mask
+        from sdlt_spark.store.batch_source import (
+            apply_dv_mask,
+            pad_table_to_schema,
+        )
 
         tbl = pq.read_table(partition.abs_path)
         # drop rows whose (file, pos) a deletion-vector sidecar names
         tbl = apply_dv_mask(
             tbl, partition.abs_path, partition.dv_paths, partition.table_root
         )
-        n = tbl.num_rows
-        arrays, names = [], []
-        for field in self._schema.fields:
-            at = to_arrow_type(field.dataType)
-            if field.name == "_commit_version":
-                arr = pa.array([partition.version] * n, type=at)
-            elif field.name == "_change_type" and partition.tag is not None:
-                arr = pa.array([partition.tag] * n, type=at)
-            elif field.name in tbl.column_names:
-                arr = tbl[field.name].combine_chunks().cast(at)
-            else:
-                arr = pa.nulls(n, at)
-            arrays.append(arr)
-            names.append(field.name)
-        yield from pa.table(arrays, names=names).to_batches()
+        overrides: dict = {"_commit_version": partition.version}
+        if partition.tag is not None:
+            overrides["_change_type"] = partition.tag
+        yield from pad_table_to_schema(
+            tbl, self._schema, overrides=overrides
+        ).to_batches()
 
 
 class VintageChangeDataSource(DataSource):

@@ -126,3 +126,98 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
     _feed(20, 30, "f2")
     _run()  # restart from the same checkpoint
     assert sorted(x["k"] for x in r.read().collect()) == list(range(30))
+
+
+def test_write_batch_refuses_partitioned_and_mapped_targets(spark, tmp_path):
+    """Review regression: appending flat files with empty partitionValues
+    to a partitioned (or column-mapped) table makes stock readers return
+    NULL for those columns — the sink must refuse, not corrupt."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "part")
+    os.makedirs(f"{root}/r=0", exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}), f"{root}/r=0/a.parquet"
+    )
+    DeltaLogWriter(root).commit(
+        adds=[("r=0/a.parquet", {"r": "0"})],
+        schema_json=json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                    {"name": "r", "type": "integer", "nullable": True, "metadata": {}},
+                ],
+            }
+        ),
+        partition_columns=["r"],
+    )
+    sink = DeltaStreamSink(root, app_id="app-p")
+    with pytest.raises(ValueError, match="PARTITIONED"):
+        sink.write_batch(
+            spark.createDataFrame([(5, 1)], "k long, r int"), 0
+        )
+
+
+def test_write_batch_refuses_non_additive_schema(spark, tmp_path):
+    """Review regression: a NARROWER micro-batch must not replace the
+    table schema wholesale (silently dropping columns for every reader);
+    only additive evolution commits a new metaData."""
+    import pytest
+
+    dest = str(tmp_path / "sink")
+    sink = DeltaStreamSink(dest, app_id="app-n")
+    sink.write_batch(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    with pytest.raises(ValueError, match="additive"):
+        sink.write_batch(spark.createDataFrame([(2,)], "k long"), 1)
+    with pytest.raises(ValueError, match="additive"):
+        sink.write_batch(
+            spark.createDataFrame([(3, 4)], "k long, v long"), 1  # retyped
+        )
+    # the failed batches committed nothing
+    assert DeltaTableReader(spark, dest).read().count() == 1
+
+
+def test_write_batch_evolution_carries_configuration(spark, tmp_path):
+    """Review regression: the evolved metaData must carry the table's
+    existing configuration forward, not reset it to {}."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+
+    root = str(tmp_path / "cfg")
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}), f"{root}/a.parquet"
+    )
+    DeltaLogWriter(root).commit(
+        adds=[("a.parquet", {})],
+        schema_json=json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+                ],
+            }
+        ),
+        configuration={"delta.deletedFileRetentionDuration": "interval 2 days"},
+    )
+    sink = DeltaStreamSink(root, app_id="app-c")
+    sink.write_batch(
+        spark.createDataFrame([(2, "x")], "k long, v string"), 0
+    )
+    snap = DeltaTableReader(spark, root).snapshot()
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+    assert (
+        snap.metadata["configuration"]["delta.deletedFileRetentionDuration"]
+        == "interval 2 days"
+    )

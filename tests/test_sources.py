@@ -314,3 +314,20 @@ def test_vintage_batch_source_write_enforces_constraints(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert on_disk == set(t._live_files())
+
+
+def test_last_txn_id_app_scoped(spark, tmp_path):
+    """Review regression: the txn watermark must be scopeable by app so
+    two streams (or an unrelated txn writer) sharing one table cannot
+    swallow each other's batches."""
+    from sdlt_spark.store import VintageTable
+
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+            txn_id="streamA:5")
+    t.write(spark.createDataFrame([(2, 2.0)], "k long, v double"),
+            mode="append", txn_id="streamB:2")
+    assert t.last_txn_id() == "streamB:2"  # unscoped: newest token
+    assert t.last_txn_id(app="streamA") == "5"  # scans past B's token
+    assert t.last_txn_id(app="streamB") == "2"
+    assert t.last_txn_id(app="other") is None

@@ -1046,3 +1046,105 @@ def test_delta_cdc_stream_starting_timestamp(spark, tmp_path):
     assert _collect(startingTimestamp=repr(ts1)) == [(2, 1)]
     with pytest.raises(Exception, match="not both"):
         _collect(startingTimestamp=str(cut), startingVersion="0")
+
+
+def test_delta_append_stream_skips_dv_cdc_add_when_opted(spark, tmp_path):
+    """Review regression: with skipChangeCommits set, a cdc commit whose
+    add carries a deletionVector must be SKIPPED in appends mode — not
+    fail the stream with advice to set the option already set."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_dv import write_dv_file
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaStreamReader
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "dt")
+    os.makedirs(root)
+    _pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())}), f"{root}/a.parquet"
+    )
+    os.makedirs(f"{root}/_change_data", exist_ok=True)
+    _pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([2, 3], pa.int64()),
+                "_change_type": pa.array(["insert", "insert"], pa.string()),
+            }
+        ),
+        f"{root}/_change_data/cdc-0.parquet",
+    )
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    d = write_dv_file(root, [0], "00000000-0000-4000-8000-0000000000ac")
+    w.commit(
+        adds=[("a.parquet", {})],
+        dvs={"a.parquet": d},
+        cdc=["_change_data/cdc-0.parquet"],
+        schema_json=schema,
+    )
+    r = DeltaStreamReader(
+        StructType([]),
+        {
+            "path": root,
+            "mode": "appends",
+            "startingversion": "0",
+            "skipchangecommits": "true",
+        },
+    )
+    assert list(r.partitions({"version": -1}, {"version": 0})) == []
+
+
+def test_delta_cdc_starting_timestamp_same_mtime_commits(spark, tmp_path):
+    """Review regression: several commits stamped with the SAME mtime as
+    the requested timestamp (coarse filesystem granularity) are all
+    at-or-after it and must ALL stream, not just the last one."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from sdlt_spark.store.delta_write import DeltaLogWriter
+    from sdlt_spark.streaming.delta_source import DeltaStreamReader
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "dt")
+    _os.makedirs(root)
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    w = DeltaLogWriter(root)
+    for i in range(3):
+        _pq.write_table(
+            pa.table({"k": pa.array([i], pa.int64())}),
+            f"{root}/f{i}.parquet",
+        )
+        w.commit(
+            adds=[(f"f{i}.parquet", {})], schema_json=schema if i == 0 else None
+        )
+    # stamp v1 and v2 with the SAME wall-clock second
+    log = _os.path.join(root, "_delta_log")
+    ts = 1700000000.0
+    for v in (1, 2):
+        _os.utime(_os.path.join(log, f"{v:020d}.json"), (ts, ts))
+    r = DeltaStreamReader(
+        StructType([]), {"path": root, "startingtimestamp": str(ts)}
+    )
+    # both same-timestamp commits must be in the tail: initial < 1
+    assert r.initialOffset()["version"] <= 0
