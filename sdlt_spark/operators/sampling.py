@@ -221,9 +221,13 @@ def dsir_weights(
 
     from sdlt_spark.operators.dedup import _scan_underparallel
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # gate EACH input on its own layout: the common shape is a
+    # well-partitioned raw corpus with a single-file target (make CC look
+    # like Wikipedia), where only the target's model pass would serialize
     if _scan_underparallel(df):
-        par = df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(par)
+    if _scan_underparallel(target):
         target = target.repartition(par)
     raw_g = hashed_ngram_buckets(df, id_col, text_col, n_buckets)
     tgt_g = hashed_ngram_buckets(target, id_col, text_col, n_buckets)
@@ -314,10 +318,18 @@ def weighted_sample(
     Deterministic (seeded hash, no RNG state), append-stable per id, and
     single-pass: the plan is a map-only key computation into a
     distributed TakeOrderedAndProject — per-partition top-n heaps, no
-    corpus shuffle, no driver data path. The key rounds to 12 decimals
-    with id as the tie-break, so engine libm last-ulp noise cannot flip
-    the selection boundary (the bigram_logprob discipline — the same
-    expression is portable ANSI SQL for the audit side)."""
+    corpus shuffle, no driver data path.
+
+    Rows with NULL or non-positive weight are excluded (selection
+    probability proportional to a weight of 0 is 0; a negative weight is
+    meaningless and would otherwise always outrank every valid row —
+    and a zero weight would be a DIVIDE_BY_ZERO under Spark's default
+    ANSI mode). Float discipline: ln(u) rounds to 12 decimals BEFORE the
+    exact IEEE division by the weight, so engine libm last-ulp noise on
+    the log cannot flip the selection boundary while the key keeps the
+    weight's full dynamic range (rounding the quotient would collapse
+    keys to 0 for very large weights); ties break on id. The same
+    expression is portable ANSI SQL for the audit side."""
     # u = (first 13 md5 hex digits + 1) / (16^13 + 1): 52 bits, exact in
     # a double, never 0 (ln(0) would be -inf on one engine, an error on
     # another)
@@ -337,9 +349,10 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**13) + 1.0)
-    key = F.round(F.log(u) / F.col(weight_col), 12)
+    key = F.round(F.log(u), 12) / F.col(weight_col)
     return (
-        df.withColumn("__es_key", key)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
         .orderBy(F.col("__es_key").desc(), F.col(id_col))
         .limit(n)
         .drop("__es_key")

@@ -873,13 +873,17 @@ def heavy_hitters(
 
     Pass 1 streams each partition through a k-counter Misra-Gries summary
     (Arrow batches; state bounded at k entries however large the
-    partition). Any token with global count > n/k must exceed the local
-    n_p/(k+1) survival bound in at least one partition, so the union of
-    per-partition survivors is a guaranteed candidate SUPERSET. Pass 2
-    recounts only candidates — the token explode feeds a broadcast
-    semi-join before the aggregation, so the shuffle carries
-    O(#candidates) groups instead of O(vocabulary) — and the exact
-    ``cnt * k > total`` filter removes the false positives.
+    partition) that ALSO carries the partition's exact token count — so
+    the corpus total falls out of the same scan, no third pass. Any
+    token with global count > n/k must exceed the local n_p/(k+1)
+    survival bound in at least one partition, so the union of
+    per-partition survivors is a guaranteed candidate SUPERSET; the
+    summaries land on the driver (<= (k+1) rows per partition — the
+    bounded-driver-state class of k-means centroids). Pass 2 recounts
+    only candidates — the token explode feeds a broadcast semi-join
+    before the aggregation, so the shuffle carries O(#candidates) groups
+    instead of O(vocabulary) — and the exact ``cnt * k > total`` filter
+    removes the false positives.
 
     A plain groupBy(token).count() is exact too, but its partial
     aggregates shuffle one row per DISTINCT token per partition — at
@@ -894,11 +898,14 @@ def heavy_hitters(
 
     def _mg(batches):
         counters: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
             for text in pdf[text_col]:
                 if text is None:
                     continue
-                for tok in text.split(" "):
+                toks = text.split(" ")
+                n_p += len(toks)
+                for tok in toks:
                     c = counters.get(tok)
                     if c is not None:
                         counters[tok] = c + 1
@@ -910,23 +917,29 @@ def heavy_hitters(
                         counters = {
                             t: c - 1 for t, c in counters.items() if c > 1
                         }
-        yield pd.DataFrame({"token": list(counters)})
+        # candidates as (token, null) rows + ONE (null, n_p) count row:
+        # the total rides the same scan
+        yield pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "n": pd.array([None] * len(counters) + [n_p], dtype="Int64"),
+            }
+        )
 
-    cands = df.select(text_col).mapInPandas(_mg, "token string").distinct()
-    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
-    total = df.agg(
-        F.sum(
-            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-                F.size(F.split(F.col(text_col), " "))
-            )
-        ).alias("__total")
+    summary = df.select(text_col).mapInPandas(_mg, "token string, n long")
+    rows = summary.collect()  # bounded: <= (k+1) rows per partition
+    total = sum(r["n"] for r in rows if r["token"] is None)
+    cand_list = sorted({r["token"] for r in rows if r["token"] is not None})
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(t,) for t in cand_list], "token string"
     )
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
     return (
         toks.join(F.broadcast(cands), "token", "semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * k > F.col("__total"))
+        .filter(F.col("cnt") * k > F.lit(int(total)))
         .select("token", "cnt")
     )
 
@@ -943,20 +956,32 @@ def warc_records(
     columns — the ingestion step every crawl-derived training corpus
     starts with.
 
-    Default path is PURE JVM: a zero-width-lookahead regexp split on the
-    record magic + posexplode + codegen'd header extraction — archives
-    parse at scan speed with no Python in the row path, and the payload
-    truncates to ``Content-Length`` so trailing record separators never
-    leak into the text. Caveat (documented, not silent): a payload that
-    itself contains ``WARC/1.0`` at a line start would be over-split —
-    real crawl payloads are length-framed precisely because of this, so
-    ``strict=True`` switches to a sequential Content-Length scanner
-    (Arrow-batched ``mapInPandas``, one pass per archive, bounded state)
-    that honors the framing exactly.
+    Default path is PURE JVM: a regexp split on the CRLF record magic +
+    posexplode + codegen'd header extraction — archives parse at scan
+    speed with no Python in the row path, and the payload truncates to
+    ``Content-Length`` INTERPRETED AS CHARACTERS (correct for ASCII and
+    for char-framed archives like the fixture; the spec frames in
+    bytes). Caveats (documented, not silent): a payload that itself
+    contains ``WARC/1.0\\r\\n`` would be over-split, and non-ASCII
+    byte-framed payloads truncate at the wrong point — real crawl
+    formats are byte-length-framed precisely because of this, so
+    ``strict=True`` switches to a sequential BYTE-exact Content-Length
+    scanner (Arrow-batched ``mapInPandas``, one pass per archive,
+    bounded state) that honors the spec framing. ``rec_no`` numbers the
+    VALID records per archive in both modes (a garbage preamble chunk
+    does not shift it), headers are CRLF-delimited per the spec, and a
+    record missing Content-Length reads null length/payload in both
+    modes instead of one mode guessing.
 
     Output: (id, rec_no, warc_type, uri, content_length, payload)."""
     if strict:
+        import re as _re
+
         import pandas as pd
+
+        _ln = _re.compile(rb"Content-Length:\s*(\d+)")
+        _ty = _re.compile(rb"WARC-Type:\s*(\S+)")
+        _uri = _re.compile(rb"WARC-Target-URI:\s*(\S+)")
 
         def _scan(batches):
             for pdf in batches:
@@ -967,31 +992,55 @@ def warc_records(
                 for aid, blob in zip(pdf[id_col], pdf[content_col]):
                     if blob is None:
                         continue
+                    # Content-Length is a BYTE count (WARC spec): scan
+                    # the encoded form so multi-byte payloads frame
+                    # exactly; decode each slice back for the output
+                    b = blob.encode("utf-8")
                     pos, rec_no = 0, 0
                     while True:
-                        start = blob.find("WARC/1.0", pos)
+                        start = b.find(b"WARC/1.0", pos)
                         if start < 0:
                             break
-                        hdr_end = blob.find("\r\n\r\n", start)
+                        hdr_end = b.find(b"\r\n\r\n", start)
                         if hdr_end < 0:
                             break
-                        hdr = blob[start:hdr_end]
-                        import re as _re
-
-                        ln = _re.search(r"Content-Length:\s*(\d+)", hdr)
-                        n = int(ln.group(1)) if ln else 0
-                        body = blob[hdr_end + 4 : hdr_end + 4 + n]
-                        ty = _re.search(r"WARC-Type:\s*(\S+)", hdr)
-                        uri = _re.search(r"WARC-Target-URI:\s*(\S+)", hdr)
+                        hdr = b[start:hdr_end]
+                        ln = _ln.search(hdr)
+                        ty = _ty.search(hdr)
+                        uri = _uri.search(hdr)
+                        # int64 bound mirrors the fast path's try_cast:
+                        # a digit-overflow length is malformed framing
+                        if ln and int(ln.group(1)) <= 2**63 - 1:
+                            n = int(ln.group(1))
+                            body = b[hdr_end + 4 : hdr_end + 4 + n].decode(
+                                "utf-8", errors="replace"
+                            )
+                            pos = hdr_end + 4 + n
+                        else:
+                            # missing/overflowed framing: null length and
+                            # payload (the fast path's behavior) and
+                            # resume scanning right after the headers
+                            n, body = None, None
+                            pos = hdr_end + 4
                         out["id"].append(aid)
                         out["rec_no"].append(rec_no)
-                        out["warc_type"].append(ty.group(1) if ty else None)
-                        out["uri"].append(uri.group(1) if uri else None)
+                        out["warc_type"].append(
+                            ty.group(1).decode("utf-8", "replace") if ty else None
+                        )
+                        out["uri"].append(
+                            uri.group(1).decode("utf-8", "replace") if uri else None
+                        )
                         out["content_length"].append(n)
                         out["payload"].append(body)
                         rec_no += 1
-                        pos = hdr_end + 4 + n
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(
+                    {
+                        **out,
+                        "content_length": pd.array(
+                            out["content_length"], dtype="Int64"
+                        ),
+                    }
+                )
 
         return df.select(
             F.col(id_col), F.col(content_col)
@@ -1001,24 +1050,47 @@ def warc_records(
             "uri string, content_length long, payload string",
         ).withColumnRenamed("id", id_col)
 
+    from pyspark.sql.window import Window
+
     rec = F.posexplode(
-        F.split(F.col(content_col), r"(?=WARC/1\.0\r?\n)")
+        F.split(F.col(content_col), r"(?=WARC/1\.0\r\n)")
     )
-    out = df.select(F.col(id_col), rec.alias("rec_no", "__rec")).filter(
-        F.col("__rec").startswith("WARC/")
+    out = df.select(F.col(id_col), rec.alias("__pos", "__rec")).filter(
+        F.col("__rec").startswith("WARC/1.0\r\n")
+    )
+    # number the VALID records (a garbage preamble chunk must not shift
+    # rec_no or diverge from strict mode); the window partitions by
+    # archive — bounded by records-per-archive, the same unit strict
+    # mode scans sequentially
+    out = out.withColumn(
+        "rec_no",
+        (
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__pos")
+            )
+            - 1
+        ).cast("int"),
     )
     hdr_end = F.locate("\r\n\r\n", F.col("__rec"))
     hdr = F.substring(F.col("__rec"), 1, hdr_end - 1)
-    # a malformed chunk (no Content-Length header) reads as null length /
-    # null payload instead of an ANSI cast error killing the whole scan
-    n = F.nullif(
-        F.regexp_extract(hdr, r"Content-Length:\s*(\d+)", 1), F.lit("")
-    ).cast("long")
+    # malformed headers read as nulls instead of an ANSI error killing
+    # the scan: missing Content-Length -> nullif(''), digit overflow ->
+    # try_cast
+    n = (
+        F.nullif(
+            F.regexp_extract(hdr, r"Content-Length:\s*(\d+)", 1), F.lit("")
+        )
+        .try_cast("long")
+    )
     return out.select(
         id_col,
-        F.col("rec_no").cast("int").alias("rec_no"),
-        F.regexp_extract(hdr, r"WARC-Type:\s*(\S+)", 1).alias("warc_type"),
-        F.regexp_extract(hdr, r"WARC-Target-URI:\s*(\S+)", 1).alias("uri"),
+        "rec_no",
+        F.nullif(
+            F.regexp_extract(hdr, r"WARC-Type:\s*(\S+)", 1), F.lit("")
+        ).alias("warc_type"),
+        F.nullif(
+            F.regexp_extract(hdr, r"WARC-Target-URI:\s*(\S+)", 1), F.lit("")
+        ).alias("uri"),
         n.alias("content_length"),
         F.col("__rec").substr(hdr_end + 4, n).alias("payload"),
     )

@@ -2198,8 +2198,8 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars,
              round(ln((CAST('0x' || substr(md5(concat_ws(':', 'wsample-v1',
                        CAST(doc_id AS STRING))), 1, 13) AS BIGINT) + 1.0)
-                      / 4503599627370497.0) / n_chars, 12) AS k
-      FROM documents
+                      / 4503599627370497.0), 12) / n_chars AS k
+      FROM documents WHERE n_chars > 0
     ) ORDER BY k DESC, doc_id LIMIT 100
     """,
 )

@@ -576,11 +576,11 @@ def test_row_tracking_read_is_scan_plus_broadcast_map(spark, tmp_path):
 def test_heavy_hitters_recount_broadcasts_candidates(spark):
     """Pass 2 must semi-join the BROADCAST candidate set before the
     aggregation (the whole point: shuffle O(candidates) groups, not the
-    vocabulary) and the total-tokens scalar joins as a 1-row broadcast,
-    never a cartesian product."""
+    vocabulary); the corpus total rides the MG pass as a literal, so no
+    scalar join of any kind appears."""
     plan = plan_of(spark, "heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total crossJoin
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

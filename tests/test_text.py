@@ -400,3 +400,61 @@ def test_warc_records_strict_honors_length_framing(spark):
     # the fast path's documented caveat: it splits INSIDE the evil payload
     fast = text.warc_records(df, strict=False).collect()
     assert len(fast) == 3
+
+
+def test_warc_strict_byte_framing_non_ascii(spark):
+    """Review regression: Content-Length is a BYTE count (WARC spec) —
+    strict mode must frame multi-byte payloads exactly, with no record
+    separator leaking in and no following record skipped."""
+    p1 = "héllo wörld"  # 11 chars, 13 bytes
+    p2 = "after"
+    blob = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/1"
+        f"\r\nContent-Length: {len(p1.encode('utf-8'))}\r\n\r\n{p1}\r\n\r\n"
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/2"
+        f"\r\nContent-Length: {len(p2.encode('utf-8'))}\r\n\r\n{p2}\r\n\r\n"
+    )
+    df = spark.createDataFrame([(0, blob)], "archive_id long, content string")
+    got = {
+        (r["rec_no"], r["uri"], r["payload"])
+        for r in text.warc_records(df, strict=True).collect()
+    }
+    assert got == {(0, "http://x/1", p1), (1, "http://x/2", p2)}
+
+
+def test_warc_fast_mode_malformed_and_preamble(spark):
+    """Review regressions: a garbage preamble must not shift rec_no (it
+    must match strict mode), a >19-digit Content-Length must read null
+    instead of killing the scan (ANSI), and missing headers read null in
+    BOTH modes."""
+    blob = (
+        "GARBAGE-PREAMBLE\r\n"
+        + _warc([(1, "first"), (2, "second")])
+        + "WARC/1.0\r\nContent-Length: 99999999999999999999999\r\n\r\n"
+    )
+    df = spark.createDataFrame([(0, blob)], "archive_id long, content string")
+    fast = {
+        (r["rec_no"], r["uri"], r["payload"], r["content_length"])
+        for r in text.warc_records(df, strict=False).collect()
+    }
+    assert (0, "http://x/1", "first", 5) in fast
+    assert (1, "http://x/2", "second", 6) in fast
+    # the overflow record survives as nulls (no job-killing ANSI cast)
+    assert (2, None, None, None) in fast
+    strict = {
+        (r["rec_no"], r["uri"], r["payload"])
+        for r in text.warc_records(df, strict=True).collect()
+    }
+    # rec_no aligns across modes despite the preamble
+    assert {(0, "http://x/1", "first"), (1, "http://x/2", "second")} <= strict
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """Review regression: weight 0 must not DIVIDE_BY_ZERO the job under
+    ANSI mode, and negative weights must not outrank valid rows."""
+    from sdlt_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 0.0), (2, -5.0), (3, 10.0), (4, 10.0), (5, 10.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 10).collect())
+    assert got == [3, 4, 5]
