@@ -13,9 +13,12 @@ is the union + last-value-window trick:
 Cost model: ONE hash shuffle on the join key + a per-partition sort — no
 pairwise join explosion, no range-condition nested loop. At 100 TB this is
 the plan you want: it is exactly the shuffle a sort-merge join would pay,
-without the O(matches) blow-up of an inequality join. Skewed keys are
-handled by AQE skew-split since the window is preceded by a standard
-hash exchange.
+without the O(matches) blow-up of an inequality join. Caveat on skew: AQE
+skew-split applies to shuffled JOINs, not to a window's hash exchange —
+one pathologically hot key funnels through one window task. The standard
+mitigation is pre-bucketing hot keys by a coarse time range (each
+sub-range carries the previous range's last right row as a seed), the
+same sub-bucketing note token_budget_sample documents.
 
 Right-side ties on (key, ts) are resolved before the union (keep the row
 with the largest tiebreaker) so results are deterministic.
@@ -40,7 +43,14 @@ def asof_join(
     ``v`` in ``value_cols``, a column ``v + suffix`` holding the value from
     the latest right row with ``right[ts] <= left[ts]`` and equal ``on`` key
     (null when no such row exists).
+
+    NULL semantics match an equi join: a NULL join key or NULL timestamp
+    never matches anything — right rows with either are dropped (they
+    could otherwise pair with left NULL-key rows through the shared
+    window partition, which no SQL ASOF join would do); left rows with
+    NULLs are kept with null value columns, like unmatched rows.
     """
+    right = right.filter(F.col(on).isNotNull() & F.col(ts).isNotNull())
     if tiebreaker is not None:
         w_dedup = Window.partitionBy(on, ts).orderBy(F.col(tiebreaker).desc())
         right = (

@@ -48,10 +48,12 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    # node ids keep their OWN type (string URLs are the web-crawl case —
+    # a silent cast('long') would NULL them all and collapse the graph
+    # onto one node); NULL endpoints are dropped like malformed edges
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    )
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

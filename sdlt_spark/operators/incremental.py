@@ -11,7 +11,10 @@ downstream consumer).
 
 Count/sum are self-maintainable under insert+delete (updates arrive as a
 delete/insert pair from the change feed), so the fold is a weighted union:
-snapshot rows weigh +1, CDC inserts +1, CDC deletes -1. Sums run over
+snapshot rows weigh +1, CDC inserts/update_postimages +1, CDC
+deletes/update_preimages -1 (vintage feeds emit updates as delete+insert
+pairs; Delta mutation CDC emits true pre/postimage rows — both fold
+correctly). Sums run over
 DECIMAL so the result is exact regardless of fold order — bit-identical to
 a from-scratch recompute, which is what the tests and the DuckDB oracle
 assert. Compaction commits (dataChange=false) emit no change rows and fall
@@ -28,27 +31,35 @@ from pyspark.sql import functions as F
 
 
 def fold_cdc_batch(
-    state, batch_df: DataFrame, batch_id: int, keys: list[str], value_col: str
+    state,
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    value_col: str,
+    app_id: str = "mv_fold",
 ) -> None:
     """Fold one CDC micro-batch's per-key deltas into the ``state`` table,
     EXACTLY ONCE even when the caller replays the batch.
 
     foreachBatch's crash window — the state commit lands but the stream
     checkpoint doesn't — makes every sink write potentially re-run. The
-    guard is Delta's txnVersion pattern: each fold commits with
-    ``txn_id=batch_id``; a replayed batch sees its own id in
-    ``state.last_txn_id()`` and returns without touching the table.
-    (Batch ids are monotone per checkpoint, so ``>=`` is the correct skip
-    test; a fresh checkpoint against an existing state table is user error
-    and shows up as skipped batch 0.)
+    guard is Delta's APP-SCOPED txnVersion pattern: each fold commits
+    with ``txn_id='<app_id>:<batch_id>'`` and only its own app's tokens
+    count, so an unrelated txn writer to the state table can neither
+    crash the int() parse nor shadow the stream's watermark. (Batch ids
+    are monotone per checkpoint, so ``>=`` is the correct skip test; a
+    fresh checkpoint against an existing state table is user error and
+    shows up as skipped batch 0.)
     """
     if batch_df.isEmpty():
         return
     if state.exists():
-        last = state.last_txn_id()
+        last = state.last_txn_id(app=app_id)
         if last is not None and int(last) >= batch_id:
             return  # replay of an already-folded batch
-    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
     delta = batch_df.groupBy(*keys).agg(
         F.sum(w).alias("dn"),
         F.sum(F.col(value_col).cast("decimal(18,2)") * w)
@@ -73,14 +84,14 @@ def fold_cdc_batch(
             )
             .filter(F.col("n") > 0)
         )
-        state.write(merged, mode="overwrite", txn_id=str(batch_id))
+        state.write(merged, mode="overwrite", txn_id=f"{app_id}:{batch_id}")
     else:
         state.write(
             delta.filter(F.col("dn") > 0).select(
                 *keys, F.col("dn").alias("n"), F.col("dtotal").alias("total")
             ),
             mode="errorifexists",
-            txn_id=str(batch_id),
+            txn_id=f"{app_id}:{batch_id}",
         )
 
 
@@ -113,7 +124,9 @@ def maintain_agg_stream(
     state = VintageTable(spark, state_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        fold_cdc_batch(state, batch_df, batch_id, keys, value_col)
+        fold_cdc_batch(
+            state, batch_df, batch_id, keys, value_col, app_id=query_name
+        )
 
     return (
         spark.readStream.format("vintage_cdc")
@@ -148,7 +161,10 @@ def incremental_agg(
     )
     if latest > from_version:
         ch = table.table_changes(from_version + 1, latest)
-        w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
         seed = seed.unionByName(
             ch.select(*keys, w.alias("__w"), F.col(value_col).alias("__v"))
         )

@@ -44,12 +44,30 @@ def global_rank(
     every order column): rows with a NULL first column go to a dedicated
     bucket ranked before all value buckets (``approxQuantile`` ignores
     nulls, so boundaries only describe non-null values), and the in-bucket
-    pandas sort uses ``na_position='first'``.
+    pandas sort uses ``na_position='first'``. NaN (distinct from NULL in
+    Spark: it orders LAST, as the largest value) is routed to the top
+    bucket by Spark's comparison semantics and sorted last in-bucket via
+    a NaN->+inf shadow key — Arrow hands pandas NULL and NaN as the same
+    NaN, so the shadow key is what keeps the two apart.
+
+    The first order column must be NUMERIC (``approxQuantile`` is how the
+    boundaries are computed without a global sort); map strings/dates
+    through a monotone numeric key first, or use ``Window.orderBy`` when
+    the input is small enough for one task.
     """
+    from pyspark.sql.types import NumericType
+
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = max(2, spark.sparkContext.defaultParallelism)
     first = order_cols[0]
+    if not isinstance(df.schema[first].dataType, NumericType):
+        raise ValueError(
+            f"global_rank needs a NUMERIC first order column for its "
+            f"approxQuantile boundaries; {first!r} is "
+            f"{df.schema[first].dataType.simpleString()} — map it through "
+            "a monotone numeric key (e.g. unix_timestamp) first"
+        )
 
     qs = [i / n_buckets for i in range(1, n_buckets)]
     # collected once -> literal boundaries shared by the count and data jobs
@@ -75,7 +93,15 @@ def global_rank(
     # rows by the REMAINING order columns (exactly their relative order
     # under nulls-first semantics, since their first column is all-equal)
     # and the non-null rows by the normal bucketed path, offset after.
-    if n_nulls and len(order_cols) > 1 and n_nulls > 4 * max(1, total // n_buckets):
+    if (
+        n_nulls
+        and len(order_cols) > 1
+        # the recursion re-enters with order_cols[1] as the quantile
+        # column — only possible when it is numeric; otherwise fall
+        # through to the single-task null bucket (correct, slower)
+        and isinstance(df.schema[order_cols[1]].dataType, NumericType)
+        and n_nulls > 4 * max(1, total // n_buckets)
+    ):
         nulls_ranked, _ = global_rank(
             df.filter(F.col(first).isNull()), order_cols[1:], n_buckets, rank_col
         )
@@ -92,14 +118,33 @@ def global_rank(
         offsets[b] = acc
         acc += counts[b]
 
+    # NaN vs NULL: Spark orders NULL first and NaN LAST (largest), but
+    # Arrow hands pandas both as NaN — a float order column needs a
+    # NaN->+inf shadow key so na_position='first' keeps serving NULLs
+    # while true NaNs sort last, matching Window.orderBy
+    shadow = {
+        c: f"__sk_{c}"
+        for c in order_cols
+        if df.schema[c].dataType.simpleString() in ("double", "float")
+    }
+    for c, s in shadow.items():
+        bucketed = bucketed.withColumn(
+            s,
+            F.when(F.isnan(F.col(c)), F.lit(float("inf"))).otherwise(
+                F.col(c)
+            ),
+        )
+    sort_cols = [shadow.get(c, c) for c in order_cols]
+    drop_cols = ["__bucket"] + list(shadow.values())
+
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     out_schema = f"{out_fields}, {rank_col} long"
 
     def _rank(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["__bucket"].iloc[0])
-        pdf = pdf.sort_values(order_cols, kind="mergesort", na_position="first")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", na_position="first")
         pdf[rank_col] = offsets[b] + pd.RangeIndex(1, len(pdf) + 1)
-        return pdf.drop(columns="__bucket")
+        return pdf.drop(columns=drop_cols)
 
     ranked = bucketed.groupBy("__bucket").applyInPandas(_rank, out_schema)
     return ranked, total

@@ -80,7 +80,19 @@ def salted_join(
 
     The small side is exploded ``num_salts``x (acceptable when it is orders
     of magnitude smaller — the usual skewed fact⋈dim case where the dim is
-    still too big or too dynamic to broadcast)."""
+    still too big or too dynamic to broadcast).
+
+    Only join types that never null-pad the REPLICATED side are legal: a
+    right/full outer join would emit every unmatched small-side row once
+    per salt replica (num_salts duplicate null-padded rows) — refused."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter",
+                                            "leftsemi", "leftanti", "semi",
+                                            "anti"):
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full outer joins would "
+            "duplicate unmatched small-side rows once per salt replica; "
+            "swap the sides or use a plain join"
+        )
     salted_big = big.withColumn("__salt", _salt(salt_source, num_salts))
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -32,7 +32,29 @@ def resample_ffill(
     Per bucket the LAST observation wins, ordered by (ts, *tiebreak_cols) —
     pass a unique column (e.g. an event id) to make ties deterministic.
     Returns (key, bucket_start, value).
+
+    ``freq`` must step exactly one ``bucket`` (a grid coarser than the
+    bucket would silently DROP observed buckets that fall between grid
+    points; a finer one would emit grid rows no observation can ever
+    match) — mismatches are refused, not guessed.
     """
+    _bucket_freq = {
+        "second": {"1 second"},
+        "minute": {"1 minute"},
+        "hour": {"1 hour"},
+        "day": {"1 day"},
+        "week": {"1 week", "7 day"},
+    }
+    allowed = _bucket_freq.get(bucket)
+    canon = freq.strip().lower()
+    canon = canon[:-1] if canon.endswith("s") else canon
+    if allowed is not None and canon not in allowed:
+        raise ValueError(
+            f"freq={freq!r} does not step one {bucket!r} bucket: grid "
+            "points would silently miss (or never match) the truncated "
+            "observation buckets; pass a freq of exactly one bucket "
+            f"(e.g. {sorted(allowed)[0]!r}) or change bucket="
+        )
     tiebreak = tiebreak_cols or []
     b = F.date_trunc(bucket, F.col(ts_col))
     w_last = Window.partitionBy(key_col, "__bucket").orderBy(

@@ -480,3 +480,132 @@ def test_vintage_cdc_restart_behind_backlog_e2e(spark, tmp_path):
     assert sorted(r["k"] for r in rows.collect()) == list(range(50))
     # capped: the backlog arrived as >= 4 one-commit batches
     assert len([n for n in progress if n > 0]) >= 4, progress
+
+
+def test_global_rank_nan_sorts_last_like_window(spark):
+    """Review regression: Spark orders NaN LAST (largest) while pandas
+    conflates NaN with NULL — the shadow key must keep them apart."""
+    from pyspark.sql import Window
+
+    from sdlt_spark.operators.ranking import global_rank
+
+    rows = [
+        (1, 1.0), (2, float("nan")), (3, 5.0), (4, None), (5, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, v double")
+    ranked, total = global_rank(df, ["v", "uid"], n_buckets=4)
+    got = {r["uid"]: r["grank"] for r in ranked.collect()}
+    w = Window.orderBy(F.col("v").asc(), F.col("uid").asc())
+    want = {
+        r["uid"]: r["grank"]
+        for r in df.withColumn("grank", F.row_number().over(w)).collect()
+    }
+    assert got == want and total == 5
+    # explicit: NULL first, NaN last
+    assert got[4] == 1 and got[2] == 5
+
+
+def test_global_rank_refuses_non_numeric_first_column(spark):
+    from sdlt_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame([(1, "a")], "uid long, s string")
+    with pytest.raises(ValueError, match="NUMERIC"):
+        global_rank(df, ["s", "uid"])
+
+
+def test_salted_join_refuses_right_outer(spark):
+    """Review regression: right/full outer joins would emit unmatched
+    small-side rows once per salt replica."""
+    from sdlt_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(2, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="replica"):
+        salted_join(big, small, on="k", salt_source="a", how="right")
+    # left path still works and does not duplicate
+    out = salted_join(big, small, on="k", salt_source="a", how="left")
+    assert out.count() == 1
+
+
+def test_pagerank_string_node_ids(spark):
+    """Review regression: URL-string node ids must not NULL-collapse the
+    graph through a silent cast."""
+    from sdlt_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("http://a", "http://b"), ("http://b", "http://a"),
+         ("http://c", "http://a")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    assert set(got) == {"http://a", "http://b", "http://c"}
+    assert got["http://a"] > got["http://c"]  # a has more in-links
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Review regression: NULL join keys / timestamps must behave like an
+    equi join (no match), not share a window partition."""
+    from sdlt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, 1), ("k", None, 2), ("k", 10, 3)],
+        "on_c string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 7.0), ("k", None, 8.0), ("k", 4, 9.0)],
+        "on_c string, ts long, value double",
+    )
+    out = {
+        r["lid"]: r["value_asof"]
+        for r in asof_join(left, right, "on_c", "ts", ["value"]).collect()
+    }
+    assert out == {1: None, 2: None, 3: 9.0}
+
+
+def test_incremental_agg_folds_update_images(spark, tmp_path):
+    """Review regression: update_postimage must weigh +1 and
+    update_preimage -1 (Delta mutation CDC emits true image pairs) — a
+    purely-updated key previously vanished from the fold."""
+    from sdlt_spark.operators.incremental import fold_cdc_batch
+    from sdlt_spark.store import VintageTable
+
+    state = VintageTable(spark, str(tmp_path / "st"))
+    seed = spark.createDataFrame(
+        [("a", "insert", 10.0), ("b", "insert", 5.0)],
+        "k string, _change_type string, v double",
+    )
+    fold_cdc_batch(state, seed, 0, ["k"], "v")
+    upd = spark.createDataFrame(
+        [("a", "update_preimage", 10.0), ("a", "update_postimage", 12.5)],
+        "k string, _change_type string, v double",
+    )
+    fold_cdc_batch(state, upd, 1, ["k"], "v")
+    got = {r["k"]: (r["n"], float(r["total"])) for r in state.read().collect()}
+    assert got == {"a": (1, 12.5), "b": (1, 5.0)}
+    # an unrelated txn writer cannot shadow or crash the fold's watermark
+    state.write(
+        spark.createDataFrame([("z", 9, 1.0)], "k string, n long, total double")
+        .select("k", "n", F.col("total").cast("decimal(28,2)")),
+        mode="append",
+        txn_id="maintenance:999999",
+    )
+    more = spark.createDataFrame(
+        [("c", "insert", 1.0)], "k string, _change_type string, v double"
+    )
+    fold_cdc_batch(state, more, 2, ["k"], "v")
+    assert "c" in {r["k"] for r in state.read().collect()}
+
+
+def test_resample_ffill_refuses_mismatched_freq(spark):
+    """Review regression: a grid freq that does not step one bucket
+    silently drops or orphans observations — refused loudly."""
+    from sdlt_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0)], "k long, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    with pytest.raises(ValueError, match="does not step"):
+        resample_ffill(df, "k", "ts", "v", freq="2 days", bucket="day")
+    with pytest.raises(ValueError, match="does not step"):
+        resample_ffill(df, "k", "ts", "v", freq="12 hours", bucket="day")
+    assert resample_ffill(df, "k", "ts", "v").count() == 1
