@@ -62,6 +62,7 @@ def init_centroids(
     the collect is k vectors (bounded, like IVF's training sample)."""
     rows = (
         df.select(vec_col, id_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))))
         .limit(k)
         .collect()
@@ -82,7 +83,15 @@ def kmeans_fit(
     """Lloyd's algorithm, fully distributed. Returns (assigned_df, centroids)
     where assigned_df = df + ``cluster`` (int) + ``dist`` (L2 to its
     centroid). Empty clusters keep their previous centroid (standard
-    fallback; re-seeding would break determinism)."""
+    fallback; re-seeding would break determinism).
+
+    Rows with a NULL vector are DROPPED (a corrupt embedding must not
+    crash the Arrow stack in the assignment UDF — the same tolerance the
+    similarity UDFs apply; callers wanting the rows back left-join on
+    the id)."""
+    if iters < 1:
+        raise ValueError(f"iters={iters}; need at least one Lloyd iteration")
+    df = df.filter(F.col(vec_col).isNotNull())
     cents = init_centroids(df, vec_col, id_col, k, seed)
     work = df
     for it in range(iters):

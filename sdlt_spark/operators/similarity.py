@@ -40,6 +40,76 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _pair_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+
+def _block_gemm(threshold: float, round_dp: int | None = None):
+    """The ONE block-GEMM pair emitter shared by the exact and LSH
+    near-dup paths: each input row carries two packed blocks (ids +
+    unit-vector matrices); emit (id_a, id_b, cos_sim) for sims >=
+    threshold, keeping the same-block upper triangle and normalizing
+    cross-block pairs to (lo, hi). ``round_dp`` rounds similarities at
+    the source (the exact path); the LSH path rounds after its
+    cross-table dedup instead."""
+
+    def _gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for same_blk, ids_a, mat_a, ids_b, mat_b in zip(
+                pdf["same_blk"],
+                pdf["ids_a"],
+                pdf["mat_a"],
+                pdf["ids_b"],
+                pdf["mat_b"],
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in mat_a])
+                mb = np.asarray([np.asarray(v) for v in mat_b])
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if ii.size == 0:
+                    continue
+                id_a, id_b, s = ia[ii], ib[jj], sims[ii, jj]
+                if same_blk:
+                    # full matrix incl. diagonal -> upper triangle only
+                    keep = id_a < id_b
+                    id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+                else:
+                    # each unordered pair appears exactly once across
+                    # block pairs; normalize to (lo, hi)
+                    lo = np.minimum(id_a, id_b)
+                    hi = np.maximum(id_a, id_b)
+                    id_a, id_b = lo, hi
+                if round_dp is not None:
+                    s = np.round(s, round_dp)
+                outs.append(
+                    pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": s})
+                )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cos_sim": []}
+                ).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+                )
+            )
+
+    return _gemm
+
+
 def normalize_embeddings(
     df: DataFrame, vec_col: str, id_col: str, round_dp: int = 6
 ) -> DataFrame:
@@ -135,11 +205,29 @@ def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:
-    """Exact top-k by cosine similarity to a literal query vector."""
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Zero-norm and NULL corpus vectors are excluded (cosine is undefined
+    for them, and a division by a zero norm is a job-killing error under
+    Spark's default ANSI mode — a corrupt row must not kill the search);
+    a zero-norm QUERY is the caller's bug and raises immediately."""
+    import math
+
+    if not any(v != 0.0 for v in query):
+        raise ValueError("cosine_topk: query vector has zero norm")
     q = _lit_vec(query)
-    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
+    nrm = _norm(F.col(vec_col))
     return (
-        df.select(F.col(id_col), sim.alias("__sim"))
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__nrm", nrm)
+        .filter(F.col("__nrm") > 0)
+        .select(
+            F.col(id_col),
+            (_dot(F.col(vec_col), q) / (F.col("__nrm") * F.lit(qn))).alias(
+                "__sim"
+            ),
+        )
         .orderBy(F.col("__sim").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("__sim", 4).alias("cos_sim"))
@@ -168,14 +256,21 @@ def neardup_cosine_pairs(
 
     Emits (id_a, id_b, cos_sim) with id_a < id_b.
     """
-    from pyspark.sql import types as T
-
     # NB: the lambda must be single-parameter — PySpark interprets a second
-    # lambda parameter as the array index.
-    norm = _norm(F.col(vec_col))
-    unit = df.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
+    # lambda parameter as the array index. The norm is MATERIALIZED as a
+    # column first: embedded in the transform lambda it would re-evaluate
+    # the O(d) sum-of-squares per element (O(d^2)/row), and a zero-norm
+    # or NULL vector must be dropped, not divide-by-zero the job (ANSI).
+    unit = (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__nrm", _norm(F.col(vec_col)))
+        .filter(F.col("__nrm") > 0)
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
+            ).alias("__u"),
+        )
     )
     # Block count needs the input cardinality BEFORE the plan runs. Callers
     # that know it (parquet footers, catalog stats — see tables.row_count)
@@ -202,55 +297,7 @@ def neardup_cosine_pairs(
         )
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def _gemm(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for same_blk, ids_a, mat_a, ids_b, mat_b in zip(
-                pdf["same_blk"], pdf["ids_a"], pdf["mat_a"], pdf["ids_b"], pdf["mat_b"]
-            ):
-                ia = np.asarray(ids_a, dtype=np.int64)
-                ib = np.asarray(ids_b, dtype=np.int64)
-                ma = np.asarray([np.asarray(v) for v in mat_a])
-                mb = np.asarray([np.asarray(v) for v in mat_b])
-                sims = ma @ mb.T
-                ii, jj = np.nonzero(sims >= threshold)
-                if ii.size == 0:
-                    continue
-                id_a, id_b, s = ia[ii], ib[jj], sims[ii, jj]
-                if same_blk:
-                    # full matrix incl. diagonal -> keep upper triangle only
-                    keep = id_a < id_b
-                    id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
-                else:
-                    # each unordered pair appears exactly once across block
-                    # pairs; normalize to (lo, hi) instead of dropping
-                    lo = np.minimum(id_a, id_b)
-                    hi = np.maximum(id_a, id_b)
-                    id_a, id_b = lo, hi
-                outs.append(
-                    pd.DataFrame(
-                        {"id_a": id_a, "id_b": id_b, "cos_sim": np.round(s, 4)}
-                    )
-                )
-            yield (
-                pd.concat(outs)
-                if outs
-                else pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
-                )
-            )
-
-    return pairs.mapInPandas(_gemm, out_schema)
+    return pairs.mapInPandas(_block_gemm(threshold, round_dp=4), _pair_schema())
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
@@ -336,7 +383,9 @@ def train_ivf_centroids(
     vectors), so training cost is independent of corpus size; ASSIGNMENT of
     the full corpus stays executor-side (see ``ivf_assign``). This mirrors
     FAISS's IVF recipe: train on a sample, assign everything."""
-    frac_df = df.select(vec_col)
+    # NULL vectors must not reach the driver-side stack (inhomogeneous
+    # ndarray crash) — same guard train_pq_codebooks carries
+    frac_df = df.select(vec_col).filter(F.col(vec_col).isNotNull())
     n = frac_df.count()
     if n == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")
@@ -534,14 +583,24 @@ def neardup_cosine_lsh(
     rows. Precision is exact — every emitted similarity is verified by the
     dense dot product, LSH only governs recall.
     """
-    from pyspark.sql import types as T
-
-    head = df.select(F.size(vec_col).alias("d")).head()
+    head = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .head()
+    )
     dim = int(head["d"]) if head else 0
-    norm = _norm(F.col(vec_col))
-    unit = df.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("__u"),
+    # materialized norm: O(d) per row (not O(d^2) re-evaluated per lane)
+    # and zero-norm/NULL vectors drop instead of ANSI-dividing by zero
+    unit = (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__nrm", _norm(F.col(vec_col)))
+        .filter(F.col("__nrm") > 0)
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
+            ).alias("__u"),
+        )
     )
     planes = np.stack(
         [_hyperplanes(dim, num_planes, seed=seed + t) for t in range(num_tables)]
@@ -575,48 +634,7 @@ def neardup_cosine_lsh(
         )
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def _gemm(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for same_blk, ids_a, mat_a, ids_b, mat_b in zip(
-                pdf["same_blk"], pdf["ids_a"], pdf["mat_a"], pdf["ids_b"], pdf["mat_b"]
-            ):
-                ia = np.asarray(ids_a, dtype=np.int64)
-                ib = np.asarray(ids_b, dtype=np.int64)
-                ma = np.asarray([np.asarray(v) for v in mat_a])
-                mb = np.asarray([np.asarray(v) for v in mat_b])
-                sims = ma @ mb.T
-                ii, jj = np.nonzero(sims >= threshold)
-                if ii.size == 0:
-                    continue
-                id_a, id_b, s = ia[ii], ib[jj], sims[ii, jj]
-                if same_blk:
-                    keep = id_a < id_b
-                    id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
-                else:
-                    lo = np.minimum(id_a, id_b)
-                    hi = np.maximum(id_a, id_b)
-                    id_a, id_b = lo, hi
-                outs.append(pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": s}))
-            yield (
-                pd.concat(outs)
-                if outs
-                else pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
-                )
-            )
-
-    raw = pairs.mapInPandas(_gemm, out_schema)
+    raw = pairs.mapInPandas(_block_gemm(threshold), _pair_schema())
     # the same pair can surface in several tables -> dedupe
     return raw.groupBy("id_a", "id_b").agg(F.round(F.max("cos_sim"), 4).alias("cos_sim"))
 

@@ -609,3 +609,38 @@ def test_resample_ffill_refuses_mismatched_freq(spark):
     with pytest.raises(ValueError, match="does not step"):
         resample_ffill(df, "k", "ts", "v", freq="12 hours", bucket="day")
     assert resample_ffill(df, "k", "ts", "v").count() == 1
+
+
+def test_similarity_tolerates_zero_and_null_vectors(spark):
+    """Review regression: a corrupt row (zero-norm or NULL embedding) in
+    a 100 TB corpus must not kill the job under ANSI mode — every search
+    entry point drops it instead."""
+    from sdlt_spark.operators.clustering import kmeans_fit
+    from sdlt_spark.operators.similarity import (
+        cosine_topk,
+        neardup_cosine_lsh,
+        neardup_cosine_pairs,
+        train_ivf_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, None),
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=5).collect()}
+    assert got == {1, 2, 5}  # zero/null rows dropped, job alive
+    pairs = neardup_cosine_pairs(df, "embedding", "vec_id", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    lsh = neardup_cosine_lsh(df, "embedding", "vec_id", threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {(1, 2)}
+    cents = train_ivf_centroids(df, "embedding", n_cells=2)
+    assert cents.shape[1] == 2
+    assigned, _ = kmeans_fit(df, "embedding", "vec_id", k=2, iters=2)
+    assert {r["vec_id"] for r in assigned.collect()} == {1, 2, 3, 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero norm"):
+        cosine_topk(df, "embedding", "vec_id", [0.0, 0.0])
+    with _pytest.raises(ValueError, match="iteration"):
+        kmeans_fit(df, "embedding", "vec_id", k=2, iters=0)
