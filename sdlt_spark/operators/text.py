@@ -41,7 +41,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "chars_per_token": F.round(F.length(text_col).cast("double") / n_tokens, 4),
             "punct_ratio": F.round(
                 F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", "")).cast("double")
-                / F.length(text_col),
+                # nullif: an EMPTY document (which exact_substring_dedup /
+                # remove_boilerplate legitimately emit) must read a null
+                # ratio, not ANSI-DIVIDE_BY_ZERO the whole job
+                / F.nullif(F.length(text_col), F.lit(0)),
                 4,
             ),
             "stopword_ratio": F.round(
@@ -349,6 +352,10 @@ def remove_boilerplate(
     an equi join on the same fingerprint; reassembly is a bounded-size
     collect_list per document (a document's own segments), sorted by
     position. Three shuffles total, all on compact keys."""
+    # NULL text must keep its row ('for every document'): coalesce to ''
+    # -> one empty segment -> (id, 1, n_kept, '') instead of silently
+    # vanishing from the posexplode
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     toks = F.split(text_col, " ")
     nseg = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
     chunks = F.transform(
@@ -385,7 +392,7 @@ def remove_boilerplate(
 
 # ------------------------------------------------------------------- URLs
 
-URL_PATTERN = r"[hH][tT][tT][pP][sS]?://[^ ]+"
+URL_PATTERN = r"[hH][tT][tT][pP][sS]?://[^ \t\n\r]+"
 
 
 def extract_urls(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -764,7 +771,7 @@ def html_to_text(
     return df.withColumns({out_col: c, "n_links": n_links})
 
 
-def html_to_text_oracle_sql(table: str, html_expr: str) -> str:
+def html_to_text_oracle_sql(html_expr: str) -> tuple[str, str]:
     """DuckDB SQL recomputing html_to_text exactly — same patterns, RE2
     flavor, with the 'g' (global) flag DuckDB needs for replace-all."""
     steps = f"regexp_replace({html_expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
@@ -913,10 +920,14 @@ def heavy_hitters(
                         counters[tok] = 1
                     else:
                         # decrement-all absorbs the unseen token (MG step);
-                        # zeroed counters drop, keeping the dict at <= k
-                        counters = {
-                            t: c - 1 for t, c in counters.items() if c > 1
-                        }
+                        # zeroed counters drop, keeping the dict at <= k.
+                        # In place: a fresh dict per miss would churn k
+                        # allocations per long-tail token
+                        for t in list(counters):
+                            if counters[t] == 1:
+                                del counters[t]
+                            else:
+                                counters[t] -= 1
         # candidates as (token, null) rows + ONE (null, n_p) count row:
         # the total rides the same scan
         yield pd.DataFrame(
@@ -1057,6 +1068,10 @@ def warc_records(
     )
     out = df.select(F.col(id_col), rec.alias("__pos", "__rec")).filter(
         F.col("__rec").startswith("WARC/1.0\r\n")
+        # a truncated tail (magic but no header terminator) is not a
+        # record in EITHER mode — filtering it here keeps rec_no aligned
+        # with the strict scanner on malformed archives
+        & (F.locate("\r\n\r\n", F.col("__rec")) > 0)
     )
     # number the VALID records (a garbage preamble chunk must not shift
     # rec_no or diverge from strict mode); the window partitions by

@@ -2222,7 +2222,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            round(length(text) / len(string_split(text, ' ')), 4) AS chars_per_token,
            round(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g')) * 1.0
-                 / length(text), 4) AS punct_ratio,
+                 / nullif(length(text), 0), 4) AS punct_ratio,
            round(len(list_filter(string_split(text, ' '),
                      t -> list_contains(['the','a','and','is','of','to','in','that'], t)))
                  * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
@@ -2240,7 +2240,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text").cast("double") / F.size(toks), 4).alias("chars_per_token"),
         F.round(
             F.length(F.regexp_replace("text", r"[a-zA-Z0-9 \t\n]", "")).cast("double")
-            / F.length("text"),
+            / F.nullif(F.length("text"), F.lit(0)),
             4,
         ).alias("punct_ratio"),
         F.round(
@@ -4074,7 +4074,9 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_cluster_sizes",
     "SELECT cluster, count(*) AS size FROM ("
-    + _dedup.cluster_oracle_sql("documents", "doc_id", "text", threshold=0.9)
+    + _dedup.cluster_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+    )
     + ") GROUP BY cluster HAVING count(*) >= 2",
 )
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7108,7 +7110,7 @@ def _html_oracle() -> str:
     mid = _HTML_MID.replace("'", "''")
     post = _HTML_POST.replace("'", "''")
     html = f"('{pre}' || doc_id || '{mid}' || text || '{post}')"
-    text_sql, links_sql = html_to_text_oracle_sql("documents", html)
+    text_sql, links_sql = html_to_text_oracle_sql(html)
     return (
         f"SELECT doc_id, {text_sql} AS text, "
         f"CAST({links_sql} AS INT) AS n_links FROM documents"

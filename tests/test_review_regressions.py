@@ -644,3 +644,78 @@ def test_similarity_tolerates_zero_and_null_vectors(spark):
         cosine_topk(df, "embedding", "vec_id", [0.0, 0.0])
     with _pytest.raises(ValueError, match="iteration"):
         kmeans_fit(df, "embedding", "vec_id", k=2, iters=0)
+
+
+def test_text_quality_survives_empty_documents(spark):
+    """Review regression: an empty document (a legal output of
+    exact-substring dedup / boilerplate removal) must read a null
+    punct_ratio, not ANSI-DIVIDE_BY_ZERO the job."""
+    from sdlt_spark.operators.text import quality_score, token_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "real words here")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert rows[1]["punct_ratio"] is None
+    assert rows[2]["punct_ratio"] is not None
+    assert quality_score(df).count() == 2
+
+
+def test_extract_urls_stops_at_newline(spark):
+    """Review regression: the URL pattern must not swallow the rest of
+    the line past a newline/tab (blocklist host joins would miss)."""
+    from sdlt_spark.operators.text import extract_urls
+
+    df = spark.createDataFrame(
+        [(1, "see http://example.com\nHello world\tmore")],
+        "doc_id long, text string",
+    )
+    got = [(r["url"], r["host"]) for r in extract_urls(df, "doc_id").collect()]
+    # urls are normalized (scheme stripped); the point is nothing past
+    # the newline leaked into the url or host
+    assert got == [("example.com", "example.com")]
+
+
+def test_exact_dedup_null_text_not_grouped(spark):
+    """Review regression: NULL-text rows (failed extractions) must not
+    collapse into one giant 'duplicate' group."""
+    from sdlt_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_dups"] for r in exact_dedup(df, "doc_id").collect()}
+    assert got == {3: 2}  # nulls never reported as duplicates
+
+
+def test_remove_boilerplate_keeps_null_text_rows(spark):
+    """Review regression: 'for every document' includes NULL-text rows —
+    they come back with empty cleaned text instead of vanishing."""
+    from sdlt_spark.operators.text import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "unique words in this one document only")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cleaned"] for r in remove_boilerplate(df, "doc_id").collect()}
+    assert set(got) == {1, 2} and got[1] == ""
+
+
+def test_warc_truncated_header_dropped_in_both_modes(spark):
+    """Review regression: a truncated tail (record magic, no header
+    terminator) is not a record in EITHER mode; rec_no stays aligned."""
+    from sdlt_spark.operators.text import warc_records
+
+    blob = (
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/1"
+        "\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+        "WARC/1.0\r\nContent-Length: 5"  # truncated tail
+    )
+    df = spark.createDataFrame([(0, blob)], "archive_id long, content string")
+    for strict in (False, True):
+        got = [
+            (r["rec_no"], r["payload"])
+            for r in warc_records(df, strict=strict).collect()
+        ]
+        assert got == [(0, "ok")], f"strict={strict}"
