@@ -207,7 +207,10 @@ def serialize_rbm_array(positions: list[int]) -> bytes:
     """Sorted 64-bit row indexes -> portable RoaringBitmapArray blob
     (what delta writers store; used here for byte-level test fixtures and
     DV-preserving export)."""
-    positions = sorted(positions)
+    # sorted-DISTINCT: array containers are defined over distinct values;
+    # a duplicate input index would inflate the stamped cardinality and
+    # make spec readers reject (or misread) the bitmap
+    positions = sorted(set(positions))
     bitmaps: dict[int, list[int]] = {}
     for p in positions:
         if p < 0:
@@ -244,12 +247,9 @@ def dv_file_path(descriptor: dict, table_root: str) -> str | None:
             else os.path.join(table_root, fname)
         )
     if storage == "p":
-        path = ref
-        if path.startswith("file:"):
-            path = path[len("file:") :]
-            while path.startswith("//"):
-                path = path[1:]
-        return path
+        from sdlt_spark.store.paths import resolve_table_path
+
+        return resolve_table_path(table_root, ref)
     raise ValueError(f"unknown DV storageType {storage!r}")
 
 

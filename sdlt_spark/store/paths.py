@@ -40,16 +40,6 @@ def resolve_table_path(root: str, p: str) -> str:
     return os.path.join(root, p)
 
 
-def is_table_local(root: str, p: str) -> bool:
-    """True when the resolved path lives UNDER the table root — the only
-    files maintenance ops (VACUUM delete, OPTIMIZE rewrite-and-remove)
-    may touch. A shallow clone's external references must never be
-    deleted out from under the source table."""
-    import os
-
-    resolved = os.path.abspath(resolve_table_path(root, p))
-    return resolved.startswith(os.path.abspath(root) + os.sep)
-
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 

@@ -42,8 +42,18 @@ def exr_schema(with_obs_com: bool = False) -> T.StructType:
 
 
 def with_key(df: DataFrame) -> DataFrame:
-    """Surrogate primary key over the dimensions (README.md:73-80)."""
-    return df.withColumn("KEY", F.concat_ws(":", *DIMENSIONS))
+    """Surrogate primary key over the dimensions (README.md:73-80).
+
+    F.concat (not concat_ws): the reference builds the key with a plain
+    concat chain, so a NULL dimension yields a NULL key — concat_ws
+    would SKIP the null and let two differently-malformed rows collide
+    on the same key, corrupting every later merge on KEY."""
+    parts = []
+    for i, d in enumerate(DIMENSIONS):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(F.col(d))
+    return df.withColumn("KEY", F.concat(*parts))
 
 
 def read_submission(spark: SparkSession, path: str, with_obs_com: bool = False) -> DataFrame:

@@ -22,12 +22,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at every scale factor we run
-# (region/nation are fixed-size; customer/supplier/part grow linearly but stay
-# far under the 64 MB broadcast threshold even at sf100).
-BROADCAST_DIMS = ("region", "nation", "supplier")
-
-
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -78,9 +72,12 @@ def row_count(sf_dir: str, name: str) -> int:
         # keep the two contracts aligned by walking the tree and summing
         # footers, still no Spark job
         total = 0
-        for dirpath, _dirs, fnames in os.walk(path):
+        for dirpath, dirs, fnames in os.walk(path):
+            # Spark's reader ignores hidden paths (_temporary/, .crc, _*);
+            # counting them would disagree with load()'s row count
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in fnames:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
         return total
     return pq.read_metadata(path).num_rows

@@ -719,3 +719,51 @@ def test_warc_truncated_header_dropped_in_both_modes(spark):
             for r in warc_records(df, strict=strict).collect()
         ]
         assert got == [(0, "ok")], f"strict={strict}"
+
+
+def test_sdmx_key_null_dimension_yields_null_key(spark):
+    """Review regression: a NULL dimension must yield a NULL key (the
+    reference's concat semantics) — concat_ws skipped the null and let
+    differently-malformed rows collide on one key."""
+    from sdlt_spark.store.sdmx import with_key
+
+    rows = [
+        ("M", "NOK", "EUR", "SP00", "A", "2020-01"),
+        ("M", "NOK", "EUR", "SP00", None, "2020-01"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "FREQ string, CURRENCY string, CURRENCY_DENOM string, "
+        "EXR_TYPE string, EXR_SUFFIX string, TIME_PERIOD string",
+    )
+    got = [r["KEY"] for r in with_key(df).collect()]
+    assert got[0] is not None and got[1] is None
+
+
+def test_serialize_rbm_array_dedupes(spark):
+    """Review regression: duplicate row indexes must not inflate the
+    array container / descriptor cardinality."""
+    from sdlt_spark.store.delta_dv import (
+        deserialize_rbm_array,
+        serialize_rbm_array,
+    )
+
+    blob = serialize_rbm_array([0, 0, 3, 3, 3])
+    assert sorted(deserialize_rbm_array(blob)) == [0, 3]
+
+
+def test_row_count_ignores_hidden_paths(spark, tmp_path):
+    """Review regression: row_count must skip _temporary/ and dot-files,
+    like Spark's reader — block-count sizing uses it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdlt_spark import tables
+
+    d = tmp_path / "events.parquet"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1, 2]}), str(d / "part-0.parquet"))
+    pq.write_table(
+        pa.table({"x": [9, 9, 9]}), str(d / "_temporary" / "0" / "part-x.parquet")
+    )
+    assert tables.row_count(str(tmp_path), "events") == 2
