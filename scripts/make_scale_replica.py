@@ -19,8 +19,22 @@ cross-replica rows distinct (the SCALE.md methodology):
   in-replica near-dup pairs replicate exactly) while corresponding
   cross-replica vectors decorrelate to chance cosine.
 
-Usage: python scripts/make_scale_replica.py [out_dir] [factor]
+Usage: python scripts/make_scale_replica.py [out_dir] [factor] [--adversarial]
 Defaults: /tmp/sdlt_sf1 10
+
+``--adversarial`` (round-9 verdict item 7) additionally plants the exact
+failure modes the dedup bucket caps target, ON TOP of the replicated corpus:
+
+- a **100k-copy duplicate cluster**: one boilerplate page repeated 100,000
+  times under fresh doc_ids — identical docs agree on EVERY LSH band and
+  EVERY simhash chunk, so uncapped candidate generation would emit ~5e9
+  pairs per band from that one bucket;
+- a **single hot shingle**: a fixed sentinel trigram appended to every
+  replica-0 document (~50k docs) — one shingle with df ~50k, the
+  quadratic hot key the ngram df-cap fences.
+
+The planted rows are APPENDED (originals untouched), so the linear-scaling
+properties of the base replica stay measurable alongside the stress rows.
 """
 
 from __future__ import annotations
@@ -56,6 +70,45 @@ def _caesar_maps(i: int) -> tuple[str, str]:
     up = string.ascii_uppercase
     s = i % 26
     return lo + up, lo[s:] + lo[:s] + up[s:] + up[:s]
+
+
+def plant_adversarial(out_dir: str, clones: int = 100_000) -> None:
+    """Append the 100k-duplicate cluster and hot-shingle rows to
+    ``documents.parquet`` (see module docstring)."""
+    con = duckdb.connect()
+    path = f"{out_dir}/documents.parquet"
+    hi = con.execute(
+        f"SELECT max(doc_id) FROM read_parquet('{path}')"
+    ).fetchone()[0]
+    boiler = (
+        "subscribe to our newsletter terms of service privacy policy "
+        "all rights reserved copyright contact us about careers"
+    )
+    tmp = f"{out_dir}/.documents_adv.parquet"
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{path}')
+          UNION ALL
+          -- one hot-shingle twin per replica-0 doc: same text plus the
+          -- sentinel trigram -> one shingle shared by ~n_docs documents
+          SELECT doc_id + {hi + 1} AS doc_id,
+                 text || ' zzhot zzhot zzhot' AS text,
+                 lang, source, n_chars + 18 AS n_chars
+          FROM read_parquet('{path}') WHERE doc_id < 5000
+          UNION ALL
+          -- the 100k-copy boilerplate cluster
+          SELECT {hi + 1} + 5000 + u.i AS doc_id,
+                 '{boiler}' AS text,
+                 'en' AS lang, 'adversarial' AS source,
+                 CAST(length('{boiler}') AS BIGINT) AS n_chars
+          FROM (SELECT unnest(range({clones})) AS i) u
+        ) TO '{tmp}' (FORMAT PARQUET)
+        """
+    )
+    os.replace(tmp, path)
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    print("documents (adversarial)", n)
 
 
 def build(out_dir: str, factor: int) -> None:
@@ -121,6 +174,10 @@ def build(out_dir: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdlt_sf1"
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--adversarial"]
+    adversarial = "--adversarial" in sys.argv[1:]
+    out = args[0] if args else "/tmp/sdlt_sf1"
+    factor = int(args[1]) if len(args) > 1 else 10
     build(out, factor)
+    if adversarial:
+        plant_adversarial(out)

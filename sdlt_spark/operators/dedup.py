@@ -59,6 +59,20 @@ def _scan_underparallel(df: DataFrame) -> bool:
     return min(len(files), total // split + 1) < target
 
 
+def _materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Evaluate ``result`` once (eager localCheckpoint) while ``cached``
+    intermediates are hot, then unpersist them all. Long-lived sessions
+    call the dedup operators repeatedly; persisted intermediates left
+    behind would accumulate in the block manager forever (the leak class
+    dsir_weights' no-persist discipline documents). The checkpoint backs
+    the returned frame, so releasing the caches never re-runs lineage."""
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -218,7 +232,11 @@ def _signature_array_udf(num_hashes: int):
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (b bands x r rows) and self-join on band hash.
     Docs agreeing on ANY band become a candidate pair. P(candidate) =
@@ -227,7 +245,20 @@ def lsh_candidate_pairs(
     One posexplode pass emits (id, band, band_hash) — no b-way union, no
     re-computation of the signature lineage per band. Band bucket ids are a
     polynomial combine mod 2^31-1 of the band's signature components
-    (engine-portable; see the module note above minhash_coeffs)."""
+    (engine-portable; see the module note above minhash_coeffs).
+
+    ``max_bucket_size`` caps the skew of the self-join: a bucket holding d
+    documents emits d·(d-1)/2 pairs, and IDENTICAL documents agree on
+    *every* band — one million-copy boilerplate page (routine in web
+    crawls) makes one bucket quadratic AND a hot shuffle key. With the
+    cap, (band, bh) buckets larger than it are dropped from candidate
+    generation entirely — the same inverted-index df-cut
+    ``ngram_jaccard_pairs`` applies to hot shingles. Recall is lost only
+    for pairs whose EVERY agreeing band is a mega-bucket — i.e. exact or
+    near-exact mass duplicates, which ``dedup_exact`` upstream is the
+    designated (linear) tool for: compose exact-dedup first, then cap.
+    The hot-bucket list is O(distinct mega-buckets) — tiny — so Catalyst
+    broadcasts the anti-join."""
 
     def _bh(b: int):
         acc = F.col(f"h{b * rows_per_band}")
@@ -237,6 +268,14 @@ def lsh_candidate_pairs(
 
     band_hashes = F.array(*[_bh(b) for b in range(bands)])
     banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -307,13 +346,16 @@ def minhash_oracle_sql(
     num_hashes: int = 32,
     bands: int | None = None,
     estimate_prefilter: bool = True,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB SQL that recomputes minhash_dedup EXACTLY — same md5-derived
     31-bit hashes, same permutation coefficients, same band buckets, same
-    estimate prefilter (when enabled), same distinct-hash jaccard.
+    estimate prefilter (when enabled), same hot-bucket cap (when set),
+    same distinct-hash jaccard.
     Generated from the same Python constants the Spark plan embeds, so the
-    two can't drift. ``estimate_prefilter`` must match the Spark call — it
-    changes the answer (the estimator can drop borderline true pairs)."""
+    two can't drift. ``estimate_prefilter`` and ``max_bucket_size`` must
+    match the Spark call — both change the answer (the estimator can drop
+    borderline true pairs; the cap drops mega-bucket candidates)."""
     p = MINHASH_PRIME
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
@@ -347,6 +389,15 @@ def minhash_oracle_sql(
         else ""
     )
     verified_src = "est" if estimate_prefilter else "cand"
+    bucket_cap_join = (
+        ""
+        if max_bucket_size is None
+        else (
+            "JOIN (SELECT band, bh FROM band_all GROUP BY band, bh\n"
+            f"            HAVING count(*) <= {max_bucket_size}) __keep\n"
+            "        USING (band, bh)"
+        )
+    )
     return f"""
     WITH tok AS (
       SELECT DISTINCT {id_col}, u.token
@@ -362,8 +413,12 @@ def minhash_oracle_sql(
     {sig_cols}
       FROM th GROUP BY {id_col}
     ),
-    band AS (
+    band_all AS (
     {band_rows}
+    ),
+    band AS (
+      SELECT band_all.* FROM band_all
+      {bucket_cap_join}
     ),
     cand AS (
       SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
@@ -394,19 +449,54 @@ def cluster_oracle_sql(
     threshold: float = 0.7,
     num_hashes: int = 32,
     estimate_prefilter: bool = True,
+    exact_first: bool = False,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB SQL reproducing minhash_dedup -> dedup_clusters exactly:
     the portable minhash pair SQL feeds a recursive-CTE transitive closure
     whose min-reachable-label per node IS the min-id connected-component
     label the Spark fixpoint converges to. Closure size is bounded by
     sum(cluster_size^2) — fine at oracle scale; the Spark side stays the
-    join-based label propagation that scales."""
-    inner = minhash_oracle_sql(
-        table, id_col, text_col, threshold, num_hashes,
-        estimate_prefilter=estimate_prefilter,
-    )
+    join-based label propagation that scales.
+
+    ``exact_first`` mirrors the pipeline composition that exact-dedups
+    (md5 of lower/trimmed text, min-id representative) BEFORE minhash:
+    minhash runs over representatives only and each dropped duplicate
+    contributes a (rep, dup) edge instead of flowing through banding —
+    identical mass-duplicates can no longer make an LSH bucket quadratic.
+    ``max_bucket_size`` additionally caps surviving hot buckets; both
+    knobs must match the Spark call."""
+    if not exact_first:
+        inner = minhash_oracle_sql(
+            table, id_col, text_col, threshold, num_hashes,
+            estimate_prefilter=estimate_prefilter,
+            max_bucket_size=max_bucket_size,
+        )
+        pair_ctes = f"pairs AS ({inner})"
+    else:
+        inner = minhash_oracle_sql(
+            "reps_docs", id_col, text_col, threshold, num_hashes,
+            estimate_prefilter=estimate_prefilter,
+            max_bucket_size=max_bucket_size,
+        )
+        pair_ctes = f"""xfp AS (
+      SELECT {id_col}, md5(lower(trim({text_col}))) AS fp
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    xrep AS (SELECT fp, min({id_col}) AS rep_id FROM xfp GROUP BY fp),
+    xcanon AS (SELECT f.{id_col}, r.rep_id FROM xfp f JOIN xrep r USING (fp)),
+    reps_docs AS (
+      SELECT d.* FROM {table} d JOIN xrep r ON r.rep_id = d.{id_col}
+    ),
+    mh_pairs AS ({inner}),
+    pairs AS (
+      SELECT id_a, id_b FROM mh_pairs
+      UNION
+      SELECT rep_id AS id_a, {id_col} AS id_b FROM xcanon
+      WHERE {id_col} <> rep_id
+    )"""
     return f"""
-    WITH RECURSIVE pairs AS ({inner}),
+    WITH RECURSIVE {pair_ctes},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -434,9 +524,14 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int | None = None,
     estimate_prefilter: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> LSH banding -> signature-estimate
     prefilter -> exact-Jaccard verify on token arrays.
+    ``max_bucket_size`` caps hot LSH buckets (mass-duplicate boilerplate
+    pages) at candidate generation — see :func:`lsh_candidate_pairs`; run
+    :func:`dedup_exact` first so byte-identical copies never reach the
+    banding join at all. The oracle takes the same knob.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
 
     ``bands`` defaults to the standard S-curve tuning: pick b so the collision
@@ -533,7 +628,9 @@ def minhash_dedup(
             .persist()
         )
         combined.count()  # one materialization feeds banding AND verify
-        cand = lsh_candidate_pairs(combined, id_col, bands, rows_per_band)
+        cand = lsh_candidate_pairs(
+            combined, id_col, bands, rows_per_band, max_bucket_size
+        )
         ta = combined.select(
             F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a")
         )
@@ -542,18 +639,19 @@ def minhash_dedup(
         )
         inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
         union = F.size("__toks_a") + F.size("__toks_b") - inter
-        return (
+        out = (
             cand.join(ta, "id_a")
             .join(tb, "id_b")
             .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        return _materialize_and_release(out, combined)
 
     th = token_hashes(df, id_col, text_col).persist()
     sig = _signatures_from_hashes(th, id_col, num_hashes).persist()
     sig.count()  # materialize: single signature compute + true size stats
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band, max_bucket_size)
 
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(num_hashes)]
@@ -588,13 +686,62 @@ def minhash_dedup(
     inter = F.size(F.array_intersect("__toks_a", "__toks_b"))
     union = F.size("__toks_a") + F.size("__toks_b") - inter
     # stage 2: exact-jaccard verify over the estimate's survivors only
-    return (
+    out = (
         est.join(ta, "id_a")
         .join(tb, "id_b")
         .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_and_release(out, th, sig, est, toks_arr)
+
+
+def exact_then_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int | None = None,
+    estimate_prefilter: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Duplicate-pair edges for the full dedup pipeline, with exact dedup
+    composed BEFORE minhash — the 100 TB ordering. Byte-identical (after
+    lower/trim normalization) documents agree on EVERY LSH band, so a
+    million-copy boilerplate page would make one bucket emit d·(d-1)/2
+    candidate pairs per band; collapsing each identical group to its
+    min-id representative first keeps every LSH bucket's size equal to
+    its count of DISTINCT texts. The dropped duplicates re-enter the
+    graph as direct (representative, duplicate) edges — a linear number —
+    so the transitive closure downstream sees the same components.
+    ``max_bucket_size`` additionally caps buckets that are hot with
+    near-identical (not byte-identical) variants.
+
+    Returns (id_a, id_b) edges; feed to :func:`dedup_clusters`. The
+    portable oracle is ``cluster_oracle_sql(..., exact_first=True)``."""
+    canon = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp")
+    )
+    rep = canon.groupBy("fp").agg(F.min(id_col).alias("rep_id"))
+    canon_map = canon.join(rep, "fp").select(id_col, "rep_id")
+    reps_docs = df.join(
+        rep.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+    )
+    mh = minhash_dedup(
+        reps_docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        estimate_prefilter=estimate_prefilter,
+        max_bucket_size=max_bucket_size,
+    )
+    exact_edges = canon_map.filter(F.col(id_col) != F.col("rep_id")).select(
+        F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return mh.select("id_a", "id_b").unionByName(exact_edges).distinct()
 
 
 # ------------------------------------------------------------------ simhash
@@ -687,6 +834,7 @@ def simhash_neardup(
     text_col: str = "text",
     max_hamming: int = 3,
     num_chunks: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidates from equality
     on any (64/num_chunks)-bit chunk — pigeonhole guarantees full recall for
@@ -697,7 +845,15 @@ def simhash_neardup(
     ``num_chunks`` defaults to the smallest divisor of the hash width
     exceeding ``max_hamming``, so the pigeonhole recall guarantee always
     covers the requested distance; passing a smaller value explicitly
-    trades recall for fewer candidates."""
+    trades recall for fewer candidates.
+
+    ``max_bucket_size`` caps hot (chunk, value) buckets the same way
+    :func:`lsh_candidate_pairs` caps band buckets: identical documents
+    share ALL chunks, so a mass-duplicated page makes every one of its
+    buckets quadratic in the copy count. Buckets above the cap are
+    dropped from candidate generation (exact-dedup upstream is the
+    designated tool for mass-identical copies); the oracle takes the
+    same knob."""
     bits = 60  # simhash() width; 60 keeps every value positive-BIGINT portable
     if num_chunks is None:
         num_chunks = next(
@@ -729,6 +885,14 @@ def simhash_neardup(
         ]
     )
     banded = sh.select(id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "cv"))
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("chunk", "cv")
+        )
+        banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -745,11 +909,12 @@ def simhash_neardup(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _materialize_and_release(out, sh)
 
 
 def simhash_oracle_sql(
@@ -758,12 +923,14 @@ def simhash_oracle_sql(
     text_col: str = "text",
     max_hamming: int = 3,
     num_chunks: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB SQL recomputing simhash_neardup exactly: same md5-derived
     60-bit token hashes (duplicates kept — term frequency weights votes),
-    same strict-majority bit votes, same chunk buckets, same
-    bit_count(xor) verify. Everything is positive-BIGINT arithmetic, so no
-    sign/overflow divergence between engines."""
+    same strict-majority bit votes, same chunk buckets, same hot-bucket
+    cap (when set), same bit_count(xor) verify. Everything is
+    positive-BIGINT arithmetic, so no sign/overflow divergence between
+    engines."""
     bits = 60
     if num_chunks is None:
         num_chunks = next(
@@ -781,6 +948,15 @@ def simhash_oracle_sql(
         f"SELECT {id_col}, simhash, {c} AS chunk,"
         f" (simhash >> {width * c}) & {mask} AS cv FROM sh"
         for c in range(num_chunks)
+    )
+    bucket_cap_join = (
+        ""
+        if max_bucket_size is None
+        else (
+            "JOIN (SELECT chunk, cv FROM chunks_all GROUP BY chunk, cv\n"
+            f"            HAVING count(*) <= {max_bucket_size}) __keep\n"
+            "        USING (chunk, cv)"
+        )
     )
     return f"""
     WITH tok AS (
@@ -801,8 +977,12 @@ def simhash_oracle_sql(
     sh AS (
       SELECT {id_col}, {sh_expr} AS simhash FROM votes
     ),
-    chunks AS (
+    chunks_all AS (
       {chunk_rows}
+    ),
+    chunks AS (
+      SELECT chunks_all.* FROM chunks_all
+      {bucket_cap_join}
     ),
     cand AS (
       SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
@@ -842,9 +1022,12 @@ def ngram_jaccard_pairs(
     — tiny — so Catalyst broadcasts the anti-join. MinHash-LSH remains
     the designated scale path for all-pairs near-dup at 100 TB."""
     # grams feeds up to 6 consumers (df-cap agg, both join sides, and the
-    # three scans inside jaccard_verify) — persist it once, the same
-    # recompute-per-consumer discipline the minhash path applies; the
-    # bench/driver harness clearCache()s between queries
+    # three scans inside jaccard_verify) — persist it once, evaluate the
+    # whole pipeline under that cache, then RELEASE it before returning:
+    # a long-lived session calling this repeatedly must not accumulate
+    # cache entries (the discipline dsir_weights documents). The result
+    # is eager-localCheckpointed so unpersisting cannot trigger a full
+    # recompute at the caller's first action.
     grams = doc_ngrams(df, id_col, text_col, n).persist()
     cand = grams
     if max_doc_frequency is not None:
@@ -855,7 +1038,7 @@ def ngram_jaccard_pairs(
             .select("ngram")
         )
         cand = grams.join(F.broadcast(hot), "ngram", "left_anti")
-    return jaccard_verify(
+    out = jaccard_verify(
         cand.alias("g")
         .join(cand.withColumnRenamed(id_col, "id_b").alias("h"), "ngram")
         .filter(F.col(f"g.{id_col}") < F.col("id_b"))
@@ -865,6 +1048,7 @@ def ngram_jaccard_pairs(
         id_col,
         "ngram",
     ).filter(F.col("jaccard") >= threshold)
+    return _materialize_and_release(out, grams)
 
 
 # ----------------------------------------------------------- dup clustering
@@ -925,6 +1109,10 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    # labels is checkpoint-backed (no lineage into edges), so the edge
+    # cache can be released immediately — no per-call cache accumulation
+    # in a long-lived session
+    edges.unpersist()
     return labels.select(F.col("u").alias(id_col), "cluster")
 
 

@@ -28,6 +28,7 @@ def pagerank(
     scale: int = 1_000_000,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-point PageRank over an (src, dst) edge list.
 
@@ -36,6 +37,15 @@ def pagerank(
     with the percent applied as multiply-then-integer-divide AFTER the
     sum. Dangling contributions are dropped (their mass leaves the
     system), matching the common sparse formulation.
+
+    ``checkpoint_every``: the rank vector's plan otherwise deepens by one
+    join + one aggregate per iteration — fine at the default 3, but a
+    20-iteration web-graph walk compounds into a plan Catalyst spends
+    minutes (or a stack overflow) analyzing. Every N rounds the vector is
+    eagerly localCheckpointed (the same lineage-truncation move as
+    ``dedup_clusters``), so plan size stays bounded by N iterations
+    regardless of the walk length. Checkpointing changes no values —
+    the integer arithmetic is deterministic either way.
 
     Scale shape per iteration: ONE equi-join of the edge list with the
     current rank vector on ``src`` (AQE broadcasts the vector while it
@@ -48,6 +58,8 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     # node ids keep their OWN type (string URLs are the web-crawl case —
     # a silent cast('long') would NULL them all and collapse the graph
     # onto one node); NULL endpoints are dropped like malformed edges
@@ -62,7 +74,7 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(deg, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -81,4 +93,6 @@ def pagerank(
                 f"BIGINT))) div 100 AS BIGINT)"
             ).alias("rank"),
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

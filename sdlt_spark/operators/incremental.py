@@ -51,6 +51,11 @@ def fold_cdc_batch(
     fresh checkpoint against an existing state table is user error and
     shows up as skipped batch 0.)
     """
+    if ":" in app_id:
+        raise ValueError(
+            f"app_id {app_id!r} contains ':' (the txn-token separator); "
+            "see VintageTable.last_txn_id"
+        )
     if batch_df.isEmpty():
         return
     if state.exists():

@@ -423,9 +423,22 @@ def dhash_neardup(media: DataFrame, max_hamming: int = 7) -> DataFrame:
     compact (band_idx, byte) key, verification is codegen'd popcount.
 
     ``max_hamming`` must stay < 8 for the pigeonhole guarantee (8 bands)."""
+    h = image_dhash(media).filter(F.col("decode_error").isNull())
+    return dhash_neardup_indexed(h, max_hamming=max_hamming)
+
+
+def dhash_neardup_indexed(h: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate image pairs over PRE-COMPUTED dHash columns
+    (``media_id``, ``dhash_hi``, ``dhash_lo``) — the dhash-at-ingest
+    amortization path (round-9 verdict item 4): at 100 TB the per-image
+    Python decode dominates :func:`dhash_neardup`, so materialize the
+    64-bit hash as a stored 16-byte column ONCE at ingest and run every
+    subsequent near-dup sweep entirely JVM-side over the index table —
+    banding, shuffle, and popcount verification never touch a payload
+    byte. Same banded pigeonhole candidates + verify as
+    :func:`dhash_neardup` (which delegates here after decoding)."""
     if not 0 <= max_hamming < 8:
         raise ValueError("max_hamming must be in [0, 8) for 8-band pigeonhole recall")
-    h = image_dhash(media).filter(F.col("decode_error").isNull())
     bands = F.array(
         *[F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(255)) for s in (24, 16, 8, 0)],
         *[F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(255)) for s in (24, 16, 8, 0)],

@@ -1148,6 +1148,43 @@ def vintage_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "vintage_sql_maintenance",
+    # delete -> RESTORE (undo, back to the full projection) -> OPTIMIZE
+    # (dataChange=false: logically invisible) -> VACUUM (physical only) ->
+    # CTAS filtering F: the final table is the projection minus F orders
+    "SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice "
+    "FROM orders WHERE o_orderstatus <> 'F'",
+)
+def vintage_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL MAINTENANCE verbs end-to-end (round-9 verdict item 2 —
+    delta-spark users type these as statements, reference ops
+    README.md:403-415): DELETE, then RESTORE ... TO VERSION AS OF undoes
+    it (metadata-only rollback), OPTIMIZE compacts with dataChange=false,
+    VACUUM RETAIN 0 HOURS physically drops the dead pre-restore files,
+    and CREATE TABLE ... AS materializes a filtered snapshot into a NEW
+    registered table the final SELECT reads."""
+    import tempfile
+
+    from sdlt_spark.sql_dml import SqlDispatcher
+
+    d = SqlDispatcher(spark)
+    d.register("orders_m", _fresh_vintage(spark, sf_dir))
+    vd = d.sql("DELETE FROM orders_m WHERE o_orderstatus = 'F'").head()["version"]
+    d.sql(f"RESTORE TABLE orders_m TO VERSION AS OF {vd - 1}")
+    d.sql("OPTIMIZE orders_m")
+    d.sql("VACUUM orders_m RETAIN 0 HOURS")
+    ctas_loc = tempfile.mkdtemp(prefix="sdlt_ctas_") + "/orders"
+    d.sql(
+        f"CREATE TABLE orders_ctas LOCATION '{ctas_loc}' AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_m "
+        "WHERE o_orderstatus <> 'F'"
+    )
+    return d.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_ctas"
+    )
+
+
 def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Hand-build a REAL Delta table (JSON ``_delta_log``) holding the
     orders projection: v0 loads a full file, v1 'compacts' it into two
@@ -2717,6 +2754,32 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "minhash_lsh_dedup_capped",
+    # Same exact oracle as minhash_lsh_dedup plus the hot-bucket cap in
+    # lockstep: (band, bh) buckets holding > 64 documents leave candidate
+    # generation on BOTH engines (round-9 verdict item 1 — the cap that
+    # keeps a mass-duplicated web page from making one bucket quadratic).
+    _dedup.minhash_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False,
+        max_bucket_size=64,
+    ),
+)
+def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 with the per-(band, bucket) size cap engaged: buckets larger
+    than 64 docs are dropped from candidate generation (the LSH analogue
+    of ngram_jaccard's df-cut). Identical documents agree on every band,
+    so without the cap one boilerplate page duplicated d times emits
+    O(d^2) candidate pairs per band; with it, candidates stay linear and
+    recall is lost only for pairs whose every agreeing band is a
+    mega-bucket — mass duplicates, which exact_dedup upstream removes
+    linearly (see dedup_pipeline's exact-first composition)."""
+    return _dedup.minhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", threshold=0.9,
+        estimate_prefilter=False, max_bucket_size=64,
+    )
+
+
+@_q(
     "simhash_neardup",
     # Exact oracle: the 60-bit simhash is md5 + positive-BIGINT arithmetic
     # end to end, so DuckDB recomputes bit votes, chunk buckets, candidate
@@ -3866,17 +3929,25 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Spark side is an iterative label-propagation fixpoint, but its
     # converged answer is exactly the min-id connected component — which the
     # oracle computes non-iteratively via a recursive-CTE transitive closure
-    # over the (portable-hash) minhash pair list.
+    # over the (portable-hash) pair list. exact_first=True mirrors the
+    # exact-dedup-before-minhash composition below.
     _dedup.cluster_oracle_sql(
-        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False,
+        exact_first=True,
     ),
 )
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete near-dup dedup pipeline: MinHash+LSH pairs ->
-    connected-component clusters -> canonical representative per cluster.
-    Returns (doc_id, cluster, is_canonical) for every document."""
+    """The complete near-dup dedup pipeline: exact dedup (md5 of
+    normalized text, min-id representative) -> MinHash+LSH pairs over the
+    REPRESENTATIVES only -> connected-component clusters over minhash
+    edges plus (rep, duplicate) edges -> canonical representative per
+    cluster. Exact-first is the 100 TB ordering: mass-identical
+    boilerplate (which agrees on every LSH band) collapses linearly
+    before banding, so no LSH bucket can go quadratic in the copy count
+    (round-9 verdict item 1). Returns (doc_id, cluster, is_canonical)
+    for every document."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dedup.minhash_dedup(
+    pairs = _dedup.exact_then_minhash_pairs(
         docs, "doc_id", threshold=0.9, estimate_prefilter=False
     )
     clusters = _dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
@@ -3970,6 +4041,8 @@ def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages — each would contribute O(n^2) candidate pairs AND a hot
     shuffle key; the frequency cut is the same move dedup makes with
     stop-shingles)."""
+    from sdlt_spark.operators.dedup import _materialize_and_release
+
     fps = _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id").persist()
     common = (
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
@@ -3979,13 +4052,14 @@ def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = fps.join(common, "fp")
     a = keep.select(F.col("doc_id").alias("id_a"), "fp")
     b = keep.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+    return _materialize_and_release(out, fps)
 
 
 @_q(
@@ -4075,7 +4149,8 @@ def dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_sizes",
     "SELECT cluster, count(*) AS size FROM ("
     + _dedup.cluster_oracle_sql(
-        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False,
+        exact_first=True,
     )
     + ") GROUP BY cluster HAVING count(*) >= 2",
 )
@@ -6887,9 +6962,7 @@ def image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.image_dhash(media).select("media_id", "dhash_hi", "dhash_lo")
 
 
-@_q(
-    "image_neardup_dhash",
-    f"""
+_DHASH_NEARDUP_SQL = f"""
     WITH h AS (
       SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
              CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
@@ -6913,8 +6986,10 @@ def image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS hamming
     FROM cand
     WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 7
-    """,
-)
+    """
+
+
+@_q("image_neardup_dhash", _DHASH_NEARDUP_SQL)
 def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance: banded
     equi-join on the 8 per-row hash bytes (pigeonhole recall guarantee for
@@ -6926,6 +7001,30 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is genuinely exercised."""
     media = _dhash_fixture_media(spark, sf_dir)
     return _mm.dhash_neardup(media, max_hamming=7)
+
+
+@_q("image_neardup_dhash_indexed", _DHASH_NEARDUP_SQL)
+def image_neardup_dhash_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash-AT-INGEST (round-9 verdict item 4): the per-image Python
+    decode — the heaviest per-byte CPU in the media family — runs ONCE
+    and materializes (media_id, dhash_hi, dhash_lo) as a stored 16-byte
+    index column; near-dup discovery then reads the index table and runs
+    entirely JVM-side (banding shuffle on compact keys, codegen'd
+    popcount verify), never touching a payload byte again. At 100 TB
+    this amortizes the decode to once per corpus instead of once per
+    sweep. Same verified pairs as image_neardup_dhash, same oracle."""
+    import tempfile
+
+    media = _dhash_fixture_media(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="sdlt_dhash_idx_") + "/dhash"
+    (
+        _mm.image_dhash(media)
+        .filter(F.col("decode_error").isNull())
+        .select("media_id", "dhash_hi", "dhash_lo")
+        .write.mode("errorifexists")
+        .parquet(idx)
+    )
+    return _mm.dhash_neardup_indexed(spark.read.parquet(idx), max_hamming=7)
 
 
 # ---------------------------------------------------------------------------

@@ -60,13 +60,23 @@ class SqlParseError(ValueError):
 
 def _depth0_positions(s: str, pat: re.Pattern) -> list[int]:
     """Start offsets of ``pat`` matches at paren depth zero, outside
-    quoted string literals."""
-    ok = []
-    depth, q = 0, None
-    for ch in s:
-        ok.append(q is None and depth == 0)
+    quoted string literals. Escape handling matches ``_QUOTED`` exactly
+    (backslash escapes AND SQL doubled-quote escapes) — a divergent
+    scanner would desynchronize quote state on inputs like ``'it\\'s'``
+    and mis-split WHEN/THEN clauses."""
+    ok = [False] * len(s)
+    depth, q, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        ok[i] = q is None and depth == 0
         if q:
+            if ch == "\\":
+                i += 2  # backslash escape: skip the escaped char
+                continue
             if ch == q:
+                if i + 1 < len(s) and s[i + 1] == q:
+                    i += 2  # doubled-quote escape ('' / ""): stay inside
+                    continue
                 q = None
         elif ch in "'\"":
             q = ch
@@ -74,7 +84,8 @@ def _depth0_positions(s: str, pat: re.Pattern) -> list[int]:
             depth += 1
         elif ch == ")":
             depth = max(0, depth - 1)
-    return [m.start() for m in pat.finditer(s) if ok[m.start()]]
+        i += 1
+    return [m.start() for m in pat.finditer(s) if m.start() < len(ok) and ok[m.start()]]
 
 
 _WHEN_CLAUSE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
@@ -94,13 +105,24 @@ def _split_when_clauses(sql: str) -> list[str]:
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren/quote depth zero."""
-    out, depth, cur, q = [], 0, [], None
-    for ch in s:
+    """Split on ``sep`` at paren/quote depth zero. Same escape handling
+    as ``_depth0_positions`` / ``_QUOTED`` (backslash + doubled-quote)."""
+    out, depth, cur, q, i = [], 0, [], None, 0
+    while i < len(s):
+        ch = s[i]
         if q:
             cur.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
             if ch == q:
+                if i + 1 < len(s) and s[i + 1] == q:
+                    cur.append(s[i + 1])
+                    i += 2
+                    continue
                 q = None
+            i += 1
             continue
         if ch in "'\"":
             q = ch
@@ -113,12 +135,13 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur))
     return [p.strip() for p in out if p.strip()]
 
 
-_QUOTED = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+_QUOTED = re.compile(r"'(?:''|\\.|[^'\\])*'|\"(?:\"\"|\\.|[^\"\\])*\"")
 
 
 def _outside_quotes(expr: str, fn) -> str:
@@ -226,6 +249,22 @@ class _DeltaExportTable:
             "export_vintage_to_delta or a vintage table"
         )
 
+    def compact(self, zorder_by: list[str] | None = None, **kw) -> int:
+        from sdlt_spark.store.delta_write import optimize_delta_export
+
+        optimize_delta_export(self.path, self.spark, zorder_by=zorder_by)
+        return self._reader.latest_version()
+
+    def vacuum(self, retention_hours: float | None = None) -> list[str]:
+        from sdlt_spark.store.delta_write import vacuum_delta_export
+
+        return vacuum_delta_export(self.path, retention_hours)
+
+    def restore(self, version=None, timestamp=None) -> int:
+        from sdlt_spark.store.delta_write import restore_delta_export
+
+        return restore_delta_export(self.path, version=version, timestamp=timestamp)
+
 
 class SqlDispatcher:
     """``sql(statement)`` over registered tables — see module docstring.
@@ -279,6 +318,14 @@ class SqlDispatcher:
             return self._insert(s)
         if kw == "SET":
             return self._set(s)
+        if kw == "OPTIMIZE":
+            return self._optimize(s)
+        if kw == "VACUUM":
+            return self._vacuum(s)
+        if kw == "RESTORE":
+            return self._restore(s)
+        if kw == "CREATE":
+            return self._create(s)
         # SELECT / WITH / VALUES / EXPLAIN ... -> Spark, with registered
         # tables visible as temp views of their CURRENT snapshot and
         # VERSION/TIMESTAMP AS OF rewritten onto time-travel views
@@ -392,6 +439,112 @@ class SqlDispatcher:
         return self.spark.createDataFrame(
             [("sdlt.sql.autoMerge", m.group(1).lower())], "key string, value string"
         )
+
+    # ------------------------------------------------------- maintenance
+
+    def _optimize(self, s: str) -> DataFrame:
+        """``OPTIMIZE t [ZORDER BY (c1, c2, ...)]`` — delta-spark's
+        maintenance verb spelling (reference ops README.md:403-412), wired
+        to the existing compact()/optimize paths. Driver-side metadata
+        dispatch; the rewrite itself is the verbs' one distributed job."""
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s+(?:\(([^)]*)\)|(.+)))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(f"unsupported OPTIMIZE statement: {s!r}")
+        name = m.group(1)
+        zraw = m.group(2) or m.group(3)
+        zorder = [c.strip() for c in zraw.split(",")] if zraw else None
+        t = self._table(name)
+        if zorder:
+            return self._version_df(t.compact(zorder_by=zorder))
+        # plain OPTIMIZE = Delta's bin-packing compaction; a vintage table
+        # with nothing to pack returns None -> report the current version
+        version = t.optimize() if hasattr(t, "optimize") else t.compact()
+        if version is None:
+            version = len(t.history().collect()) - 1
+        return self._version_df(version)
+
+    def _vacuum(self, s: str) -> DataFrame:
+        """``VACUUM t [RETAIN n HOURS]`` (reference ops README.md:415).
+        Returns the deleted relative paths, like delta-spark's DRY-RUN
+        column shape."""
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})"
+            rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"unsupported VACUUM statement: {s!r}")
+        t = self._table(m.group(1))
+        kw = {}
+        if m.group(2) is not None:
+            kw["retention_hours"] = float(m.group(2))
+        deleted = t.vacuum(**kw)
+        return self.spark.createDataFrame([(p,) for p in deleted], "path string")
+
+    def _restore(self, s: str) -> DataFrame:
+        """``RESTORE [TABLE] t TO VERSION AS OF n`` /
+        ``... TO TIMESTAMP AS OF ts`` — Delta's rollback verb, O(file-list)
+        metadata work (no data movement)."""
+        m = re.match(
+            rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\"[^\"]*\"|\S+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlParseError(f"unsupported RESTORE statement: {s!r}")
+        t = self._table(m.group(1))
+        kind, val = m.group(2).upper(), m.group(3).strip().strip("'\"")
+        if kind == "VERSION":
+            return self._version_df(t.restore(version=int(val)))
+        try:
+            ts = float(val)
+        except ValueError:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(val).timestamp()
+        return self._version_df(t.restore(timestamp=ts))
+
+    def _create(self, s: str) -> DataFrame:
+        """``CREATE TABLE name LOCATION '<path>' AS <query>`` — CTAS into
+        a NEW vintage table, registered under ``name`` for subsequent
+        statements. LOCATION is required: the dispatcher has no metastore,
+        so the physical path must be explicit (Delta's external-table
+        form). The query runs through _prepare_query, so registered
+        tables and time travel are visible in it."""
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})(?:\s+USING\s+({_IDENT}))?"
+            rf"\s+LOCATION\s+'([^']+)'\s+AS\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlParseError(
+                f"unsupported CREATE statement (need CREATE TABLE name "
+                f"LOCATION '<path>' AS <query>): {s!r}"
+            )
+        name, using, loc, query = m.groups()
+        if name in self._tables:
+            raise SqlParseError(f"table {name!r} already registered")
+        if using is not None and using.lower() not in ("vintage", "sdlt"):
+            raise SqlParseError(
+                f"CREATE TABLE ... USING {using} is not supported; the "
+                "dispatcher creates vintage tables (export to Delta via "
+                "export_vintage_to_delta)"
+            )
+        from sdlt_spark.store import VintageTable
+
+        df = self.spark.sql(self._prepare_query(query.strip()))
+        t = VintageTable(self.spark, loc)
+        version = t.write(df, mode="errorifexists")
+        self.register(name, t)
+        return self._version_df(version)
 
     # --------------------------------------------------------------- MERGE
 

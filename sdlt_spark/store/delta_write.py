@@ -177,6 +177,32 @@ def _truncate_stat_strings(values: dict, is_max: bool) -> dict:
     return out
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _one_file_per_task(spark):
+    """Pin ``spark.sql.files.maxRecordsPerFile`` to 0 (unlimited) for the
+    duration of a write whose correctness depends on exactly one parquet
+    part per shuffle task. The export split jobs content-address output
+    names on (source token, partition tuple); if a session-level
+    maxRecordsPerFile split one task's rows across several parts, every
+    part beyond the first would silently vanish from the exported table —
+    and the row→part assignment is not reproducible across syncs, so the
+    skip-if-existing relink could not be taught to handle it either.
+    Restores the caller's setting on exit."""
+    key = "spark.sql.files.maxRecordsPerFile"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "0")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def _read_footer_stats_safe(abs_path: str) -> dict | None:
     try:
         from sdlt_spark.store.vintage import _read_footer_stats
@@ -933,14 +959,14 @@ def export_vintage_to_delta(
             "dv_mode='rewrite' cannot export a partitioned zero-copy import "
             "with live deletion vectors; use dv_mode='preserve'"
         )
-    if mat_rels and any(covering[rel] for rel in mat_rels):
-        # preserve-mode (the only mode reaching here with DVs): a roaring
-        # descriptor indexes row positions in the ORIGINAL file, and the
-        # split rewrite reorders them — the one remaining refusal
-        raise ValueError(
-            "cannot export a materialized partition file that live "
-            "deletion vectors still cover; compact() the source first"
-        )
+    # preserve-mode DVs over MATERIALIZED partition files (the only mode
+    # reaching here with DVs): a roaring descriptor indexes row positions
+    # in the ORIGINAL file and the split rewrite reorders them — so instead
+    # of exporting a descriptor, the split job APPLIES those files' DVs
+    # during the rewrite it performs anyway (anti-join, the read path's
+    # plan): the split outputs carry no DVs and cost nothing extra. Other
+    # covered files still hard-link zero-copy with their descriptors.
+    # (This lifts the round-8 refusal — no compact() detour needed.)
 
     def _token(rel: str) -> str:
         # mode participates for covered files only, so flipping dv_mode
@@ -1039,7 +1065,10 @@ def export_vintage_to_delta(
             .repartition(max(1, len(covered_rels)), "__tok")
         )
         rewrite_dir = os.path.join(staging, "rewrite")
-        surv.write.partitionBy("__tok").mode("errorifexists").parquet(rewrite_dir)
+        with _one_file_per_task(spark):
+            surv.write.partitionBy("__tok").mode("errorifexists").parquet(
+                rewrite_dir
+            )
         for d in os.listdir(rewrite_dir):
             if not d.startswith("__tok="):
                 continue
@@ -1049,7 +1078,14 @@ def export_vintage_to_delta(
                 for f in os.listdir(os.path.join(rewrite_dir, d))
                 if f.endswith(".parquet")
             )
-            # repartition-by-token ⇒ exactly one part per token
+            # repartition-by-token + pinned maxRecordsPerFile ⇒ exactly
+            # one part per token; anything else would drop rows silently
+            if len(parts) > 1:
+                raise RuntimeError(
+                    f"DV rewrite for token {tok} produced {len(parts)} "
+                    "parquet parts; expected exactly one (is a writer "
+                    "option splitting task output?)"
+                )
             out_rel = f"data/part-{tok}.parquet"
             pending_moves.append(
                 (os.path.join(rewrite_dir, d, parts[0]), os.path.join(dest, out_rel))
@@ -1084,13 +1120,40 @@ def export_vintage_to_delta(
         mapping = F.create_map(
             *[F.lit(x) for kv in tok_by_abs.items() for x in kv]
         )
-        mdf = mdf.withColumn(
-            "__tok", mapping[decoded_file_path(F.col("_metadata.file_path"))]
-        ).repartition(max(1, len(mat_rels)), "__tok", *part_cols)
+        mat_dvs = sorted({dv for rel in mat_rels for dv in covering[rel]})
+        if mat_dvs:
+            # fold the covering DVs into the split rewrite (see the note
+            # above _token): anti-join the deleted positions away, then
+            # derive the token from the canonicalized __dv_file — after a
+            # join, _metadata is no longer referencable, and __dv_file is
+            # exactly the per-row file identity the DV key carries
+            keyed = vintage._with_dv_key(mdf)
+            dv_df = spark.read.parquet(
+                *[os.path.join(vintage.path, f) for f in mat_dvs]
+            ).select("file", "pos")
+            surv = keyed.join(
+                dv_df,
+                (keyed["__dv_file"] == dv_df["file"])
+                & (keyed["__dv_pos"] == dv_df["pos"]),
+                "left_anti",
+            )
+            root_ = vintage.path.rstrip("/") + "/"
+            abs_src = F.when(
+                F.col("__dv_file").startswith("/"), F.col("__dv_file")
+            ).otherwise(F.concat(F.lit(root_), F.col("__dv_file")))
+            mdf = surv.withColumn("__tok", mapping[abs_src]).drop(
+                "__dv_file", "__dv_pos"
+            )
+        else:
+            mdf = mdf.withColumn(
+                "__tok", mapping[decoded_file_path(F.col("_metadata.file_path"))]
+            )
+        mdf = mdf.repartition(max(1, len(mat_rels)), "__tok", *part_cols)
         mat_dir = os.path.join(staging, "matsplit")
-        mdf.write.partitionBy("__tok", *part_cols).mode(
-            "errorifexists"
-        ).parquet(mat_dir)
+        with _one_file_per_task(spark):
+            mdf.write.partitionBy("__tok", *part_cols).mode(
+                "errorifexists"
+            ).parquet(mat_dir)
 
         def _leafs(d: str, pv: dict) -> list[tuple[str, dict]]:
             sub = [
@@ -1101,6 +1164,15 @@ def export_vintage_to_delta(
                 parts = sorted(
                     f for f in os.listdir(d) if f.endswith(".parquet")
                 )
+                # pinned maxRecordsPerFile ⇒ one part per (token,
+                # partition tuple); a multi-part leaf would silently drop
+                # every row past parts[0] from the exported table
+                if len(parts) > 1:
+                    raise RuntimeError(
+                        f"partition split leaf {d} produced {len(parts)} "
+                        "parquet parts; expected exactly one (is a "
+                        "writer option splitting task output?)"
+                    )
                 return [(os.path.join(d, parts[0]), pv)] if parts else []
             out = []
             for s in sub:

@@ -1342,7 +1342,18 @@ class VintageTable:
         With ``app``, only tokens written as ``'<app>:<id>'`` count and the
         ``<id>`` part is returned — Delta's appId-scoped setTransaction
         contract, so two independent streams (or an unrelated txn writer)
-        sharing one table cannot swallow each other's batch watermarks."""
+        sharing one table cannot swallow each other's batch watermarks.
+
+        App ids must not contain ``':'`` (the token separator): app
+        ``'a'`` would otherwise prefix-match another stream's token
+        ``'a:b:5'`` and return ``'b:5'``, which crashes ``int()`` in
+        fold_cdc_batch / stream_into_vintage or corrupts the exactly-once
+        watermark. Enforced here AND at token-writing call sites."""
+        if app is not None and ":" in app:
+            raise ValueError(
+                f"app id {app!r} contains ':' (the txn-token separator); "
+                "scoped watermarks would be ambiguous across streams"
+            )
         prefix = None if app is None else f"{app}:"
         for c in reversed(self._commits()):
             tid = (c.operation_parameters or {}).get("txnId")
@@ -1558,6 +1569,19 @@ class VintageTable:
                     ]
                 )
             tcols = [f.name for f in target_schema.fields]
+            # Assignments to columns outside the (possibly just-evolved)
+            # target schema would otherwise be silently dropped by the
+            # tcols-ordered rewrite below — Delta raises an AnalysisException
+            # here, so do the same rather than no-op a user's UPDATE SET
+            if matched_update is not None:
+                unknown = sorted(set(matched_update) - set(tcols))
+                if unknown:
+                    raise ValueError(
+                        f"merge matched_update assigns to column(s) "
+                        f"{unknown} not in the target schema {tcols}; "
+                        "pass schema_evolution=True to add new columns, "
+                        "or fix the assignment (Delta raises here too)"
+                    )
             # inserts = source rows whose key exists NOWHERE in the target;
             # every matched key's rows live in touched files by construction.
             # Under evolution a source missing an old table column pads it

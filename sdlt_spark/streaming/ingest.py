@@ -179,6 +179,11 @@ def stream_into_vintage(
 
     from sdlt_spark.store import VintageTable
 
+    if ":" in query_name:
+        raise ValueError(
+            f"query_name {query_name!r} contains ':' (the txn-token "
+            "separator); see VintageTable.last_txn_id"
+        )
     table = VintageTable(spark, table_path, change_feed=change_feed)
 
     def _dedup(df: DataFrame) -> DataFrame:

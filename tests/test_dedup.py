@@ -340,3 +340,60 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert w[3]["log_w"] == 0.0 and w[3]["n_grams"] == 0
     top = dsir_topk(raw, target, 1).collect()
     assert [r["doc_id"] for r in top] == [1]
+
+
+def test_lsh_bucket_cap_bounds_mass_duplicates(spark):
+    """Round-9 verdict item 1: plant 10k byte-identical documents — they
+    agree on EVERY LSH band, so uncapped candidate generation would emit
+    ~50M pairs per band from one bucket. With max_bucket_size the mega
+    buckets leave candidate generation; pairs in small buckets are still
+    found with exact jaccard."""
+    n = 10_000
+    rows = [(i, "the same boilerplate page text repeated") for i in range(n)]
+    rows += [(n, "alpha beta gamma delta epsilon zeta"),
+             (n + 1, "alpha beta gamma delta epsilon zeta eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_dedup(
+        docs, "doc_id", threshold=0.5, max_bucket_size=64
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # the clone mega-buckets are gone; the small-bucket near-pair remains,
+    # with jaccard computed over the FULL token sets (6/7)
+    assert got == {(n, n + 1): 0.8571}
+
+
+def test_exact_first_pipeline_bounds_mass_duplicates(spark):
+    """exact-dedup-before-minhash: 10k clones collapse to one
+    representative BEFORE banding (linear), re-entering as (rep, dup)
+    edges; the final clustering still unifies every clone and the
+    near-dup pair."""
+    n = 10_000
+    rows = [(i, "the same boilerplate page text repeated") for i in range(n)]
+    rows += [(n, "alpha beta gamma delta epsilon zeta"),
+             (n + 1, "alpha beta gamma delta epsilon zeta eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dedup.exact_then_minhash_pairs(
+        docs, "doc_id", threshold=0.5, max_bucket_size=64
+    )
+    # linear edge count: n-1 exact edges + the one minhash pair
+    assert edges.count() == n
+    clusters = dedup.dedup_clusters(edges, docs.select("doc_id"), "doc_id")
+    labels = {r["doc_id"]: r["cluster"] for r in clusters.collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert labels[n] == labels[n + 1] == n
+
+
+def test_simhash_bucket_cap_bounds_mass_duplicates(spark):
+    """Same skew class for simhash: identical docs share ALL chunk
+    buckets; the cap drops those mega buckets while a 2-copy bucket
+    (hamming 0) is still found."""
+    n = 10_000
+    rows = [(i, "the same boilerplate page text repeated") for i in range(n)]
+    rows += [(n, "alpha beta gamma delta epsilon zeta"),
+             (n + 1, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_neardup(
+        docs, "doc_id", max_hamming=3, max_bucket_size=64
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(n, n + 1): 0}

@@ -3240,3 +3240,64 @@ def test_export_sync_survives_full_materialization(spark, tmp_path):
         assert set(pv) == {"r"}, f"{rel} lost its partitionValues"
     got = sorted((x["k"], x["r"], x["v"]) for x in r.read().collect())
     assert got == [(1, 0, "v1!"), (2, 0, "v2!"), (3, 1, "v3!")]
+
+
+def test_export_preserve_dv_over_materialized_partition_split(spark, tmp_path):
+    """Round-9 verdict item 5 — the last export refusal, lifted: a
+    partitioned zero-copy import where a CoW update MATERIALIZED some
+    files and live deletion vectors still cover them. The split rewrite
+    now APPLIES those files' DVs during the rewrite it performs anyway
+    (descriptor positions index the pre-split row order, so exporting
+    them verbatim was impossible); untouched zero-copy files keep their
+    roaring descriptors. An independent log-replay read must see the
+    post-update post-delete snapshot."""
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    root = str(tmp_path / "dt")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    adds = []
+    for i, part in enumerate(("a", "b")):
+        sub = f"p={part}"
+        spark.createDataFrame(
+            [(k + 100 * i, part) for k in range(100)], "k long, v string"
+        ).coalesce(1).write.parquet(f"{root}/{sub}")
+        adds += [
+            (f"{sub}/{f}", {"p": part})
+            for f in sorted(os.listdir(f"{root}/{sub}"))
+            if f.endswith(".parquet")
+        ]
+    DeltaLogWriter(root).commit(
+        adds=adds, schema_json=schema, partition_columns=["p"]
+    )
+    src = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    # CoW update materializes the p=a file (partition col now inline)
+    src.update("k < 50", {"v": "'zz'"})
+    # DV over the MATERIALIZED file (previously the refusal)
+    src.delete("k < 10", mode="dv")
+    # DV over a still-zero-copy file (p=b): descriptor round-trips
+    src.delete("k >= 190", mode="dv")
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(src, dest, dv_mode="preserve")
+    r = DeltaTableReader(spark, dest)
+    got = r.read()
+    assert got.count() == 180
+    assert got.filter("v = 'zz'").count() == 40
+    assert got.filter("k < 10").count() == 0
+    assert got.filter("k >= 190").count() == 0
+    assert {x["p"] for x in got.select("p").distinct().collect()} == {"a", "b"}
+    # the zero-copy covered file carries a REAL roaring descriptor; split
+    # outputs (DVs applied) carry none
+    snap = r.snapshot()
+    assert len(snap.dvs) == 1
+    # re-sync with no source change re-links nothing and stays consistent
+    export_vintage_to_delta(src, dest, dv_mode="preserve")
+    assert r.read().count() == 180

@@ -767,3 +767,142 @@ def test_row_count_ignores_hidden_paths(spark, tmp_path):
         pa.table({"x": [9, 9, 9]}), str(d / "_temporary" / "0" / "part-x.parquet")
     )
     assert tables.row_count(str(tmp_path), "events") == 2
+
+
+# ------------------------------------------------- round-9 advice regressions
+
+
+def test_merge_update_unknown_column_raises(spark, tmp_path):
+    """ADVICE r9: an UPDATE SET assignment to a column outside the target
+    schema must raise (Delta parity), not silently no-op."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    src = spark.createDataFrame([(1, 99.0)], "k long, v double")
+    with pytest.raises(ValueError, match="not in the target schema"):
+        t.merge(src, ["k"], matched_update={"vv": "src_v"})
+    # schema_evolution legitimizes assignments to NEW source columns
+    src2 = spark.createDataFrame([(1, 99.0, "x")], "k long, v double, w string")
+    t.merge(src2, ["k"], matched_update={"w": "src_w"}, schema_evolution=True)
+    assert t.read().filter("k = 1").head()["w"] == "x"
+
+
+def test_sql_merge_update_unknown_column_raises(spark, tmp_path):
+    """The SqlDispatcher MERGE surface routes into the same validation."""
+    from sdlt_spark.sql_dml import SqlDispatcher
+
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    spark.createDataFrame([(1, 99.0)], "k long, v double").createOrReplaceTempView(
+        "r9src"
+    )
+    d = SqlDispatcher(spark)
+    d.register("t", t)
+    with pytest.raises(ValueError, match="not in the target schema"):
+        d.sql(
+            "MERGE INTO t USING r9src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET t.vv = s.v"
+        )
+
+
+def test_export_split_survives_max_records_per_file(spark, tmp_path):
+    """ADVICE r9: a session-level maxRecordsPerFile must not silently drop
+    rows from the partitioned-export split (every part beyond parts[0])."""
+    import json
+
+    from sdlt_spark.store.delta_read import (
+        DeltaTableReader,
+        import_delta_to_vintage,
+    )
+    from sdlt_spark.store.delta_write import (
+        DeltaLogWriter,
+        export_vintage_to_delta,
+    )
+
+    # a real partitioned Delta table: partition values live only in the log
+    root = str(tmp_path / "dt")
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    adds = []
+    for part in ("a", "b"):
+        sub = f"p={part}"
+        spark.createDataFrame(
+            [(i, part) for i in range(100)], "k long, v string"
+        ).coalesce(1).write.parquet(f"{root}/{sub}")
+        import os as _os
+
+        adds += [
+            (f"{sub}/{f}", {"p": part})
+            for f in sorted(_os.listdir(f"{root}/{sub}"))
+            if f.endswith(".parquet")
+        ]
+    DeltaLogWriter(root).commit(
+        adds=adds, schema_json=schema, partition_columns=["p"]
+    )
+    src = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    # CoW update materializes the partition column into rewritten files
+    src.update("k < 50", {"v": "'zz'"})
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try:
+        dest = str(tmp_path / "delta_out")
+        export_vintage_to_delta(src, dest)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    got = DeltaTableReader(spark, dest).read()
+    assert got.count() == 200
+    assert got.filter("v = 'zz'").count() == 100
+
+
+def test_last_txn_id_rejects_colon_app(spark, tmp_path):
+    """ADVICE r9: app ids containing ':' are ambiguous against the
+    '<app>:<version>' token encoding and must be rejected."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"), txn_id="a:b:5"
+    )
+    with pytest.raises(ValueError, match="':'"):
+        t.last_txn_id(app="a")
+
+
+def test_sql_split_handles_escaped_quotes(spark):
+    """ADVICE r9: backslash-escaped and doubled quotes inside string
+    literals must not desynchronize the clause splitters."""
+    from sdlt_spark import sql_dml
+
+    clauses = sql_dml._split_when_clauses(
+        "WHEN MATCHED AND t.name = 'it\\'s' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert len(clauses) == 2 and clauses[0].endswith("DELETE")
+    clauses = sql_dml._split_when_clauses(
+        "WHEN MATCHED AND t.name = 'when matched then' THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert len(clauses) == 2
+    parts = sql_dml._split_top("a = 'x''y, z', b = 2")
+    assert parts == ["a = 'x''y, z'", "b = 2"]
+    parts = sql_dml._split_top("a = 'x\\', b', c = 3")
+    assert parts == ["a = 'x\\', b'", "c = 3"]
+
+
+def test_dedup_ops_release_cache(spark):
+    """ADVICE r9: repeated dedup calls in one session must not accumulate
+    block-manager cache entries."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for _ in range(2):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", n=2, threshold=0.1).collect()
+        dedup.minhash_dedup(docs, "doc_id", threshold=0.5).collect()
+        dedup.simhash_neardup(docs, "doc_id").collect()
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getPersistentRDDs().size()
+    assert cached == 0, f"{cached} persisted RDDs leaked"

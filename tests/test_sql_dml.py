@@ -372,3 +372,89 @@ def test_sql_clause_evolution_records_nullable_schema(spark, tmp_path):
     assert fields["tag"].nullable is True
     got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
     assert got[1] == (9.0, "X") and got[2] == (2.0, None)
+
+
+# --------------------------------------------------- maintenance verbs (r9)
+
+
+def test_sql_maintenance_verbs_vintage(spark, tmp_path):
+    """OPTIMIZE / VACUUM [RETAIN n HOURS] / RESTORE ... TO VERSION AS OF /
+    CREATE TABLE ... AS over a vintage table — the delta-spark statement
+    spellings of the existing Python verbs (round-9 verdict item 2)."""
+    import os
+
+    d = SqlDispatcher(spark)
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(k, k % 3, float(k)) for k in range(30)],
+            "k long, grp long, v double",
+        ).repartition(6)
+    )
+    d.register("t", t)
+    vd = d.sql("DELETE FROM t WHERE grp = 0").head()["version"]
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 20
+    # RESTORE undoes the delete, metadata-only
+    d.sql(f"RESTORE TABLE t TO VERSION AS OF {vd - 1}")
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
+    # OPTIMIZE compacts to the default 4 files, dataChange=false
+    d.sql("OPTIMIZE t")
+    assert len(t._live_files()) <= 4 + 1  # data files (+ possible dv)
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
+    hist = d.sql("DESCRIBE HISTORY t").head()["operation"]
+    assert hist == "OPTIMIZE"
+    # ZORDER spelling routes to the z-curve compact path
+    d.sql("OPTIMIZE t ZORDER BY (k, v)")
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
+    # VACUUM RETAIN 0 HOURS physically drops dead files
+    n_before = sum(len(fs) for _, _, fs in os.walk(t.path))
+    deleted = d.sql("VACUUM t RETAIN 0 HOURS").collect()
+    assert len(deleted) > 0
+    n_after = sum(len(fs) for _, _, fs in os.walk(t.path))
+    assert n_after < n_before
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
+    # CTAS materializes a filtered snapshot into a NEW registered table
+    d.sql(
+        f"CREATE TABLE t2 LOCATION '{tmp_path / 'ctas'}' AS "
+        "SELECT k, v FROM t WHERE grp <> 0"
+    )
+    assert d.sql("SELECT count(*) AS n FROM t2").head()["n"] == 20
+    with pytest.raises(SqlParseError, match="already registered"):
+        d.sql(
+            f"CREATE TABLE t2 LOCATION '{tmp_path / 'ctas2'}' AS "
+            "SELECT * FROM t"
+        )
+    with pytest.raises(SqlParseError, match="not supported"):
+        d.sql(
+            f"CREATE TABLE t3 USING parquet LOCATION '{tmp_path / 'p'}' AS "
+            "SELECT * FROM t"
+        )
+
+
+def test_sql_maintenance_verbs_delta_export(spark, tmp_path):
+    """The same statements drive an exported Delta table through the
+    optimize/vacuum/restore delta_write verbs."""
+    from sdlt_spark.store.delta_read import DeltaTableReader
+    from sdlt_spark.store.delta_write import export_vintage_to_delta
+
+    t = VintageTable(spark, str(tmp_path / "v"))
+    t.write(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(40)], "k long, v double"
+        ).repartition(8)
+    )
+    dest = str(tmp_path / "d")
+    export_vintage_to_delta(t, dest)
+    d = SqlDispatcher(spark)
+    d.register_delta("dt", dest)
+    vd = d.sql("DELETE FROM dt WHERE k >= 30").head()["version"]
+    assert d.sql("SELECT count(*) AS n FROM dt").head()["n"] == 30
+    d.sql(f"RESTORE TABLE dt TO VERSION AS OF {vd - 1}")
+    assert d.sql("SELECT count(*) AS n FROM dt").head()["n"] == 40
+    d.sql("OPTIMIZE dt")
+    assert d.sql("SELECT count(*) AS n FROM dt").head()["n"] == 40
+    deleted = d.sql("VACUUM dt RETAIN 0 HOURS").collect()
+    assert isinstance(deleted, list)
+    assert d.sql("SELECT count(*) AS n FROM dt").head()["n"] == 40
+    # an independent log-replay read agrees after the maintenance cycle
+    assert DeltaTableReader(spark, dest).read().count() == 40
