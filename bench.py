@@ -81,6 +81,16 @@ BENCH_QUERIES = [
 
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
+# Targeted re-measures (e.g. BASELINE.md drift investigations) can subset
+# the suite without editing this file:
+#   SPARK_GRAFT_BENCH_QUERIES=neardup_cosine,ann_lsh_topk python bench.py
+if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    BENCH_QUERIES = [
+        q.strip()
+        for q in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+        if q.strip()
+    ]
+
 
 def _timed(fn) -> float:
     t0 = time.time()

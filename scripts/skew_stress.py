@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
