@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "bigram_logprob",
     "semantic_dedup",
+    # round-9: the dhash-at-ingest amortization path (decode once, sweep
+    # JVM-only) — recorded alongside image_neardup_dhash so the index's
+    # advantage stays measured (48-query suite)
+    "image_neardup_dhash_indexed",
 ]
 
 

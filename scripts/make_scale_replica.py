@@ -29,9 +29,9 @@ failure modes the dedup bucket caps target, ON TOP of the replicated corpus:
   times under fresh doc_ids — identical docs agree on EVERY LSH band and
   EVERY simhash chunk, so uncapped candidate generation would emit ~5e9
   pairs per band from that one bucket;
-- a **single hot shingle**: a fixed sentinel trigram appended to every
-  replica-0 document (~50k docs) — one shingle with df ~50k, the
-  quadratic hot key the ngram df-cap fences.
+- a **single hot shingle**: one twin per replica-0 document (doc_id <
+  5000 at the default factor) carrying a fixed sentinel trigram — one
+  shingle with df ≈ 5k, the quadratic hot key the ngram df-cap fences.
 
 The planted rows are APPENDED (originals untouched), so the linear-scaling
 properties of the base replica stay measurable alongside the stress rows.

@@ -63,9 +63,14 @@ def _materialize_and_release(result: DataFrame, *cached: DataFrame) -> DataFrame
     """Evaluate ``result`` once (eager localCheckpoint) while ``cached``
     intermediates are hot, then unpersist them all. Long-lived sessions
     call the dedup operators repeatedly; persisted intermediates left
-    behind would accumulate in the block manager forever (the leak class
-    dsir_weights' no-persist discipline documents). The checkpoint backs
-    the returned frame, so releasing the caches never re-runs lineage."""
+    behind would accumulate in the block manager forever — and they are
+    the O(corpus) frames (token tables, gram tables, signatures), the
+    leak class dsir_weights' no-persist discipline documents. The
+    checkpoint backs the returned frame, so releasing the caches never
+    re-runs lineage. The checkpoint's own blocks are O(result) — pairs,
+    not corpus — and are reclaimed by Spark's ContextCleaner once the
+    caller drops the frame: storage is bounded by LIVE results, never by
+    call count."""
     try:
         return result.localCheckpoint(eager=True)
     finally:
@@ -525,6 +530,7 @@ def minhash_dedup(
     bands: int | None = None,
     estimate_prefilter: bool = True,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> LSH banding -> signature-estimate
     prefilter -> exact-Jaccard verify on token arrays.
@@ -532,6 +538,11 @@ def minhash_dedup(
     pages) at candidate generation — see :func:`lsh_candidate_pairs`; run
     :func:`dedup_exact` first so byte-identical copies never reach the
     banding join at all. The oracle takes the same knob.
+    ``materialize`` (default): evaluate eagerly and RELEASE the persisted
+    intermediates before returning (no block-manager growth across calls);
+    pass False to get the lazy plan back — the intermediates stay cached
+    and the CALLER owns ``spark.catalog.clearCache()`` (plan tests and
+    callers that compose further before acting use this).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
 
     ``bands`` defaults to the standard S-curve tuning: pick b so the collision
@@ -646,7 +657,7 @@ def minhash_dedup(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return _materialize_and_release(out, combined)
+        return _materialize_and_release(out, combined) if materialize else out
 
     th = token_hashes(df, id_col, text_col).persist()
     sig = _signatures_from_hashes(th, id_col, num_hashes).persist()
@@ -693,7 +704,7 @@ def minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_and_release(out, th, sig, est, toks_arr)
+    return _materialize_and_release(out, th, sig, est, toks_arr) if materialize else out
 
 
 def exact_then_minhash_pairs(
@@ -720,9 +731,14 @@ def exact_then_minhash_pairs(
 
     Returns (id_a, id_b) edges; feed to :func:`dedup_clusters`. The
     portable oracle is ``cluster_oracle_sql(..., exact_first=True)``."""
-    canon = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp")
-    )
+    # the shared normalization contract (md5 of lower/trim) lives in ONE
+    # place — text.fingerprint — for exact_dedup, this composition, and
+    # the oracle's xfp CTE alike. canon is persisted because three
+    # consumers (rep agg, canon_map join, left_semi) would otherwise
+    # re-run the corpus-wide md5 scan; released before returning.
+    canon = fingerprint(
+        df.filter(F.col(text_col).isNotNull()), text_col
+    ).select(id_col, "fp").persist()
     rep = canon.groupBy("fp").agg(F.min(id_col).alias("rep_id"))
     canon_map = canon.join(rep, "fp").select(id_col, "rep_id")
     reps_docs = df.join(
@@ -741,7 +757,8 @@ def exact_then_minhash_pairs(
     exact_edges = canon_map.filter(F.col(id_col) != F.col("rep_id")).select(
         F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )
-    return mh.select("id_a", "id_b").unionByName(exact_edges).distinct()
+    out = mh.select("id_a", "id_b").unionByName(exact_edges).distinct()
+    return _materialize_and_release(out, canon)
 
 
 # ------------------------------------------------------------------ simhash
@@ -835,6 +852,7 @@ def simhash_neardup(
     max_hamming: int = 3,
     num_chunks: int | None = None,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance. Candidates from equality
     on any (64/num_chunks)-bit chunk — pigeonhole guarantees full recall for
@@ -914,7 +932,7 @@ def simhash_neardup(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return _materialize_and_release(out, sh)
+    return _materialize_and_release(out, sh) if materialize else out
 
 
 def simhash_oracle_sql(
@@ -1005,6 +1023,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_frequency: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for all pairs sharing at least one
     shingle. The shared-shingle equi join IS the candidate generator — pairs
@@ -1048,7 +1067,7 @@ def ngram_jaccard_pairs(
         id_col,
         "ngram",
     ).filter(F.col("jaccard") >= threshold)
-    return _materialize_and_release(out, grams)
+    return _materialize_and_release(out, grams) if materialize else out
 
 
 # ----------------------------------------------------------- dup clustering

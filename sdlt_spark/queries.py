@@ -4043,6 +4043,14 @@ def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingles)."""
     from sdlt_spark.operators.dedup import _materialize_and_release
 
+    out, fps = _passage_overlap_lazy(spark, sf_dir)
+    return _materialize_and_release(out, fps)
+
+
+def _passage_overlap_lazy(spark: SparkSession, sf_dir: str):
+    """The passage_overlap plan pre-materialization: returns (result,
+    persisted fingerprint frame). Split out so plan tests can inspect the
+    join/prefilter shape the registry entry's eager checkpoint hides."""
     fps = _text.winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id").persist()
     common = (
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
@@ -4059,7 +4067,7 @@ def passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
-    return _materialize_and_release(out, fps)
+    return out, fps
 
 
 @_q(

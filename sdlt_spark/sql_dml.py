@@ -249,6 +249,9 @@ class _DeltaExportTable:
             "export_vintage_to_delta or a vintage table"
         )
 
+    def latest_version(self) -> int:
+        return self._reader.latest_version()
+
     def compact(self, zorder_by: list[str] | None = None, **kw) -> int:
         from sdlt_spark.store.delta_write import optimize_delta_export
 
@@ -324,7 +327,10 @@ class SqlDispatcher:
             return self._vacuum(s)
         if kw == "RESTORE":
             return self._restore(s)
-        if kw == "CREATE":
+        if kw == "CREATE" and re.match(r"CREATE\s+TABLE\b", s, re.IGNORECASE):
+            # only plain CREATE TABLE is intercepted (the CTAS verb);
+            # CREATE [OR REPLACE] [TEMP] VIEW etc. keep falling through
+            # to Spark like before this verb existed
             return self._create(s)
         # SELECT / WITH / VALUES / EXPLAIN ... -> Spark, with registered
         # tables visible as temp views of their CURRENT snapshot and
@@ -465,7 +471,7 @@ class SqlDispatcher:
         # with nothing to pack returns None -> report the current version
         version = t.optimize() if hasattr(t, "optimize") else t.compact()
         if version is None:
-            version = len(t.history().collect()) - 1
+            version = t.latest_version()
         return self._version_df(version)
 
     def _vacuum(self, s: str) -> DataFrame:

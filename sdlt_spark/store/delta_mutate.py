@@ -840,6 +840,16 @@ def merge_delta_export(
                     },
                 )
         tcols = [f.name for f in snap.schema.fields]
+        if not schema_evolution:
+            # star semantics (updateAll/insertAll) without autoMerge:
+            # extra source columns raise like delta-spark, instead of the
+            # select below silently discarding them
+            extra = sorted(set(source.columns) - set(tcols))
+            if extra:
+                raise ValueError(
+                    f"MERGE source has column(s) {extra} not in the target "
+                    "schema; pass schema_evolution=True to add them"
+                )
         src = source.select(*tcols)  # errors if a target column is missing
         live = sorted(snap.files)
         params = {

@@ -496,6 +496,18 @@ class VintageTable:
         data_change: bool = True,
         schema_json: str | None = None,
     ) -> int:
+        tid = (params or {}).get("txnId")
+        if tid is not None and str(tid).count(":") > 1:
+            # the app-scoped watermark contract encodes '<app>:<version>';
+            # a token with several colons is ambiguous under prefix
+            # matching (app 'a' would read token 'a:b:5' as version
+            # 'b:5' and crash int() in the streaming folds) — reject at
+            # the ONE place every txn token passes through
+            raise ValueError(
+                f"txn_id {tid!r} contains more than one ':' — ambiguous "
+                "against the '<app>:<version>' scoped-watermark encoding "
+                "(see last_txn_id)"
+            )
         version = self._next_version()
         entry = _Commit(
             version=version,
@@ -1348,7 +1360,10 @@ class VintageTable:
         ``'a'`` would otherwise prefix-match another stream's token
         ``'a:b:5'`` and return ``'b:5'``, which crashes ``int()`` in
         fold_cdc_batch / stream_into_vintage or corrupts the exactly-once
-        watermark. Enforced here AND at token-writing call sites."""
+        watermark. Enforced here, at the composing call sites
+        (stream_into_vintage / fold_cdc_batch reject ':' in app ids), and
+        at the sink: ``_commit`` refuses any txn token with more than one
+        colon, so an ambiguous token can never be written."""
         if app is not None and ":" in app:
             raise ValueError(
                 f"app id {app!r} contains ':' (the txn-token separator); "
@@ -1534,6 +1549,25 @@ class VintageTable:
             touched = sorted(set(touched) | {self._rel(u) for u in del_uris})
 
         target_schema = self._schema_at() if self.exists() else src.schema
+        if self.exists() and not schema_evolution and not clause_mode:
+            # Delta parity for star semantics (the default verb IS
+            # updateAll + insertAll): without autoMerge, source columns
+            # outside the target schema raise — the projections below
+            # would otherwise silently discard them (the user believes
+            # the column landed). Clause mode is exempt: there, extra
+            # source columns are legitimate EXPRESSION inputs
+            # (``matched_update={"v": "src_ratio * v"}``) and the clause
+            # insert projects the target schema like Delta's explicit
+            # INSERT (cols) form.
+            extra = sorted(
+                set(src.columns) - {f.name for f in target_schema.fields}
+            )
+            if extra:
+                raise ValueError(
+                    f"merge source has column(s) {extra} not in the target "
+                    f"schema; pass schema_evolution=True to add them "
+                    "(Delta raises here too)"
+                )
 
         def _pad_to(frame: DataFrame, schema) -> DataFrame:
             """Project onto schema order, adding evolved columns an old file
@@ -1586,12 +1620,22 @@ class VintageTable:
             # every matched key's rows live in touched files by construction.
             # Under evolution a source missing an old table column pads it
             # with nulls (autoMerge insertAll); otherwise the source must
-            # supply every table column (select errors, like Delta)
-            ins_src = (
-                _pad_to(src, target_schema)
-                if schema_evolution
-                else src.select(*tcols)
+            # supply every table column (select errors, like Delta). A
+            # matched-only merge (insert_condition 'false' — the SQL
+            # dispatcher's encoding for "no NOT MATCHED clause") never
+            # inserts, so its source legitimately carries only the key +
+            # clause-input columns (Delta allows this too): inserts are an
+            # EMPTY frame, not a projection the source can't satisfy.
+            never_inserts = (
+                insert_condition is not None
+                and insert_condition.strip().lower() == "false"
             )
+            if never_inserts:
+                ins_src = self.spark.createDataFrame([], target_schema)
+            elif schema_evolution:
+                ins_src = _pad_to(src, target_schema)
+            else:
+                ins_src = src.select(*tcols)
             src_extra = src.select(
                 *key_cols,
                 *[

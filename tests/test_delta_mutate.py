@@ -882,8 +882,10 @@ def test_merge_schema_evolution_appends_columns(spark, tmp_path):
     src = spark.createDataFrame(
         [(2, "upd", 7.5), (99, "new", 9.0)], "k long, v string, score double"
     )
-    # without the flag, the extra column is dropped (no evolution)
-    merge_delta_export(root, spark, src, on=["k"])
+    # without the flag, the extra column RAISES (Delta parity, round 9 —
+    # previously it was silently dropped, which users read as data loss)
+    with pytest.raises(ValueError, match="not in the target"):
+        merge_delta_export(root, spark, src, on=["k"])
     assert "score" not in DeltaTableReader(spark, root).read().columns
     # with it, the schema evolves and pre-evolution rows read null
     v = merge_delta_export(root, spark, src, on=["k"], schema_evolution=True)

@@ -381,3 +381,39 @@ def test_vad_segments_hand_cases(spark):
     errs = [r["media_id"] for r in out if r["decode_error"] is not None]
     assert errs == [2]
     assert not [r for r in out if r["media_id"] == 1]
+
+
+def test_dhash_indexed_wide_bands_and_bucket_cap(spark):
+    """Round-9: the indexed sweep's 16-bit-band setting (multi-index
+    hashing's selectivity knob) finds hamming <= 3 pairs with 4-band
+    pigeonhole recall; the bucket cap drops mass-duplicate buckets."""
+    rows = [
+        (1, 0x12345678, 0x9ABCDE00),
+        (2, 0x12345678, 0x9ABCDE03),  # hamming 2 from id 1 (low band differs)
+        (3, 0x00000000, 0x00000000),
+    ]
+    h = spark.createDataFrame(rows, "media_id long, dhash_hi long, dhash_lo long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.dhash_neardup_indexed(h, max_hamming=3, num_bands=4).collect()
+    }
+    assert got == {(1, 2): 2}
+    # mass-duplicate cluster: every band bucket exceeds the cap -> no pairs
+    clones = spark.createDataFrame(
+        [(i, 0x5555AAAA, 0x33CC33CC) for i in range(200)]
+        + [(500, 0x0F0F0F0F, 0x70F0F0F0), (501, 0x0F0F0F0F, 0x70F0F0F1)],
+        "media_id long, dhash_hi long, dhash_lo long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.dhash_neardup_indexed(
+            clones, max_hamming=3, num_bands=4, max_bucket_size=64
+        ).collect()
+    }
+    assert got == {(500, 501): 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pigeonhole"):
+        mm.dhash_neardup_indexed(h, max_hamming=4, num_bands=4)
+    with _pt.raises(ValueError, match="num_bands"):
+        mm.dhash_neardup_indexed(h, max_hamming=3, num_bands=5)

@@ -138,8 +138,24 @@ def test_minhash_dedup_broadcasts_side_tables(spark):
     and picks broadcast-hash joins for the candidate-pair enrichment — with
     NO explicit broadcast hint (at real scale the same stats make it fall
     back to a shuffle join instead of OOMing an executor). The banding
-    self-join must shuffle only compact (id, band, bh) rows."""
-    plan = plan_of(spark, "minhash_lsh_dedup")
+    self-join must shuffle only compact (id, band, bh) rows.
+
+    materialize=False keeps the lazy plan inspectable (the registry's
+    default eagerly checkpoints and releases the caches, which collapses
+    the executed plan to a checkpoint scan)."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import dedup as _dd
+
+    docs = tables.load(spark, SF, "documents")
+    plan = (
+        _dd.minhash_dedup(
+            docs, "doc_id", threshold=0.9, estimate_prefilter=False,
+            materialize=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     try:
         assert "SortMergeJoin" not in plan, plan
         # the final (verify) stage joins the persisted estimate survivors
@@ -288,12 +304,14 @@ def test_passage_overlap_prefilters_hot_fingerprints(spark):
     """The stop-fingerprint cut must happen BEFORE the self-join: the plan
     joins two filtered sides, so no > 50-doc fingerprint ever reaches the
     pair-generating join."""
-    fn, _ = q.registry()["passage_overlap"]
-    df = fn(spark, SF)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # the ndocs <= 50 aggregate-filter feeds the join (appears as a
-    # frequency aggregate upstream of the final pair count)
-    assert plan.count("Aggregate") >= 3  # freq cut + pair count (+partials)
+    df, fps = q._passage_overlap_lazy(spark, SF)
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the ndocs <= 50 aggregate-filter feeds the join (appears as a
+        # frequency aggregate upstream of the final pair count)
+        assert plan.count("Aggregate") >= 3  # freq cut + pair count (+partials)
+    finally:
+        fps.unpersist()
 
 
 def test_partitioned_write_scan_prunes_directories(spark):

