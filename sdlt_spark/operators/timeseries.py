@@ -44,11 +44,21 @@ def resample_ffill(
         "hour": {"1 hour"},
         "day": {"1 day"},
         "week": {"1 week", "7 day"},
+        "month": {"1 month"},
+        "quarter": {"3 month", "1 quarter"},
+        "year": {"1 year", "12 month"},
     }
     allowed = _bucket_freq.get(bucket)
+    if allowed is None:
+        # an unknown bucket must REFUSE, not skip validation — the
+        # docstring's contract is "mismatches are refused, not guessed"
+        raise ValueError(
+            f"bucket={bucket!r} is not a supported date_trunc unit for "
+            f"resampling; expected one of {sorted(_bucket_freq)}"
+        )
     canon = freq.strip().lower()
     canon = canon[:-1] if canon.endswith("s") else canon
-    if allowed is not None and canon not in allowed:
+    if canon not in allowed:
         raise ValueError(
             f"freq={freq!r} does not step one {bucket!r} bucket: grid "
             "points would silently miss (or never match) the truncated "

@@ -172,11 +172,31 @@ class VintageSnapshotReader(DataSourceReader):
         for col, lo, hi in self._ranges:
             data = t._prune_by_range(data, col, lo, hi)
         root = os.path.abspath(self._path)
-        dv_abs = tuple(os.path.normpath(os.path.join(self._path, d)) for d in dvs)
-        return [
-            _SnapshotFilePartition(os.path.join(self._path, rel), dv_abs, root)
-            for rel in data
-        ]
+        # Driver-side coverage map: each partition ships ONLY the sidecars
+        # that cover its file — shipping the full DV list made every
+        # executor task scan every sidecar, O(files x DVs) small reads.
+        # Paths are abspathed so a relative .option('path', ...) still
+        # matches apply_dv_mask's ref resolution (a relative abs_path
+        # compared against absolute refs silently skipped the mask —
+        # resurrecting deleted rows).
+        coverage = t._dv_coverage(dvs) if dvs else {}
+        cover_by_file: dict[str, list[str]] = {}
+        for dv_rel, covered in coverage.items():
+            dv_abs = os.path.normpath(os.path.join(root, dv_rel))
+            for c in covered:
+                key = os.path.normpath(os.path.abspath(c))
+                cover_by_file.setdefault(key, []).append(dv_abs)
+        parts = []
+        for rel in data:
+            abs_path = os.path.normpath(os.path.join(root, rel))
+            parts.append(
+                _SnapshotFilePartition(
+                    abs_path,
+                    tuple(sorted(cover_by_file.get(abs_path, ()))),
+                    root,
+                )
+            )
+        return parts
 
     def read(self, partition: _SnapshotFilePartition):
         """Executor-side: one parquet file -> Arrow batches cast/padded to
@@ -342,6 +362,27 @@ class VintageWriter(DataSourceArrowWriter):
 
             for attempt in range(_COMMIT_RETRIES):
                 try:
+                    if attempt > 0 and not self._overwrite and t.exists():
+                        # a lost version race means ANOTHER commit landed;
+                        # if it changed the schema, re-publishing ours
+                        # would silently revert it (Delta re-checks
+                        # metadata conflicts on retry too) — re-run the
+                        # same schema-match gate against the NEW state
+                        cur = {
+                            f.name: f.dataType.simpleString()
+                            for f in t._schema_at().fields
+                        }
+                        inc = {
+                            f.name: f.dataType.simpleString()
+                            for f in self._schema.fields
+                        }
+                        if inc != cur:
+                            self.abort(messages)
+                            raise ValueError(
+                                "append schema mismatch after concurrent "
+                                f"commit: table now has {sorted(cur.items())}, "
+                                f"dataframe has {sorted(inc.items())}"
+                            )
                     remove = t._live_files() if (self._overwrite and t.exists()) else []
                     t._commit(
                         "WRITE", params, files, remove, schema_json=self._schema.json()
@@ -371,8 +412,15 @@ class VintageSnapshotDataSource(DataSource):
         return "vintage"
 
     def schema(self) -> StructType:
-        path, version, _ts = _parse_options(dict(self.options))
-        base = _table(path)._schema_at(version=version)
+        path, version, ts = _parse_options(dict(self.options))
+        t = _table(path)
+        if ts is not None and version is None:
+            # timestampAsOf must resolve the schema IN EFFECT at that
+            # time — _schema_at(None) would pad old files to the LATEST
+            # schema, showing columns that did not exist yet (diverging
+            # from VintageTable.read(timestamp=...))
+            version = t._version_at(ts)
+        base = t._schema_at(version=version)
         # every column nullable: padded evolution rows carry NULLs
         return StructType([StructField(f.name, f.dataType, True) for f in base.fields])
 

@@ -32,8 +32,15 @@ def resolve_table_path(root: str, p: str) -> str:
     import os
 
     if p.startswith("file:"):
-        # file:///abs, file://host/abs, file:/abs -> the path part
-        tail = p.split(":", 1)[1]
+        # file:///abs, file://host/abs, file:/abs -> the path part.
+        # RFC 8089: after "file://" the segment up to the next '/' is the
+        # AUTHORITY (host), not part of the path — '/'.lstrip alone would
+        # fold 'localhost' into the filesystem path
+        tail = p[len("file:"):]
+        if tail.startswith("//"):
+            rest = tail[2:]
+            slash = rest.find("/")
+            return rest[slash:] if slash >= 0 else "/"
         return "/" + tail.lstrip("/")
     if os.path.isabs(p):
         return p

@@ -483,6 +483,16 @@ class VintageTable:
             live.update(c.add)
         return sorted(live)
 
+    def _version_at(self, timestamp: float) -> int:
+        """The version in effect at ``timestamp`` (same resolution rule as
+        ``_live_files``): the newest commit at or before it."""
+        ckpt = self._load_checkpoint(timestamp=timestamp)
+        commits = self._commits(after=ckpt["version"] if ckpt else -1)
+        eligible = [c for c in commits if c.timestamp <= timestamp]
+        if not eligible and ckpt is None:
+            raise ValueError(f"no version at or before timestamp {timestamp}")
+        return eligible[-1].version if eligible else ckpt["version"]
+
     def _next_version(self) -> int:
         versions = self._commit_versions()
         return versions[-1] + 1 if versions else 0

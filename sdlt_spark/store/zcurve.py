@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    DateType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 DICT_MAX_DEFAULT = 4096
 
@@ -45,29 +50,52 @@ def zorder_key(
     — matching a sort key where that column is constant."""
     if len(zorder_by) < 2:
         raise ValueError("zorder_by needs >= 2 columns; use sort_by for 1")
+    # the interleave must fit a 64-bit long: Spark's shiftleft masks its
+    # amount mod 64, so an out-of-range shift would SILENTLY alias high
+    # bucket bits onto low Morton positions (near-random clustering, no
+    # error). Shrink bits to fit — more columns = coarser per-column
+    # buckets, the standard Morton trade.
+    bits = min(bits, 64 // len(zorder_by))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_by lists {len(zorder_by)} columns; at most 64 fit a "
+            "64-bit Morton key"
+        )
     n_buckets = 1 << bits
-    num_cols = [
-        c
-        for c in zorder_by
-        if not isinstance(df.schema[c].dataType, StringType)
-    ]
+
+    def _as_num(c: str) -> Column | None:
+        """Numeric view of a non-string column, safe for BOTH the bounds
+        agg and width_bucket: temporal types go through their epoch form
+        (float(datetime) on the driver would TypeError)."""
+        dt = df.schema[c].dataType
+        if isinstance(dt, StringType):
+            return None
+        if isinstance(dt, DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            return F.col(c).cast("double")  # epoch seconds
+        return F.col(c).cast("double")
+
+    num_exprs = {c: e for c in zorder_by if (e := _as_num(c)) is not None}
+    # bounds aggregated on the CONVERTED expression, so lo/hi land on the
+    # driver as plain floats whatever the column type
     bounds = (
         df.agg(
-            *[F.min(c).alias(f"__lo_{c}") for c in num_cols],
-            *[F.max(c).alias(f"__hi_{c}") for c in num_cols],
+            *[F.min(e).alias(f"__lo_{c}") for c, e in num_exprs.items()],
+            *[F.max(e).alias(f"__hi_{c}") for c, e in num_exprs.items()],
         ).head()
-        if num_cols
+        if num_exprs
         else None
     )
     z = F.lit(0).cast("long")
     for d, c in enumerate(zorder_by):
-        if c in num_cols:
+        if c in num_exprs:
             lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
             if lo is None or hi is None or lo == hi:
                 continue
             bucket = (
                 F.width_bucket(
-                    F.col(c).cast("double"),
+                    num_exprs[c],
                     F.lit(float(lo)),
                     F.lit(float(hi)),
                     F.lit(n_buckets),

@@ -943,3 +943,139 @@ def test_dedup_ops_release_cache(spark):
         str(rdd) for rdd in jmap.values() if not rdd.isLocallyCheckpointed()
     ]
     assert not leaked, f"persist() leaked: {leaked}"
+
+
+# --------------------------------------------- round-9 module-sweep findings
+
+
+def test_zorder_timestamp_and_date_columns(spark, tmp_path):
+    """Review r9: OPTIMIZE ZORDER BY over temporal columns crashed on
+    float(datetime) — bounds now aggregate on the epoch expression."""
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(40)], "k long, v double"
+        ).selectExpr(
+            "k",
+            "v",
+            "timestamp_seconds(1700000000 + k * 3600) AS ts",
+            "date_add(DATE '2024-01-01', CAST(k AS INT)) AS d",
+        ).repartition(4)
+    )
+    t.compact(zorder_by=["ts", "d"])
+    got = t.read()
+    assert got.count() == 40
+    assert got.filter("k = 7").head()["v"] == 7.0
+
+
+def test_zorder_many_columns_shrinks_bits(spark):
+    """Review r9: >6 columns at bits=10 would shift past 63 (Spark masks
+    mod 64, silently aliasing buckets) — bits now shrink to fit."""
+    from sdlt_spark.store.zcurve import zorder_key
+
+    df = spark.createDataFrame(
+        [tuple(float(i * 7 + j) for j in range(7)) for i in range(20)],
+        ", ".join(f"c{j} double" for j in range(7)),
+    )
+    keys = [r["z"] for r in df.select(zorder_key(df, [f"c{j}" for j in range(7)]).alias("z")).collect()]
+    assert len(set(keys)) > 1  # still discriminates
+    assert all(k >= 0 for k in keys)
+
+
+def test_batch_source_dv_partitions_absolute_and_scoped(spark, tmp_path, monkeypatch):
+    """Review r9: (a) partition file paths must be ABSOLUTE so the DV-ref
+    comparison in apply_dv_mask matches even when .option('path') is
+    relative (a relative abs_path silently skipped the mask, resurrecting
+    deleted rows); (b) each partition ships only the sidecars that COVER
+    its file, not the full DV list (was O(files x DVs) executor reads)."""
+    import os
+
+    from sdlt_spark.store.batch_source import VintageSnapshotReader
+
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(
+        spark.createDataFrame([(k, float(k)) for k in range(10)], "k long, v double")
+        .repartition(2, "k")
+    )
+    t.delete("k = 3", mode="dv")
+    monkeypatch.chdir(tmp_path)
+    reader = VintageSnapshotReader(t.read().schema, {"path": "vt"})
+    parts = reader.partitions()
+    assert all(os.path.isabs(p.abs_path) for p in parts)
+    assert all(os.path.isabs(d) for p in parts for d in p.dv_paths)
+    covered = [p for p in parts if p.dv_paths]
+    assert len(covered) == 1  # only the file holding k=3 ships its sidecar
+    # end-to-end through the data source (absolute path): row masked
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    spark.dataSource.register(VintageSnapshotDataSource)
+    got = sorted(
+        r["k"]
+        for r in spark.read.format("vintage")
+        .option("path", str(tmp_path / "vt"))
+        .load()
+        .collect()
+    )
+    assert got == [k for k in range(10) if k != 3]
+
+
+def test_batch_source_timestamp_travel_schema(spark, tmp_path):
+    """Review r9: timestampAsOf must resolve the schema in effect AT the
+    timestamp, not pad old files to the latest schema."""
+    import time as _time
+
+    from sdlt_spark.store.batch_source import VintageSnapshotDataSource
+
+    t = VintageTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    _time.sleep(0.05)
+    ts = _time.time()
+    _time.sleep(0.05)
+    t.merge(
+        spark.createDataFrame([(2, 2.0, "w2")], "k long, v double, w string"),
+        ["k"],
+        schema_evolution=True,
+    )
+    spark.dataSource.register(VintageSnapshotDataSource)
+    old = (
+        spark.read.format("vintage")
+        .option("path", t.path)
+        .option("timestampAsOf", str(ts))
+        .load()
+    )
+    assert "w" not in old.columns
+    assert old.count() == 1
+
+
+def test_resample_unknown_bucket_refuses(spark):
+    """Review r9: month/quarter/year buckets silently skipped the
+    freq-mismatch guard; unknown buckets now refuse outright."""
+    from sdlt_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-15 00:00:00", 1.0), (1, "2024-03-02 00:00:00", 3.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    with pytest.raises(ValueError, match="does not step one"):
+        resample_ffill(df, "k", "ts", "v", bucket="month")  # default 1 day
+    out = {
+        str(r["bucket_start"]): r["value"]
+        for r in resample_ffill(
+            df, "k", "ts", "v", bucket="month", freq="1 month"
+        ).collect()
+    }
+    assert len(out) == 3  # Jan, Feb (ffilled), Mar
+    assert out["2024-02-01 00:00:00"] == 1.0
+    with pytest.raises(ValueError, match="not a supported"):
+        resample_ffill(df, "k", "ts", "v", bucket="fortnight")
+
+
+def test_resolve_file_uri_authority():
+    """Review r9: file://host/abs must strip the authority, not fold the
+    host into the filesystem path."""
+    from sdlt_spark.store.paths import resolve_table_path
+
+    assert resolve_table_path("/r", "file:///tmp/x.parquet") == "/tmp/x.parquet"
+    assert resolve_table_path("/r", "file://localhost/tmp/x") == "/tmp/x"
+    assert resolve_table_path("/r", "file:/tmp/x") == "/tmp/x"
+    assert resolve_table_path("/r", "rel/x") == "/r/rel/x"

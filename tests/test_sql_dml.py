@@ -109,6 +109,20 @@ def test_sql_choreography(spark, tmp_path):
         _n(d.sql("SELECT count(*) AS n FROM exr WHERE OBS_COM IS NULL"))
         == snap.count() - 1
     )
+    # 13. maintenance as SQL (reference README.md:403-415): OPTIMIZE
+    #     compacts without a logical change, VACUUM drops the dead files —
+    #     every checkpoint count above still reads back identically
+    n_before = _n(d.sql("SELECT count(*) AS n FROM exr"))
+    d.sql("OPTIMIZE exr")
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == n_before
+    import os as _os
+
+    files_before = sum(len(fs) for _, _, fs in _os.walk(str(tmp_path / "exr")))
+    deleted = d.sql("VACUUM exr RETAIN 0 HOURS").collect()
+    assert len(deleted) > 0
+    files_after = sum(len(fs) for _, _, fs in _os.walk(str(tmp_path / "exr")))
+    assert files_after < files_before
+    assert _n(d.sql("SELECT count(*) AS n FROM exr")) == n_before
 
 
 @pytest.fixture()
