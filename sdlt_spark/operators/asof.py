@@ -61,6 +61,21 @@ def asof_join(
 
     out_cols = [f"{v}{suffix}" for v in value_cols]
     left_cols = left.columns
+    # fail fast on name collisions: emitting a second 'v_asof' next to an
+    # existing left column of that name would return a frame whose next
+    # select/write dies with AMBIGUOUS_REFERENCE far from the cause; the
+    # reserved plumbing names would collide inside the union below
+    clash = sorted(set(out_cols) & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} already exist on the left "
+            "side; pass a different suffix="
+        )
+    reserved = sorted({"__side", "__pack"} & set(left_cols))
+    if reserved:
+        raise ValueError(
+            f"left side uses reserved asof_join column name(s) {reserved}"
+        )
 
     # Values ride in ONE struct per right row: last(.., ignorenulls) then
     # tracks "latest right ROW", not "latest non-null value" — a right row

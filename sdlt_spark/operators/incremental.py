@@ -65,26 +65,43 @@ def fold_cdc_batch(
     w = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
+    # decimal(28,2) per value / (38,2) accumulator: representable up to
+    # ~10^36 — a 10^16 cap (the previous 18,2) is reachable by real money
+    # columns and would kill the stream under ANSI or silently NULL-drop
+    # from the sum with ANSI off
     delta = batch_df.groupBy(*keys).agg(
         F.sum(w).alias("dn"),
-        F.sum(F.col(value_col).cast("decimal(18,2)") * w)
-        .cast("decimal(28,2)")
+        F.sum(F.col(value_col).cast("decimal(28,2)") * w)
+        .cast("decimal(38,2)")
         .alias("dtotal"),
     )
     if state.exists():
-        cur = state.read()
+        cur = state.read().alias("s")
+        d = delta.alias("d")
+        # eqNullSafe per key: groupBy treats NULL keys as ONE group, so the
+        # state join must too — a null-unsafe `on=keys` would never match a
+        # NULL-key state row against its delta, accumulating duplicate NULL
+        # rows and dropping NULL-key deletes at the n>0 filter (permanent
+        # divergence from a recompute)
+        cond = None
+        for k in keys:
+            eq = F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}"))
+            cond = eq if cond is None else (cond & eq)
         merged = (
-            cur.join(delta, on=keys, how="full_outer")
+            cur.join(d, on=cond, how="full_outer")
             .select(
-                *keys,
+                *[
+                    F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k)
+                    for k in keys
+                ],
                 (
                     F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
                 ).alias("n"),
                 (
-                    F.coalesce(F.col("total"), F.lit(0).cast("decimal(28,2)"))
-                    + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(28,2)"))
+                    F.coalesce(F.col("total"), F.lit(0).cast("decimal(38,2)"))
+                    + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(38,2)"))
                 )
-                .cast("decimal(28,2)")
+                .cast("decimal(38,2)")
                 .alias("total"),
             )
             .filter(F.col("n") > 0)
@@ -125,7 +142,11 @@ def maintain_agg_stream(
     Returns the started StreamingQuery; the caller drives/stops it.
     """
     from sdlt_spark.store import VintageTable
+    from sdlt_spark.streaming.vintage_source import VintageChangeDataSource
 
+    # self-contained public API: register the CDC source so a fresh
+    # session works out of the box (re-registration is idempotent)
+    spark.dataSource.register(VintageChangeDataSource)
     state = VintageTable(spark, state_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -177,7 +198,7 @@ def incremental_agg(
         seed.groupBy(*keys)
         .agg(
             F.sum("__w").alias("n"),
-            F.sum(F.col("__v").cast("decimal(18,2)") * F.col("__w")).alias("__total"),
+            F.sum(F.col("__v").cast("decimal(28,2)") * F.col("__w")).alias("__total"),
         )
         .filter(F.col("n") > 0)
         .select(*keys, "n", F.round(F.col("__total").cast("double"), 2).alias("total"))

@@ -269,21 +269,37 @@ def read_dv_blob(descriptor: dict, table_root: str) -> bytes:
 
     storage = descriptor.get("storageType", "u")
     ref = descriptor["pathOrInlineDv"]
+    want = descriptor.get("sizeInBytes")
     if storage == "i":
         data = z85_decode(ref)
+        # delta-spark's Base85Codec ZERO-PADS the blob to a 4-byte
+        # multiple before encoding and truncates to sizeInBytes on
+        # decode — a spec-conformant inline DV whose bitmap is not a
+        # multiple of 4 arrives padded and must be sliced, not rejected
+        if want is not None and 0 <= len(data) - want < 4:
+            data = data[:want]
     else:
         path = dv_file_path(descriptor, table_root)
         offset = descriptor.get("offset", 0) or 0
         with open(path, "rb") as f:
             f.seek(offset)
-            (size,) = struct.unpack(">i", f.read(4))
+            head = f.read(4)
+            if len(head) < 4:
+                raise ValueError(f"truncated deletion vector in {path}")
+            (size,) = struct.unpack(">i", head)
+            if size < 0:
+                raise ValueError(
+                    f"corrupt deletion vector length {size} in {path}"
+                )
             data = f.read(size)
-            (crc,) = struct.unpack(">I", f.read(4))
-        if len(data) != size:
+            tail = f.read(4)
+        # length-check BEFORE unpacking the CRC: a torn sidecar must fail
+        # with this message, not struct.error on a short tail read
+        if len(data) != size or len(tail) < 4:
             raise ValueError(f"truncated deletion vector in {path}")
+        (crc,) = struct.unpack(">I", tail)
         if zlib.crc32(data) & 0xFFFFFFFF != crc & 0xFFFFFFFF:
             raise ValueError(f"deletion vector checksum mismatch in {path}")
-    want = descriptor.get("sizeInBytes")
     if want is not None and want != len(data):
         raise ValueError(
             f"deletion vector sizeInBytes={want} but blob is {len(data)} bytes"
@@ -332,18 +348,16 @@ def write_dv_file(table_root: str, positions: list[int], uuid_hex: str,
 
 def inline_dv_descriptor(positions: list[int]) -> dict:
     """Inline (storageType ``i``) descriptor for small DVs — fixture and
-    export helper; Z85 requires the blob be padded to a 4-byte multiple,
-    so delta writers only inline when it naturally is (ours always is:
-    every component of the portable format is 4-byte aligned... except
-    16-bit array containers — pad via the framing rules below)."""
+    export helper. delta-spark's Base85Codec ZERO-PADS the blob to a
+    4-byte multiple before Z85-encoding and relies on ``sizeInBytes`` to
+    truncate on decode; we write the same shape (read_dv_blob slices the
+    padding back off), so odd-length bitmaps — e.g. 16-bit array
+    containers with odd cardinality — inline fine."""
     data = serialize_rbm_array(positions)
-    if len(data) % 4:
-        raise ValueError(
-            "blob length not Z85-encodable; use write_dv_file for this DV"
-        )
+    pad = (-len(data)) % 4
     return {
         "storageType": "i",
-        "pathOrInlineDv": z85_encode(data),
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
         "sizeInBytes": len(data),
         "cardinality": len(positions),
     }

@@ -2,8 +2,11 @@
 
 Schema and key derivation follow /root/reference/README.md:45-80: explicit
 non-nullable StructType applied to CSV reads, and a surrogate KEY column
-concatenating the six dimensions (``concat_ws`` instead of the reference's
-concat+lit chain — same result, one expression).
+concatenating the six dimensions with ``concat`` + ``':'`` literals —
+matching the reference's concat+lit chain INCLUDING its NULL semantics
+(any NULL dimension -> NULL key). ``concat_ws`` would look equivalent but
+SKIPS NULL arguments, so two differently-malformed rows could collide on
+one key and merge into each other — see ``with_key``.
 """
 
 from __future__ import annotations

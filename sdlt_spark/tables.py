@@ -77,7 +77,11 @@ def row_count(sf_dir: str, name: str) -> int:
             # counting them would disagree with load()'s row count
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in fnames:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                # extension-agnostic like spark.read.parquet: the reader
+                # takes every non-hidden file in the directory (an
+                # extensionless part file written by an external tool
+                # still counts toward load()'s rows)
+                if not f.startswith(("_", ".")) and not f.endswith(".crc"):
                     total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
         return total
     return pq.read_metadata(path).num_rows

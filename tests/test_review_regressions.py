@@ -1079,3 +1079,66 @@ def test_resolve_file_uri_authority():
     assert resolve_table_path("/r", "file://localhost/tmp/x") == "/tmp/x"
     assert resolve_table_path("/r", "file:/tmp/x") == "/tmp/x"
     assert resolve_table_path("/r", "rel/x") == "/r/rel/x"
+
+
+def test_fold_cdc_null_keys_fold_as_one_group(spark, tmp_path):
+    """Review r9: NULL grouping keys must fold like groupBy treats them —
+    one group — not accumulate duplicate state rows / drop deletes."""
+    from sdlt_spark.operators.incremental import fold_cdc_batch
+
+    state = VintageTable(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(None, 5.0, "insert"), (None, 7.0, "insert"), ("a", 1.0, "insert")],
+        "g string, v double, _change_type string",
+    )
+    fold_cdc_batch(state, b1, 0, ["g"], "v")
+    b2 = spark.createDataFrame(
+        [(None, 5.0, "delete"), (None, 7.0, "delete")],
+        "g string, v double, _change_type string",
+    )
+    fold_cdc_batch(state, b2, 1, ["g"], "v")
+    rows = {r["g"]: (r["n"], float(r["total"])) for r in state.read().collect()}
+    assert rows == {"a": (1, 1.0)}  # the NULL group deleted to zero and left
+
+
+def test_inline_dv_odd_length_truncates_padding(tmp_path):
+    """Review r9: delta-spark zero-pads inline DV blobs to a 4-byte
+    multiple; readers must slice to sizeInBytes, not reject."""
+    from sdlt_spark.store.delta_dv import (
+        dv_positions,
+        inline_dv_descriptor,
+        serialize_rbm_array,
+    )
+
+    # 16-bit array container with odd cardinality -> odd-length blob
+    for positions in ([1, 5, 9], [0], list(range(7))):
+        blob = serialize_rbm_array(positions)
+        desc = inline_dv_descriptor(positions)
+        assert desc["sizeInBytes"] == len(blob)
+        assert dv_positions(desc, str(tmp_path)) == sorted(positions)
+
+
+def test_dv_file_truncation_fails_descriptively(tmp_path):
+    """Review r9: a torn sidecar raises the intended 'truncated' message,
+    not struct.error on a short CRC read."""
+    import pytest as _pt
+
+    from sdlt_spark.store.delta_dv import read_dv_blob, write_dv_file
+
+    import uuid as _uuid
+
+    desc = write_dv_file(str(tmp_path), [1, 2, 3], str(_uuid.uuid4()))
+    path = next(p for p in tmp_path.iterdir() if p.name.startswith("deletion_vector"))
+    raw = path.read_bytes()
+    path.write_bytes(raw[: len(raw) - 6])  # tear mid-CRC
+    with _pt.raises(ValueError, match="truncated deletion vector"):
+        read_dv_blob(desc, str(tmp_path))
+
+
+def test_asof_join_rejects_colliding_output_names(spark):
+    """Review r9: an output name already on the left side must fail fast,
+    not return a frame with duplicate columns."""
+    left = spark.createDataFrame([(1, 10, 0.0)], "k long, ts long, v_asof double")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["v"])
