@@ -383,7 +383,7 @@ def minhash_oracle_sql(
     n_eq = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(num_hashes))
     est_cte = (
         f""",
-    est AS (
+    est AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cand c
       JOIN sig sa ON sa.{id_col} = c.id_a
@@ -404,33 +404,33 @@ def minhash_oracle_sql(
         )
     )
     return f"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT DISTINCT {id_col}, u.token
       FROM {table}, LATERAL unnest(string_split({text_col}, ' ')) AS u(token)
     ),
-    th AS (
+    th AS MATERIALIZED (
       SELECT {id_col}, token,
              CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {p} AS h
       FROM tok
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT {id_col},
     {sig_cols}
       FROM th GROUP BY {id_col}
     ),
-    band_all AS (
+    band_all AS MATERIALIZED (
     {band_rows}
     ),
     band AS (
       SELECT band_all.* FROM band_all
       {bucket_cap_join}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
       FROM band a JOIN band b
         ON a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}
     ){est_cte},
-    hs AS (SELECT DISTINCT {id_col}, h FROM th),
+    hs AS MATERIALIZED (SELECT DISTINCT {id_col}, h FROM th),
     sz AS (SELECT {id_col}, count(*) AS sz FROM hs GROUP BY {id_col}),
     scored AS (
       SELECT e.id_a, e.id_b,
@@ -477,24 +477,24 @@ def cluster_oracle_sql(
             estimate_prefilter=estimate_prefilter,
             max_bucket_size=max_bucket_size,
         )
-        pair_ctes = f"pairs AS ({inner})"
+        pair_ctes = f"pairs AS MATERIALIZED ({inner})"
     else:
         inner = minhash_oracle_sql(
             "reps_docs", id_col, text_col, threshold, num_hashes,
             estimate_prefilter=estimate_prefilter,
             max_bucket_size=max_bucket_size,
         )
-        pair_ctes = f"""xfp AS (
+        pair_ctes = f"""xfp AS MATERIALIZED (
       SELECT {id_col}, md5(lower(trim({text_col}))) AS fp
       FROM {table} WHERE {text_col} IS NOT NULL
     ),
-    xrep AS (SELECT fp, min({id_col}) AS rep_id FROM xfp GROUP BY fp),
+    xrep AS MATERIALIZED (SELECT fp, min({id_col}) AS rep_id FROM xfp GROUP BY fp),
     xcanon AS (SELECT f.{id_col}, r.rep_id FROM xfp f JOIN xrep r USING (fp)),
-    reps_docs AS (
+    reps_docs AS MATERIALIZED (
       SELECT d.* FROM {table} d JOIN xrep r ON r.rep_id = d.{id_col}
     ),
-    mh_pairs AS ({inner}),
-    pairs AS (
+    mh_pairs AS MATERIALIZED ({inner}),
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM mh_pairs
       UNION
       SELECT rep_id AS id_a, {id_col} AS id_b FROM xcanon
@@ -502,7 +502,7 @@ def cluster_oracle_sql(
     )"""
     return f"""
     WITH RECURSIVE {pair_ctes},
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
       SELECT id_b AS src, id_a AS dst FROM pairs
@@ -511,7 +511,14 @@ def cluster_oracle_sql(
     reach AS (
       SELECT id, id AS lbl FROM nodes
       UNION
-      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      -- lbl < dst pruning: the final label is the component MIN, which
+      -- always propagates under this guard (from its own seed the min
+      -- label m satisfies m < y for every other member y), while rows
+      -- carrying non-minimal labels past smaller ids — the bulk of the
+      -- closure on big clusters — are cut. Sound: comp takes min(lbl)
+      -- and every node keeps its (id, id) seed.
+      SELECT e.dst AS id, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.id AND r.lbl < e.dst
     ),
     comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
     SELECT d.{id_col} AS {id_col},

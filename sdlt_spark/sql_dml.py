@@ -465,6 +465,10 @@ class SqlDispatcher:
         zraw = m.group(2) or m.group(3)
         zorder = [c.strip() for c in zraw.split(",")] if zraw else None
         t = self._table(name)
+        if zorder and len(zorder) == 1 and not isinstance(t, _DeltaExportTable):
+            # Delta accepts single-column ZORDER; a 1-D Morton curve is
+            # just a sort, so route to the range-sort compaction
+            return self._version_df(t.compact(sort_by=zorder))
         if zorder:
             return self._version_df(t.compact(zorder_by=zorder))
         # plain OPTIMIZE = Delta's bin-packing compaction; a vintage table

@@ -585,7 +585,7 @@ def test_incremental_agg_folds_update_images(spark, tmp_path):
     # an unrelated txn writer cannot shadow or crash the fold's watermark
     state.write(
         spark.createDataFrame([("z", 9, 1.0)], "k string, n long, total double")
-        .select("k", "n", F.col("total").cast("decimal(28,2)")),
+        .select("k", "n", F.col("total").cast("decimal(38,2)")),
         mode="append",
         txn_id="maintenance:999999",
     )

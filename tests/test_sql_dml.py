@@ -420,6 +420,9 @@ def test_sql_maintenance_verbs_vintage(spark, tmp_path):
     # ZORDER spelling routes to the z-curve compact path
     d.sql("OPTIMIZE t ZORDER BY (k, v)")
     assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
+    # single-column ZORDER = a 1-D curve = a range sort (Delta accepts it)
+    d.sql("OPTIMIZE t ZORDER BY k")
+    assert d.sql("SELECT count(*) AS n FROM t").head()["n"] == 30
     # VACUUM RETAIN 0 HOURS physically drops dead files
     n_before = sum(len(fs) for _, _, fs in os.walk(t.path))
     deleted = d.sql("VACUUM t RETAIN 0 HOURS").collect()
