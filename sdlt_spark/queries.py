@@ -499,13 +499,18 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "window_time_range",
     # RANGE frame over event TIME, not row position: everything within the
-    # trailing hour. Spark expresses interval ranges on an epoch-seconds
-    # ordering key; DuckDB on the timestamp directly — same window set.
-    # count() (not avg) keeps the check integer-exact.
+    # trailing hour AT SECOND GRANULARITY on both engines. Spark's
+    # ts.cast('long') truncates sub-second precision, so the oracle must
+    # order by floor(epoch(ts)) too — `RANGE INTERVAL 1 HOUR` over the raw
+    # timestamp honors microseconds and diverges exactly when one pair of
+    # events straddles the boundary by a fraction of a second (first seen
+    # at sf0.1: 3600.x-second gaps truncate inside the hour on the Spark
+    # side). count() (not avg) keeps the check integer-exact.
     """
     SELECT event_id,
-           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
-                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+           CAST(count(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 3600 PRECEDING
                                          AND CURRENT ROW) AS BIGINT)
              AS n_last_hour
     FROM events
