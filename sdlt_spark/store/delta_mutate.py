@@ -260,7 +260,9 @@ def _to_physical(df: DataFrame, snap, extra_cols: tuple[str, ...] = ()):
 
     if not snap.mapping:
         return df, list(snap.partition_columns)
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # field-id EMISSION is scoped to the actual write (_write_data_files
+    # wraps it in _with_parquet_field_ids) — setting the session conf here
+    # would leak the behavior change to every later unrelated write
     cols = []
     for f in snap.schema.fields:
         c = F.col(f.name).cast(_physical_type(f.dataType, with_ids=True))
@@ -433,8 +435,16 @@ def _zone(abs_f: str):
 def _removes(snap, rels: list[str]) -> list:
     """Remove actions naming each canceled logical file's (path, dvId)
     identity — a bare path remove would not reconcile against a
-    DV-bearing add for spec-conforming readers."""
-    return [(rel, snap.dvs[rel]) if rel in snap.dvs else rel for rel in rels]
+    DV-bearing add for spec-conforming readers. The file's REAL partition
+    values ride as the third element (extendedFileMetadata promises
+    them; an empty map on a partitioned table is a spec-shape
+    violation that partition-pruning tooling would misread)."""
+    return [
+        (rel, snap.dvs[rel], snap.files.get(rel) or {})
+        if rel in snap.dvs
+        else rel
+        for rel in rels
+    ]
 
 
 def _write_data_files(
@@ -461,7 +471,10 @@ def _write_data_files(
         writer = out.write.mode("errorifexists")
         if partition_columns:
             writer = writer.partitionBy(*partition_columns)
-        writer.parquet(staging)
+        from sdlt_spark.store.delta_write import _with_parquet_field_ids
+
+        with _with_parquet_field_ids(df.sparkSession):
+            writer.parquet(staging)
         pending = []
         for dirpath, _dirs, files in os.walk(staging):
             relpart = os.path.relpath(dirpath, staging)
@@ -851,6 +864,23 @@ def merge_delta_export(
                     "schema; pass schema_evolution=True to add them"
                 )
         src = source.select(*tcols)  # errors if a target column is missing
+        # duplicate source keys: the kept/incoming split below would land
+        # BOTH duplicates (and on a row-tracked table both would inherit
+        # one stable row id) — delta-spark raises
+        # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW; one tiny agg
+        # validates (the same job class as the identity-column check)
+        from pyspark.sql import functions as _F
+
+        chk = src.agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.count_distinct(_F.struct(*on)).alias("nd"),
+        ).head()
+        if chk["n"] != chk["nd"]:
+            raise ValueError(
+                f"MERGE source has {chk['n'] - chk['nd']} duplicate key(s) "
+                f"on {on} (delta-spark raises here too); de-duplicate the "
+                "source first"
+            )
         live = sorted(snap.files)
         params = {
             "predicate": " AND ".join(f"{k} = source.{k}" for k in on),

@@ -203,6 +203,26 @@ def _one_file_per_task(spark):
             spark.conf.set(key, prior)
 
 
+@contextlib.contextmanager
+def _with_parquet_field_ids(spark):
+    """Scope ``spark.sql.parquet.fieldId.write.enabled`` to one write (the
+    column-mapping rewrites need parquet field ids emitted from the alias
+    metadata) and restore the caller's setting — a bare ``conf.set`` would
+    change the SHARED session's behavior for every later unrelated write.
+    Harmless for frames without id metadata, but scoping is the same
+    discipline as ``_one_file_per_task``."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def _read_footer_stats_safe(abs_path: str) -> dict | None:
     try:
         from sdlt_spark.store.vintage import _read_footer_stats
@@ -253,6 +273,68 @@ class DeltaLogWriter:
     def latest_version(self) -> int:
         """Current head version, -1 on an empty log."""
         return self._next_version() - 1
+
+    def _existing_table_id(self) -> str | None:
+        """The table's metadata.id from the newest metaData action — JSON
+        commits scanned newest-first, checkpoint replay as the fallback
+        when every earlier JSON commit was cleaned up."""
+        versions = sorted(
+            (
+                int(f[:-5])
+                for f in os.listdir(self.log_dir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            try:
+                with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "metaData" in a:
+                            return a["metaData"].get("id")
+            except OSError:
+                continue
+        try:
+            from sdlt_spark.store.delta_read import DeltaTableReader
+
+            return DeltaTableReader(None, self.path).snapshot().metadata.get("id")
+        except Exception:  # noqa: BLE001 — no prior metadata resolvable
+            return None
+
+    def _existing_protocol(self) -> dict | None:
+        """The newest protocol action on the log — JSON commits scanned
+        newest-first, checkpoint replay as the fallback."""
+        versions = sorted(
+            (
+                int(f[:-5])
+                for f in os.listdir(self.log_dir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            try:
+                with open(os.path.join(self.log_dir, f"{v:020d}.json")) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        if "protocol" in a:
+                            return dict(a["protocol"])
+            except OSError:
+                continue
+        try:
+            from sdlt_spark.store.delta_read import DeltaTableReader
+
+            snap = DeltaTableReader(None, self.path).snapshot()
+            return dict(snap.protocol) if snap.protocol else None
+        except Exception:  # noqa: BLE001
+            return None
 
     def _next_version(self) -> int:
         """Max over JSON commits AND checkpoint versions + 1 — a log whose
@@ -350,6 +432,17 @@ class DeltaLogWriter:
                             break
             except OSError:
                 pass  # previous commit checkpointed away: mtimes rule there
+        # CHECK constraints (delta.constraints.*) are a writer-version-3
+        # feature, generated columns writer-version-4: stock writers must
+        # see the floor or they would append rows without enforcing the
+        # invariant / recomputing the expression
+        min_writer = 2
+        if any(k.startswith("delta.constraints.") for k in (configuration or {})):
+            min_writer = 3
+        if schema_json and "delta.generationExpression" in schema_json:
+            min_writer = 4
+        if schema_json and "delta.identity." in schema_json:
+            min_writer = 6  # identityColumns floor
         actions: list[dict] = []
         if protocol is not None:
             # caller-supplied protocol wins outright — clones copy the
@@ -359,42 +452,34 @@ class DeltaLogWriter:
             actions.append({"protocol": protocol})
         elif dvs:
             # DV-bearing tables are protocol (3, 7) with the feature named
-            # — emitted as an upgrade action when the first DV arrives
-            # after table creation (spec-legal in any commit)
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": ["deletionVectors"],
-                    }
-                }
-            )
+            # — emitted as an upgrade of the EXISTING protocol (its legacy
+            # versions translate to explicit features), never a bare
+            # replacement that would drop e.g. checkConstraints: stock
+            # writers would then append without enforcing the invariant
+            existing = self._existing_protocol()
+            if existing is None:
+                # fresh table born with DVs: upgrade the implied legacy
+                # floor this commit's own configuration/schema demands
+                existing = {"minReaderVersion": 1, "minWriterVersion": min_writer}
+            actions.append({"protocol": upgraded_dv_protocol(existing)})
         elif version == 0 and protocol is None:
-            # CHECK constraints (delta.constraints.*) are a writer-version-3
-            # feature, generated columns writer-version-4: stock writers
-            # must see the floor or they would append rows without
-            # enforcing the invariant / recomputing the expression
-            min_writer = 2
-            if any(
-                k.startswith("delta.constraints.") for k in (configuration or {})
-            ):
-                min_writer = 3
-            if schema_json and "delta.generationExpression" in schema_json:
-                min_writer = 4
-            if schema_json and "delta.identity." in schema_json:
-                min_writer = 6  # identityColumns floor
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": min_writer}}
             )
         if version == 0 and schema_json is None:
             raise ValueError("first Delta commit needs schema_json")
         if schema_json is not None:
+            # table id is STABLE for the table's lifetime (Delta contract:
+            # streaming readers key checkpoints on metadata.id and abort on
+            # a change) — a re-emitted metaData carries the v0 id; only the
+            # very first commit mints one
+            table_id = (
+                self._existing_table_id() if version > 0 else None
+            ) or str(uuid.uuid4())
             actions.append(
                 {
                     "metaData": {
-                        "id": str(uuid.uuid4()),
+                        "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": partition_columns or [],
@@ -457,7 +542,11 @@ class DeltaLogWriter:
                 add["stats"] = json.dumps(stats_payload)
             actions.append({"add": add})
         for item in removes or []:
-            rel, rem_dv = item if isinstance(item, tuple) else (item, None)
+            if isinstance(item, tuple):
+                rel, rem_dv = item[0], item[1]
+                rm_pvals = item[2] if len(item) > 2 else None
+            else:
+                rel, rem_dv, rm_pvals = item, None, None
             rm = {
                 "path": urllib.parse.quote(rel),
                 "deletionTimestamp": ts,
@@ -465,11 +554,16 @@ class DeltaLogWriter:
             }
             if rem_dv:
                 # the (path, dvId) identity of the logical file this remove
-                # cancels, plus extendedFileMetadata per PROTOCOL.md (size/
-                # partitionValues accompany the descriptor)
+                # cancels, plus extendedFileMetadata per PROTOCOL.md — which
+                # promises the file's REAL partitionValues (callers pass
+                # them as the tuple's third element on partitioned tables;
+                # an empty map is only correct for unpartitioned ones)
                 abs_r = os.path.join(self.path, rel)
                 rm["extendedFileMetadata"] = True
-                rm["partitionValues"] = {}
+                rm["partitionValues"] = {
+                    k: (None if v is None else str(v))
+                    for k, v in (rm_pvals or {}).items()
+                }
                 if os.path.exists(abs_r):
                     rm["size"] = os.path.getsize(abs_r)
                 rm["deletionVector"] = rem_dv
@@ -837,9 +931,19 @@ class DeltaLogWriter:
             )
             ckpt_name = f"{version:020d}.checkpoint.parquet"
             n = tbl.num_rows
-        pq.write_table(tbl, os.path.join(self.log_dir, ckpt_name))
-        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
+        # tmp + atomic rename, same discipline as commit(): readers
+        # discover checkpoints by directory listing, so a half-streamed
+        # parquet (or a crash mid-write) must never be visible under the
+        # final name — it would fail every replay until manual cleanup
+        ckpt_final = os.path.join(self.log_dir, ckpt_name)
+        ckpt_tmp = ckpt_final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, ckpt_tmp)
+        os.replace(ckpt_tmp, ckpt_final)
+        last_final = os.path.join(self.log_dir, "_last_checkpoint")
+        last_tmp = last_final + f".tmp-{uuid.uuid4().hex}"
+        with open(last_tmp, "w") as f:
             json.dump({"version": version, "size": n}, f)
+        os.replace(last_tmp, last_final)
         return version
 
 
@@ -1230,7 +1334,9 @@ def export_vintage_to_delta(
     # a removed file that carried a DV (preserve-mode exports) must name
     # that DV on its remove action — spec readers reconcile on (path, dvId)
     removes = [
-        (rel, existing_dvs[rel]) if rel in existing_dvs else rel
+        (rel, existing_dvs[rel], snap.files.get(rel) or {})
+        if rel in existing_dvs
+        else rel
         for rel in sorted(set(existing) - set(wanted))
     ]
 
@@ -1247,10 +1353,19 @@ def export_vintage_to_delta(
         for k, v in existing_config.items()
         if k.startswith("delta.constraints.")
     }
+    # partitionColumns live on the metaData action: a sync whose partition
+    # layout changed (e.g. a later zero-copy partitioned import into a
+    # previously unpartitioned export) must re-emit it, or adds carrying
+    # partitionValues would sit under metaData still declaring
+    # partitionColumns=[] and every reader would see NULL partition values
+    parts_changed = is_sync and sorted(part_cols) != sorted(
+        snap.partition_columns or []
+    )
     if (
         existing_schema is not None
         and json.loads(existing_schema) == json.loads(schema_json)
         and not config_changed
+        and not parts_changed
     ):
         schema_json_arg = None  # unchanged: don't repeat metaData
     else:
@@ -1358,6 +1473,10 @@ def export_vintage_to_delta(
         version = writer.commit(
             adds=adds,
             removes=removes,
+            # CAS: the wanted/remove sets were derived from `snap` (sync)
+            # or assume a fresh table (first export) — racing writers must
+            # fail loudly, not silently lose their commit
+            expected_version=(snap.version + 1) if is_sync else 0,
             schema_json=schema_json_arg,
             partition_columns=part_cols,
             operation="WRITE" if not is_sync else "SYNC",
@@ -1652,11 +1771,8 @@ def optimize_delta_export(
     dest = os.path.abspath(dest_path)
     reader = DeltaTableReader(spark, dest)
     snap = reader.snapshot()
-    if snap.mapping_mode == "id":
-        # the keyed scan's schema carries each column's parquet.field.id
-        # metadata; this conf makes the rewrite EMIT those ids, so id-mode
-        # readers keep resolving the compacted files
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    # (id-mode field-id emission is scoped to the rewrite writes below via
+    # _with_parquet_field_ids — never set session-wide)
     if not zorder_by:
         # a liquid-clustered table's OPTIMIZE clusters on its declared
         # columns by default (delta-spark's behavior for CLUSTER BY
@@ -1725,14 +1841,15 @@ def optimize_delta_export(
     staging = os.path.join(dest, f".staging-{uuid.uuid4().hex}")
     produced: list[str] = []
     try:
-        (
-            df.withColumn("__bin", mapping[F.col("__delta_path")])
-            .drop("__delta_path", "__delta_pos")
-            .repartition(len(bins), "__bin")
-            .write.partitionBy("__bin")
-            .mode("errorifexists")
-            .parquet(staging)
-        )
+        with _with_parquet_field_ids(spark):
+            (
+                df.withColumn("__bin", mapping[F.col("__delta_path")])
+                .drop("__delta_path", "__delta_pos")
+                .repartition(len(bins), "__bin")
+                .write.partitionBy("__bin")
+                .mode("errorifexists")
+                .parquet(staging)
+            )
         pending: list[tuple[str, str]] = []
         add_pvals: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):
@@ -1762,6 +1879,11 @@ def optimize_delta_export(
             removes=rels,
             operation="OPTIMIZE",
             data_change=False,
+            # CAS: a concurrent mutation between our snapshot and this
+            # commit would otherwise be clobbered (the compacted files
+            # were read from the OLD snapshot — committing over a delete
+            # would resurrect its rows)
+            expected_version=snap.version + 1,
             **_tracked_rewrite_kwargs(dest, reader, snap, produced, tracking),
         )
     finally:
@@ -1853,15 +1975,16 @@ def _zorder_delta_export(
     produced: list[str] = []
     writer = DeltaLogWriter(dest)
     try:
-        (
-            df.withColumn("__z", z)
-            .repartitionByRange(int(n_files), "__grp", "__z")
-            .sortWithinPartitions("__grp", "__z")
-            .drop("__z")
-            .write.partitionBy("__grp")
-            .mode("errorifexists")
-            .parquet(staging)
-        )
+        with _with_parquet_field_ids(spark):
+            (
+                df.withColumn("__z", z)
+                .repartitionByRange(int(n_files), "__grp", "__z")
+                .sortWithinPartitions("__grp", "__z")
+                .drop("__z")
+                .write.partitionBy("__grp")
+                .mode("errorifexists")
+                .parquet(staging)
+            )
         pending: list[tuple[str, str]] = []
         add_pvals: dict[str, dict] = {}
         for d in sorted(os.listdir(staging)):
@@ -1885,11 +2008,15 @@ def _zorder_delta_export(
         writer.commit(
             adds=[(rel, add_pvals[rel]) for rel in produced],
             removes=[
-                (rel, covered[rel]) if rel in covered else rel for rel in rels
+                (rel, covered[rel], snap.files.get(rel) or {})
+                if rel in covered
+                else rel
+                for rel in rels
             ],
             operation="OPTIMIZE",
             data_change=False,
             operation_params={"zOrderBy": json.dumps(zorder_by)},
+            expected_version=snap.version + 1,  # CAS, see optimize
             **_tracked_rewrite_kwargs(dest, reader, snap, produced, tracking),
         )
     finally:
@@ -2076,6 +2203,9 @@ def restore_delta_export(
         schema_json=target.schema.json() if meta_changed else None,
         partition_columns=target.partition_columns,
         operation="RESTORE",
+        # CAS: the add/remove delta was derived from `current`; a
+        # concurrent commit in between invalidates it
+        expected_version=current.version + 1,
         configuration=target_config if meta_changed else None,
         dvs={rel: target.dvs[rel] for rel, _ in adds if rel in target.dvs}
         or None,

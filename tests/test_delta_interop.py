@@ -3301,3 +3301,110 @@ def test_export_preserve_dv_over_materialized_partition_split(spark, tmp_path):
     # re-sync with no source change re-links nothing and stays consistent
     export_vintage_to_delta(src, dest, dv_mode="preserve")
     assert r.read().count() == 180
+
+
+def test_table_id_stable_across_metadata_reemits(spark, tmp_path):
+    """Review r9: metadata.id is the table's identity for streaming
+    readers — every metaData re-emit must carry the v0 id, not mint a
+    fresh uuid."""
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    r = DeltaTableReader(spark, dest)
+    id0 = r.snapshot().metadata["id"]
+    # schema evolution forces a metaData re-emit on the next sync
+    t.merge(
+        spark.createDataFrame([(2, 2.0, "w")], "k long, v double, w string"),
+        ["k"],
+        schema_evolution=True,
+    )
+    export_vintage_to_delta(t, dest)
+    assert r.snapshot().metadata["id"] == id0
+    # a mutation that re-emits metaData (schema evolution) keeps it too
+    from sdlt_spark.store.delta_mutate import merge_delta_export
+
+    merge_delta_export(
+        dest,
+        spark,
+        spark.createDataFrame(
+            [(3, 3.0, "x", 9)], "k long, v double, w string, z long"
+        ),
+        on=["k"],
+        schema_evolution=True,
+    )
+    assert r.snapshot().metadata["id"] == id0
+
+
+def test_dv_protocol_upgrade_preserves_constraint_feature(spark, tmp_path):
+    """Review r9: the first DV-bearing commit must UPGRADE the existing
+    protocol (legacy writer 3 -> checkConstraints feature named), not
+    replace it with a bare deletionVectors-only protocol that lets stock
+    writers ignore the invariant."""
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(k, float(k)) for k in range(6)], "k long, v double"))
+    t.add_constraint("k_nonneg", "k >= 0")
+    t.delete("k = 3", mode="dv")
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest, dv_mode="preserve")
+    snap = DeltaTableReader(spark, dest).snapshot()
+    wf = set(snap.protocol.get("writerFeatures") or [])
+    assert "deletionVectors" in wf
+    assert "checkConstraints" in wf, snap.protocol
+    assert any(
+        k.startswith("delta.constraints.")
+        for k in (snap.metadata.get("configuration") or {})
+    )
+
+
+def test_merge_delta_export_rejects_duplicate_source_keys(spark, tmp_path):
+    """Review r9: duplicate-keyed MERGE sources must raise (delta-spark's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW), not land both rows."""
+    from sdlt_spark.store.delta_mutate import merge_delta_export
+
+    t = VintageTable(spark, str(tmp_path / "vt"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(t, dest)
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k long, v double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_delta_export(dest, spark, dup, on=["k"])
+
+
+def test_sync_reemits_metadata_when_partitioning_appears(spark, tmp_path):
+    """Review r9: a sync whose partition-column set changes must re-emit
+    metaData — adds carrying partitionValues under a metaData declaring
+    partitionColumns=[] read NULL partition values everywhere."""
+    import json as _json
+
+    from sdlt_spark.store.delta_read import import_delta_to_vintage
+
+    # partitioned source table
+    root = str(tmp_path / "src_dt")
+    schema = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    adds = []
+    for part in ("a", "b"):
+        sub = f"p={part}"
+        spark.createDataFrame([(i,) for i in range(5)], "k long").coalesce(
+            1
+        ).write.parquet(f"{root}/{sub}")
+        adds += [
+            (f"{sub}/{f}", {"p": part})
+            for f in sorted(os.listdir(f"{root}/{sub}"))
+            if f.endswith(".parquet")
+        ]
+    DeltaLogWriter(root).commit(adds=adds, schema_json=schema, partition_columns=["p"])
+    src = import_delta_to_vintage(spark, root, str(tmp_path / "vt"))
+    dest = str(tmp_path / "exp")
+    export_vintage_to_delta(src, dest)
+    got = DeltaTableReader(spark, dest).read()
+    assert got.filter("p IS NULL").count() == 0
+    assert {x["p"] for x in got.select("p").distinct().collect()} == {"a", "b"}
