@@ -282,6 +282,12 @@ class SqlDispatcher:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, object] = {}
+        # temp views keyed on (name -> version materialized): a SELECT
+        # only re-replays a table's snapshot when its log moved — a
+        # latest_version() probe is one directory listing, a read() is a
+        # full snapshot replay (O(commits-since-checkpoint) driver work
+        # per statement on a long log otherwise)
+        self._view_versions: dict[str, int] = {}
         self.auto_merge = False
 
     # -------------------------------------------------------- registration
@@ -289,10 +295,12 @@ class SqlDispatcher:
     def register(self, name: str, table) -> None:
         """Register a VintageTable (or adapter) under a SQL name."""
         self._tables[name] = table
+        self._view_versions.pop(name, None)
 
     def register_delta(self, name: str, path: str) -> None:
         """Register a Delta-export directory under a SQL name."""
         self._tables[name] = _DeltaExportTable(self.spark, path)
+        self._view_versions.pop(name, None)
 
     def _table(self, name: str):
         try:
@@ -342,7 +350,15 @@ class SqlDispatcher:
     def _prepare_query(self, s: str) -> str:
         for name, t in self._tables.items():
             if re.search(rf"\b{re.escape(name)}\b", s):
-                t.read().createOrReplaceTempView(name)
+                probe = getattr(t, "latest_version", None)
+                try:
+                    v = probe() if callable(probe) else None
+                except Exception:  # noqa: BLE001 — let read() raise its own
+                    v = None
+                if v is None or self._view_versions.get(name) != v:
+                    t.read().createOrReplaceTempView(name)
+                    if v is not None:
+                        self._view_versions[name] = v
 
         def _tt(m: re.Match) -> str:
             name = m.group(1)

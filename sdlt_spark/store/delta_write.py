@@ -265,19 +265,38 @@ class DeltaLogWriter:
     """Append spec-shaped commits to a ``_delta_log``. The caller supplies
     relative data-file paths it has already written under the table root."""
 
+    # sentinel distinguishing "never scanned" from "scanned, found None"
+    _UNSCANNED = object()
+
     def __init__(self, path: str):
         self.path = os.path.abspath(path)
         self.log_dir = os.path.join(self.path, _LOG)
         os.makedirs(self.log_dir, exist_ok=True)
+        # id/protocol ride in writer state after the first resolve — a
+        # metaData re-emit or DV upgrade on a long log otherwise pays a
+        # newest-first full-log rescan PER COMMIT. The table id is stable
+        # for the table's lifetime (Delta contract) so its cache never
+        # goes stale; the protocol cache is refreshed from every action
+        # this writer emits and dropped on a CAS conflict (the only point
+        # a concurrent writer's upgrade becomes observable).
+        self._table_id_cache: object = DeltaLogWriter._UNSCANNED
+        self._protocol_cache: object = DeltaLogWriter._UNSCANNED
 
     def latest_version(self) -> int:
         """Current head version, -1 on an empty log."""
         return self._next_version() - 1
 
     def _existing_table_id(self) -> str | None:
-        """The table's metadata.id from the newest metaData action — JSON
-        commits scanned newest-first, checkpoint replay as the fallback
-        when every earlier JSON commit was cleaned up."""
+        """The table's metadata.id from the newest metaData action —
+        cached in writer state after the first resolve; JSON commits
+        scanned newest-first, checkpoint replay as the fallback when
+        every earlier JSON commit was cleaned up."""
+        if self._table_id_cache is not DeltaLogWriter._UNSCANNED:
+            return self._table_id_cache
+        self._table_id_cache = self._scan_table_id()
+        return self._table_id_cache
+
+    def _scan_table_id(self) -> str | None:
         versions = sorted(
             (
                 int(f[:-5])
@@ -306,8 +325,18 @@ class DeltaLogWriter:
             return None
 
     def _existing_protocol(self) -> dict | None:
-        """The newest protocol action on the log — JSON commits scanned
-        newest-first, checkpoint replay as the fallback."""
+        """The newest protocol action on the log — cached in writer state
+        (refreshed by every protocol action this writer emits, dropped on
+        CAS conflict); JSON commits scanned newest-first, checkpoint
+        replay as the fallback."""
+        if self._protocol_cache is not DeltaLogWriter._UNSCANNED:
+            p = self._protocol_cache
+            return dict(p) if p is not None else None
+        self._protocol_cache = self._scan_protocol()
+        p = self._protocol_cache
+        return dict(p) if p is not None else None
+
+    def _scan_protocol(self) -> dict | None:
         versions = sorted(
             (
                 int(f[:-5])
@@ -646,6 +675,10 @@ class DeltaLogWriter:
             os.link(tmp, final)
         except FileExistsError:
             os.remove(tmp)
+            # a concurrent commit landed: its protocol (if any) is newer
+            # than whatever this writer has cached — force a re-scan next
+            # time. The table id stays: it is stable for the table's life.
+            self._protocol_cache = DeltaLogWriter._UNSCANNED
             if expected_version is not None:
                 raise DeltaCommitConflictError(
                     f"version {version} was committed concurrently while "
@@ -653,6 +686,11 @@ class DeltaLogWriter:
                 ) from None
             raise
         os.remove(tmp)
+        for a in actions:
+            if "protocol" in a:
+                self._protocol_cache = dict(a["protocol"])
+            if "metaData" in a:
+                self._table_id_cache = a["metaData"].get("id")
         return version
 
     def write_checkpoint(
