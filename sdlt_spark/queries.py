@@ -7016,6 +7016,32 @@ def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.dhash_neardup(media, max_hamming=7)
 
 
+# dHash index parquet per sf_dir — built once per process, reused by every
+# indexed entry (and by repeated driver invocations of the same entry):
+# the round-9 verdict flagged a fresh mkdtemp per invocation as an orphan
+# temp-dir leak in long-lived sessions
+_dhash_index_dirs: dict[str, str] = {}
+
+
+def _dhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, dhash_hi, dhash_lo) decoded ONCE per corpus and stored —
+    the dhash-at-ingest amortization path."""
+    import tempfile
+
+    idx = _dhash_index_dirs.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="sdlt_dhash_idx_") + "/dhash"
+        (
+            _mm.image_dhash(_dhash_fixture_media(spark, sf_dir))
+            .filter(F.col("decode_error").isNull())
+            .select("media_id", "dhash_hi", "dhash_lo")
+            .write.mode("errorifexists")
+            .parquet(idx)
+        )
+        _dhash_index_dirs[sf_dir] = idx
+    return spark.read.parquet(idx)
+
+
 @_q("image_neardup_dhash_indexed", _DHASH_NEARDUP_SQL)
 def image_neardup_dhash_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dHash-AT-INGEST (round-9 verdict item 4): the per-image Python
@@ -7025,19 +7051,52 @@ def image_neardup_dhash_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
     entirely JVM-side (banding shuffle on compact keys, codegen'd
     popcount verify), never touching a payload byte again. At 100 TB
     this amortizes the decode to once per corpus instead of once per
-    sweep. Same verified pairs as image_neardup_dhash, same oracle."""
-    import tempfile
+    sweep. Same verified pairs as image_neardup_dhash, same oracle.
+    hamming <= 7 REQUIRES the dense 8-byte-band shape (256 buckets/band,
+    superlinear past ~10k images) — kept here for oracle parity with the
+    classic threshold; image_neardup_dhash_wide is the scale setting."""
+    return _mm.dhash_neardup_indexed(_dhash_index(spark, sf_dir), max_hamming=7)
 
-    media = _dhash_fixture_media(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="sdlt_dhash_idx_") + "/dhash"
-    (
-        _mm.image_dhash(media)
-        .filter(F.col("decode_error").isNull())
-        .select("media_id", "dhash_hi", "dhash_lo")
-        .write.mode("errorifexists")
-        .parquet(idx)
+
+_DHASH_NEARDUP_WIDE_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
+             CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
+           ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535)
+        OR (a.hi & 65535) = (b.hi & 65535)
+        OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
+        OR (a.lo & 65535) = (b.lo & 65535))
     )
-    return _mm.dhash_neardup_indexed(spark.read.parquet(idx), max_hamming=7)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+    """
+
+
+@_q("image_neardup_dhash_wide", _DHASH_NEARDUP_WIDE_SQL)
+def image_neardup_dhash_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dhash setting, correctness-pinned (round-9 verdict next
+    item 2): hamming <= 3 over FOUR 16-bit bands — 65,536 buckets per
+    band keeps expected candidates ~4n²/65536 vs the 8-byte-band shape's
+    ~n²/32, the difference between linear-ish and quadratic past ~10k
+    images (SCALE.md round-9 measured the dense shape at 13.5x wall for
+    10x docs). This is the library DEFAULT as of round 10
+    (multimodal.py dhash_neardup_indexed auto-selects 4 bands for
+    hamming <= 3); the oracle enumerates the identical 16-bit-band
+    candidate set relationally and verifies with the same popcount. On
+    the fixture the surviving pairs are the hamming-0 ones (the pixel
+    formula's minimum nonzero pair distance is ~7), so the verify filter
+    is exercised as a REJECTOR: banded candidates at hamming 7+ must be
+    dropped identically on both sides."""
+    return _mm.dhash_neardup_indexed(_dhash_index(spark, sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
