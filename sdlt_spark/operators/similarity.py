@@ -444,6 +444,7 @@ def ivf_build(
     n_cells: int = 16,
     sample_rows: int = 2048,
     seed: int = 42,
+    txn_id: str | None = None,
 ):
     """Materialize an IVF index as a VintageTable: the corpus tagged with
     its cell id, written range-clustered on ``__cell`` so each data file
@@ -456,31 +457,62 @@ def ivf_build(
     un-probed bulk of the corpus is never opened. Rebuilds are versioned
     commits like any other write; readers on the old index keep working.
 
+    ``txn_id`` stamps the build commit with an idempotence/watermark token
+    (``'<app>:<corpus_version>'``) so :func:`ivf_refresh` knows which
+    corpus version this build reflects.
+
     Returns ``(table, centroids)``.
     """
     from sdlt_spark.store import VintageTable
-
-    import json as _json
-    import os as _os
-    import uuid as _uuid
 
     cents = train_ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
     tagged = ivf_assign(df, vec_col, cents).select(id_col, vec_col, "__cell")
     t = VintageTable(df.sparkSession, table_path)
     n_files = max(2, n_cells // 4)
     version = t.write(
-        tagged.repartitionByRange(n_files, "__cell").sortWithinPartitions("__cell")
+        tagged.repartitionByRange(n_files, "__cell").sortWithinPartitions("__cell"),
+        txn_id=txn_id,
     )
-    # the sidecar is VERSIONED and written after the commit: searchers pair
-    # centroids with the file set of the SAME version (a rebuild in flight
-    # — commit landed, sidecar not yet — resolves to the previous complete
-    # build, never to mismatched centroid/assignment pairs)
-    sidecar = _os.path.join(t.path, f"ivf_centroids.v{version:08d}.json")
+    _write_ivf_sidecar(t.path, version, cents)
+    return t, cents
+
+
+def _write_ivf_sidecar(table_path: str, version: int, cents: np.ndarray) -> None:
+    """Publish the centroid matrix for ``version`` — VERSIONED and written
+    after the commit: searchers pair centroids with the file set of the
+    SAME version (a build in flight — commit landed, sidecar not yet —
+    resolves to the previous complete build, never to mismatched
+    centroid/assignment pairs)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    sidecar = _os.path.join(table_path, f"ivf_centroids.v{version:08d}.json")
     tmp = sidecar + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         _json.dump(cents.tolist(), fh)
     _os.rename(tmp, sidecar)
-    return t, cents
+
+
+def _latest_ivf_build(t) -> tuple[int, np.ndarray]:
+    """Newest COMPLETE build (commit + sidecar both landed) at or below
+    the table head: ``(version, centroids)``."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    latest = t.latest_version()
+    builds = sorted(
+        int(m.group(1))
+        for f in _os.listdir(t.path)
+        if (m := _re.fullmatch(r"ivf_centroids\.v(\d+)\.json", f))
+        and int(m.group(1)) <= latest
+    )
+    if not builds:
+        raise FileNotFoundError(f"no completed IVF build at {t.path}")
+    v = builds[-1]
+    with open(_os.path.join(t.path, f"ivf_centroids.v{v:08d}.json")) as fh:
+        return v, np.asarray(_json.load(fh), dtype=np.float64)
 
 
 def ivf_search(
@@ -496,25 +528,10 @@ def ivf_search(
     centroids from the sidecar -> zone-map file pruning on ``__cell`` ->
     exact cosine re-rank inside the probed cells. Driver work is the
     centroid argsort + a file-list filter; only the probed files are read."""
-    import json as _json
-    import os as _os
-    import re as _re
-
     from sdlt_spark.store import VintageTable
 
     t = VintageTable(spark, table_path)
-    latest = t.latest_version()
-    builds = sorted(
-        int(m.group(1))
-        for f in _os.listdir(t.path)
-        if (m := _re.fullmatch(r"ivf_centroids\.v(\d+)\.json", f))
-        and int(m.group(1)) <= latest
-    )
-    if not builds:
-        raise FileNotFoundError(f"no completed IVF build at {t.path}")
-    v = builds[-1]  # newest COMPLETE build (commit + sidecar both landed)
-    with open(_os.path.join(t.path, f"ivf_centroids.v{v:08d}.json")) as fh:
-        cents = np.asarray(_json.load(fh), dtype=np.float64)
+    v, cents = _latest_ivf_build(t)
     qv = np.asarray(query, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe = sorted(np.argsort(-(cents @ qv))[:nprobe].tolist())
@@ -524,6 +541,173 @@ def ivf_search(
     )
     probed = t._read_files(files, version=v).filter(F.col("__cell").isin(*probe))
     return cosine_topk(probed, vec_col, id_col, query, k)
+
+
+def ivf_refresh(
+    corpus,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    rebalance_factor: float | None = 4.0,
+    app_id: str = "ivf_refresh",
+    n_cells: int | None = None,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> dict:
+    """Incremental maintenance of a persisted IVF index (round-9 verdict
+    next item 3 — the materialized-view answer for ANN over a MOVING
+    corpus): fold the corpus table's CDC deltas into cell membership
+    instead of rebuilding, so a probe against a merged/deleted corpus
+    never silently serves stale cells.
+
+    The ``operators/incremental.py`` fold pattern applied to the index:
+
+    - the build commit carries ``txn_id='<app_id>:<corpus_version>'``
+      (``ivf_build(..., txn_id=...)``); each refresh reads that watermark,
+      folds ``corpus.table_changes(last+1, head)`` — O(changed rows), the
+      un-touched bulk of a 100 TB index is never read — and advances the
+      token, so replays are exactly-once;
+    - the NET action per id wins (latest commit; within a commit the
+      update postimage beats its preimage): inserts/updates are assigned
+      cells with the EXISTING centroids (one Arrow-batched argmax GEMM
+      over just the changed vectors) and merged in copy-on-write; deletes
+      merge as ``matched_delete`` — both prune untouched index files by
+      zone map;
+    - the centroid sidecar is re-published for the refreshed version, so
+      ``ivf_search``'s "newest complete build" contract picks up the new
+      file set atomically (a crash between merge and sidecar leaves the
+      previous complete build serving — consistent, never mismatched);
+    - DRIFT is measured, not guessed: when the largest cell exceeds
+      ``rebalance_factor`` x the mean cell population the index is
+      rebuilt from the corpus snapshot (fresh centroids, re-clustered
+      files) under the same watermark. ``rebalance_factor=None`` disables
+      auto-rebuild. Refresh keeps OLD centroids — recall drifts only as
+      the data distribution does, and the rebuild trigger bounds that.
+
+    Refresh result == ``ivf_assign(corpus_now, old_centroids)`` exactly
+    (asserted by tests and the registry's ``ann_ivf_refresh`` entry), so
+    a probe after refresh equals a probe over a from-scratch re-assign
+    with the same centroids.
+
+    Returns a report dict: folded range, upsert/delete counts, whether a
+    rebuild was triggered, and the resulting index version.
+    """
+    from sdlt_spark.store import VintageTable
+
+    t = VintageTable(corpus.spark, index_path)
+    token = t.last_txn_id(app=app_id)
+    if token is None:
+        raise ValueError(
+            f"index at {index_path} carries no '{app_id}' watermark; build "
+            f"it with ivf_build(..., txn_id='{app_id}:<corpus_version>') so "
+            "refresh knows which corpus version it reflects"
+        )
+    last = int(token)
+    head = corpus.latest_version()
+    report = {
+        "from_version": last + 1,
+        "to_version": head,
+        "upserts": 0,
+        "deletes": 0,
+        "rebuilt": False,
+    }
+    build_v, cents = _latest_ivf_build(t)
+    if head > last:
+        from pyspark.sql import Window
+
+        ch = corpus.table_changes(last + 1, head).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_change_type").isin("insert", "update_postimage").alias(
+                "__ins"
+            ),
+            "_commit_version",
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(), F.col("__ins").desc()
+        )
+        net = (
+            ivf_assign(
+                ch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "_commit_version"),
+                vec_col,
+                cents,
+            )
+            .select(id_col, vec_col, "__cell", "__ins")
+            .persist()
+        )
+        try:
+            counts = {r["__ins"]: r["n"] for r in
+                      net.groupBy("__ins").agg(F.count(F.lit(1)).alias("n"))
+                      .collect()}  # 2 rows: bounded control-plane state
+            report["upserts"] = int(counts.get(True, 0))
+            report["deletes"] = int(counts.get(False, 0))
+            if report["upserts"] or report["deletes"]:
+                # ONE merge commit applies upserts AND deletes — a second
+                # copy-on-write pass over the index (the dominant refresh
+                # cost under scattered churn: measured 6.6s -> 4.4s on a
+                # 300k x 256-dim index, SCALE.md round-10) is avoided by
+                # encoding "delete" as the sentinel cell -1, which real
+                # assignment never produces (argmax >= 0; null vectors
+                # assign NULL). Clause order is Delta's: matched deletes
+                # first, then conditional update, insert gated the same.
+                src = net.select(
+                    id_col,
+                    vec_col,
+                    F.when(F.col("__ins"), F.col("__cell"))
+                    .otherwise(F.lit(-1))
+                    .alias("__cell"),
+                )
+                t.merge(
+                    src,
+                    [id_col],
+                    matched_delete="src___cell = -1",
+                    matched_update={
+                        vec_col: f"src_{vec_col}",
+                        "__cell": "src___cell",
+                    },
+                    # matched clauses see source cols as src_<name>;
+                    # insert_condition sees source cols by bare name
+                    matched_condition="coalesce(src___cell, 0) >= 0",
+                    insert_condition="coalesce(__cell, 0) >= 0",
+                    on_duplicate_source="assume_unique",
+                    txn_id=f"{app_id}:{head}",
+                )
+        finally:
+            net.unpersist()
+    # drift check + sidecar republish (also heals a crash that landed the
+    # merge but not the sidecar). The probe is one column-pruned partial
+    # agg over the index's int __cell column — and only runs on refreshes
+    # that actually folded changes; at extreme index sizes disable with
+    # rebalance_factor=None and probe drift out-of-band
+    if rebalance_factor is not None and (report["upserts"] or report["deletes"]):
+        pops = np.zeros(len(cents))
+        for r in t.read().groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():  # O(n_cells) rows: bounded control-plane state
+            if r["__cell"] is not None:
+                pops[int(r["__cell"])] = r["n"]
+        if pops.sum() and pops.max() > rebalance_factor * pops.mean():
+            ivf_build(
+                corpus.read(version=head),
+                vec_col,
+                id_col,
+                index_path,
+                n_cells=n_cells or len(cents),
+                sample_rows=sample_rows,
+                seed=seed,
+                txn_id=f"{app_id}:{head}",
+            )
+            report["rebuilt"] = True
+    if not report["rebuilt"]:
+        v = t.latest_version()
+        if v > build_v:
+            _write_ivf_sidecar(t.path, v, cents)
+        report["index_version"] = max(v, build_v)
+    else:
+        report["index_version"] = t.latest_version()
+    return report
 
 
 def ann_ivf_topk(
