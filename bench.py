@@ -80,6 +80,15 @@ BENCH_QUERIES = [
     # JVM-only) — recorded alongside image_neardup_dhash so the index's
     # advantage stays measured (48-query suite)
     "image_neardup_dhash_indexed",
+    # round-10: the capped/composed dedup family (verdict item 7) plus the
+    # scale-default wide-band dhash, so the 100 TB settings' costs are
+    # tracked round-over-round, not just the uncapped classics
+    # (53-query suite)
+    "dedup_pipeline",
+    "minhash_lsh_dedup_capped",
+    "heavy_hitters",
+    "weighted_sample",
+    "image_neardup_dhash_wide",
 ]
 
 
