@@ -20,7 +20,9 @@ cross-replica rows distinct (the SCALE.md methodology):
   cross-replica vectors decorrelate to chance cosine.
 
 Usage: python scripts/make_scale_replica.py [out_dir] [factor] [--adversarial]
-Defaults: /tmp/sdlt_sf1 10
+Defaults: /tmp/sdlt_sf1 10. Round-10: factor 100 builds the sf10-equivalent
+(100x) replica — ~1.7 GB of parquet — for the second decade of the heavy
+dedup/ANN family's scale curve (SCALE.md round-10).
 
 ``--adversarial`` (round-9 verdict item 7) additionally plants the exact
 failure modes the dedup bucket caps target, ON TOP of the replicated corpus:
@@ -66,10 +68,22 @@ COPY_ONCE = ["nation", "region"]
 
 
 def _caesar_maps(i: int) -> tuple[str, str]:
+    """Per-replica letter bijection. A plain Caesar rotation has only 26
+    distinct shifts — at factor > 26 replicas i and i+26 would carry
+    byte-IDENTICAL texts, planting artificial cross-replica duplicate
+    groups. A seeded random permutation of the alphabet (26! >> factor)
+    keeps every replica's cipher distinct while remaining a bijection on
+    letters, so within-replica duplicate/near-duplicate structure still
+    replicates exactly."""
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
-    s = i % 26
-    return lo + up, lo[s:] + lo[:s] + up[s:] + up[:s]
+    if i == 0:
+        return lo + up, lo + up
+    perm = np.random.RandomState(987_000 + i).permutation(26)
+    return (
+        lo + up,
+        "".join(lo[p] for p in perm) + "".join(up[p] for p in perm),
+    )
 
 
 def plant_adversarial(out_dir: str, clones: int = 100_000) -> None:
