@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "weighted_sample",
     "image_neardup_dhash_wide",
+    # round-10 (cont.): shard construction — the scalable global prefix
+    # sum and the quota mixture draw (55-query suite)
+    "pack_sequences",
+    "mixture_sample",
 ]
 
 

@@ -1090,10 +1090,18 @@ def dedup_clusters(
     Label propagation: every node starts as its own label; each round a
     node adopts the minimum label among itself and its neighbors; stop at
     fixed point. Rounds needed = graph diameter (near-dup clusters are
-    shallow — chains longer than ~5 are rare), each round is one join +
-    one min-aggregate, both shuffle-hash on the node id. This is the
-    join-based form of the standard large-scale connected-components
-    pattern; at extreme diameters switch to large-star/small-star.
+    shallow — chains longer than ~5 are rare). This is the join-based
+    form of the standard large-scale connected-components pattern; at
+    extreme diameters switch to large-star/small-star.
+
+    The fixpoint iterates over EDGE-INCIDENT nodes only (round 10):
+    singletons — at 100 TB the overwhelming majority of a deduped corpus
+    — can never change label, so carrying them through every round would
+    shuffle O(corpus) rows per iteration for nothing. They are joined
+    back once at the end. Each round is one join + one min-aggregate over
+    the dup subgraph, and the convergence probe reads a fused
+    changed-flag off the checkpointed frame instead of re-joining old
+    vs new labels (one O(nodes) join saved per round).
 
     Returns (id, cluster) for EVERY id in ``ids`` — singletons keep their
     own id as cluster — so downstream `keep = id == cluster` selects
@@ -1105,7 +1113,8 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("cluster"))
+    # both directions are present, so "u" alone covers every incident node
+    labels = edges.select("u").distinct().withColumn("cluster", F.col("u"))
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -1113,33 +1122,36 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        new_cluster = F.least(
+            F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+        )
         # localCheckpoint truncates the lineage each round — without it the
         # plan doubles per iteration and Catalyst blows up on deep graphs
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select(
                 "u",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-                ).alias("cluster"),
+                new_cluster.alias("cluster"),
+                (new_cluster != F.col("cluster")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.select("u", "cluster")
         if changed == 0:
             break
     # labels is checkpoint-backed (no lineage into edges), so the edge
     # cache can be released immediately — no per-call cache accumulation
     # in a long-lived session
     edges.unpersist()
-    return labels.select(F.col("u").alias(id_col), "cluster")
+    return (
+        ids.select(F.col(id_col).alias("u"))
+        .join(labels, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.coalesce("cluster", F.col("u")).alias("cluster"),
+        )
+    )
 
 
 def semantic_dedup(

@@ -4019,6 +4019,48 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sdlt_spark.operators import packing as _packing  # noqa: E402
+
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.2, "fr": 0.1}
+
+
+@_q(
+    "pack_sequences",
+    _packing.pack_sequences_sql("documents", "doc_id", "text", budget=512),
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): every document assigned to
+    its training-sequence bin by cumulative token count in doc_id order —
+    the shard-construction step after filtering/dedup. The Spark side is
+    the scalable two-level prefix sum (quantile chunks -> bounded
+    per-chunk subtotals -> broadcast offsets -> ONE window shuffle keyed
+    by chunk); the oracle is the single-window ANSI form the operator
+    exists to avoid executing at scale. Identical (doc_id, n_tokens, bin)
+    triples either way."""
+    docs = _t(spark, sf_dir, "documents")
+    return _packing.pack_sequences(docs, "doc_id", "text", budget=512)
+
+
+@_q(
+    "mixture_sample",
+    _packing.mixture_sample_sql(
+        "documents", "lang", "doc_id", _MIX_WEIGHTS, total=200,
+        select_cols="doc_id, lang, source",
+    ),
+)
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction (operators/packing.py): a fixed-size draw whose
+    language proportions match target weights (50/20/20/10 en/zh/es/fr;
+    'de' is off-mixture and dropped), each stratum filled in seeded-md5
+    order — deterministic, append-stable, and quota-starved identically on
+    both engines when a stratum runs out (the sf0.001 fixture exercises
+    that path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _packing.mixture_sample(
+        docs, "lang", "doc_id", _MIX_WEIGHTS, total=200
+    ).select("doc_id", "lang", "source")
+
+
 @_q(
     "passage_overlap",
     # Self-join of the (portable) winnowing fingerprints: doc pairs sharing

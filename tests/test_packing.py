@@ -1,0 +1,126 @@
+"""Sequence packing + mixture sampling (operators/packing.py).
+
+Oracle parity for the registry entries rides test_oracle_parity; these
+tests pin the operator semantics directly: the two-level prefix sum must
+equal the naive single-window form row-for-row, without ever planning a
+single-partition exchange, and the mixture draw must be deterministic,
+append-stable, and quota-starved gracefully.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdlt_spark.operators.packing import (
+    mixture_sample,
+    pack_sequences,
+    pack_sequences_sql,
+)
+
+
+def _corpus(spark, n=500, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in rng.sample(range(10 * n), n):  # sparse, shuffled ids
+        if i % 97 == 0:
+            rows.append((i, None))  # NULL text counts 0 tokens
+        else:
+            rows.append((i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40)))))
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+
+def _naive(df, budget):
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ntok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+        F.size(F.split("text", " "))
+    )
+    return df.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.ceil(F.sum(ntok).over(w) / F.lit(float(budget)))
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+def test_pack_equals_naive_single_window(spark):
+    df = _corpus(spark)
+    got = {tuple(r) for r in pack_sequences(df, budget=64, num_chunks=7).collect()}
+    want = {tuple(r) for r in _naive(df, 64).collect()}
+    assert got == want
+
+
+def test_pack_chunk_count_invariance(spark):
+    """Bin assignment must not depend on where the chunk boundaries land."""
+    df = _corpus(spark, n=200, seed=11)
+    a = sorted(map(tuple, pack_sequences(df, budget=100, num_chunks=3).collect()))
+    b = sorted(map(tuple, pack_sequences(df, budget=100, num_chunks=64).collect()))
+    assert a == b
+
+
+def test_pack_never_plans_single_partition(spark):
+    """The operator exists to avoid the global-window shape: its plan must
+    carry no SinglePartition exchange (the naive form's signature)."""
+    df = _corpus(spark, n=100, seed=3)
+    plan = pack_sequences(df, budget=64)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    naive_plan = _naive(df, 64)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the trap is real
+
+
+def test_pack_sql_twin_is_the_same_packing(spark, tmp_path):
+    import duckdb
+
+    df = _corpus(spark, n=150, seed=5)
+    path = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    want = sorted(con.sql(pack_sequences_sql("documents", budget=64)).fetchall())
+    got = sorted(map(tuple, pack_sequences(df, budget=64).collect()))
+    assert got == want
+
+
+WEIGHTS = {"en": 0.5, "zh": 0.3, "fr": 0.2}
+
+
+def _langs(spark, n=300):
+    rows = [(i, ["en", "zh", "fr", "de"][i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mixture_quotas_and_whitelist(spark):
+    out = mixture_sample(_langs(spark), "lang", "doc_id", WEIGHTS, total=100)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang == {"en": 50, "zh": 30, "fr": 20}  # 'de' dropped
+
+
+def test_mixture_starved_stratum_keeps_what_exists(spark):
+    small = _langs(spark, n=12)  # 3 docs per lang
+    out = mixture_sample(small, "lang", "doc_id", WEIGHTS, total=100)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang == {"en": 3, "zh": 3, "fr": 3}
+
+
+def test_mixture_append_stable(spark):
+    base = _langs(spark, n=200)
+    chosen = {r["doc_id"] for r in mixture_sample(base, "lang", "doc_id", WEIGHTS, total=60).collect()}
+    grown = base.unionByName(
+        spark.createDataFrame([(10_000 + i, "en") for i in range(50)], "doc_id long, lang string")
+    )
+    out2 = mixture_sample(grown, "lang", "doc_id", WEIGHTS, total=60).collect()
+    chosen2 = {r["doc_id"] for r in out2}
+    # only 'en' grew: the other strata's selections must be EXACTLY stable,
+    # and new 'en' rows may displace old picks but never reshuffle them —
+    # every selected id is either an original pick or an appended row
+    assert {r["doc_id"] for r in out2 if r["lang"] != "en"} == {
+        r["doc_id"] for r in mixture_sample(base, "lang", "doc_id", WEIGHTS, total=60).collect()
+        if r["lang"] != "en"
+    }
+    assert chosen2 <= chosen | {10_000 + i for i in range(50)}
+    # and re-running on identical input is exactly reproducible
+    chosen3 = {r["doc_id"] for r in mixture_sample(base, "lang", "doc_id", WEIGHTS, total=60).collect()}
+    assert chosen == chosen3
