@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     # sum and the quota mixture draw (55-query suite)
     "pack_sequences",
     "mixture_sample",
+    # round-10 sf10 finding: hash-identical-first grouping is the only
+    # banding shape that survives a mass-duplicate / concentrated-hash
+    # corpus (57-query suite)
+    "image_neardup_dhash_grouped",
+    "simhash_neardup_grouped",
 ]
 
 

@@ -942,6 +942,184 @@ def simhash_neardup(
     return _materialize_and_release(out, sh) if materialize else out
 
 
+def simhash_neardup_grouped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Identical-simhash-FIRST near-dup edges — the simhash twin of
+    :func:`exact_then_minhash_pairs`. Round-10's sf10 experiment surfaced
+    TWO distinct banding walls, and this composition plus its default
+    threshold answer both:
+
+    - **Chunk density**: a loose threshold buys narrow chunks.
+      ``max_hamming=10`` forces 12 chunks of 5 bits = 32 buckets/chunk,
+      so candidates are ~12·n²/32 on ANY corpus — measured 15.7 s ->
+      831 s for 10x docs at sf10 (500k docs), where signatures were NOT
+      concentrated (495,481 distinct, largest identical group 7). The
+      fix is the threshold: the default ``max_hamming=3`` picks 4 chunks
+      of 15 bits (32,768 buckets/chunk) — measured ~linear through sf10.
+    - **Signature concentration**: mass-duplicated boilerplate collapses
+      many docs onto ONE signature; such docs agree on every chunk, so
+      candidates AND the output pair list go quadratic in the group size
+      regardless of chunk width (the image corpus measured exactly this:
+      76 distinct dhashes across 500k rows, 5 s -> 1,164 s). Collapsing
+      each identical-signature group to its min-id representative first
+      makes those pairs LINEAR (rep, member, hamming=0) edges and the
+      chunk join runs over DISTINCT signatures only;
+      ``dedup.dedup_clusters`` downstream closes the same transitive
+      structure the full pair list would. When groups are small the
+      grouping costs one count-aggregate — nothing.
+
+    Same knobs as :func:`simhash_neardup`."""
+    bits = 60
+    if num_chunks is None:
+        num_chunks = next(
+            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
+        )
+    width = bits // num_chunks
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col)
+    if _scan_underparallel(df):
+        sh = sh.repartition(F.col(id_col))
+    sh = sh.persist()
+    groups = sh.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
+    ident = (
+        sh.join(groups, "simhash")
+        .filter(F.col(id_col) != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    reps = groups.select(F.col("rep_id").alias(id_col), "simhash")
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
+            for c in range(num_chunks)
+        ]
+    )
+    banded = reps.select(
+        id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "cv")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("chunk", "cv")
+        )
+        banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    near = (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+    return _materialize_and_release(near.unionByName(ident), sh)
+
+
+def simhash_grouped_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int | None = None,
+    max_bucket_size: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`simhash_neardup_grouped`: the same signature
+    construction as :func:`simhash_oracle_sql`, then min-id groups,
+    identity edges, and the chunk join over DISTINCT signatures."""
+    bits = 60
+    if num_chunks is None:
+        num_chunks = next(
+            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
+        )
+    width = bits // num_chunks
+    mask = (1 << width) - 1
+    o_cols = ",\n      ".join(f"sum((h >> {i}) & 1) AS o{i}" for i in range(bits))
+    sh_expr = " + ".join(
+        f"CAST(2 * o{i} > n AS BIGINT) * {1 << i}" for i in range(bits)
+    )
+    chunk_rows = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {c} AS chunk,"
+        f" (simhash >> {width * c}) & {mask} AS cv FROM r"
+        for c in range(num_chunks)
+    )
+    bucket_cap_join = (
+        ""
+        if max_bucket_size is None
+        else (
+            "JOIN (SELECT chunk, cv FROM chunks_all GROUP BY chunk, cv\n"
+            f"            HAVING count(*) <= {max_bucket_size}) __keep\n"
+            "        USING (chunk, cv)"
+        )
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, u.token
+      FROM {table}, LATERAL unnest(string_split({text_col}, ' ')) AS u(token)
+    ),
+    th AS (
+      SELECT {id_col},
+             CAST(('0x' || substr(md5(token), 1, 7)) AS BIGINT) * 4294967296
+             + CAST(('0x' || substr(md5(token), 8, 8)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT {id_col}, count(*) AS n,
+      {o_cols}
+      FROM th GROUP BY {id_col}
+    ),
+    sh AS (
+      SELECT {id_col}, {sh_expr} AS simhash FROM votes
+    ),
+    g AS (SELECT simhash, min({id_col}) AS rep_id FROM sh GROUP BY simhash),
+    ident AS (
+      SELECT g.rep_id AS id_a, sh.{id_col} AS id_b, CAST(0 AS INT) AS hamming
+      FROM sh JOIN g USING (simhash) WHERE sh.{id_col} <> g.rep_id
+    ),
+    r AS (SELECT rep_id AS {id_col}, simhash FROM g),
+    chunks_all AS (
+      {chunk_rows}
+    ),
+    chunks AS (
+      SELECT chunks_all.* FROM chunks_all
+      {bucket_cap_join}
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col}
+    ),
+    near AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    )
+    SELECT * FROM near UNION ALL SELECT * FROM ident
+    """
+
+
 def simhash_oracle_sql(
     table: str,
     id_col: str,

@@ -521,6 +521,52 @@ def dhash_neardup_indexed(
     )
 
 
+def dhash_neardup_grouped(
+    h: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hash-identical-FIRST near-dup edges over a dHash index — the image
+    twin of ``dedup.exact_then_minhash_pairs``, and the measured 100 TB
+    answer to the mass-duplicate regime banding cannot survive.
+
+    Round-10 finding (SCALE.md): the sf10 replica carries 500k images
+    with only 76 DISTINCT dhash values — a ~6,600-way hash-duplicated
+    corpus, the shape real crawls produce (one logo/placeholder served
+    from a million pages). There EVERY banding scheme is quadratic —
+    identical hashes agree on ALL bands, so the wide-band sweep that
+    costs 5 s at 50k images costs 1,164 s at 500k: candidates are
+    Σ group² / buckets no matter how wide the bands. The fix is the same
+    exact-first composition the text pipeline uses: collapse each
+    identical-hash group to its min-id representative (members re-enter
+    as LINEAR (rep, member, hamming=0) edges), band + verify over the
+    DISTINCT hashes only, and let downstream ``dedup.dedup_clusters``
+    close the transitive structure. The edge list is O(corpus + true
+    near-dup pairs among distinct hashes) — never quadratic in a
+    duplicate group — while the implied pairwise closure is unchanged.
+
+    Input/knobs match :func:`dhash_neardup_indexed` (which this calls on
+    the representative set)."""
+    groups = h.groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("media_id").alias("rep_id")
+    )
+    ident = (
+        h.join(groups, ["dhash_hi", "dhash_lo"])
+        .filter(F.col("media_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("media_id").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    reps = groups.select(
+        F.col("rep_id").alias("media_id"), "dhash_hi", "dhash_lo"
+    )
+    near = dhash_neardup_indexed(reps, max_hamming, num_bands, max_bucket_size)
+    return near.unionByName(ident)
+
+
 def vad_segments(
     media: DataFrame, frame_window: int = 8, threshold: float = 10.0
 ) -> DataFrame:

@@ -2796,6 +2796,27 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_neardup_grouped",
+    _dedup.simhash_grouped_oracle_sql("documents", "doc_id", "text", max_hamming=3),
+)
+def simhash_neardup_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical-simhash-first near-dup at the scale threshold (round-10
+    sf10 findings): the classic entry's hamming <= 10 forces 5-bit chunks
+    = 32 buckets/chunk — ~12n²/32 candidates on ANY corpus, measured
+    15.7 s -> 831 s for 10x docs — while hamming <= 3 picks four 15-bit
+    chunks (32,768 buckets/chunk), measured ~linear through sf10. The
+    grouped composition additionally collapses identical signatures to
+    min-id representatives (linear hamming-0 edges, chunk join over
+    DISTINCT signatures), the guard for the mass-duplicate regime the
+    image corpus measured (76 distinct hashes / 500k rows ->
+    5 s -> 1,164 s ungrouped); it costs one count-aggregate when groups
+    are small."""
+    return _dedup.simhash_neardup_grouped(
+        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=3
+    )
+
+
+@_q(
     "ngram_jaccard",
     # Exact semantics (no hashing anywhere in the operator), so the oracle
     # recomputes word-3-gram Jaccard from scratch: DuckDB list slicing
@@ -7211,6 +7232,53 @@ def image_neardup_dhash_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exercised as a REJECTOR: banded candidates at hamming 7+ must be
     dropped identically on both sides."""
     return _mm.dhash_neardup_indexed(_dhash_index(spark, sf_dir), max_hamming=3)
+
+
+_DHASH_NEARDUP_GROUPED_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
+             CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
+      FROM documents
+    ),
+    g AS (SELECT hi, lo, min(doc_id) AS rep_id FROM h GROUP BY hi, lo),
+    ident AS (
+      SELECT g.rep_id AS id_a, h.doc_id AS id_b, CAST(0 AS INT) AS hamming
+      FROM h JOIN g ON h.hi = g.hi AND h.lo = g.lo
+      WHERE h.doc_id <> g.rep_id
+    ),
+    r AS (SELECT rep_id AS doc_id, hi, lo FROM g),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM r a JOIN r b ON a.doc_id < b.doc_id AND (
+           ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535)
+        OR (a.hi & 65535) = (b.hi & 65535)
+        OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
+        OR (a.lo & 65535) = (b.lo & 65535))
+    ),
+    near AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+    )
+    SELECT * FROM near UNION ALL SELECT * FROM ident
+    """
+
+
+@_q("image_neardup_dhash_grouped", _DHASH_NEARDUP_GROUPED_SQL)
+def image_neardup_dhash_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-identical-first image near-dup (round-10 scale finding): the
+    sf10 replica's 500k images collapse to 76 DISTINCT dhash values, a
+    mass-duplicate regime where banding alone is quadratic regardless of
+    band width (measured 5 s -> 1,164 s for 10x images on the wide-band
+    sweep). This entry pins the scale-correct composition — identical
+    hashes collapse to min-id representatives (linear hamming-0 edges),
+    banding + popcount verify run over DISTINCT hashes only — whose edge
+    set closes to the same clusters. Oracle builds the identical groups,
+    representative band-join, and identity edges relationally."""
+    return _mm.dhash_neardup_grouped(_dhash_index(spark, sf_dir), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

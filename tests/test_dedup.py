@@ -397,3 +397,40 @@ def test_simhash_bucket_cap_bounds_mass_duplicates(spark):
     )
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got == {(n, n + 1): 0}
+
+
+def test_simhash_grouped_exact_first_closure(spark):
+    """Round-10 (the sf10 concentration finding): identical texts share a
+    simhash, so simhash_neardup_grouped must emit LINEAR (rep, member, 0)
+    edges for them — never the quadratic within-group pair list — while
+    the transitive closure matches the full pair list's exactly."""
+    base = " ".join(WORDS * 16)
+    near = "flink " + base[len("spark ") :]
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = (
+        [(i, base) for i in (10, 11, 12, 13, 14)]  # 5 identical copies
+        + [(20, near)]
+        + [(99, far)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_grouped(df, "doc_id", max_hamming=3).collect()
+    }
+    ident = {(10, i): 0 for i in (11, 12, 13, 14)}
+    # the 5-copy group contributes 4 identity edges, not 5C2 = 10 pairs
+    assert {k: v for k, v in got.items() if v == 0} == ident
+    near_edges = {k for k, v in got.items() if v > 0}
+    assert near_edges == {(10, 20)} or near_edges == set(), near_edges
+    ids = df.select(F.col("doc_id").alias("id"))
+    full = dedup.simhash_neardup(df, "doc_id", max_hamming=3)
+    want = {
+        (r["id"], r["cluster"])
+        for r in dedup.dedup_clusters(full, ids, "id").collect()
+    }
+    grouped_edges = dedup.simhash_neardup_grouped(df, "doc_id", max_hamming=3)
+    have = {
+        (r["id"], r["cluster"])
+        for r in dedup.dedup_clusters(grouped_edges, ids, "id").collect()
+    }
+    assert have == want

@@ -448,3 +448,41 @@ def test_dhash_default_is_scale_safe_auto_banding(spark):
 
     with _pt.raises(ValueError, match="pigeonhole"):
         mm.dhash_neardup_indexed(h, max_hamming=8)
+
+
+def test_dhash_grouped_exact_first_closure(spark):
+    """Round-10 (the sf10 mass-duplicate finding): dhash_neardup_grouped
+    collapses identical hashes before banding, so its edge count is linear
+    in a duplicate group's size, while the transitive closure (clusters)
+    is identical to the full quadratic pair list's."""
+    from sdlt_spark.operators.dedup import dedup_clusters
+
+    # two identical-hash groups (hamming 0 within), the groups hamming-2
+    # from each other, plus one far-away singleton
+    rows = (
+        [(i, 0x12345678, 0x9ABCDE00) for i in (10, 11, 12, 13)]
+        + [(j, 0x12345678, 0x9ABCDE03) for j in (20, 21, 22)]
+        + [(99, 0x00000000, 0x00000000)]
+    )
+    h = spark.createDataFrame(rows, "media_id long, dhash_hi long, dhash_lo long")
+    grouped = mm.dhash_neardup_grouped(h, max_hamming=3)
+    edges = {(r["id_a"], r["id_b"]): r["hamming"] for r in grouped.collect()}
+    # linear structure: 3 + 2 identity edges + ONE rep-rep near pair —
+    # never the 4C2 + 3C2 + 4*3 = 21 pairs of the closure
+    assert edges == {
+        (10, 11): 0, (10, 12): 0, (10, 13): 0,
+        (20, 21): 0, (20, 22): 0,
+        (10, 20): 2,
+    }
+    ids = h.select(F.col("media_id").alias("id"))
+    full = mm.dhash_neardup_indexed(h, max_hamming=3)
+    want = {
+        (r["id"], r["cluster"])
+        for r in dedup_clusters(full, ids, "id").collect()
+    }
+    got = {
+        (r["id"], r["cluster"])
+        for r in dedup_clusters(grouped, ids, "id").collect()
+    }
+    assert got == want
+    assert got == {(i, 10) for i in (10, 11, 12, 13, 20, 21, 22)} | {(99, 99)}
