@@ -58,6 +58,7 @@ NO_ORACLE_ALLOWLIST = {
     "multimodal_features": "tests/test_multimodal.py (plumbing/shape tests)",
     "semantic_dedup": "tests/test_dedup.py::test_semantic_dedup_planted_duplicates",
     "ann_pq_topk": "tests/test_similarity.py::test_ann_pq_recall_on_planted_neighbor_fixture",
+    "ann_ivf_refresh": "tests/test_similarity.py::test_ivf_refresh_follows_corpus_mutations (refresh ≡ from-scratch rebuild; in-entry equality assert)",
     "compression_ratio": "tests/test_text.py::test_compression_ratio_separates_repetitive_text (exact deflate-size pin)",
 }
 
