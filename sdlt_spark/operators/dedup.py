@@ -1356,7 +1356,11 @@ def semantic_dedup(
     clusters for LAION-440M) and each cell is one Arrow-batched
     applyInPandas task doing a dense numpy GEMM; cross-cell pairs are
     never computed (the approximation the paper accepts: true duplicates
-    co-locate because k-means cells are cosine-tight). Centroid training
+    co-locate because k-means cells are cosine-tight). ``k`` MUST grow
+    with the corpus — per-cell work is O((n/k)^2 * d), so a fixed k is
+    quadratic in n: round-10 measured k=8 at 2.5 s on 20k vectors but
+    PAST A 10-MINUTE CAP on 200k, while k = n/2000 returns the curve to
+    ~linear (cells bounded at ~2k rows). Centroid training
     is the bounded-driver Lloyd loop shared with ``kmeans_fit``
     (per-(cluster,dim) partial sums; the driver holds k x dim scalars);
     the component closure is the same join-based label propagation as

@@ -6151,14 +6151,23 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means partition -> within-cell pairwise cosine GEMM -> transitive
     closure -> keep min-id representative (operators/dedup.py). Rows-only
     (k-means is not SQL-expressible); the planted-duplicate property test
-    regression-guards exactness of the keep set."""
+    regression-guards exactness of the keep set.
+
+    k SCALES WITH THE CORPUS (round-10 sf10 finding): the per-cell GEMM
+    is O((n/k)² · d), so a FIXED cell count is quadratic in corpus size —
+    k=8 at 200k vectors timed out a 10-minute cap where 20k vectors took
+    2.5 s. The paper's recipe (tens of thousands of clusters at corpus
+    scale) is cells ∝ n; here k = n / 2,000 (footer-count, no extra job),
+    which leaves the sf0.1 fixture at the historical k=8 and keeps every
+    cell's GEMM bounded at ~2k × 2k."""
     from sdlt_spark.operators.dedup import semantic_dedup
 
+    n = tables.row_count(sf_dir, "embeddings")
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        k=8,
+        k=max(8, n // 2_000),
         threshold=0.99,
     )
 
