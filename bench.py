@@ -90,8 +90,12 @@ BENCH_QUERIES = [
     "weighted_sample",
     "image_neardup_dhash_wide",
     # round-10 (cont.): shard construction — the scalable global prefix
-    # sum and the quota mixture draw (55-query suite)
+    # sum and the quota mixture draw (55-query suite). NOTE: through
+    # BENCH_r10 the name "pack_sequences" was shadowed by the legacy
+    # concat-then-chunk entry (now "pack_sequences_sharded"); r11 onward
+    # the row measures the real two-level prefix-sum operator.
     "pack_sequences",
+    "pack_sequences_sharded",
     "mixture_sample",
     # round-10 sf10 finding: hash-identical-first grouping is the only
     # banding shape that survives a mass-duplicate / concentrated-hash

@@ -22,8 +22,12 @@ DuckDB oracle checks them value-for-value.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = [
@@ -86,12 +90,24 @@ def pack_sequences(
     sort comfortably (the sort spills gracefully past that). Token
     counting is the portable whitespace split (NULL text counts 0), the
     same contract as ``sampling.token_budget_sample``.
+
+    Precondition: ``id_col`` must be numeric (approxQuantile's contract)
+    and non-NULL (a total order has no position for NULL) — both raise a
+    clear ValueError rather than failing downstream.
     """
     spark = df.sparkSession
     if num_chunks is None:
         num_chunks = 4 * spark.sparkContext.defaultParallelism
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise ValueError(
+            f"pack_sequences requires a numeric id column for its quantile "
+            f"chunking; {id_col!r} is {id_type.simpleString()}"
+        )
     base = df.select(
-        F.col(id_col), _portable_token_count(text_col).alias("n_tokens")
+        F.col(id_col),
+        # long, matching the SQL twin's len() type
+        _portable_token_count(text_col).cast("long").alias("n_tokens"),
     )
     # interior quantile boundaries: num_chunks-1 cut points, left-closed
     probs = [i / num_chunks for i in range(1, num_chunks)]
@@ -99,6 +115,10 @@ def pack_sequences(
     chunk = F.lit(0)
     for b in bounds:  # codegen'd comparison chain, <= num_chunks terms
         chunk = chunk + (F.col(id_col) > F.lit(b)).cast("int")
+    # NULL ids have no position in the total order; route them to a NULL
+    # chunk so the subtotal pass below rejects them with a clear error
+    # even when bounds is empty (constant-id or single-chunk corpora)
+    chunk = F.when(F.col(id_col).isNull(), F.lit(None)).otherwise(chunk)
     chunked = base.withColumn("__chunk", chunk)
     # bounded driver state: one (chunk, subtotal) row per chunk
     subtotals = {
@@ -107,6 +127,13 @@ def pack_sequences(
         .agg(F.sum("n_tokens").alias("t"))
         .collect()
     }
+    if None in subtotals:
+        # a NULL id compares NULL against every boundary, landing in a
+        # NULL chunk with no defined position in the global order
+        raise ValueError(
+            f"pack_sequences requires non-NULL {id_col!r} values: packing "
+            "is a total order over ids and NULL has no position in it"
+        )
     offsets, acc = {}, 0
     for c in sorted(subtotals):
         offsets[c] = acc
@@ -143,8 +170,92 @@ def pack_sequences_sql(
 
 
 def _quotas(weights: dict[str, float], total: int) -> dict[str, int]:
-    s = sum(weights.values())
-    return {k: int(total * v / s) for k, v in weights.items()}
+    """Largest-remainder apportionment of ``total`` across ``weights``:
+    each stratum gets floor(total * w / sum(w)) and the leftover seats go
+    to the largest fractional remainders (ties broken by stratum key for
+    determinism). Exact arithmetic via Fraction so float representation
+    error can never drop a seat; sum(quotas) == total always. Both the
+    Spark operator and the SQL oracle embed these Python-computed quotas,
+    so they stay in lockstep by construction."""
+    fracs = {k: Fraction(v).limit_denominator(10**12) for k, v in weights.items()}
+    s = sum(fracs.values())
+    exact = {k: total * v / s for k, v in fracs.items()}
+    base = {k: math.floor(e) for k, e in exact.items()}
+    leftover = total - sum(base.values())
+    by_remainder = sorted(
+        weights, key=lambda k: (exact[k] - base[k], k), reverse=True
+    )
+    for k in by_remainder[:leftover]:
+        base[k] += 1
+    return base
+
+
+def _mix_hash(seed: str, id_col: str) -> Column:
+    return F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+
+
+def _prefilter_thresholds(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    seed: str,
+) -> dict[str, str] | None:
+    """Per-stratum 15-hex-digit md5-prefix bounds such that filtering to
+    ``prefix <= bound`` provably preserves the top-``quota`` rows of the
+    seeded order, while shrinking each window partition to O(quota).
+
+    Exactness argument: the survivor set {prefix <= bound} is downward-
+    closed under the (md5, id) selection order — if a survives and b's
+    hash sorts before a's, b's prefix <= a's prefix, so b survives too.
+    Hence whenever a stratum keeps >= min(quota, |stratum|) survivors,
+    its top-quota over survivors equals its top-quota over the whole
+    stratum. We VERIFY that count per stratum (one pruned aggregate over
+    the prefix indicator — the hashes are data-deterministic, not random
+    at run time) and keep everything for any stratum that undershoots,
+    so the operator is exact unconditionally, not just w.h.p.
+
+    The bound targets quota + 6*sqrt(quota) + 64 expected survivors — a
+    Binomial mean 8+ standard deviations above the quota — so the
+    verified fallback is astronomically rare on real corpora. Returns
+    None when no stratum is large enough to bother prefiltering (the
+    plain window is already O(quota) there)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(*quotas))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    bounds: dict[str, str] = {}
+    for g, n in counts.items():
+        q = quotas[g]
+        margin = q + 6 * math.isqrt(q) + 64
+        if n <= margin:
+            continue  # small stratum: the window input is already bounded
+        frac = Fraction(margin, n)
+        cut = min(16**15 - 1, (frac.numerator * 16**15) // frac.denominator)
+        bounds[g] = format(cut, "015x")
+    if not bounds:
+        return None
+    prefix = F.substring(_mix_hash(seed, id_col), 1, 15)
+    keep = F.lit(None).cast("boolean")
+    for g, b in bounds.items():
+        keep = F.when(F.col(stratum_col) == g, prefix <= F.lit(b)).otherwise(keep)
+    survivors = {
+        r[0]: r[1]
+        for r in df.filter(F.col(stratum_col).isin(*bounds))
+        .groupBy(stratum_col)
+        .agg(F.sum(keep.cast("int")))
+        .collect()
+    }
+    # exactness guard: a stratum whose survivor count fell below its
+    # quota (possible only under extreme hash skew) keeps all its rows
+    return {
+        g: b
+        for g, b in bounds.items()
+        if survivors.get(g, 0) >= min(quotas[g], counts[g])
+    } or None
 
 
 def mixture_sample(
@@ -154,25 +265,45 @@ def mixture_sample(
     weights: dict[str, float],
     total: int,
     seed: str = "mix-v1",
+    prefilter: bool = True,
 ) -> DataFrame:
-    """Draw ~``total`` rows whose ``stratum_col`` proportions match
-    ``weights`` (normalized): stratum *g* contributes
-    ``floor(total * w_g / sum(w))`` rows — fewer only if the stratum runs
-    out — chosen by seeded-md5 order, the same deterministic keying as
+    """Draw ``total`` rows whose ``stratum_col`` proportions match
+    ``weights`` (normalized, largest-remainder apportioned so the draw
+    hits ``total`` exactly) — fewer only if a stratum runs out — chosen
+    by seeded-md5 order, the same deterministic keying as
     ``sampling.deterministic_split`` (re-runnable; appending rows never
     evicts chosen ones unless they hash earlier). Strata absent from
-    ``weights`` are dropped — the mixture is a whitelist. One window
-    shuffle on the stratum key; quotas ride as a literal CASE map, so no
-    join and no driver-side corpus state."""
+    ``weights`` are dropped — the mixture is a whitelist.
+
+    Scale shape: quotas are small constants, so windowing each FULL
+    stratum (``row_number`` over ``PARTITION BY stratum``) would sort a
+    whole domain — half the corpus — through one task. Instead a seeded
+    md5-prefix threshold prefilters each large stratum to O(quota) rows
+    (bounds derived from one pruned count aggregate; exactness verified,
+    see :func:`_prefilter_thresholds`) BEFORE the quota window, so no
+    window partition ever exceeds ~quota + 6*sqrt(quota) + 64 rows. The
+    quota window itself then touches only ~total rows regardless of
+    corpus size. Quotas ride as a literal CASE map — no join, no
+    driver-side corpus state beyond one row per stratum."""
     quotas = _quotas(weights, total)
     quota = F.lit(0)
     for g, q in quotas.items():
         quota = F.when(F.col(stratum_col) == g, F.lit(q)).otherwise(quota)
-    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    h = _mix_hash(seed, id_col)
+    base = df.filter(F.col(stratum_col).isin(*quotas))
+    if prefilter:
+        bounds = _prefilter_thresholds(df, stratum_col, id_col, quotas, seed)
+        if bounds:
+            prefix = F.substring(h, 1, 15)
+            keep = F.lit(True)
+            for g, b in bounds.items():
+                keep = F.when(
+                    F.col(stratum_col) == g, prefix <= F.lit(b)
+                ).otherwise(keep)
+            base = base.filter(keep)
     w = Window.partitionBy(stratum_col).orderBy(h, id_col)
     return (
-        df.filter(F.col(stratum_col).isin(*quotas))
-        .withColumn("__rn", F.row_number().over(w))
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
@@ -187,19 +318,27 @@ def mixture_sample_sql(
     seed: str = "mix-v1",
     select_cols: str = "*",
 ) -> str:
-    """The same draw in portable SQL (oracle / audit form)."""
+    """The same draw in portable SQL (oracle / audit form — exact, but
+    windows each full stratum; the operator's prefilter exists to avoid
+    executing that shape at scale)."""
+
+    def lit(s: str) -> str:  # SQL string literal, quotes doubled
+        return "'" + s.replace("'", "''") + "'"
+
     quotas = _quotas(weights, total)
-    in_list = ", ".join(f"'{g}'" for g in quotas)
+    in_list = ", ".join(lit(g) for g in quotas)
     quota_case = (
         "CASE "
-        + " ".join(f"WHEN {stratum_col} = '{g}' THEN {q}" for g, q in quotas.items())
+        + " ".join(
+            f"WHEN {stratum_col} = {lit(g)} THEN {q}" for g, q in quotas.items()
+        )
         + " ELSE 0 END"
     )
     return f"""
     SELECT {select_cols} FROM (
       SELECT *, row_number() OVER (
                PARTITION BY {stratum_col}
-               ORDER BY md5(concat_ws(':', '{seed}', CAST({id_col} AS STRING))),
+               ORDER BY md5(concat_ws(':', {lit(seed)}, CAST({id_col} AS STRING))),
                         {id_col}) AS __rn
       FROM {table} WHERE {stratum_col} IN ({in_list})
     ) WHERE __rn <= {quota_case}

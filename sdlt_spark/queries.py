@@ -34,6 +34,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def _q(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        # A silent dict overwrite here once shadowed a whole operator (the
+        # round-10 pack_sequences collision): both entries were internally
+        # consistent, so no oracle/bench/driver check could notice. Fail
+        # loudly at import time instead.
+        if name in _REGISTRY:
+            raise ValueError(
+                f"duplicate registry entry {name!r}: already registered as "
+                f"{_REGISTRY[name][0].__module__}.{_REGISTRY[name][0].__qualname__}"
+            )
         _REGISTRY[name] = (fn, sql)
         return fn
 
@@ -5086,7 +5095,7 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "pack_sequences",
+    "pack_sequences_sharded",
     """
     WITH toks AS (
       SELECT source, doc_id % 16 AS shard, doc_id,
@@ -5106,7 +5115,7 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM packed GROUP BY source, shard, seq_id
     """,
 )
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 extension — training-sequence packing (GPT-style concat-then-chunk):
     documents are concatenated in deterministic (doc_id) order within a
     (source, shard) stream and the token stream is chunked into 256-token

@@ -39,6 +39,29 @@ def test_registry_consistency():
     assert len(qs) >= 25 or True  # informational; grows each round
 
 
+def test_registry_size_matches_decoration_count():
+    """Tripwire against silent registry shadowing (the round-10
+    pack_sequences collision): every @_q decoration in queries.py must
+    produce exactly one registry entry. _q now raises on duplicates at
+    import time; this test catches any future registration path that
+    bypasses _q (or a regression of the guard itself)."""
+    import inspect
+    import re
+
+    src = inspect.getsource(q)
+    decorations = re.findall(r"^@_q\(", src, flags=re.MULTILINE)
+    assert len(q.registry()) == len(decorations), (
+        f"{len(decorations)} @_q decorations but {len(q.registry())} "
+        "registry entries — a name was silently shadowed or registered "
+        "outside _q"
+    )
+
+
+def test_duplicate_registration_raises():
+    with pytest.raises(ValueError, match="duplicate registry entry"):
+        q._q("count_all", None)(lambda spark, sf_dir: None)
+
+
 # Registry entries legitimately WITHOUT a DuckDB oracle: each must name the
 # property/accuracy test that regression-guards it instead. A new rows-only
 # entry fails test_no_oracle_entries_are_allowlisted until it is added here

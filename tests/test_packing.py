@@ -9,13 +9,18 @@ append-stable, and quota-starved gracefully.
 
 from __future__ import annotations
 
+import math
 import random
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdlt_spark.operators.packing import (
+    _prefilter_thresholds,
+    _quotas,
     mixture_sample,
+    mixture_sample_sql,
     pack_sequences,
     pack_sequences_sql,
 )
@@ -124,3 +129,113 @@ def test_mixture_append_stable(spark):
     # and re-running on identical input is exactly reproducible
     chosen3 = {r["doc_id"] for r in mixture_sample(base, "lang", "doc_id", WEIGHTS, total=60).collect()}
     assert chosen == chosen3
+
+
+def test_pack_rejects_null_ids(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (None, "c d"), (2, "e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        pack_sequences(df, budget=8).collect()
+
+
+def test_pack_rejects_non_numeric_ids(spark):
+    df = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric id column"):
+        pack_sequences(df, budget=8)
+
+
+def test_quotas_largest_remainder_hits_total_exactly():
+    """Off-grid weights (the verdict's .34/.33/.33 x 200 example) must not
+    under-fill the draw; property-checked over random weight vectors."""
+    assert sum(_quotas({"a": 0.34, "b": 0.33, "c": 0.33}, 200).values()) == 200
+    rng = random.Random(42)
+    for _ in range(200):
+        k = rng.randrange(1, 8)
+        weights = {f"g{i}": rng.random() + 1e-9 for i in range(k)}
+        total = rng.randrange(0, 500)
+        qs = _quotas(weights, total)
+        assert sum(qs.values()) == total, (weights, total, qs)
+        assert all(v >= 0 for v in qs.values())
+        # no stratum may exceed its exact share by more than the 1-seat
+        # largest-remainder bump
+        s = sum(weights.values())
+        for g, v in qs.items():
+            assert v <= math.floor(total * weights[g] / s) + 1
+
+
+def test_quotas_float_representation_error():
+    """Weights summing to 0.9999999999999999 (the ADVICE float-truncation
+    case) must still apportion exactly."""
+    w = {f"g{i}": 0.1 for i in range(10)}  # sums to 0.9999999999999999
+    qs = _quotas(w, 100)
+    assert qs == {f"g{i}": 10 for i in range(10)}
+
+
+def test_mixture_prefilter_is_exact_and_bounds_window_input(spark):
+    """The scale path: each large stratum's window input must be O(quota)
+    (<= quota + 6*sqrt(quota) + 64 EXPECTED survivors; assert a 3x slack
+    on the realized deterministic count), and the prefiltered draw must
+    equal the unfiltered draw row-for-row."""
+    n = 4000
+    rows = [(i, ["en", "zh", "fr", "de"][i % 4]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = _quotas(WEIGHTS, 100)
+    bounds = _prefilter_thresholds(df, "lang", "doc_id", quotas, "mix-v1")
+    assert bounds is not None and set(bounds) == set(quotas)  # all strata large
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.lit("mix-v1"), F.col("doc_id").cast("string"))),
+        1,
+        15,
+    )
+    for g, b in bounds.items():
+        survivors = df.filter(
+            (F.col("lang") == g) & (prefix <= F.lit(b))
+        ).count()
+        margin = quotas[g] + 6 * math.isqrt(quotas[g]) + 64
+        assert quotas[g] <= survivors <= 3 * margin, (g, survivors, margin)
+    fast = sorted(
+        map(tuple, mixture_sample(df, "lang", "doc_id", WEIGHTS, total=100).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            mixture_sample(
+                df, "lang", "doc_id", WEIGHTS, total=100, prefilter=False
+            ).collect(),
+        )
+    )
+    assert fast == slow
+    by_lang = {}
+    for r in fast:
+        by_lang[r[1]] = by_lang.get(r[1], 0) + 1
+    assert by_lang == quotas
+
+
+def test_mixture_sql_escapes_quotes(spark, tmp_path):
+    """ADVICE: stratum values / seeds containing quotes must produce valid
+    oracle SQL with the same draw."""
+    import duckdb
+
+    rows = [(i, "o'brien" if i % 2 else "plain") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"o'brien": 0.5, "plain": 0.5}
+    path = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    sql = mixture_sample_sql(
+        "documents", "lang", "doc_id", weights, total=20, seed="it's",
+        select_cols="doc_id, lang",
+    )
+    want = sorted(con.sql(sql).fetchall())
+    got = sorted(
+        map(
+            tuple,
+            mixture_sample(df, "lang", "doc_id", weights, total=20, seed="it's")
+            .select("doc_id", "lang")
+            .collect(),
+        )
+    )
+    assert got == want
+

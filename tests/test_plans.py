@@ -270,11 +270,11 @@ def test_q22_anti_join_prunes_order_columns(spark):
     assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
 
 
-def test_pack_sequences_single_shard_shuffle(spark):
-    """Packing must shuffle once on the shard key; the running sum and the
-    final per-sequence aggregate reuse that partitioning (the aggregate
-    keys are a superset of the window keys)."""
-    plan = plan_of(spark, "pack_sequences")
+def test_pack_sequences_sharded_single_shuffle(spark):
+    """Sharded packing must shuffle once on the shard key; the running sum
+    and the final per-sequence aggregate reuse that partitioning (the
+    aggregate keys are a superset of the window keys)."""
+    plan = plan_of(spark, "pack_sequences_sharded")
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
