@@ -852,6 +852,124 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
     )
 
 
+def _ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of <= ``radius`` bits over a ``width``-bit value — the
+    hamming ball used by multi-index probe enumeration. Sizes are
+    sum_{i<=r} C(width, i); guarded so a mis-parameterized call can't
+    explode the plan (radius 2 over 16 bits = 137 masks, the largest any
+    default reaches)."""
+    import itertools
+
+    masks: list[int] = []
+    for r in range(radius + 1):
+        for combo in itertools.combinations(range(width), r):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
+    if len(masks) > 4096:
+        raise ValueError(
+            f"hamming-ball enumeration of radius {radius} over {width}-bit "
+            f"chunks needs {len(masks)} probe keys per row — use more/narrower "
+            "chunks or a tighter max_hamming"
+        )
+    return masks
+
+
+def _hamming_pairs_grouped(
+    sigs: DataFrame,
+    id_col: str,
+    sig_cols: list[str],
+    chunk_exprs: list,
+    width: int,
+    max_hamming: int,
+    max_bucket_size: int | None,
+):
+    """Shared engine for simhash/dhash near-dup: identical-signature
+    grouping, then multi-index ball-probe candidates over DISTINCT
+    signatures, returning (ident_edges, verified_rep_pairs_unverified).
+
+    - **Grouping** (round-10 sf10 finding): identical signatures agree on
+      every chunk, so ANY banding scheme goes quadratic in a duplicate
+      group (76 distinct dhashes across 500k images measured 1,164 s).
+      Collapsing each identical-signature group to its min-id
+      representative first makes those pairs LINEAR (rep, member, 0)
+      edges and every later stage runs over distinct signatures only.
+    - **Ball probing** (Norouzi et al. 2012, multi-index hashing): exact
+      chunk equality needs > max_hamming chunks for pigeonhole recall, so
+      a loose threshold forces narrow chunks with few buckets — the
+      round-10 831 s wall (hamming <= 10 -> 12 x 5-bit chunks = 32
+      buckets). Instead keep WIDE chunks and probe each chunk's hamming
+      ball: with per-chunk radius r = max_hamming // num_chunks,
+      pigeonhole still guarantees some chunk pair is within r (else the
+      total exceeds num_chunks*(r+1) > max_hamming). Enumerating radius
+      ceil(r/2) on one side and floor(r/2) on the other makes key
+      collision EXACTLY equivalent to chunk distance <= r, with
+      ball(ceil(r/2)) keys per row instead of ball(r). Candidates shrink
+      by the bucket-count ratio (2^15 vs 2^5 = 1024x fewer collisions per
+      chunk for the simhash default) while recall stays exact; the
+      verified output — all pairs within max_hamming — is therefore
+      IDENTICAL to the equality scheme's, so oracles are unaffected by
+      the probe shape.
+
+    ``max_bucket_size`` drops rows whose EXACT chunk value sits in a
+    bucket of more than the cap's distinct signatures (the same rule the
+    SQL oracles reproduce); with grouping in front it only matters for
+    near-identical (not identical) mass groups.
+
+    Caller verifies hamming on the returned rep-pair frame (sig columns
+    are suffixed _a/_b) and unions the ident edges."""
+    num_chunks = len(chunk_exprs)
+    r = max_hamming // num_chunks
+    qa, qb = (r + 1) // 2, r // 2
+    groups = sigs.groupBy(*sig_cols).agg(F.min(id_col).alias("rep_id"))
+    ident = (
+        sigs.join(groups, sig_cols)
+        .filter(F.col(id_col) != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    reps = groups.select(F.col("rep_id").alias(id_col), *sig_cols)
+    banded = reps.select(
+        id_col, *sig_cols, F.posexplode(F.array(*chunk_exprs)).alias("chunk", "cv")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("chunk", "cv")
+        )
+        banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
+
+    def probe(side: str, radius: int) -> DataFrame:
+        keys = F.array(
+            *[F.col("cv").bitwiseXOR(F.lit(m)) for m in _ball_masks(width, radius)]
+        )
+        return banded.select(
+            F.col(id_col).alias(f"id_{side}"),
+            *[F.col(c).alias(f"{c}_{side}") for c in sig_cols],
+            "chunk",
+            F.explode(keys).alias("key"),
+        )
+
+    a, b = probe("a", qa), probe("b", qb)
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            *[f"{c}_a" for c in sig_cols],
+            *[f"{c}_b" for c in sig_cols],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return ident, cand
+
+
 def simhash_neardup(
     df: DataFrame,
     id_col: str,
@@ -861,84 +979,55 @@ def simhash_neardup(
     max_bucket_size: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Candidates from equality
-    on any (64/num_chunks)-bit chunk — pigeonhole guarantees full recall for
-    hamming distance < num_chunks — then verified with bit_count(xor).
-    More chunks = better recall at smaller distances but more bucket
-    collisions to verify.
+    """Near-dup edges by SimHash hamming distance — identical-signature
+    groups collapse to min-id representative edges (hamming 0), then
+    multi-index ball-probe candidates over distinct signatures are
+    verified with bit_count(xor) <= max_hamming (see
+    :func:`_hamming_pairs_grouped` for both design arguments; this is the
+    round-11 unification that retired the two measured sf10 walls from
+    every registry name). The edge set is O(corpus + true near-dup pairs
+    among distinct signatures); ``dedup.dedup_clusters`` downstream
+    closes the same transitive structure the full quadratic pair list
+    would.
 
-    ``num_chunks`` defaults to the smallest divisor of the hash width
-    exceeding ``max_hamming``, so the pigeonhole recall guarantee always
-    covers the requested distance; passing a smaller value explicitly
-    trades recall for fewer candidates.
-
-    ``max_bucket_size`` caps hot (chunk, value) buckets the same way
-    :func:`lsh_candidate_pairs` caps band buckets: identical documents
-    share ALL chunks, so a mass-duplicated page makes every one of its
-    buckets quadratic in the copy count. Buckets above the cap are
-    dropped from candidate generation (exact-dedup upstream is the
-    designated tool for mass-identical copies); the oracle takes the
-    same knob."""
+    ``num_chunks`` (a divisor of 60; default 4 -> 15-bit chunks, 32,768
+    buckets/chunk) sets the bucket-count/probe-fan-out trade. Recall is
+    exact for ANY value: the per-chunk probe radius max_hamming //
+    num_chunks adapts so pigeonhole always covers the threshold — unlike
+    the pre-round-11 equality scheme, a small num_chunks can no longer
+    silently lose recall."""
     bits = 60  # simhash() width; 60 keeps every value positive-BIGINT portable
     if num_chunks is None:
-        num_chunks = next(
-            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
-        )
+        num_chunks = 4
+    if not 1 <= num_chunks <= bits or bits % num_chunks:
+        raise ValueError(f"num_chunks must divide {bits}, got {num_chunks}")
     width = bits // num_chunks
     mask = (1 << width) - 1
-    # simhash() is a pure map, so it inherits the scan's partitioning; only
-    # when that is too narrow (1-file fixture = 1 partition) does the banding
-    # self-join below need the rows spread — an unconditional repartition
-    # would add a full extra shuffle on inputs that are already parallel.
-    # Parallelism is estimated from the scan's file list (metadata-only; a
-    # .rdd.getNumPartitions() probe would force physical planning and an RDD
-    # conversion of the scan on every call). Non-file inputs report zero
-    # files and get repartitioned — the safe default for local relations.
     # simhash() is a pure map over the scan; repartition its (id, simhash)
-    # OUTPUT — 16 bytes/row — when the scan is under-parallel, never the raw
-    # rows: spreading text bodies first costs a document-sized shuffle that
-    # dwarfs what the (warm-worker) serial hash stage saves. Measured at
-    # sf0.1: input-repartition ~2.3 s vs output-repartition ~1.4 s warm.
+    # OUTPUT — 16 bytes/row — when the scan is under-parallel (1-file
+    # fixture = 1 partition), never the raw rows: spreading text bodies
+    # first costs a document-sized shuffle. Parallelism is estimated from
+    # the scan's file list (metadata-only; a .rdd.getNumPartitions() probe
+    # would force physical planning per call).
     sh = simhash(df, id_col, text_col)
     if _scan_underparallel(df):
         sh = sh.repartition(F.col(id_col))
     sh = sh.persist()
-    chunk_arr = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
-            for c in range(num_chunks)
-        ]
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
+        for c in range(num_chunks)
+    ]
+    ident, cand = _hamming_pairs_grouped(
+        sh, id_col, ["simhash"], chunk_exprs, width, max_hamming, max_bucket_size
     )
-    banded = sh.select(id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "cv"))
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("chunk", "cv")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("chunk", "cv")
+    near = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
         )
-        banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    out = (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+    out = near.unionByName(ident)
     return _materialize_and_release(out, sh) if materialize else out
 
 
@@ -950,92 +1039,15 @@ def simhash_neardup_grouped(
     num_chunks: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Identical-simhash-FIRST near-dup edges — the simhash twin of
-    :func:`exact_then_minhash_pairs`. Round-10's sf10 experiment surfaced
-    TWO distinct banding walls, and this composition plus its default
-    threshold answer both:
-
-    - **Chunk density**: a loose threshold buys narrow chunks.
-      ``max_hamming=10`` forces 12 chunks of 5 bits = 32 buckets/chunk,
-      so candidates are ~12·n²/32 on ANY corpus — measured 15.7 s ->
-      831 s for 10x docs at sf10 (500k docs), where signatures were NOT
-      concentrated (495,481 distinct, largest identical group 7). The
-      fix is the threshold: the default ``max_hamming=3`` picks 4 chunks
-      of 15 bits (32,768 buckets/chunk) — measured ~linear through sf10.
-    - **Signature concentration**: mass-duplicated boilerplate collapses
-      many docs onto ONE signature; such docs agree on every chunk, so
-      candidates AND the output pair list go quadratic in the group size
-      regardless of chunk width (the image corpus measured exactly this:
-      76 distinct dhashes across 500k rows, 5 s -> 1,164 s). Collapsing
-      each identical-signature group to its min-id representative first
-      makes those pairs LINEAR (rep, member, hamming=0) edges and the
-      chunk join runs over DISTINCT signatures only;
-      ``dedup.dedup_clusters`` downstream closes the same transitive
-      structure the full pair list would. When groups are small the
-      grouping costs one count-aggregate — nothing.
-
-    Same knobs as :func:`simhash_neardup`."""
-    bits = 60
-    if num_chunks is None:
-        num_chunks = next(
-            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
-        )
-    width = bits // num_chunks
-    mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col)
-    if _scan_underparallel(df):
-        sh = sh.repartition(F.col(id_col))
-    sh = sh.persist()
-    groups = sh.groupBy("simhash").agg(F.min(id_col).alias("rep_id"))
-    ident = (
-        sh.join(groups, "simhash")
-        .filter(F.col(id_col) != F.col("rep_id"))
-        .select(
-            F.col("rep_id").alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+    """Alias of :func:`simhash_neardup` (kept for round-10 API compat):
+    identical-signature grouping became the ONLY simhash near-dup path in
+    round 11 — the classic name now runs the same grouped + ball-probe
+    composition, so the sf10 walls this twin was introduced to dodge
+    (chunk density at loose thresholds, signature concentration) are
+    unreachable from either name."""
+    return simhash_neardup(
+        df, id_col, text_col, max_hamming, num_chunks, max_bucket_size
     )
-    reps = groups.select(F.col("rep_id").alias(id_col), "simhash")
-    chunk_arr = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
-            for c in range(num_chunks)
-        ]
-    )
-    banded = reps.select(
-        id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "cv")
-    )
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("chunk", "cv")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("chunk", "cv")
-        )
-        banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    near = (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-    )
-    return _materialize_and_release(near.unionByName(ident), sh)
 
 
 def simhash_grouped_oracle_sql(
@@ -1283,11 +1295,18 @@ def dedup_clusters(
 
     Returns (id, cluster) for EVERY id in ``ids`` — singletons keep their
     own id as cluster — so downstream `keep = id == cluster` selects
-    canonical documents directly.
+    canonical documents directly. Edges whose endpoints are not in
+    ``ids`` are dropped up front (two semi-joins of the edge list —
+    the SMALL side — against the id column): otherwise an out-of-corpus
+    endpoint with a small id could become a cluster's min label and no
+    member would satisfy `id == cluster`.
     """
+    members = ids.select(F.col(id_col).alias("u"))
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .join(members, "u", "left_semi")
+        .join(members.withColumnRenamed("u", "v"), "v", "left_semi")
         .distinct()
         .persist()
     )

@@ -422,15 +422,11 @@ def dhash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     band join shuffles on the compact (band_idx, band_key) key,
     verification is codegen'd popcount.
 
-    The default is the SCALE-SAFE shape (round-10, closing round-9's one
-    ``weak`` grade): hamming <= 3 over four 16-bit bands (65,536 buckets
-    per band). The old default — hamming <= 7 over eight byte bands, 256
-    buckets per band — goes ~n²/32 candidates on ANY corpus past ~10k
-    images (measured 13.5x wall for 10x docs at sf1, SCALE.md round-9);
-    callers who need the looser threshold opt in explicitly with
-    ``max_hamming>=4`` and knowingly buy the denser banding
-    (:func:`dhash_neardup_indexed` auto-selects bands from the
-    threshold)."""
+    Round 11: every threshold now runs the grouped + ball-probe
+    composition over four 16-bit bands (see
+    :func:`dhash_neardup_indexed`) — loose thresholds probe a per-band
+    hamming ball instead of falling back to the 256-bucket byte bands
+    that measured ~n²/32 candidates past ~10k images."""
     h = image_dhash(media).filter(F.col("decode_error").isNull())
     return dhash_neardup_indexed(h, max_hamming=max_hamming)
 
@@ -441,84 +437,68 @@ def dhash_neardup_indexed(
     num_bands: int | None = None,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate image pairs over PRE-COMPUTED dHash columns
+    """Near-duplicate image edges over PRE-COMPUTED dHash columns
     (``media_id``, ``dhash_hi``, ``dhash_lo``) — the dhash-at-ingest
     amortization path (round-9 verdict item 4): at 100 TB the per-image
     Python decode dominates :func:`dhash_neardup`, so materialize the
     64-bit hash as a stored 16-byte column ONCE at ingest and run every
     subsequent near-dup sweep entirely JVM-side over the index table —
-    banding, shuffle, and popcount verification never touch a payload
-    byte. Same banded pigeonhole candidates + verify as
-    :func:`dhash_neardup` (which delegates here after decoding).
+    grouping, banding, shuffle, and popcount verification never touch a
+    payload byte.
 
-    ``num_bands`` sets the pigeonhole/selectivity trade (multi-index
-    hashing, Norouzi et al. 2012): recall is guaranteed only for
-    ``max_hamming < num_bands``, and expected candidate volume is
-    ``num_bands * n^2 / 2^(64/num_bands)``. ``num_bands=None`` (default)
-    AUTO-SELECTS the widest band that still guarantees recall: 4 (16-bit
-    bands, 65,536 buckets/band — the 100 TB setting) for hamming <= 3,
-    8 (byte bands, 256 buckets/band) only when the caller's threshold
-    forces it. 8 byte-wide bands cover hamming <= 7 but candidates go
-    ~n²/32 on ANY corpus past ~10k images, measured 15x wall for 10x
-    docs at sf1 — never pick them implicitly. ``max_bucket_size``
-    additionally caps mass-duplicate buckets like every other near-dup
-    op in this repo."""
+    Round 11 folded BOTH measured sf10 walls' fixes into this default
+    path (see ``dedup._hamming_pairs_grouped``, the shared engine):
+    identical hashes collapse to min-id representative (rep, member, 0)
+    edges FIRST — the mass-duplicate regime where any banding is
+    quadratic (76 distinct dhashes / 500k images measured 1,164 s) — and
+    candidates over the distinct hashes come from multi-index BALL
+    PROBING (Norouzi et al. 2012): ``num_bands`` wide bands, each probed
+    at per-band radius ``max_hamming // num_bands``, so recall is exact
+    for ANY threshold while the bands stay wide (16-bit default = 65,536
+    buckets/band; the old rule needed 8 byte-bands = 256 buckets for
+    hamming >= 4, ~n²/32 candidates past ~10k images). The verified edge
+    set is O(corpus + true near-dup pairs among distinct hashes);
+    ``dedup.dedup_clusters`` downstream closes the same transitive
+    structure the quadratic pair list would.
+
+    ``num_bands``: 4 (16-bit bands, the default and the 100 TB setting)
+    or 8 (byte bands — narrower buckets, smaller probe fan-out; only
+    worth it for very loose thresholds). ``max_bucket_size`` additionally
+    caps near-identical (distinct-hash) hot buckets like every other
+    near-dup op in this repo."""
+    from sdlt_spark.operators.dedup import _hamming_pairs_grouped
+
     if num_bands is None:
-        num_bands = 4 if max_hamming < 4 else 8
-    if not 0 <= max_hamming < num_bands:
-        raise ValueError(
-            f"max_hamming must be in [0, {num_bands}) for {num_bands}-band "
-            "pigeonhole recall"
-        )
+        num_bands = 4
     if num_bands not in (4, 8):
         raise ValueError("num_bands must be 4 (16-bit bands) or 8 (byte bands)")
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     width = 64 // num_bands  # per half: 32/(num_bands/2)
     mask = (1 << width) - 1
     shifts = [s for s in range(32 - width, -1, -width)]
-    bands = F.array(
-        *[F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(mask)) for s in shifts],
-        *[F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(mask)) for s in shifts],
+    chunk_exprs = [
+        F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(mask)) for s in shifts
+    ] + [F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(mask)) for s in shifts]
+    ident, cand = _hamming_pairs_grouped(
+        h,
+        "media_id",
+        ["dhash_hi", "dhash_lo"],
+        chunk_exprs,
+        width,
+        max_hamming,
+        max_bucket_size,
     )
-    e = h.select(
-        "media_id", "dhash_hi", "dhash_lo", F.posexplode(bands).alias("band", "byte")
-    )
-    if max_bucket_size is not None:
-        hot = (
-            e.groupBy("band", "byte")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "byte")
-        )
-        e = e.join(F.broadcast(hot), ["band", "byte"], "left_anti")
-    a = e.select(
-        F.col("media_id").alias("id_a"),
-        F.col("dhash_hi").alias("hi_a"),
-        F.col("dhash_lo").alias("lo_a"),
-        "band",
-        "byte",
-    )
-    b = e.select(
-        F.col("media_id").alias("id_b"),
-        F.col("dhash_hi").alias("hi_b"),
-        F.col("dhash_lo").alias("lo_b"),
-        "band",
-        "byte",
-    )
-    cand = (
-        a.join(b, ["band", "byte"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
+    near = (
         cand.withColumn(
             "hamming",
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+            F.bit_count(F.col("dhash_hi_a").bitwiseXOR(F.col("dhash_hi_b")))
+            + F.bit_count(F.col("dhash_lo_a").bitwiseXOR(F.col("dhash_lo_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+    return near.unionByName(ident)
 
 
 def dhash_neardup_grouped(
@@ -546,25 +526,10 @@ def dhash_neardup_grouped(
     near-dup pairs among distinct hashes) — never quadratic in a
     duplicate group — while the implied pairwise closure is unchanged.
 
-    Input/knobs match :func:`dhash_neardup_indexed` (which this calls on
-    the representative set)."""
-    groups = h.groupBy("dhash_hi", "dhash_lo").agg(
-        F.min("media_id").alias("rep_id")
-    )
-    ident = (
-        h.join(groups, ["dhash_hi", "dhash_lo"])
-        .filter(F.col("media_id") != F.col("rep_id"))
-        .select(
-            F.col("rep_id").alias("id_a"),
-            F.col("media_id").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    reps = groups.select(
-        F.col("rep_id").alias("media_id"), "dhash_hi", "dhash_lo"
-    )
-    near = dhash_neardup_indexed(reps, max_hamming, num_bands, max_bucket_size)
-    return near.unionByName(ident)
+    Round 11: grouping became the ONLY dhash near-dup path —
+    :func:`dhash_neardup_indexed` now runs this composition itself, so
+    this name is a kept-for-compat alias and both names are wall-free."""
+    return dhash_neardup_indexed(h, max_hamming, num_bands, max_bucket_size)
 
 
 def vad_segments(

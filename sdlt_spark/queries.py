@@ -2796,11 +2796,20 @@ def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "simhash_neardup",
     # Exact oracle: the 60-bit simhash is md5 + positive-BIGINT arithmetic
-    # end to end, so DuckDB recomputes bit votes, chunk buckets, candidate
-    # pairs, and hamming distances identically.
-    _dedup.simhash_oracle_sql("documents", "doc_id", "text", max_hamming=10),
+    # end to end, so DuckDB recomputes bit votes, identical-signature
+    # groups, candidate pairs, and hamming distances identically. Round 11
+    # folded grouping + ball-probe banding into the classic name (the sf10
+    # walls' fix), so the oracle is the grouped form; the verified output
+    # is candidate-scheme-independent (full recall either way), so the
+    # oracle's chunk-equality enumeration needs no probe logic.
+    _dedup.simhash_grouped_oracle_sql("documents", "doc_id", "text", max_hamming=10),
 )
 def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic loose-threshold simhash near-dup (hamming <= 10). Since
+    round 11 this runs the same grouped + ball-probe composition as
+    simhash_neardup_grouped — 4x15-bit chunks probed at per-chunk radius
+    2 instead of 12x5-bit equality chunks (32 buckets), which was the
+    measured 831 s sf10 wall."""
     return _dedup.simhash_neardup(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=10)
 
 
@@ -7128,43 +7137,74 @@ def image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.image_dhash(media).select("media_id", "dhash_hi", "dhash_lo")
 
 
-_DHASH_NEARDUP_SQL = f"""
+def _dhash_grouped_sql(band_width: int, max_hamming: int) -> str:
+    """Grouped dhash near-dup oracle: identical-hash groups -> min-id
+    representatives + identity edges, band-OR candidate enumeration over
+    the representatives (pigeonhole recall: max_hamming < num_bands *
+    (radius+1), and the relational OR-join enumerates band EQUALITY,
+    which is full-recall whenever max_hamming < 64/band_width bands...
+    byte bands for hamming <= 7, 16-bit bands for hamming <= 3), popcount
+    verify. The Spark side's ball-probe candidate scheme is different but
+    its VERIFIED output — all rep pairs within max_hamming plus identity
+    edges — is scheme-independent, so this equality-enumeration oracle
+    checks it exactly."""
+    assert max_hamming < 64 // band_width, "equality bands lose recall here"
+    mask = (1 << band_width) - 1
+    conds = " OR ".join(
+        f"((a.{half} >> {s}) & {mask}) = ((b.{half} >> {s}) & {mask})"
+        if s
+        else f"(a.{half} & {mask}) = (b.{half} & {mask})"
+        for half in ("hi", "lo")
+        for s in range(32 - band_width, -1, -band_width)
+    )
+    return f"""
     WITH h AS (
       SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
              CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
       FROM documents
     ),
+    g AS (SELECT hi, lo, min(doc_id) AS rep_id FROM h GROUP BY hi, lo),
+    ident AS (
+      SELECT g.rep_id AS id_a, h.doc_id AS id_b, CAST(0 AS INT) AS hamming
+      FROM h JOIN g ON h.hi = g.hi AND h.lo = g.lo
+      WHERE h.doc_id <> g.rep_id
+    ),
+    r AS (SELECT rep_id AS doc_id, hi, lo FROM g),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-      FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
-           ((a.hi >> 24) & 255) = ((b.hi >> 24) & 255)
-        OR ((a.hi >> 16) & 255) = ((b.hi >> 16) & 255)
-        OR ((a.hi >> 8) & 255) = ((b.hi >> 8) & 255)
-        OR (a.hi & 255) = (b.hi & 255)
-        OR ((a.lo >> 24) & 255) = ((b.lo >> 24) & 255)
-        OR ((a.lo >> 16) & 255) = ((b.lo >> 16) & 255)
-        OR ((a.lo >> 8) & 255) = ((b.lo >> 8) & 255)
-        OR (a.lo & 255) = (b.lo & 255))
+      FROM r a JOIN r b ON a.doc_id < b.doc_id AND ({conds})
+    ),
+    near AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+              <= {max_hamming}
     )
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
-             AS hamming
-    FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 7
+    SELECT * FROM near UNION ALL SELECT * FROM ident
     """
+
+
+# classic threshold (hamming <= 7): byte bands give the oracle full
+# equality-enumeration recall; the Spark side probes 16-bit bands at
+# radius 1 — same verified output
+_DHASH_NEARDUP_SQL = _dhash_grouped_sql(8, 7)
 
 
 @_q("image_neardup_dhash", _DHASH_NEARDUP_SQL)
 def image_neardup_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate image pairs by dHash hamming distance: banded
-    equi-join on the 8 per-row hash bytes (pigeonhole recall guarantee for
-    hamming <= 7 — never all-pairs), codegen'd popcount verification. The
-    oracle's OR-join enumerates the same candidate set relationally; both
-    sides emit identical verified pairs. On the fixture, pairs at hamming 0
-    (same 9-bit transition vector) AND hamming 7 (one flipped transition,
-    caught through the one unaffected row byte) both occur, so the verify
-    filter is genuinely exercised."""
+    """Near-duplicate image edges by dHash hamming distance (<= 7).
+    Round 11: identical-hash groups collapse to min-id rep edges first,
+    then 16-bit bands probed at per-band radius 1 (ball enumeration)
+    produce candidates over distinct hashes only, verified with codegen'd
+    popcount — full recall, never all-pairs, and neither sf10 wall shape
+    is reachable. The oracle enumerates candidates relationally with
+    byte-band equality (also full recall at <= 7); verified output is
+    candidate-scheme-independent, so both sides emit identical edges. On
+    the fixture, hamming-0 groups AND hamming-7 pairs both occur, so the
+    verify filter is genuinely exercised."""
     media = _dhash_fixture_media(spark, sf_dir)
     return _mm.dhash_neardup(media, max_hamming=7)
 
@@ -7204,34 +7244,14 @@ def image_neardup_dhash_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame
     entirely JVM-side (banding shuffle on compact keys, codegen'd
     popcount verify), never touching a payload byte again. At 100 TB
     this amortizes the decode to once per corpus instead of once per
-    sweep. Same verified pairs as image_neardup_dhash, same oracle.
-    hamming <= 7 REQUIRES the dense 8-byte-band shape (256 buckets/band,
-    superlinear past ~10k images) — kept here for oracle parity with the
-    classic threshold; image_neardup_dhash_wide is the scale setting."""
+    sweep. Same verified edges as image_neardup_dhash, same oracle.
+    Round 11: hamming <= 7 no longer forces the dense 8-byte-band shape
+    (256 buckets/band, superlinear past ~10k images) — the default path
+    probes 16-bit bands at radius 1 with exact recall."""
     return _mm.dhash_neardup_indexed(_dhash_index(spark, sf_dir), max_hamming=7)
 
 
-_DHASH_NEARDUP_WIDE_SQL = f"""
-    WITH h AS (
-      SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
-             CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
-      FROM documents
-    ),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-      FROM h a JOIN h b ON a.doc_id < b.doc_id AND (
-           ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535)
-        OR (a.hi & 65535) = (b.hi & 65535)
-        OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
-        OR (a.lo & 65535) = (b.lo & 65535))
-    )
-    SELECT id_a, id_b,
-           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
-             AS hamming
-    FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
-    """
+_DHASH_NEARDUP_WIDE_SQL = _dhash_grouped_sql(16, 3)
 
 
 @_q("image_neardup_dhash_wide", _DHASH_NEARDUP_WIDE_SQL)
@@ -7241,48 +7261,20 @@ def image_neardup_dhash_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keeps expected candidates ~4n²/65536 vs the 8-byte-band shape's
     ~n²/32, the difference between linear-ish and quadratic past ~10k
     images (SCALE.md round-9 measured the dense shape at 13.5x wall for
-    10x docs). This is the library DEFAULT as of round 10
-    (multimodal.py dhash_neardup_indexed auto-selects 4 bands for
-    hamming <= 3); the oracle enumerates the identical 16-bit-band
-    candidate set relationally and verifies with the same popcount. On
-    the fixture the surviving pairs are the hamming-0 ones (the pixel
-    formula's minimum nonzero pair distance is ~7), so the verify filter
-    is exercised as a REJECTOR: banded candidates at hamming 7+ must be
-    dropped identically on both sides."""
+    10x docs). Round 11 additionally folded identical-hash grouping into
+    this default path (the other sf10 wall: 76 distinct hashes / 500k
+    images made even wide bands quadratic), so this entry now equals
+    image_neardup_dhash_grouped — both pin the one wall-free composition
+    under the names users reach for. The oracle enumerates the grouped
+    16-bit-band candidate set relationally and verifies with the same
+    popcount; on the fixture the surviving near edges are hamming-0 ones
+    (the pixel formula's minimum nonzero pair distance is ~7), so the
+    verify filter is exercised as a REJECTOR: banded candidates at
+    hamming 7+ must be dropped identically on both sides."""
     return _mm.dhash_neardup_indexed(_dhash_index(spark, sf_dir), max_hamming=3)
 
 
-_DHASH_NEARDUP_GROUPED_SQL = f"""
-    WITH h AS (
-      SELECT doc_id, CAST({_DHASH_HI_SQL} AS BIGINT) AS hi,
-             CAST({_DHASH_LO_SQL} AS BIGINT) AS lo
-      FROM documents
-    ),
-    g AS (SELECT hi, lo, min(doc_id) AS rep_id FROM h GROUP BY hi, lo),
-    ident AS (
-      SELECT g.rep_id AS id_a, h.doc_id AS id_b, CAST(0 AS INT) AS hamming
-      FROM h JOIN g ON h.hi = g.hi AND h.lo = g.lo
-      WHERE h.doc_id <> g.rep_id
-    ),
-    r AS (SELECT rep_id AS doc_id, hi, lo FROM g),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
-      FROM r a JOIN r b ON a.doc_id < b.doc_id AND (
-           ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535)
-        OR (a.hi & 65535) = (b.hi & 65535)
-        OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
-        OR (a.lo & 65535) = (b.lo & 65535))
-    ),
-    near AS (
-      SELECT id_a, id_b,
-             CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
-               AS hamming
-      FROM cand
-      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
-    )
-    SELECT * FROM near UNION ALL SELECT * FROM ident
-    """
+_DHASH_NEARDUP_GROUPED_SQL = _dhash_grouped_sql(16, 3)
 
 
 @_q("image_neardup_dhash_grouped", _DHASH_NEARDUP_GROUPED_SQL)

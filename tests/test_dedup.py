@@ -383,10 +383,11 @@ def test_exact_first_pipeline_bounds_mass_duplicates(spark):
     assert labels[n] == labels[n + 1] == n
 
 
-def test_simhash_bucket_cap_bounds_mass_duplicates(spark):
-    """Same skew class for simhash: identical docs share ALL chunk
-    buckets; the cap drops those mega buckets while a 2-copy bucket
-    (hamming 0) is still found."""
+def test_simhash_mass_duplicates_collapse_to_linear_edges(spark):
+    """Round-11 contract: identical docs share a simhash, and the
+    grouped-by-default path collapses them to n-1 (rep, member, 0) edges —
+    never the quadratic pair list the pre-grouping cap had to suppress.
+    The 2-copy group elsewhere still yields its identity edge."""
     n = 10_000
     rows = [(i, "the same boilerplate page text repeated") for i in range(n)]
     rows += [(n, "alpha beta gamma delta epsilon zeta"),
@@ -396,7 +397,12 @@ def test_simhash_bucket_cap_bounds_mass_duplicates(spark):
         docs, "doc_id", max_hamming=3, max_bucket_size=64
     )
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
-    assert got == {(n, n + 1): 0}
+    ident = {(0, i): 0 for i in range(1, n)}
+    ident[(n, n + 1)] = 0
+    # exactly linear: n-1 boilerplate edges + the 2-copy edge; no
+    # quadratic within-group pairs, and the distinct-signature band join
+    # (2 reps) is far under the cap so nothing true is lost
+    assert got == ident
 
 
 def test_simhash_grouped_exact_first_closure(spark):
@@ -434,3 +440,20 @@ def test_simhash_grouped_exact_first_closure(spark):
         for r in dedup.dedup_clusters(grouped_edges, ids, "id").collect()
     }
     assert have == want
+
+
+def test_dedup_clusters_ignores_foreign_edge_endpoints(spark):
+    """ADVICE round-10: an edge endpoint absent from `ids` (e.g. a stale
+    pair list joined against a filtered corpus) must not become a cluster
+    label — every returned cluster id is a member, so `id == cluster`
+    always selects exactly one representative per cluster."""
+    ids = spark.createDataFrame([(10,), (11,), (12,)], "id long")
+    pairs = spark.createDataFrame(
+        [(10, 11), (1, 12)],  # id 1 is not in ids
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in dedup.dedup_clusters(pairs, ids, "id").collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 12}

@@ -340,8 +340,15 @@ def test_dhash_neardup_planted_pair(spark):
                               max_hamming=7).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 2
     assert (0, 2) not in pairs and (1, 2) not in pairs
+    # round-11: loose thresholds are served by ball probing (per-band
+    # radius max_hamming // 4) instead of raising — the planted pair is
+    # still found at a wider threshold, with exact recall
+    wider = {(r["id_a"], r["id_b"]) for r in
+             mm.dhash_neardup(_bmp_media(spark, [base, near, far]),
+                              max_hamming=8).collect()}
+    assert (0, 1) in wider
     with pytest.raises(ValueError):
-        mm.dhash_neardup(_bmp_media(spark, [base]), max_hamming=8)
+        mm.dhash_neardup(_bmp_media(spark, [base]), max_hamming=-1)
 
 
 def test_vad_segments_hand_cases(spark):
@@ -398,7 +405,9 @@ def test_dhash_indexed_wide_bands_and_bucket_cap(spark):
         for r in mm.dhash_neardup_indexed(h, max_hamming=3, num_bands=4).collect()
     }
     assert got == {(1, 2): 2}
-    # mass-duplicate cluster: every band bucket exceeds the cap -> no pairs
+    # mass-duplicate cluster (round-11 contract): identical hashes collapse
+    # to LINEAR rep edges — 199 (0, i, 0) edges, never 200C2 pairs — and
+    # the band join then sees only 2 distinct hashes, far under the cap
     clones = spark.createDataFrame(
         [(i, 0x5555AAAA, 0x33CC33CC) for i in range(200)]
         + [(500, 0x0F0F0F0F, 0x70F0F0F0), (501, 0x0F0F0F0F, 0x70F0F0F1)],
@@ -410,11 +419,18 @@ def test_dhash_indexed_wide_bands_and_bucket_cap(spark):
             clones, max_hamming=3, num_bands=4, max_bucket_size=64
         ).collect()
     }
-    assert got == {(500, 501): 1}
+    want = {(0, i): 0 for i in range(1, 200)}
+    want[(500, 501)] = 1
+    assert got == want
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="pigeonhole"):
-        mm.dhash_neardup_indexed(h, max_hamming=4, num_bands=4)
+    # round-11: max_hamming >= num_bands probes a per-band ball instead of
+    # raising; the recall contract holds for any threshold
+    got4 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.dhash_neardup_indexed(h, max_hamming=4, num_bands=4).collect()
+    }
+    assert got4 == {(1, 2): 2}
     with _pt.raises(ValueError, match="num_bands"):
         mm.dhash_neardup_indexed(h, max_hamming=3, num_bands=5)
 
@@ -436,18 +452,21 @@ def test_dhash_default_is_scale_safe_auto_banding(spark):
         for r in mm.dhash_neardup_indexed(h).collect()  # ALL defaults
     }
     assert got == {(1, 2): 2}
-    # the default banding is 4 wide bands: max_hamming=3 with an explicit
-    # num_bands=4 is accepted (identical), and the auto-selection only
-    # falls back to 8 dense bands when the threshold forces it
-    assert (
-        mm.dhash_neardup_indexed(h, max_hamming=7).collect()
-        == mm.dhash_neardup_indexed(h, max_hamming=7, num_bands=8).collect()
+    # round-11: a loose threshold keeps the 4 wide bands and probes each
+    # at radius 1 — the verified output matches the byte-band equality
+    # scheme's exactly (both full recall), row order aside
+    assert sorted(
+        map(tuple, mm.dhash_neardup_indexed(h, max_hamming=7).collect())
+    ) == sorted(
+        map(tuple, mm.dhash_neardup_indexed(h, max_hamming=7, num_bands=8).collect())
     )
-    # a threshold past the 8-band pigeonhole still raises
+    # thresholds past the old 8-band pigeonhole limit now work too (radius
+    # adapts); only nonsense values raise
+    assert mm.dhash_neardup_indexed(h, max_hamming=8).count() >= 1
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="pigeonhole"):
-        mm.dhash_neardup_indexed(h, max_hamming=8)
+    with _pt.raises(ValueError, match="max_hamming"):
+        mm.dhash_neardup_indexed(h, max_hamming=64)
 
 
 def test_dhash_grouped_exact_first_closure(spark):

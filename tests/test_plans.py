@@ -532,12 +532,13 @@ def test_bigram_logprob_broadcasts_vocab_scalar(spark):
 
 
 def test_dhash_neardup_bands_not_all_pairs(spark):
-    """Candidate pairs come from the (band, byte) equi-join — the plan
-    must contain a hash join on those keys and no cartesian product."""
+    """Candidate pairs come from the (chunk, probe-key) equi-join — the
+    plan must contain a hash join on those keys and no cartesian
+    product."""
     plan = plan_of(spark, "image_neardup_dhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "band" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)
+    assert "chunk" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)
 
 
 def test_row_tracking_read_is_scan_plus_broadcast_map(spark, tmp_path):
