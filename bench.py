@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # corpus (57-query suite)
     "image_neardup_dhash_grouped",
     "simhash_neardup_grouped",
+    # round-11: incremental IVF maintenance (append-workload fold+merge),
+    # so regressions in the CDC fold / CoW merge path are tracked
+    # round-over-round (verdict item 7)
+    "ann_ivf_refresh",
 ]
 
 
@@ -166,6 +170,12 @@ def main() -> None:
             ):
                 continue
             fn, _sql = registry[name]
+            if name == "ann_ivf_refresh":
+                # the entry caches its corpus/index per session; clear so
+                # every timed pass measures the full append-workload shape
+                # (corpus write + build + mutations + CDC fold + merge +
+                # probe), not a cached probe
+                Q._IVF_REFRESH.clear()
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             elapsed = round(time.time() - t0, 3)

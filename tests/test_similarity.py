@@ -425,3 +425,103 @@ def test_ivf_refresh_rebalances_on_drift(spark, tmp_path):
     brute = sim.cosine_topk(corpus.read(), "embedding", "vec_id", q, k=5)
     key = lambda r: round(r["cos_sim"], 6)
     assert sorted(map(key, got.collect())) == sorted(map(key, brute.collect()))
+
+
+def test_ivf_refresh_drift_probe_is_incremental(spark, tmp_path, monkeypatch):
+    """Round-11 (verdict item 4): a non-rebuild refresh must perform ZERO
+    VintageTable.read calls — the drift probe folds the index's own
+    materialized change feed into the sidecar's population vector instead
+    of re-scanning the index — and the maintained populations must equal
+    a full recompute exactly."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import similarity as sim
+    from sdlt_spark.store import VintageTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    v0 = corpus.write(emb.select("vec_id", "embedding"))
+    path = str(tmp_path / "index")
+    t, cents = sim.ivf_build(
+        corpus.read(), "embedding", "vec_id", path, n_cells=16,
+        txn_id=f"ivf_refresh:{v0}",
+    )
+    corpus.delete("vec_id % 5 = 0")
+    corpus.merge(
+        emb.filter(F.col("vec_id") % 9 == 1)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"),
+        ["vec_id"],
+    )
+
+    reads: list[str] = []
+    orig_read = VintageTable.read
+
+    def spy(self, *a, **k):
+        reads.append(self.path)
+        return orig_read(self, *a, **k)
+
+    monkeypatch.setattr(VintageTable, "read", spy)
+    rep = sim.ivf_refresh(
+        corpus, path, "embedding", "vec_id", rebalance_factor=1e9
+    )
+    monkeypatch.undo()
+    assert rep["upserts"] > 0 and rep["deletes"] > 0 and not rep["rebuilt"]
+    assert rep["pops_source"] == "incremental"
+    assert not reads, f"refresh performed full-table reads: {reads}"
+
+    # maintained populations == full recompute over the refreshed index
+    _v, _c, pops = sim._latest_ivf_build(t)
+    want = {
+        int(r["__cell"]): r["n"]
+        for r in t.read().groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["__cell"] is not None
+    }
+    assert {c: int(p) for c, p in enumerate(pops) if p} == want
+
+
+def test_ivf_refresh_migrates_legacy_sidecar(spark, tmp_path):
+    """A pre-round-11 sidecar (bare centroid list, no populations) forces
+    one rescan, after which the vector rides the sidecar and the next
+    refresh folds incrementally."""
+    import json
+    import os
+    import re
+
+    from sdlt_spark import tables
+    from sdlt_spark.operators import similarity as sim
+    from sdlt_spark.store import VintageTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    v0 = corpus.write(emb.select("vec_id", "embedding"))
+    path = str(tmp_path / "index")
+    t, cents = sim.ivf_build(
+        corpus.read(), "embedding", "vec_id", path, n_cells=8,
+        txn_id=f"ivf_refresh:{v0}",
+    )
+    # rewrite the sidecar in the legacy bare-list form
+    sidecars = [f for f in os.listdir(path) if re.match(r"ivf_centroids", f)]
+    for f in sidecars:
+        full = os.path.join(path, f)
+        doc = json.load(open(full))
+        json.dump(doc["centroids"], open(full, "w"))
+
+    corpus.delete("vec_id % 4 = 1")
+    rep = sim.ivf_refresh(corpus, path, "embedding", "vec_id")
+    assert rep["pops_source"] == "rescan" and rep["deletes"] > 0
+
+    corpus.merge(
+        emb.filter(F.col("vec_id") % 13 == 2)
+        .select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"),
+        ["vec_id"],
+    )
+    rep2 = sim.ivf_refresh(corpus, path, "embedding", "vec_id")
+    assert rep2["pops_source"] == "incremental" and rep2["upserts"] > 0
+    _v, _c, pops = sim._latest_ivf_build(t)
+    want = {
+        int(r["__cell"]): r["n"]
+        for r in t.read().groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["__cell"] is not None
+    }
+    assert {c: int(p) for c, p in enumerate(pops) if p} == want
