@@ -480,7 +480,7 @@ def dhash_neardup_indexed(
     chunk_exprs = [
         F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(mask)) for s in shifts
     ] + [F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(mask)) for s in shifts]
-    ident, cand = _hamming_pairs_grouped(
+    ident, near = _hamming_pairs_grouped(
         h,
         "media_id",
         ["dhash_hi", "dhash_lo"],
@@ -488,15 +488,8 @@ def dhash_neardup_indexed(
         width,
         max_hamming,
         max_bucket_size,
-    )
-    near = (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("dhash_hi_a").bitwiseXOR(F.col("dhash_hi_b")))
-            + F.bit_count(F.col("dhash_lo_a").bitwiseXOR(F.col("dhash_lo_b"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        F.bit_count(F.col("dhash_hi_a").bitwiseXOR(F.col("dhash_hi_b")))
+        + F.bit_count(F.col("dhash_lo_a").bitwiseXOR(F.col("dhash_lo_b"))),
     )
     return near.unionByName(ident)
 
