@@ -125,7 +125,12 @@ def plant_adversarial(out_dir: str, clones: int = 100_000) -> None:
     print("documents (adversarial)", n)
 
 
-def build(out_dir: str, factor: int) -> None:
+def build(out_dir: str, factor: int, only: set[str] | None = None) -> None:
+    """``only`` restricts the build to a table subset (plus the fixed
+    dims) — the factor-1000 sf100 replica (round-11 third decade) needs
+    just documents + embeddings for the LLM-pipeline family; replicating
+    600M lineitem rows would cost ~18 GB and an hour for ops that never
+    read them."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -133,6 +138,8 @@ def build(out_dir: str, factor: int) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
     for t, keys in KEYED.items():
+        if only is not None and t not in only:
+            continue
         parts = []
         cols = [c[0] for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
@@ -157,6 +164,14 @@ def build(out_dir: str, factor: int) -> None:
             f"'{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
 
+    if only is not None and "embeddings" not in only:
+        for t in (set(KEYED) & (only or set(KEYED))) | set(COPY_ONCE):
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+            ).fetchone()[0]
+            print(t, n)
+        return
+
     # embeddings: numpy path for the per-replica coordinate permutation
     tbl = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_ids = tbl.column("vec_id").to_numpy()
@@ -180,7 +195,8 @@ def build(out_dir: str, factor: int) -> None:
     })
     pq.write_table(out, f"{out_dir}/embeddings.parquet")
 
-    for t in list(KEYED) + COPY_ONCE + ["embeddings"]:
+    built = list(KEYED) if only is None else [t for t in KEYED if t in only]
+    for t in built + COPY_ONCE + ["embeddings"]:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
@@ -188,10 +204,18 @@ def build(out_dir: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--adversarial"]
-    adversarial = "--adversarial" in sys.argv[1:]
+    only = None
+    args = []
+    adversarial = False
+    for a in sys.argv[1:]:
+        if a == "--adversarial":
+            adversarial = True
+        elif a.startswith("--tables="):
+            only = set(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
     out = args[0] if args else "/tmp/sdlt_sf1"
     factor = int(args[1]) if len(args) > 1 else 10
-    build(out, factor)
+    build(out, factor, only)
     if adversarial:
         plant_adversarial(out)
