@@ -967,7 +967,28 @@ def _hamming_pairs_grouped(
             F.explode(keys).alias("key"),
         )
 
-    a, b = probe("a", qa), probe("b", qb)
+    if r == 0:
+        # exact-equality banding: join the SAME frame against itself via
+        # subquery aliases so both sides share one physical plan and
+        # Catalyst's ReuseExchange serves one shuffle to both — per-side
+        # projections (differing aliases) would run the grouping
+        # aggregate and banding explode twice (measured ~1.5x on the sf10
+        # grouped sweep)
+        pa, pb = banded.alias("a"), banded.alias("b")
+        matched = pa.join(
+            pb,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in sig_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in sig_cols],
+        )
+    else:
+        a, b = probe("a", qa), probe("b", qb)
+        matched = a.join(b, ["chunk", "key"]).filter(F.col("id_a") < F.col("id_b"))
     # VERIFY BEFORE DEDUP: the join's output is the candidate stream — on
     # correlated corpora (real text at loose thresholds: 38% of sf0.1 doc
     # pairs sit within chunk-distance 2 of each other) it can be 10-50x
@@ -977,9 +998,7 @@ def _hamming_pairs_grouped(
     # output, so false candidates die in place and only verified rows
     # (true pairs x small key multiplicity) reach the dedup exchange.
     near = (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming_expr)
+        matched.withColumn("hamming", hamming_expr)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])

@@ -119,7 +119,12 @@ def pack_sequences(
     # chunk so the subtotal pass below rejects them with a clear error
     # even when bounds is empty (constant-id or single-chunk corpora)
     chunk = F.when(F.col(id_col).isNull(), F.lit(None)).otherwise(chunk)
-    chunked = base.withColumn("__chunk", chunk)
+    # checkpoint the COMPACT frame (id, n_tokens, chunk — ~20 bytes/row):
+    # the subtotal pass and the window pass would otherwise each re-scan
+    # and re-tokenize the full text column (measured ~2x at sf10); the
+    # checkpoint's blocks are O(ids), never O(text), and are reclaimed by
+    # the ContextCleaner when the result frame is dropped
+    chunked = base.withColumn("__chunk", chunk).localCheckpoint(eager=True)
     # bounded driver state: one (chunk, subtotal) row per chunk
     subtotals = {
         r["__chunk"]: r["t"]
