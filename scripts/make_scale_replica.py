@@ -133,6 +133,9 @@ def build(out_dir: str, factor: int, only: set[str] | None = None) -> None:
     read them."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # factor-1000 builds union 1000 SELECT branches; duckdb's default
+    # parser depth (1000) trips just under it
+    con.execute("SET max_expression_depth TO 20000")
 
     for t in COPY_ONCE:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
