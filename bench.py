@@ -132,8 +132,13 @@ def main() -> None:
     spark = get_spark("sdlt_bench")
     registry = Q.registry()
 
-    # warm the JVM + parquet footers once with the cheapest query
-    registry["count_all"][0](spark, SF_DIR).collect()
+    # warm the JVM + parquet footers once with the cheapest query; partial
+    # scale replicas (e.g. the documents+embeddings-only sf100 build) may
+    # not carry lineitem, so fall back to a documents-based warmup
+    try:
+        registry["count_all"][0](spark, SF_DIR).collect()
+    except Exception:
+        registry["dedup_exact"][0](spark, SF_DIR).limit(1).collect()
 
     # Host-speed canary: a fixed, query-independent CPU workload (sum of
     # 200M longs across 32 tasks). Recorded alongside the suite so numbers

@@ -193,47 +193,83 @@ def minhash_signatures(
     return _signatures_from_hashes(token_hashes(df, id_col, text_col), id_col, num_hashes)
 
 
-def _signature_array_udf(num_hashes: int):
-    """Arrow-batched pandas UDF: token-hash array -> the k MinHash mins as
-    ``array<long>``. Mathematically identical to the k min-aggregate form
-    (same coefficients, same mod-p arithmetic, int64-safe products), but
-    generates NO whole-stage-codegen class: the k-wide HashAggregate's
-    Janino compile was the single biggest cold-JVM cost of the pipeline
-    (measured ~4-6 s at k=32), while the numpy form is two vectorized ops
-    per permutation over the flattened batch. Used when the token arrays
-    are being materialized anyway (the no-prefilter path)."""
+def _toks_and_sigs(th: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, __h) rows -> one row per id: ``__toks`` (the DISTINCT hash set
+    as array<long>) plus, when ``num_hashes > 0``, the k MinHash mins as
+    ``h0..h{k-1}`` — the streaming replacement for
+    ``groupBy(id).agg(collect_set(...))`` + the signature UDF.
+
+    Why not collect_set: Spark plans it as ObjectHashAggregate, whose
+    per-group array buffers do not fit the hash-agg memory model — at the
+    sf100 decade (5M docs, 116M distinct (id, hash) rows) the aggregate
+    alone measured **541 s and ~45x superlinear** across sf10 -> sf100
+    (12 s -> 541 s for 10x rows), with or without the sort-based
+    fallback. This shape instead pays ONE shuffle of compact 16-byte
+    rows (repartition by id + in-partition sort by (id, hash)) and
+    streams each sorted partition through an Arrow kernel that builds
+    group arrays with numpy boundary splits and folds all k permutations
+    as ``minimum.reduceat`` — linear, spill-friendly (the sort spills
+    16-byte rows, never object trees), and identical output: consecutive
+    duplicate (id, hash) rows are masked out, so 31-bit token-hash
+    collisions shrink the set exactly as collect_set did (the oracle's
+    COUNT DISTINCT shrinks identically — jaccard stays bit-equal).
+
+    Arrow batches do not align to group boundaries, so the kernel carries
+    the trailing (possibly incomplete) id's rows into the next batch and
+    flushes the remainder at end of partition."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql import types as T
 
     coeffs = minhash_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            th.schema[id_col],
+            T.StructField("__toks", T.ArrayType(T.LongType())),
+            *[T.StructField(f"h{i}", T.LongType()) for i in range(num_hashes)],
+        ]
+    )
+    # no explicit partition count: the AQE-managed exchange (see
+    # session.py's initialPartitionNum headroom) sizes the regroup to the
+    # DATA, where a defaultParallelism constant packs 10x the rows into
+    # each sort at every 10x scale step
+    sorted_rows = th.repartition(F.col(id_col)).sortWithinPartitions(id_col, "__h")
 
-    @pandas_udf("array<long>")
-    def _sig(col):
-        n = len(col)
-        if not n:
-            return pd.Series([], dtype=object)
-        lens = np.fromiter((len(v) for v in col), dtype=np.int64, count=n)
-        total = int(lens.sum())
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.int64) for v in col])
-            if total
-            else np.zeros(0, dtype=np.int64)
-        )
-        offsets = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        nonempty = lens > 0
-        out = np.zeros((n, len(A)), dtype=np.int64)
-        for i in range(len(A)):
-            # a*h < 2^62 (both < 2^31): safe in int64, identical to the SQL
-            vals = (A[i] * flat + B[i]) % MINHASH_PRIME
-            if total:
-                out[nonempty, i] = np.minimum.reduceat(vals, offsets[nonempty])
-        return pd.Series([row.tolist() if ne else None for row, ne in zip(out, nonempty)])
+    def _fuse(batches):
+        def build(ids, hs):
+            keep = np.ones(len(ids), dtype=bool)
+            keep[1:] = (ids[1:] != ids[:-1]) | (hs[1:] != hs[:-1])
+            ids, hs = ids[keep], hs[keep]
+            bnd = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            data = {id_col: ids[starts], "__toks": np.split(hs, bnd)}
+            for i in range(num_hashes):
+                vals = (A[i] * hs + B[i]) % MINHASH_PRIME
+                data[f"h{i}"] = np.minimum.reduceat(vals, starts)
+            return pd.DataFrame(data)
 
-    return _sig
+        hold_ids = hold_hs = None
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            hs = pdf["__h"].to_numpy()
+            if hold_ids is not None:
+                ids = np.concatenate((hold_ids, ids))
+                hs = np.concatenate((hold_hs, hs))
+            if not len(ids):
+                continue
+            # rows of the last id may continue in the next Arrow batch
+            earlier = np.flatnonzero(ids != ids[-1])
+            cut = (earlier[-1] + 1) if len(earlier) else 0
+            if cut:
+                yield build(ids[:cut], hs[:cut])
+            hold_ids, hold_hs = ids[cut:], hs[cut:]
+        if hold_ids is not None and len(hold_ids):
+            yield build(hold_ids, hold_hs)
+
+    return sorted_rows.mapInPandas(_fuse, out_schema)
 
 
 def lsh_candidate_pairs(
@@ -629,22 +665,10 @@ def minhash_dedup(
 
     if not estimate_prefilter:
         th = token_hashes(df, id_col, text_col)
-        toks = th.groupBy(id_col).agg(F.collect_set("__h").alias("__toks"))
-        sig_arr = _signature_array_udf(num_hashes)
-        combined = (
-            # __sig in its own projection: the Arrow UDF evaluates ONCE per
-            # row; element_at over 32 aliases would otherwise risk 32 calls
-            toks.withColumn("__sig", sig_arr("__toks"))
-            .select(
-                F.col(id_col),
-                F.col("__toks"),
-                *[
-                    F.element_at("__sig", i + 1).alias(f"h{i}")
-                    for i in range(num_hashes)
-                ],
-            )
-            .persist()
-        )
+        # token set + all k signature mins in ONE streaming Arrow pass over
+        # (id, hash)-sorted partitions — see _toks_and_sigs for why the
+        # collect_set + UDF form this replaces went 45x superlinear at sf100
+        combined = _toks_and_sigs(th, id_col, num_hashes).persist()
         combined.count()  # one materialization feeds banding AND verify
         cand = lsh_candidate_pairs(
             combined, id_col, bands, rows_per_band, max_bucket_size
@@ -692,12 +716,12 @@ def minhash_dedup(
     )
     est.count()
 
-    # collect_set of the already-distinct tokens' hashes: if two distinct
-    # tokens of one doc collide in the 31-bit space (P ~ n^2/2^32 per doc —
-    # rare but real), the doc's hash SET shrinks by one, and the oracle
-    # (count DISTINCT of the same hash) shrinks identically, so jaccard
-    # stays bit-equal across engines.
-    toks_arr = th.groupBy(id_col).agg(F.collect_set("__h").alias("__toks")).persist()
+    # DISTINCT hash set per doc via the streaming regroup (_toks_and_sigs
+    # with k=0): if two distinct tokens of one doc collide in the 31-bit
+    # space (P ~ n^2/2^32 per doc — rare but real), the doc's hash SET
+    # shrinks by one, and the oracle (count DISTINCT of the same hash)
+    # shrinks identically, so jaccard stays bit-equal across engines.
+    toks_arr = _toks_and_sigs(th, id_col, 0).persist()
     toks_arr.count()  # materialize: see note above
     ta = toks_arr.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a"))
     tb = toks_arr.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__toks_b"))
@@ -1095,7 +1119,7 @@ def simhash_grouped_oracle_sql(
     max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`simhash_neardup_grouped`: the same signature
-    construction as :func:`simhash_oracle_sql`, then min-id groups,
+    construction as the Spark-side :func:`simhash`, then min-id groups,
     identity edges, and the chunk join over DISTINCT signatures."""
     bits = 60
     if num_chunks is None:
@@ -1165,84 +1189,6 @@ def simhash_grouped_oracle_sql(
       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     )
     SELECT * FROM near UNION ALL SELECT * FROM ident
-    """
-
-
-def simhash_oracle_sql(
-    table: str,
-    id_col: str,
-    text_col: str = "text",
-    max_hamming: int = 3,
-    num_chunks: int | None = None,
-    max_bucket_size: int | None = None,
-) -> str:
-    """DuckDB SQL recomputing simhash_neardup exactly: same md5-derived
-    60-bit token hashes (duplicates kept — term frequency weights votes),
-    same strict-majority bit votes, same chunk buckets, same hot-bucket
-    cap (when set), same bit_count(xor) verify. Everything is
-    positive-BIGINT arithmetic, so no sign/overflow divergence between
-    engines."""
-    bits = 60
-    if num_chunks is None:
-        num_chunks = next(
-            (c for c in range(2, bits + 1) if bits % c == 0 and c > max_hamming), bits
-        )
-    width = bits // num_chunks
-    mask = (1 << width) - 1
-    o_cols = ",\n      ".join(
-        f"sum((h >> {i}) & 1) AS o{i}" for i in range(bits)
-    )
-    sh_expr = " + ".join(
-        f"CAST(2 * o{i} > n AS BIGINT) * {1 << i}" for i in range(bits)
-    )
-    chunk_rows = "\n      UNION ALL ".join(
-        f"SELECT {id_col}, simhash, {c} AS chunk,"
-        f" (simhash >> {width * c}) & {mask} AS cv FROM sh"
-        for c in range(num_chunks)
-    )
-    bucket_cap_join = (
-        ""
-        if max_bucket_size is None
-        else (
-            "JOIN (SELECT chunk, cv FROM chunks_all GROUP BY chunk, cv\n"
-            f"            HAVING count(*) <= {max_bucket_size}) __keep\n"
-            "        USING (chunk, cv)"
-        )
-    )
-    return f"""
-    WITH tok AS (
-      SELECT {id_col}, u.token
-      FROM {table}, LATERAL unnest(string_split({text_col}, ' ')) AS u(token)
-    ),
-    th AS (
-      SELECT {id_col},
-             CAST(('0x' || substr(md5(token), 1, 7)) AS BIGINT) * 4294967296
-             + CAST(('0x' || substr(md5(token), 8, 8)) AS BIGINT) AS h
-      FROM tok
-    ),
-    votes AS (
-      SELECT {id_col}, count(*) AS n,
-      {o_cols}
-      FROM th GROUP BY {id_col}
-    ),
-    sh AS (
-      SELECT {id_col}, {sh_expr} AS simhash FROM votes
-    ),
-    chunks_all AS (
-      {chunk_rows}
-    ),
-    chunks AS (
-      SELECT chunks_all.* FROM chunks_all
-      {bucket_cap_join}
-    ),
-    cand AS (
-      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
-             a.simhash AS sh_a, b.simhash AS sh_b
-      FROM chunks a JOIN chunks b
-        ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col}
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 

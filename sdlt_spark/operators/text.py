@@ -904,30 +904,29 @@ def heavy_hitters(
         raise ValueError(f"k={k}; need k >= 2")
 
     def _mg(batches):
+        # Batch-merged Misra-Gries (Agarwal et al. 2012, "Mergeable
+        # Summaries"): count each Arrow batch's tokens vectorized
+        # (value_counts — C speed), then merge the batch's exact counts
+        # into the running summary by keeping everything above the
+        # (k+1)-th largest value and subtracting it. Merging preserves
+        # the MG error bound (undercount <= n_p/(k+1)), so the survivor
+        # superset guarantee below is unchanged. The per-TOKEN dict loop
+        # this replaces paid O(k) Python decrements per long-tail miss —
+        # measured 28x/decade superlinear at sf100 (5M docs, 143.8 s);
+        # the per-BATCH merge is O(batch_vocab log k) Python per batch.
         counters: dict[str, int] = {}
         n_p = 0
         for pdf in batches:
-            for text in pdf[text_col]:
-                if text is None:
-                    continue
-                toks = text.split(" ")
-                n_p += len(toks)
-                for tok in toks:
-                    c = counters.get(tok)
-                    if c is not None:
-                        counters[tok] = c + 1
-                    elif len(counters) < k:
-                        counters[tok] = 1
-                    else:
-                        # decrement-all absorbs the unseen token (MG step);
-                        # zeroed counters drop, keeping the dict at <= k.
-                        # In place: a fresh dict per miss would churn k
-                        # allocations per long-tail token
-                        for t in list(counters):
-                            if counters[t] == 1:
-                                del counters[t]
-                            else:
-                                counters[t] -= 1
+            s = pdf[text_col].dropna()
+            if not len(s):
+                continue
+            vc = s.str.split(" ").explode().value_counts()
+            n_p += int(vc.sum())
+            for tok, c in vc.items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                off = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - off for t, c in counters.items() if c > off}
         # candidates as (token, null) rows + ONE (null, n_p) count row:
         # the total rides the same scan
         yield pd.DataFrame(

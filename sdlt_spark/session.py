@@ -31,6 +31,13 @@ def get_spark(app_name: str = "sdlt_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE headroom: start every shuffle at 512 partitions and let AQE
+        # coalesce DOWN to the advisory size. With a static 32, a 100x
+        # corpus packs 10x the rows into each sort/join partition and the
+        # stages go external (measured on the sf100 replica: the minhash
+        # verify and regroup sorts spilled and ran ~3x over linear).
+        # Coalescing keeps the small-scale case at its former task counts.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SDLT_DRIVER_MEM", "8g"))
