@@ -179,8 +179,12 @@ def main() -> None:
                 # the entry caches its corpus/index per session; clear so
                 # every timed pass measures the full append-workload shape
                 # (corpus write + build + mutations + CDC fold + merge +
-                # probe), not a cached probe
+                # probe), not a cached probe. The in-entry equality assert
+                # stays OFF here (r11 verdict item: it was ~16% of the
+                # suite headline and is pinned in tests/test_similarity.py)
+                # so the row measures the operator lifecycle, not the test.
                 Q._IVF_REFRESH.clear()
+                Q.ANN_REFRESH_VERIFY = False
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             elapsed = round(time.time() - t0, 3)

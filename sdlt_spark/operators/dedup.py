@@ -232,10 +232,13 @@ def _toks_and_sigs(th: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
             *[T.StructField(f"h{i}", T.LongType()) for i in range(num_hashes)],
         ]
     )
-    # no explicit partition count: the AQE-managed exchange (see
-    # session.py's initialPartitionNum headroom) sizes the regroup to the
-    # DATA, where a defaultParallelism constant packs 10x the rows into
-    # each sort at every 10x scale step
+    # no explicit partition count: shuffle.partitions (cluster-sized) keys
+    # the regroup; the in-partition sort spills compact 16-byte rows when a
+    # partition outgrows task memory, so the kernel stays linear even when
+    # partitions carry 10x the rows (measured: sf100 at 32 partitions =
+    # 78 MB/partition sorts, 240 s total and ~linear/decade — raising the
+    # exchange to 512 initial partitions measured SLOWER at every scale,
+    # see session.py round-12 note)
     sorted_rows = th.repartition(F.col(id_col)).sortWithinPartitions(id_col, "__h")
 
     def _fuse(batches):
@@ -900,6 +903,74 @@ def _ball_masks(width: int, radius: int) -> list[int]:
     return masks
 
 
+class PairBudgetExceeded(ValueError):
+    """A near-dup sweep's candidate volume exceeds its ``max_pairs``
+    budget. Raised BEFORE the candidate join executes (the estimate runs
+    over per-bucket statistics — seconds — never the join itself), so a
+    mis-parameterized loose-threshold sweep on a correlated corpus aborts
+    fast instead of spending hours emitting tens of millions of edges.
+    The operator's output-level analogue of ``max_bucket_size``."""
+
+
+def _check_pair_budget(
+    banded: DataFrame, width: int, r: int, max_pairs: int, max_hamming: int
+) -> None:
+    """Estimate the candidate join's output rows (post ``id_a < id_b``)
+    from per-bucket counts and raise :class:`PairBudgetExceeded` when it
+    exceeds ``max_pairs``.
+
+    The estimate is EXACT for the join's row count, not a sample: for
+    the exact-equality scheme (r == 0) each (chunk, cv) bucket of n
+    distinct signatures contributes n*(n-1)/2 ordered-filtered rows; for
+    ball probing, probe-side key counts come from convolving the bucket
+    histogram with the radius-r ball (a small explode over the DISTINCT
+    bucket table, never over rows), each unordered pair appears once per
+    matching chunk in each orientation and each rep self-collides once
+    per chunk, so filtered rows = (sum(n_a*n_b) - sum(n)) / 2. Since
+    candidates >= verified pairs, the budget certifiably bounds the
+    verified output too (an over-trip is possible — candidates can
+    exceed true pairs — which is the right failure direction for a
+    guard). Cost: one aggregate over the banded reps + a bucket-stats
+    self-join, both O(distinct buckets); the sweep itself never starts."""
+    stats = banded.groupBy("chunk", "cv").agg(F.count(F.lit(1)).alias("__n"))
+    if r == 0:
+        est = stats.agg(
+            F.sum(F.col("__n") * (F.col("__n") - F.lit(1)) / 2).alias("est")
+        ).head()["est"]
+    else:
+        masks = _ball_masks(width, r)
+        probe = (
+            stats.select(
+                "chunk",
+                F.explode(
+                    F.array(*[F.col("cv").bitwiseXOR(F.lit(m)) for m in masks])
+                ).alias("key"),
+                F.col("__n").alias("__na"),
+            )
+            .groupBy("chunk", "key")
+            .agg(F.sum("__na").alias("__na"))
+        )
+        row = probe.join(
+            stats.select(
+                "chunk", F.col("cv").alias("key"), F.col("__n").alias("__nb")
+            ),
+            ["chunk", "key"],
+        ).agg(
+            F.sum(F.col("__na") * F.col("__nb")).alias("tot"),
+            F.sum("__nb").alias("selfs"),
+        ).head()
+        tot = row["tot"] or 0
+        est = (tot - (row["selfs"] or 0)) / 2
+    if est is not None and est > max_pairs:
+        raise PairBudgetExceeded(
+            f"near-dup sweep at max_hamming={max_hamming} would produce "
+            f"~{int(est):,} candidate pairs, over the max_pairs budget of "
+            f"{max_pairs:,}. The threshold is output-bound on this corpus: "
+            "tighten max_hamming, raise num_chunks, cap hot buckets with "
+            "max_bucket_size, or raise the budget if the volume is intended."
+        )
+
+
 def _hamming_pairs_grouped(
     sigs: DataFrame,
     id_col: str,
@@ -909,6 +980,7 @@ def _hamming_pairs_grouped(
     max_hamming: int,
     max_bucket_size: int | None,
     hamming_expr,
+    max_pairs: int | None = None,
 ):
     """Shared engine for simhash/dhash near-dup: identical-signature
     grouping, then multi-index ball-probe candidates over DISTINCT
@@ -938,9 +1010,16 @@ def _hamming_pairs_grouped(
       the probe shape.
 
     ``max_bucket_size`` drops rows whose EXACT chunk value sits in a
-    bucket of more than the cap's distinct signatures (the same rule the
-    SQL oracles reproduce); with grouping in front it only matters for
-    near-identical (not identical) mass groups.
+    bucket of more than the cap's distinct signatures; with grouping in
+    front it only matters for near-identical (not identical) mass groups.
+    NOTE: the cap is defined on THIS call's chunk scheme. The SQL oracles
+    reproduce the same rule but on their own (equality-scheme) chunking —
+    ``simhash_grouped_oracle_sql`` defaults to the first divisor of 60
+    exceeding max_hamming (12x5-bit at hamming<=10) for pigeonhole
+    recall, while this engine's simhash default is 4x15-bit — so a CAPPED
+    run is oracle-comparable only when both sides are given the same
+    ``num_chunks``. Uncapped runs (every registry entry) are
+    scheme-independent: the verified output is full-recall either way.
 
     ``hamming_expr`` computes the distance from the _a/_b-suffixed sig
     columns; it is applied to the raw join output (verify-before-dedup,
@@ -979,6 +1058,10 @@ def _hamming_pairs_grouped(
             .select("chunk", "cv")
         )
         banded = banded.join(F.broadcast(hot), ["chunk", "cv"], "left_anti")
+    if max_pairs is not None:
+        # eager, by design: the guard's whole point is aborting before the
+        # candidate join is submitted (see PairBudgetExceeded)
+        _check_pair_budget(banded, width, r, max_pairs, max_hamming)
 
     def probe(side: str, radius: int) -> DataFrame:
         keys = F.array(
@@ -1038,6 +1121,7 @@ def simhash_neardup(
     num_chunks: int | None = None,
     max_bucket_size: int | None = None,
     materialize: bool = True,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Near-dup edges by SimHash hamming distance — identical-signature
     groups collapse to min-id representative edges (hamming 0), then
@@ -1055,7 +1139,16 @@ def simhash_neardup(
     exact for ANY value: the per-chunk probe radius max_hamming //
     num_chunks adapts so pigeonhole always covers the threshold — unlike
     the pre-round-11 equality scheme, a small num_chunks can no longer
-    silently lose recall."""
+    silently lose recall.
+
+    ``max_pairs`` (off by default) is the output-volume circuit breaker
+    for loose thresholds: near-dup edge count is intrinsically
+    output-bound (SCALE.md: hamming<=10 at sf10 is ~58M TRUE edges — no
+    candidate scheme can beat its own output), so past this budget the
+    sweep raises :class:`PairBudgetExceeded` from a seconds-cheap
+    bucket-statistics estimate instead of spending hours emitting the
+    edges. At 100 TB, set it to the volume downstream clustering can
+    actually consume."""
     bits = 60  # simhash() width; 60 keeps every value positive-BIGINT portable
     if num_chunks is None:
         num_chunks = 4
@@ -1077,16 +1170,21 @@ def simhash_neardup(
         F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
         for c in range(num_chunks)
     ]
-    ident, near = _hamming_pairs_grouped(
-        sh,
-        id_col,
-        ["simhash"],
-        chunk_exprs,
-        width,
-        max_hamming,
-        max_bucket_size,
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
-    )
+    try:
+        ident, near = _hamming_pairs_grouped(
+            sh,
+            id_col,
+            ["simhash"],
+            chunk_exprs,
+            width,
+            max_hamming,
+            max_bucket_size,
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+            max_pairs=max_pairs,
+        )
+    except PairBudgetExceeded:
+        sh.unpersist()
+        raise
     out = near.unionByName(ident)
     return _materialize_and_release(out, sh) if materialize else out
 
@@ -1098,6 +1196,7 @@ def simhash_neardup_grouped(
     max_hamming: int = 3,
     num_chunks: int | None = None,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Alias of :func:`simhash_neardup` (kept for round-10 API compat):
     identical-signature grouping became the ONLY simhash near-dup path in
@@ -1106,7 +1205,8 @@ def simhash_neardup_grouped(
     (chunk density at loose thresholds, signature concentration) are
     unreachable from either name."""
     return simhash_neardup(
-        df, id_col, text_col, max_hamming, num_chunks, max_bucket_size
+        df, id_col, text_col, max_hamming, num_chunks, max_bucket_size,
+        max_pairs=max_pairs,
     )
 
 
@@ -1120,7 +1220,15 @@ def simhash_grouped_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`simhash_neardup_grouped`: the same signature
     construction as the Spark-side :func:`simhash`, then min-id groups,
-    identity edges, and the chunk join over DISTINCT signatures."""
+    identity edges, and the chunk join over DISTINCT signatures.
+
+    Chunking here is the EQUALITY scheme (default: first divisor of 60
+    exceeding ``max_hamming``, for pigeonhole recall), not the operator's
+    wide ball-probed chunks — irrelevant uncapped (both are full-recall,
+    so verified outputs match), but it means a ``max_bucket_size`` cap is
+    applied to different buckets than the operator's default 4x15-bit
+    scheme: capped runs compare only when both sides pass the same
+    ``num_chunks``. No registry entry exercises the cap."""
     bits = 60
     if num_chunks is None:
         num_chunks = next(

@@ -411,7 +411,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_hash, out_schema)
 
 
-def dhash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def dhash_neardup(
+    media: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance — the image
     twin of ``operators/dedup.simhash_neardup``. Candidates come from a
     banded equi-join on per-row hash bands (pigeonhole: two hashes within
@@ -426,9 +428,26 @@ def dhash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     composition over four 16-bit bands (see
     :func:`dhash_neardup_indexed`) — loose thresholds probe a per-band
     hamming ball instead of falling back to the 256-bucket byte bands
-    that measured ~n²/32 candidates past ~10k images."""
-    h = image_dhash(media).filter(F.col("decode_error").isNull())
-    return dhash_neardup_indexed(h, max_hamming=max_hamming)
+    that measured ~n²/32 candidates past ~10k images.
+
+    The decoded-dhash frame is persisted before the sweep (mirroring
+    ``simhash_neardup``'s signature persist): the grouped engine reads it
+    from the grouping aggregate, the identity join, and each probe side —
+    unpersisted, the Python image-decode UDF would re-execute 2-4 times
+    per sweep. The pairs are materialized while the cache is hot and the
+    decode frame released before returning (same discipline as
+    ``dedup._materialize_and_release``); ``materialize=False`` returns
+    the lazy plan instead (plan-shape tests) — the caller then owns the
+    persisted decode frame via ``spark.catalog.clearCache()``."""
+    from sdlt_spark.operators.dedup import _materialize_and_release
+
+    h = image_dhash(media).filter(F.col("decode_error").isNull()).persist()
+    try:
+        out = dhash_neardup_indexed(h, max_hamming=max_hamming)
+    except Exception:
+        h.unpersist()  # validation/budget raise: don't leak the cache entry
+        raise
+    return _materialize_and_release(out, h) if materialize else out
 
 
 def dhash_neardup_indexed(
@@ -436,6 +455,7 @@ def dhash_neardup_indexed(
     max_hamming: int = 3,
     num_bands: int | None = None,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image edges over PRE-COMPUTED dHash columns
     (``media_id``, ``dhash_hi``, ``dhash_lo``) — the dhash-at-ingest
@@ -465,7 +485,11 @@ def dhash_neardup_indexed(
     or 8 (byte bands — narrower buckets, smaller probe fan-out; only
     worth it for very loose thresholds). ``max_bucket_size`` additionally
     caps near-identical (distinct-hash) hot buckets like every other
-    near-dup op in this repo."""
+    near-dup op in this repo; ``max_pairs`` (off by default) aborts with
+    ``dedup.PairBudgetExceeded`` from a seconds-cheap bucket-statistics
+    estimate when a loose threshold's intrinsic edge volume exceeds the
+    budget — the output-level circuit breaker (see
+    ``dedup.simhash_neardup``)."""
     from sdlt_spark.operators.dedup import _hamming_pairs_grouped
 
     if num_bands is None:
@@ -490,6 +514,7 @@ def dhash_neardup_indexed(
         max_bucket_size,
         F.bit_count(F.col("dhash_hi_a").bitwiseXOR(F.col("dhash_hi_b")))
         + F.bit_count(F.col("dhash_lo_a").bitwiseXOR(F.col("dhash_lo_b"))),
+        max_pairs=max_pairs,
     )
     return near.unionByName(ident)
 
@@ -499,6 +524,7 @@ def dhash_neardup_grouped(
     max_hamming: int = 3,
     num_bands: int | None = None,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Hash-identical-FIRST near-dup edges over a dHash index — the image
     twin of ``dedup.exact_then_minhash_pairs``, and the measured 100 TB
@@ -522,7 +548,9 @@ def dhash_neardup_grouped(
     Round 11: grouping became the ONLY dhash near-dup path —
     :func:`dhash_neardup_indexed` now runs this composition itself, so
     this name is a kept-for-compat alias and both names are wall-free."""
-    return dhash_neardup_indexed(h, max_hamming, num_bands, max_bucket_size)
+    return dhash_neardup_indexed(
+        h, max_hamming, num_bands, max_bucket_size, max_pairs=max_pairs
+    )
 
 
 def vad_segments(

@@ -199,6 +199,21 @@ def _mix_hash(seed: str, id_col: str) -> Column:
     return F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes statistic for ``df``'s optimized plan — for a
+    file scan this is driver-side metadata (sum of file sizes scaled by
+    filter selectivity), no job runs. Returns None when the stat is
+    unavailable (exotic plans, API drift) so callers fall back to the
+    conservative path."""
+    try:
+        stat = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps scala BigInt to a python int; fall back to the decimal
+        # string for bridge versions that hand back the java object
+        return stat if isinstance(stat, int) else int(stat.toString())
+    except Exception:  # noqa: BLE001 — stats are an optimization, never required
+        return None
+
+
 def _prefilter_thresholds(
     df: DataFrame,
     stratum_col: str,
@@ -271,6 +286,7 @@ def mixture_sample(
     total: int,
     seed: str = "mix-v1",
     prefilter: bool = True,
+    prefilter_min_bytes: int = 1 << 30,
 ) -> DataFrame:
     """Draw ``total`` rows whose ``stratum_col`` proportions match
     ``weights`` (normalized, largest-remainder apportioned so the draw
@@ -289,13 +305,28 @@ def mixture_sample(
     window partition ever exceeds ~quota + 6*sqrt(quota) + 64 rows. The
     quota window itself then touches only ~total rows regardless of
     corpus size. Quotas ride as a literal CASE map — no join, no
-    driver-side corpus state beyond one row per stratum."""
+    driver-side corpus state beyond one row per stratum.
+
+    The prefilter itself costs two eager aggregate jobs (stratum counts +
+    survivor verification), pure overhead when the input is small enough
+    that every window partition sorts comfortably in one task. So it
+    engages only past ``prefilter_min_bytes`` of optimizer-estimated
+    input (default 1 GiB — a single-task external sort handles that; the
+    prefilter targets strata orders of magnitude beyond it), read from
+    Catalyst's plan statistics: O(1) driver metadata, zero jobs, so a
+    small-corpus draw is ONE lazy plan exactly like the pre-prefilter
+    operator. Unknown size (no stats) is treated as large — the
+    conservative choice at 100 TB."""
     quotas = _quotas(weights, total)
     quota = F.lit(0)
     for g, q in quotas.items():
         quota = F.when(F.col(stratum_col) == g, F.lit(q)).otherwise(quota)
     h = _mix_hash(seed, id_col)
     base = df.filter(F.col(stratum_col).isin(*quotas))
+    if prefilter:
+        size = _plan_size_bytes(df)
+        if size is not None and size < prefilter_min_bytes:
+            prefilter = False
     if prefilter:
         bounds = _prefilter_thresholds(df, stratum_col, id_col, quotas, seed)
         if bounds:

@@ -724,25 +724,38 @@ def ivf_refresh(
     # after which the vector rides every future sidecar.
     v = t.latest_version()
     if v > build_v:
-        if pops is None:
+        deltas = None
+        if pops is not None:
+            added = F.col("_change_type").isin("insert", "update_postimage")
+            try:
+                deltas = (
+                    t.table_changes(build_v + 1, v)
+                    .filter(F.col("__cell").isNotNull() & (F.col("__cell") >= 0))
+                    .groupBy("__cell")
+                    .agg(
+                        F.sum(F.when(added, 1).otherwise(-1)).alias("d")
+                    )
+                    .collect()
+                )  # O(n_cells) rows: bounded control-plane state
+            except ValueError:
+                # a commit in (build_v, head] carries no materialized CDC —
+                # e.g. a MERGE/DELETE written by a VintageTable instance
+                # opened without change_feed=True. The incremental fold
+                # can't see those rows, so fall back to the same one-shot
+                # full rescan the legacy-sidecar path uses instead of
+                # failing the whole refresh; the republished sidecar then
+                # carries the healed vector and future refreshes are
+                # incremental again.
+                deltas = None
+        if deltas is None:
             pops = np.zeros(len(cents), dtype=np.int64)
             for r in (
                 t.read().groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
-            ):  # one-time legacy migration: O(n_cells) rows back
+            ):  # one-time legacy migration / missing-CDC heal: O(n_cells) back
                 if r["__cell"] is not None:
                     pops[int(r["__cell"])] = r["n"]
             report["pops_source"] = "rescan"
         else:
-            added = F.col("_change_type").isin("insert", "update_postimage")
-            deltas = (
-                t.table_changes(build_v + 1, v)
-                .filter(F.col("__cell").isNotNull() & (F.col("__cell") >= 0))
-                .groupBy("__cell")
-                .agg(
-                    F.sum(F.when(added, 1).otherwise(-1)).alias("d")
-                )
-                .collect()
-            )  # O(n_cells) rows: bounded control-plane state
             pops = pops.copy()
             for r in deltas:
                 pops[int(r["__cell"])] += r["d"]

@@ -31,13 +31,6 @@ def get_spark(app_name: str = "sdlt_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE headroom: start every shuffle at 512 partitions and let AQE
-        # coalesce DOWN to the advisory size. With a static 32, a 100x
-        # corpus packs 10x the rows into each sort/join partition and the
-        # stages go external (measured on the sf100 replica: the minhash
-        # verify and regroup sorts spilled and ran ~3x over linear).
-        # Coalescing keeps the small-scale case at its former task counts.
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SDLT_DRIVER_MEM", "8g"))
@@ -56,6 +49,24 @@ def get_spark(app_name: str = "sdlt_spark", shuffle_partitions: int | None = Non
             os.environ.get("SDLT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
     )
+    # Round-12 adjudication of the round-11 global initialPartitionNum=512
+    # (AQE coalesce-down headroom): interleaved A/B triplicates measured it
+    # 2.4-2.5x SLOWER on the minhash family at sf0.1, flat at sf10, and
+    # 1.8-2.1x slower at sf100 (signature stage 424 vs 240 s, heavy
+    # hitters 228 vs 111 s — paired probes, the 512 run on the FASTER host
+    # window; BASELINE.md/SCALE.md round 12). The per-exchange map-side
+    # cost of 512 buckets dominates on local[32] at every scale this
+    # sandbox can hold; the round-11 spill observation that motivated the
+    # default belonged to the pre-kernel collect_set signature path. So
+    # the default is Spark's own (initial = shuffle.partitions). On a real
+    # cluster, size shuffle.partitions ~2-3x total cores as usual — or set
+    # SDLT_INITIAL_PARTITIONS to re-enable the headroom where map-side
+    # overhead amortizes across executors.
+    if os.environ.get("SDLT_INITIAL_PARTITIONS"):
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ["SDLT_INITIAL_PARTITIONS"],
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -457,3 +457,55 @@ def test_dedup_clusters_ignores_foreign_edge_endpoints(spark):
         for r in dedup.dedup_clusters(pairs, ids, "id").collect()
     }
     assert got == {10: 10, 11: 10, 12: 12}
+
+
+def test_pair_budget_guard_trips_before_the_sweep(spark):
+    """Round-12 (round-11 verdict item 5): a loose-threshold sweep whose
+    TRUE edge volume explodes must abort from the bucket-statistics
+    estimate — BEFORE the candidate join runs — not spend hours emitting
+    the edges. Planted corpus: 200 DISTINCT dhashes within a few bits of
+    each other (the correlated shape SCALE.md measured at 58M edges /
+    604 s at sf10), so every banding scheme's candidate set is ~n^2/2."""
+    from sdlt_spark.operators import multimodal as mm
+
+    rows = [(i, i, 0) for i in range(200)]  # hi = i < 2^16: 3 of 4 16-bit
+    h = spark.createDataFrame(               # bands are IDENTICAL across rows
+        rows, "media_id long, dhash_hi long, dhash_lo long"
+    )
+    # exact-equality branch (r = 3 // 4 = 0)
+    with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
+        mm.dhash_neardup_indexed(h, max_hamming=3, max_pairs=500)
+    # ball-probe branch (r = 8 // 4 = 2)
+    with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
+        mm.dhash_neardup_indexed(h, max_hamming=8, max_pairs=500)
+    # a budget above the true volume admits the sweep, output unchanged
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    guarded = mm.dhash_neardup_indexed(h, max_hamming=3, max_pairs=10**9)
+    plain = mm.dhash_neardup_indexed(h, max_hamming=3)
+    assert sorted(map(key, guarded.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_pair_budget_guard_simhash_plumbing(spark):
+    """The budget knob reaches the text path too: a tight budget on a
+    correlated text corpus raises; a generous one returns the identical
+    edge set (the knob is observational until tripped, so the registry
+    oracles are untouched by default)."""
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(120):
+        toks = list(base)
+        # perturb 3 tokens per doc -> distinct but near signatures
+        for j in range(3):
+            toks[(d * 3 + j) % 40] = f"v{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    distinct_sigs = dedup.simhash(df, "doc_id").select("simhash").distinct().count()
+    assert distinct_sigs > 50  # the corpus really is near-but-distinct
+    with pytest.raises(dedup.PairBudgetExceeded, match="candidate pairs"):
+        dedup.simhash_neardup(df, "doc_id", max_hamming=12, max_pairs=50)
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    guarded = dedup.simhash_neardup(
+        df, "doc_id", max_hamming=12, max_pairs=10**9
+    )
+    plain = dedup.simhash_neardup(df, "doc_id", max_hamming=12)
+    assert sorted(map(key, guarded.collect())) == sorted(map(key, plain.collect()))

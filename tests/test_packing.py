@@ -194,8 +194,16 @@ def test_mixture_prefilter_is_exact_and_bounds_window_input(spark):
         ).count()
         margin = quotas[g] + 6 * math.isqrt(quotas[g]) + 64
         assert quotas[g] <= survivors <= 3 * margin, (g, survivors, margin)
+    # prefilter_min_bytes=0 forces the prefilter: a 4000-row local relation
+    # is far below the default size gate (round 12), which would otherwise
+    # (correctly) skip it and make this exactness check vacuous
     fast = sorted(
-        map(tuple, mixture_sample(df, "lang", "doc_id", WEIGHTS, total=100).collect())
+        map(
+            tuple,
+            mixture_sample(
+                df, "lang", "doc_id", WEIGHTS, total=100, prefilter_min_bytes=0
+            ).collect(),
+        )
     )
     slow = sorted(
         map(
@@ -239,3 +247,51 @@ def test_mixture_sql_escapes_quotes(spark, tmp_path):
     )
     assert got == want
 
+
+
+def test_mixture_prefilter_skips_small_inputs(spark, monkeypatch, tmp_path):
+    """Round-12 (round-11 verdict item 3): the prefilter costs two eager
+    aggregate jobs — pure overhead when the input is small enough that
+    every window partition sorts in one task. Below the size gate
+    (Catalyst plan statistics, zero jobs) the draw must be ONE lazy plan:
+    _prefilter_thresholds is never called. Forcing the gate to zero
+    re-enables it, and both paths draw identical rows.
+
+    The input goes through parquet because the gate only trusts REAL
+    stats: a file scan's sizeInBytes is the file size (driver metadata),
+    while an in-memory LogicalRDD reports the unknown-stats sentinel
+    (Long.MaxValue) and is conservatively treated as large — the right
+    call at 100 TB, also pinned here."""
+    from sdlt_spark.operators import packing
+
+    n = 4000
+    rows = [(i, ["en", "zh", "fr", "de"][i % 4]) for i in range(n)]
+    mem = spark.createDataFrame(rows, "doc_id long, lang string")
+    # unknown-stats inputs must NOT skip (conservative default)
+    assert (s := packing._plan_size_bytes(mem)) is None or s >= 1 << 30
+    path = str(tmp_path / "langs.parquet")
+    mem.write.parquet(path)
+    df = spark.read.parquet(path)
+    size = packing._plan_size_bytes(df)
+    assert size is not None and size < 1 << 30  # real file-size stats
+
+    calls = []
+    orig = packing._prefilter_thresholds
+    monkeypatch.setattr(
+        packing,
+        "_prefilter_thresholds",
+        lambda *a, **k: calls.append(1) or orig(*a, **k),
+    )
+    small = sorted(
+        map(tuple, mixture_sample(df, "lang", "doc_id", WEIGHTS, total=100).collect())
+    )
+    assert calls == []  # size gate skipped the eager passes entirely
+    forced = sorted(
+        map(
+            tuple,
+            mixture_sample(
+                df, "lang", "doc_id", WEIGHTS, total=100, prefilter_min_bytes=0
+            ).collect(),
+        )
+    )
+    assert calls == [1] and small == forced

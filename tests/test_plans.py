@@ -534,8 +534,18 @@ def test_bigram_logprob_broadcasts_vocab_scalar(spark):
 def test_dhash_neardup_bands_not_all_pairs(spark):
     """Candidate pairs come from the (chunk, probe-key) equi-join — the
     plan must contain a hash join on those keys and no cartesian
-    product."""
-    plan = plan_of(spark, "image_neardup_dhash")
+    product. materialize=False keeps the lazy plan inspectable (the
+    registry entry eagerly checkpoints so the decode UDF runs once —
+    round-12 ADVICE fix — which replaces the plan with a LogicalRDD
+    scan)."""
+    from sdlt_spark.operators import multimodal as mm
+    from sdlt_spark.queries import _dhash_fixture_media
+
+    out = mm.dhash_neardup(
+        _dhash_fixture_media(spark, SF), max_hamming=7, materialize=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()  # materialize=False: caller owns the persist
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "chunk" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)

@@ -525,3 +525,57 @@ def test_ivf_refresh_migrates_legacy_sidecar(spark, tmp_path):
         if r["__cell"] is not None
     }
     assert {c: int(p) for c, p in enumerate(pops) if p} == want
+
+
+def test_ivf_refresh_survives_missing_index_cdc(spark, tmp_path):
+    """Round-12 (round-11 ADVICE): an index commit written by a
+    VintageTable instance opened WITHOUT change_feed=True carries no
+    materialized change data, so the incremental pops fold cannot replay
+    the range — the refresh must fall back to the one-shot full rescan
+    (pops_source='rescan', vector healed) instead of raising and failing
+    the whole refresh."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import similarity as sim
+    from sdlt_spark.store import VintageTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    v0 = corpus.write(emb.select("vec_id", "embedding"))
+    path = str(tmp_path / "index")
+    t, cents = sim.ivf_build(
+        corpus.read(), "embedding", "vec_id", path, n_cells=8,
+        txn_id=f"ivf_refresh:{v0}",
+    )
+
+    # healthy first cycle: sidecar republished WITH a population vector,
+    # maintained incrementally
+    corpus.delete("vec_id % 7 = 0")
+    rep1 = sim.ivf_refresh(
+        corpus, path, "embedding", "vec_id", rebalance_factor=None
+    )
+    assert rep1["deletes"] > 0 and rep1["pops_source"] == "incremental"
+
+    # out-of-band maintenance: a writer opened without change_feed deletes
+    # index rows — that commit has no _change_data to replay
+    rogue = VintageTable(spark, path)
+    rogue.delete("vec_id % 11 = 3")
+
+    corpus.merge(
+        emb.filter(F.col("vec_id") % 13 == 5)
+        .select((F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"),
+        ["vec_id"],
+    )
+    rep2 = sim.ivf_refresh(
+        corpus, path, "embedding", "vec_id", rebalance_factor=None
+    )
+    assert rep2["upserts"] > 0 and rep2["pops_source"] == "rescan"
+    # the healed vector matches the true cell populations, so the NEXT
+    # refresh is incremental again
+    _v, _c, pops = sim._latest_ivf_build(t)
+    want = {
+        int(r["__cell"]): r["n"]
+        for r in t.read().groupBy("__cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["__cell"] is not None
+    }
+    assert {c: int(p) for c, p in enumerate(pops) if p} == want
