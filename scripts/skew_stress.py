@@ -96,6 +96,28 @@ def main(sf_dir: str) -> None:
 
     timed("ngram_df_capped", ngram)
 
+    # round-12 (round-11 verdict item 5): the OUTPUT-level guard, one level
+    # above the candidate caps. At a loose threshold the correlated corpus's
+    # true edge volume explodes (sf10 measured ~58M edges at hamming<=10);
+    # with a budget the sweep must ABORT from the bucket-statistics estimate
+    # in seconds — before the candidate join is submitted — instead of
+    # spending the wall time to emit them.
+    def budget_abort():
+        t0 = time.time()
+        try:
+            dedup.simhash_neardup(
+                docs, "doc_id", max_hamming=10, max_pairs=1_000_000
+            ).count()
+            return {"aborted": False}
+        except dedup.PairBudgetExceeded as exc:
+            return {
+                "aborted": True,
+                "abort_s": round(time.time() - t0, 2),
+                "msg": str(exc)[:120],
+            }
+
+    timed("simhash_loose_pair_budget", budget_abort)
+
     print(json.dumps(results))
 
 
