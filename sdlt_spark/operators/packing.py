@@ -60,6 +60,7 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 4096,
     num_chunks: int | None = None,
+    chunked_min_bytes: int = 1 << 28,
 ) -> DataFrame:
     """Assign each document to a training-sequence bin: documents are
     taken in ``id_col`` order and ``bin = ceil(cum_tokens / budget)``
@@ -93,7 +94,23 @@ def pack_sequences(
 
     Precondition: ``id_col`` must be numeric (approxQuantile's contract)
     and non-NULL (a total order has no position for NULL) — both raise a
-    clear ValueError rather than failing downstream.
+    clear ValueError rather than failing downstream (on the small-input
+    plan below, the NULL check rides the plan as a ``raise_error``
+    branch, surfacing at execution).
+
+    Small inputs take the single-window plan directly: the chunked shape
+    pays three eager control jobs (quantile pass, compact-frame
+    checkpoint, subtotal collect) that exist to keep any ONE task's sort
+    bounded — pure overhead when the whole corpus sorts comfortably in
+    one task. Below ``chunked_min_bytes`` of optimizer-estimated input
+    (default 256 MiB; the window sorts ~20-byte (id, n_tokens) rows, and
+    tokenization still runs map-parallel BEFORE the exchange) the
+    operator emits exactly the oracle's ``SUM() OVER (ORDER BY id)``
+    form — one lazy job, identical rows (pinned by the chunk-count
+    invariance test, which proves bin assignment is chunking-invariant).
+    Unknown statistics (in-memory relations) are treated as large — the
+    conservative choice, and what keeps every plan-shape/NULL test on
+    the chunked path.
     """
     spark = df.sparkSession
     if num_chunks is None:
@@ -109,6 +126,29 @@ def pack_sequences(
         # long, matching the SQL twin's len() type
         _portable_token_count(text_col).cast("long").alias("n_tokens"),
     )
+    if chunked_min_bytes:
+        size = _plan_size_bytes(df)
+        if size is not None and size < chunked_min_bytes:
+            w = Window.orderBy(id_col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            bin_col = F.ceil(F.sum("n_tokens").over(w) / F.lit(float(budget)))
+            return base.select(
+                F.col(id_col),
+                F.col("n_tokens"),
+                F.when(
+                    F.col(id_col).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"pack_sequences requires non-NULL {id_col!r} "
+                            "values: packing is a total order over ids and "
+                            "NULL has no position in it"
+                        )
+                    ).cast("bigint"),
+                )
+                .otherwise(bin_col.cast("bigint"))
+                .alias("bin"),
+            )
     # interior quantile boundaries: num_chunks-1 cut points, left-closed
     probs = [i / num_chunks for i in range(1, num_chunks)]
     bounds = sorted(set(base.approxQuantile(id_col, probs, 0.001)))

@@ -295,3 +295,37 @@ def test_mixture_prefilter_skips_small_inputs(spark, monkeypatch, tmp_path):
         )
     )
     assert calls == [1] and small == forced
+
+
+def test_pack_small_input_takes_single_window_plan(spark, tmp_path):
+    """Round-12: below the size gate a parquet-backed corpus must plan the
+    oracle's own single-window form (ONE lazy job — the three eager
+    control jobs of the chunked shape are pure overhead there), emit rows
+    identical to the forced-chunked plan, and still reject NULL ids (the
+    check rides the plan as raise_error). In-memory frames have unknown
+    stats and stay on the chunked path — pinned by
+    test_pack_never_plans_single_partition above."""
+    df = _corpus(spark, n=300, seed=13)
+    path = str(tmp_path / "docs.parquet")
+    df.write.parquet(path)
+    small = spark.read.parquet(path)
+
+    fast = pack_sequences(small, budget=64)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan  # the gate chose the one-job form
+    chunked = pack_sequences(small, budget=64, chunked_min_bytes=0)
+    cplan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in cplan  # forcing restores the scale path
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, chunked.collect())
+    )
+
+    withnull = spark.createDataFrame(
+        [(1, "a b"), (None, "c d")], "doc_id long, text string"
+    )
+    nullpath = str(tmp_path / "null.parquet")
+    withnull.write.parquet(nullpath)
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="non-NULL"):
+        pack_sequences(spark.read.parquet(nullpath), budget=8).collect()
