@@ -437,8 +437,12 @@ def dhash_neardup(
     per sweep. The pairs are materialized while the cache is hot and the
     decode frame released before returning (same discipline as
     ``dedup._materialize_and_release``); ``materialize=False`` returns
-    the lazy plan instead (plan-shape tests) — the caller then owns the
-    persisted decode frame via ``spark.catalog.clearCache()``."""
+    the lazy plan instead (plan-shape tests) — the caller then OWNS the
+    persisted decode frame, exposed as ``result.cached_decode_frame``,
+    and must ``result.cached_decode_frame.unpersist()`` once done (an
+    O(corpus) cache entry otherwise lives for the session; a blanket
+    ``spark.catalog.clearCache()`` would also work but clobbers every
+    other cached frame in the session — ADVICE round 12)."""
     from sdlt_spark.operators.dedup import _materialize_and_release
 
     h = image_dhash(media).filter(F.col("decode_error").isNull()).persist()
@@ -447,7 +451,10 @@ def dhash_neardup(
     except Exception:
         h.unpersist()  # validation/budget raise: don't leak the cache entry
         raise
-    return _materialize_and_release(out, h) if materialize else out
+    if materialize:
+        return _materialize_and_release(out, h)
+    out.cached_decode_frame = h  # targeted release handle (see docstring)
+    return out
 
 
 def dhash_neardup_indexed(

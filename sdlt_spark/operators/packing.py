@@ -94,9 +94,13 @@ def pack_sequences(
 
     Precondition: ``id_col`` must be numeric (approxQuantile's contract)
     and non-NULL (a total order has no position for NULL) — both raise a
-    clear ValueError rather than failing downstream (on the small-input
-    plan below, the NULL check rides the plan as a ``raise_error``
-    branch, surfacing at execution).
+    clear ValueError rather than failing downstream. Validation timing
+    diverges by plan: the chunked path raises EAGERLY (its subtotal
+    control job sees the NULL chunk), while the small-input plan below is
+    deliberately one lazy job, so its NULL check rides the plan as a
+    ``raise_error`` branch on BOTH computed columns (``n_tokens`` and
+    ``bin``) — it surfaces at first execution of either, and cannot be
+    pruned away by any projection that consumes a computed value.
 
     Small inputs take the single-window plan directly: the chunked shape
     pays three eager control jobs (quantile pass, compact-frame
@@ -133,19 +137,25 @@ def pack_sequences(
                 Window.unboundedPreceding, Window.currentRow
             )
             bin_col = F.ceil(F.sum("n_tokens").over(w) / F.lit(float(budget)))
+            # the NULL-id guard rides EVERY computed column (not just bin):
+            # this path's validation is lazy by design (one job is the
+            # whole point), and a caller projecting only (id, n_tokens)
+            # would silently prune a bin-only raise_error — so n_tokens
+            # carries the same branch and the check survives any
+            # projection that consumes a computed value (ADVICE round 12)
+            null_guard = F.raise_error(
+                F.lit(
+                    f"pack_sequences requires non-NULL {id_col!r} "
+                    "values: packing is a total order over ids and "
+                    "NULL has no position in it"
+                )
+            )
             return base.select(
                 F.col(id_col),
-                F.col("n_tokens"),
-                F.when(
-                    F.col(id_col).isNull(),
-                    F.raise_error(
-                        F.lit(
-                            f"pack_sequences requires non-NULL {id_col!r} "
-                            "values: packing is a total order over ids and "
-                            "NULL has no position in it"
-                        )
-                    ).cast("bigint"),
-                )
+                F.when(F.col(id_col).isNull(), null_guard.cast("bigint"))
+                .otherwise(F.col("n_tokens"))
+                .alias("n_tokens"),
+                F.when(F.col(id_col).isNull(), null_guard.cast("bigint"))
                 .otherwise(bin_col.cast("bigint"))
                 .alias("bin"),
             )

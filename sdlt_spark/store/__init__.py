@@ -12,7 +12,13 @@ the files actually touched by a mutation.
 from sdlt_spark.store.vintage import (
     CommitConflictError,
     ConstraintViolationError,
+    MissingChangeDataError,
     VintageTable,
 )
 
-__all__ = ["VintageTable", "CommitConflictError", "ConstraintViolationError"]
+__all__ = [
+    "VintageTable",
+    "CommitConflictError",
+    "ConstraintViolationError",
+    "MissingChangeDataError",
+]

@@ -112,6 +112,19 @@ class ConstraintViolationError(RuntimeError):
     by the mutation wrapper) and the first offending row is reported."""
 
 
+class MissingChangeDataError(ValueError):
+    """A commit's row-level changes cannot be derived: the commit is a
+    row-level op (MERGE/DELETE/UPDATE, or a DV mutation on pre-existing
+    files) written WITHOUT materialized change data (``change_feed=True``).
+
+    Subclasses ``ValueError`` for backward compatibility with callers that
+    caught the untyped raise, but exists so incremental consumers (e.g.
+    ``similarity.ivf_refresh``'s heal path) can catch exactly this case
+    and let any FOREIGN ``ValueError`` from their fold chain propagate —
+    a broad catch once silently degraded an O(changed rows) fold to an
+    O(table) rescan on unrelated errors (round-12 verdict finding 1)."""
+
+
 def _link_cas_publish(tmp: str, final: str) -> None:
     """Default commit publisher: atomic compare-and-swap on a POSIX
     filesystem. ``os.link`` fails with EEXIST when the version file already
@@ -198,7 +211,7 @@ def resolve_commit_changes(
     if commit.operation in ("MERGE", "DELETE", "UPDATE") and (commit.add or commit.remove):
         if skip_change_commits:
             return None
-        raise ValueError(
+        raise MissingChangeDataError(
             f"version {commit.version} ({commit.operation}) has no "
             "materialized change data — create the table with "
             "change_feed=True, or skip such commits (skip_change_commits / "
@@ -211,7 +224,7 @@ def resolve_commit_changes(
         if table is None:
             if skip_change_commits:
                 return None
-            raise ValueError(
+            raise MissingChangeDataError(
                 f"version {commit.version} ({commit.operation}) touches "
                 "deletion-vector sidecars; resolving its changes needs table "
                 "context (pass table=) or skip_change_commits"
@@ -231,7 +244,7 @@ def resolve_commit_changes(
         if not expressible:
             if skip_change_commits:
                 return None
-            raise ValueError(
+            raise MissingChangeDataError(
                 f"version {commit.version} ({commit.operation}) changes "
                 "deletion vectors on files it does not add/remove — its "
                 "row-level effect is not derivable from file actions; "

@@ -545,7 +545,9 @@ def test_dhash_neardup_bands_not_all_pairs(spark):
         _dhash_fixture_media(spark, SF), max_hamming=7, materialize=False
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    spark.catalog.clearCache()  # materialize=False: caller owns the persist
+    # materialize=False: caller owns the persist via the exposed handle —
+    # targeted release, never a session-wide clearCache (ADVICE round 12)
+    out.cached_decode_frame.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "chunk" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan)

@@ -579,3 +579,36 @@ def test_ivf_refresh_survives_missing_index_cdc(spark, tmp_path):
         if r["__cell"] is not None
     }
     assert {c: int(p) for c, p in enumerate(pops) if p} == want
+
+
+def test_ivf_refresh_foreign_valueerror_propagates(spark, tmp_path, monkeypatch):
+    """Round-13 (round-12 verdict finding 1): the missing-CDC heal catches
+    EXACTLY MissingChangeDataError. Any other ValueError raised inside the
+    population-fold chain is a real bug and must PROPAGATE — the previous
+    broad `except ValueError` silently degraded every such failure to a
+    permanent O(table) rescan."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import similarity as sim
+    from sdlt_spark.store import VintageTable
+
+    sf = "/root/testdata/sf0.001"
+    emb = tables.load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    v0 = corpus.write(emb.select("vec_id", "embedding"))
+    path = str(tmp_path / "index")
+    sim.ivf_build(
+        corpus.read(), "embedding", "vec_id", path, n_cells=8,
+        txn_id=f"ivf_refresh:{v0}",
+    )
+    corpus.delete("vec_id % 7 = 0")
+
+    orig = VintageTable.table_changes
+
+    def boom(self, *a, **k):
+        if self.path == path:  # only the INDEX fold chain misbehaves
+            raise ValueError("synthetic foreign failure")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(VintageTable, "table_changes", boom)
+    with pytest.raises(ValueError, match="synthetic foreign failure"):
+        sim.ivf_refresh(corpus, path, "embedding", "vec_id", rebalance_factor=None)
