@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     # so regressions in the CDC fold / CoW merge path are tracked
     # round-over-round (verdict item 7)
     "ann_ivf_refresh",
+    # round-13: incremental MinHash dedup against a persisted signature
+    # index (verdict item 1) — the row measures the FULL lifecycle (corpus
+    # write + index build incl. initial pairs + 2 CDC folds with probes),
+    # like ann_ivf_refresh's lifecycle-composite row
+    "minhash_lsh_dedup_incremental",
 ]
 
 
@@ -153,6 +158,27 @@ def main() -> None:
         for _ in range(3)
     )
 
+    # Second anchor (round-13 verdict item 4): a fixed SMALL-QUERY
+    # relational composite — one sequential pass of groupby_agg +
+    # join_left + window_rank — run 3x, median taken. The spark.range
+    # canary models raw CPU throughput, but sub-2s relational queries are
+    # dominated by fixed overhead + scheduler weather the canary does not
+    # see (the r11->r12 normalization whipsaw: identical code normalized
+    # 78.3 vs 57.1 vs 37.9 across windows). Recording BOTH anchors lets
+    # cross-round adjudication normalize each query class with the anchor
+    # that models it: big scans/shuffles by canary ratio, small relational
+    # rows by anchor ratio (BASELINE.md round-13 note).
+    def _anchor_pass() -> float:
+        t0 = time.time()
+        for q in ("groupby_agg", "join_left", "window_rank"):
+            registry[q][0](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        return time.time() - t0
+
+    anchor = sorted(_anchor_pass() for _ in range(3))[1]
+    ANCHOR_REF = float(os.environ.get("SPARK_GRAFT_ANCHOR_REF", "0"))
+
     # Per-query best of PASSES sequential suite runs (the methodology every
     # BASELINE.md number was recorded with: this host has documented
     # multi-minute external load bursts that inflate wall time 3-10x, and a
@@ -176,6 +202,11 @@ def main() -> None:
                 ):
                     continue
                 fn, _sql = registry[name]
+                if name == "minhash_lsh_dedup_incremental":
+                    # lifecycle composite: clear the per-session cache so
+                    # every timed pass measures build + folds, not a
+                    # cached checkpoint read
+                    Q._MINHASH_INCREMENTAL.clear()
                 if name == "ann_ivf_refresh":
                     # the entry caches its corpus/index per session; clear
                     # so every timed pass measures the full append-workload
@@ -219,6 +250,12 @@ def main() -> None:
                 "queries": timings,
                 "canary_sec": canary,
                 "canary_ref": CANARY_REF,
+                "anchor_relational_sec": round(anchor, 3),
+                **(
+                    {"anchor_relational_ref": ANCHOR_REF}
+                    if ANCHOR_REF
+                    else {}
+                ),
                 "normalized_value": round(value * CANARY_REF / canary, 3)
                 if canary > 0
                 else value,

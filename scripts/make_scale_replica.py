@@ -66,6 +66,18 @@ KEYED = {
 }
 COPY_ONCE = ["nation", "region"]
 
+# Replicating FROM an already-replicated source (the two-level fourth-decade
+# build: sf0.1 -> sf100 at factor 1000, then sf100 -> sf1000 at factor 10)
+# needs key strides scaled to the SOURCE's key space, or offsets collide.
+# SDLT_STRIDE_SCALE multiplies every stride in KEYED (e.g. 1000 when the
+# source is the factor-1000 replica). Ciphers are seeded by the INNER
+# replica index, so a two-level build reuses inner ciphers across outer
+# replicas — fine for map/agg probes (sig, heavy_hitters: per-doc /
+# per-token cost is text-content-independent) but NOT for candidate-volume
+# ops (cross-outer-replica texts become byte-identical, planting artificial
+# duplicate groups); SCALE.md fourth-decade rows note this.
+STRIDE_SCALE = int(os.environ.get("SDLT_STRIDE_SCALE", "1"))
+
 
 def _caesar_maps(i: int) -> tuple[str, str]:
     """Per-replica letter bijection. A plain Caesar rotation has only 26
@@ -153,7 +165,7 @@ def build(out_dir: str, factor: int, only: set[str] | None = None) -> None:
                 expr = c
                 for k, stride in keys:
                     if c == k:
-                        expr = f"({c} + {i * stride})"
+                        expr = f"({c} + {i * stride * STRIDE_SCALE})"
                 if t == "documents" and c == "text" and i > 0:
                     src_chars, dst_chars = _caesar_maps(i)
                     expr = f"translate(text, '{src_chars}', '{dst_chars}')"

