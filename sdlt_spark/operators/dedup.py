@@ -275,6 +275,36 @@ def _toks_and_sigs(th: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     return sorted_rows.mapInPandas(_fuse, out_schema)
 
 
+def check_lsh_pair_budget(
+    banded: DataFrame, bands: int, rows_per_band: int, max_pairs: int
+) -> None:
+    """The LSH banding family's ``max_pairs`` circuit breaker, factored so
+    :func:`lsh_candidate_pairs` and the incremental index's batch probe
+    (``minhash_index.minhash_refresh``) share ONE estimator that can never
+    drift. ``banded`` is the (id, band, bh) frame the candidate join would
+    run over (post hot-bucket cap); a bucket of n docs emits exactly
+    n·(n-1)/2 ordered-filtered rows, so the sum over buckets is EXACT for
+    the join's output rows and upper-bounds DISTINCT pairs — the right
+    failure direction for a guard. One aggregate over bucket statistics;
+    the join itself never starts."""
+    est = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(F.col("__n") * (F.col("__n") - F.lit(1)) / 2).alias("est"))
+        .head()["est"]
+    )
+    if est is not None and est > max_pairs:
+        raise PairBudgetExceeded(
+            f"LSH banding at bands={bands}, rows_per_band={rows_per_band} "
+            f"would produce ~{int(est):,} candidate pairs, over the "
+            f"max_pairs budget of {max_pairs:,}. The threshold is "
+            "output-bound on this corpus: raise the threshold (fewer, "
+            "wider bands), cap hot buckets with max_bucket_size, "
+            "exact-dedup mass duplicates first (exact_then_minhash_pairs), "
+            "or raise the budget if the volume is intended."
+        )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -339,22 +369,7 @@ def lsh_candidate_pairs(
         # eager, by design: the guard aborts BEFORE the self-join is
         # submitted (see PairBudgetExceeded / the docstring); callers
         # persist the signature frame first so this aggregate reads cache
-        est = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(F.sum(F.col("__n") * (F.col("__n") - F.lit(1)) / 2).alias("est"))
-            .head()["est"]
-        )
-        if est is not None and est > max_pairs:
-            raise PairBudgetExceeded(
-                f"LSH banding at bands={bands}, rows_per_band={rows_per_band} "
-                f"would produce ~{int(est):,} candidate pairs, over the "
-                f"max_pairs budget of {max_pairs:,}. The threshold is "
-                "output-bound on this corpus: raise the threshold (fewer, "
-                "wider bands), cap hot buckets with max_bucket_size, "
-                "exact-dedup mass duplicates first (exact_then_minhash_pairs), "
-                "or raise the budget if the volume is intended."
-            )
+        check_lsh_pair_budget(banded, bands, rows_per_band, max_pairs)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -52,11 +52,52 @@ from sdlt_spark.operators.dedup import (
     MINHASH_PRIME,
     _materialize_and_release,
     _toks_and_sigs,
+    check_lsh_pair_budget,
     estimate_min_eq,
     lsh_candidate_pairs,
     token_hashes,
     tune_bands,
 )
+from sdlt_spark.operators.packing import _plan_size_bytes
+
+# Target data-file size for the persisted index (bytes). The signature
+# kernel's output keeps the session's shuffle partitioning, so a naive
+# write shatters a small index into shuffle.partitions tiny files — and
+# every refresh then pays per-file overhead on 2-3 index scans plus the
+# merge's footer stats (guide: keep files in the 128 MB-1 GB band). The
+# writer coalesces to ceil(cached_bytes / this) files — scale-adaptive:
+# one file at bench scale, ~128 MB files at 100 TB.
+_INDEX_FILE_BYTES = int(os.environ.get("SDLT_INDEX_FILE_BYTES", str(128 << 20)))
+
+# Candidate-fetch prune gate (bytes of live index data files). The verify
+# step only needs (__toks, h*) rows for CANDIDATE ids; at 100 TB pruning
+# the index scan down to those ids (broadcast semi-join) is what keeps
+# verification O(candidates) instead of O(corpus). But the prune has a
+# fixed cost — it forces the probe join to materialize early (cids needs
+# cand), an explode + distinct, and a second pass over the index — and at
+# bench scale the candidates cover most of the index anyway, so the prune
+# machinery costs more than it saves. Gate it on the live index's
+# data-file bytes, read from driver-side commit metadata (the packing.py
+# size-gated-plan pattern: same results either way, plan picked by size).
+_PRUNE_MIN_BYTES = int(os.environ.get("SDLT_MINHASH_PRUNE_MIN_BYTES", str(256 << 20)))
+
+
+def _index_data_bytes(t) -> int:
+    """Total bytes of the index's live data files, from driver-side commit
+    metadata + file stats — no Spark job. Drives the fetch-prune gate."""
+    data, _ = t._split_live(t._live_files())
+    return sum(os.path.getsize(os.path.join(t.path, f)) for f in data)
+
+
+def _size_coalesced(df):
+    """Coalesce ``df`` (persisted + materialized, so Catalyst stats are the
+    TRUE cached size) to ceil(size / _INDEX_FILE_BYTES) partitions for
+    writing. coalesce never raises the partition count, so a frame already
+    below the target is returned as-is; stats unavailable -> unchanged."""
+    size = _plan_size_bytes(df)
+    if not size:
+        return df
+    return df.coalesce(max(1, -(-size // _INDEX_FILE_BYTES)))
 
 _PARAMS_FILE = "minhash_params.json"
 
@@ -187,7 +228,10 @@ def minhash_index_build(
     ).persist()
     n_docs = combined.count()  # materialize once: index write + banding + verify
     t = VintageTable(spark, index_path, change_feed=True)
-    t.write(combined, txn_id=f"{app_id}:{head}")
+    # size-targeted layout: without the coalesce the kernel's shuffle
+    # partitioning shatters the index into 32 ~150 KB files at bench scale
+    # (each later scan = 32 tasks, each merge = 32 footer stats)
+    t.write(_size_coalesced(combined), txn_id=f"{app_id}:{head}")
     _write_params(
         index_path,
         {
@@ -249,13 +293,16 @@ def minhash_refresh(
        latest change per id wins (one window over O(changed rows)).
     2. Batch signatures via the streaming Arrow kernel — the ONLY
        text-hashing work in a refresh, O(batch).
-    3. Candidates: the batch's banded keys are tiny, so they BROADCAST
-       against (a) themselves (batch x batch, via the shared
-       ``lsh_candidate_pairs``) and (b) a column-pruned scan of the live
-       index projecting (id, band-hash) — the index contributes ONE scan
-       reading k longs/row, no shuffle, no re-hash. Stale index rows
-       (ids in the batch) are anti-joined out of the probe so an updated
-       document never matches its own superseded signature.
+    3. Candidates: ONE broadcast probe join — the batch's banded keys
+       (tiny) broadcast against the union of the batch's and the live
+       index's (id, band-hash) rows, covering batch x batch and
+       batch x index together, deduped by a single distinct. The index
+       contributes ONE column-pruned scan reading k longs/row, no
+       shuffle, no re-hash; the batch side never pays a shuffle
+       self-join. Stale index rows (ids in the batch) are anti-joined
+       out of the probe so an updated document never matches its own
+       superseded signature. ``max_pairs`` still guards the batch's
+       banding buckets pre-join via the shared estimator.
     4. Verification fetches (id, __toks, h*) for CANDIDATE ids only
        (broadcast semi-join against batch ∪ live index — one more
        column-pruned index scan), then applies the same estimate
@@ -330,12 +377,13 @@ def minhash_refresh(
         n_upserts = batch.count()
         # removed = deletes PLUS upserts that produced no signature row
         # (text became NULL: the doc leaves the dedup universe, same as
-        # the classic operator's NULL-text contract)
+        # the classic operator's NULL-text contract). Its COUNT needs no
+        # anti-join job: batch ids are a subset of the (distinct) net ids,
+        # so n_removed = |net| - |batch| — and the frame itself is only
+        # built when a delete actually has to ride the merge commit.
         stale = net.select(id_col).persist()
         persisted.append(stale)
-        removed = stale.join(batch.select(id_col), id_col, "left_anti").persist()
-        persisted.append(removed)
-        n_removed = removed.count()
+        n_removed = stale.count() - n_upserts
         report["upserts"] = n_upserts
         report["deletes"] = n_removed
 
@@ -346,33 +394,55 @@ def minhash_refresh(
 
         band_arr = F.posexplode(F.array(*_band_exprs(num_hashes, bands)))
         if n_upserts:
-            cand_bb = lsh_candidate_pairs(
-                batch, id_col, bands, num_hashes // bands, max_pairs=max_pairs
-            )
             batch_banded = batch.select(
                 F.col(id_col).alias("__bid"), band_arr.alias("band", "bh")
             )
-            index_banded = index_live.select(
+            if max_pairs is not None:
+                # same pre-join estimator as lsh_candidate_pairs (shared
+                # helper — can't drift), over the batch x batch buckets;
+                # the batch x index side stays bounded by batch fan-out
+                check_lsh_pair_budget(
+                    batch_banded, bands, num_hashes // bands, max_pairs
+                )
+            # ONE broadcast probe join covers batch x batch AND
+            # batch x index: the tiny batch-banded side probes the union
+            # of (batch ∪ live index) banded keys, least/greatest
+            # canonicalizes, ONE distinct dedups across bands. The
+            # previous shape ran lsh_candidate_pairs(batch) (a shuffle
+            # self-join + its own distinct) plus a second broadcast join
+            # plus a union-level distinct — one full exchange more per
+            # fold for the identical pair set.
+            base_banded = batch.select(
                 F.col(id_col), band_arr.alias("band", "bh")
-            )
-            cand_bi = (
-                index_banded.join(F.broadcast(batch_banded), ["band", "bh"])
+            ).unionByName(index_live.select(F.col(id_col), band_arr.alias("band", "bh")))
+            cand = (
+                base_banded.join(F.broadcast(batch_banded), ["band", "bh"])
                 .filter(F.col(id_col) != F.col("__bid"))
                 .select(
                     F.least(id_col, "__bid").alias("id_a"),
                     F.greatest(id_col, "__bid").alias("id_b"),
                 )
-            )
-            cand = cand_bb.select("id_a", "id_b").unionByName(cand_bi).distinct().persist()
-            persisted.append(cand)
-            cand.count()  # true size stats -> the fetch semi-join broadcasts
-            # fetch candidate rows once (batch ∪ live index are id-disjoint)
-            cids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
-            fetch = (
-                batch.unionByName(index_live)
-                .join(F.broadcast(cids), id_col, "left_semi")
+                .distinct()
                 .persist()
             )
+            persisted.append(cand)
+            # fetch candidate rows once (batch ∪ live index are id-disjoint).
+            # Above the size gate, prune to candidate ids (broadcast
+            # semi-join — the 100 TB path: verify touches O(candidate)
+            # rows, never O(corpus)); materializing FETCH then also
+            # materializes cand through cids — no separate cand.count()
+            # job (the semi-join is broadcast by hint, not by cached-size
+            # stats). Below the gate the prune's fixed cost (explode +
+            # distinct + a second index pass) exceeds what it saves, so
+            # fetch is simply batch ∪ live index — identical pairs, one
+            # plan picked by size (see _PRUNE_MIN_BYTES).
+            fetch = batch.unionByName(index_live)
+            if _index_data_bytes(t) >= _PRUNE_MIN_BYTES:
+                cids = cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias(id_col)
+                ).distinct()
+                fetch = fetch.join(F.broadcast(cids), id_col, "left_semi")
+            fetch = fetch.persist()
             persisted.append(fetch)
             fetch.count()
             c2 = (
@@ -389,9 +459,11 @@ def minhash_refresh(
             # append/update-only fold (THE daily-crawl shape): a plain
             # updateAll/insertAll merge — clause-mode plans carry ~2x the
             # commit overhead (measured 4.3 s vs 2.1 s on the sf0.1
-            # lifecycle) and buy nothing without deletes
+            # lifecycle) and buy nothing without deletes. The batch is
+            # size-coalesced so each fold appends ~_INDEX_FILE_BYTES
+            # files, not one shard per shuffle partition.
             t.merge(
-                batch,
+                _size_coalesced(batch),
                 [id_col],
                 on_duplicate_source="assume_unique",
                 txn_id=f"{app_id}:{head}",
@@ -399,7 +471,9 @@ def minhash_refresh(
         elif n_upserts or n_removed:
             # ONE merge commit: upserts replace superseded rows, deletes
             # ride as h0 = -1 sentinel rows (unreachable by real
-            # signatures, which live in [0, 2^31-1))
+            # signatures, which live in [0, 2^31-1)). The removed-id
+            # frame is derived here, on the only path that needs it.
+            removed = stale.join(batch.select(id_col), id_col, "left_anti")
             del_rows = removed.select(
                 F.col(id_col),
                 F.lit(None).cast("array<long>").alias("__toks"),
@@ -408,7 +482,7 @@ def minhash_refresh(
             )
             cols = {c: f"src_{c}" for c in ["__toks"] + [f"h{i}" for i in range(num_hashes)]}
             t.merge(
-                batch.unionByName(del_rows),
+                _size_coalesced(batch).unionByName(del_rows),
                 [id_col],
                 matched_delete="src_h0 = -1",
                 matched_update=cols,

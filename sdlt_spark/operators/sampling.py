@@ -224,12 +224,16 @@ def dsir_weights(
     par = df.sparkSession.sparkContext.defaultParallelism
     # gate EACH input on its own layout: the common shape is a
     # well-partitioned raw corpus with a single-file target (make CC look
-    # like Wikipedia), where only the target's model pass would serialize
-    if _scan_underparallel(df):
-        df = df.repartition(par)
+    # like Wikipedia), where only the target's model pass would serialize.
+    # Only the GRAM pass (explode+md5, the dominant cost) reads the
+    # repartitioned frame: the final id-list join branch reads `df`
+    # directly — it needs a hash exchange on id_col anyway, so routing it
+    # through the round-robin repartition just stacked a second Exchange
+    # under the join's (plan: RoundRobin(32) -> hashpartitioning(doc_id)).
+    raw_docs = df.repartition(par) if _scan_underparallel(df) else df
     if _scan_underparallel(target):
         target = target.repartition(par)
-    raw_g = hashed_ngram_buckets(df, id_col, text_col, n_buckets)
+    raw_g = hashed_ngram_buckets(raw_docs, id_col, text_col, n_buckets)
     tgt_g = hashed_ngram_buckets(target, id_col, text_col, n_buckets)
     # bounded driver state: <= n_buckets rows per model, by construction
     rc = {

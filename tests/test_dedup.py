@@ -528,6 +528,12 @@ def test_pair_budget_guard_minhash_lsh(spark):
         rows.append((d, " ".join(toks)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
+    # snapshot pre-existing storage entries: in a shared session, earlier
+    # tests' localCheckpoint blocks legitimately live until their frames
+    # are GC'd, so the leak check below must be RELATIVE (no NEW entries
+    # survive the aborts), not a global emptiness assert
+    pre = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
     # low threshold -> tune_bands picks many narrow bands -> buckets
     # collide heavily on this corpus; both prefilter branches must trip
     with pytest.raises(dedup.PairBudgetExceeded, match="max_pairs"):
@@ -549,7 +555,11 @@ def test_pair_budget_guard_minhash_lsh(spark):
     import time as _time
 
     for _ in range(20):
-        leaked = list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        leaked = [
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in pre
+        ]
         if not leaked:
             break
         _time.sleep(0.25)
