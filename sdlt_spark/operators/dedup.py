@@ -1493,14 +1493,35 @@ def dedup_clusters(
         new_cluster = F.least(
             F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
         )
+        stepped = labels.join(neighbor_min, "u", "left").select(
+            "u", F.col("cluster").alias("__old"), new_cluster.alias("cluster")
+        )
+        # Pointer jumping (path compression): follow the propagated label
+        # one more hop through the PREVIOUS round's label map —
+        # L'(u) = L(step(u)) — inside the same materialization. Label
+        # values are always label-map keys (mins over incident-node ids,
+        # inductively), so the hop resolves for every row, and L(w) <= w
+        # means the jump only ever lowers a label within its component:
+        # the unique fixpoint (per-component min) is untouched. What
+        # changes is the ROUND COUNT: distance-to-min roughly doubles per
+        # round, so chains converge in O(log diameter) edge-wide joins
+        # instead of O(diameter) — each avoided round is a full
+        # edge-table shuffle, the dominant clustering cost at 100 TB.
+        # Using the previous (checkpoint-backed) map as the jump table
+        # keeps the round at ONE materialization — jumping through the
+        # fresh tentative labels would re-evaluate the edge join.
+        jump = labels.select(
+            F.col("u").alias("__j"), F.col("cluster").alias("__c2")
+        )
+        final_c = F.coalesce("__c2", "cluster")
         # localCheckpoint truncates the lineage each round — without it the
         # plan doubles per iteration and Catalyst blows up on deep graphs
         new_labels = (
-            labels.join(neighbor_min, "u", "left")
+            stepped.join(jump, stepped["cluster"] == jump["__j"], "left")
             .select(
                 "u",
-                new_cluster.alias("cluster"),
-                (new_cluster != F.col("cluster")).alias("__changed"),
+                final_c.alias("cluster"),
+                (final_c != F.col("__old")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )

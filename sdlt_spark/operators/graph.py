@@ -63,15 +63,25 @@ def pagerank(
     # node ids keep their OWN type (string URLs are the web-crawl case —
     # a silent cast('long') would NULL them all and collapse the graph
     # onto one node); NULL endpoints are dropped like malformed edges
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # e / deg / nodes are read on EVERY iteration (edge join, rank
+    # rebuild): without caching, each of the `iterations` plan levels
+    # re-embeds their lineage and the edge source is re-scanned ~4-5x per
+    # iteration (the captured bench plan held 7 scans of the same parquet
+    # for 3 iterations). Persist all three once, release after the final
+    # vector is checkpoint-backed — the _materialize_and_release
+    # discipline, so long-lived sessions keep no per-call cache entries.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for it in range(iterations):
@@ -95,4 +105,6 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    from sdlt_spark.operators.dedup import _materialize_and_release
+
+    return _materialize_and_release(ranks, e, nodes, deg)

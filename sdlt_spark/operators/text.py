@@ -372,7 +372,13 @@ def remove_boilerplate(
         .select("fp")
     )
     kept = segs.join(boiler, "fp", "left_anti")
-    tot = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    # per-doc segment totals need no third evaluation of the segs lineage
+    # (tokenize + chunk + posexplode + a groupBy shuffle): posexplode
+    # emits exactly nseg rows per document by construction, so the total
+    # is the map-only nseg expression on the source rows — one full
+    # corpus pass and one exchange removed from the plan (long cast
+    # matches the count(*) column type the oracle expects)
+    tot = df.select(F.col(id_col), nseg.cast("long").alias("n_segs"))
     agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
