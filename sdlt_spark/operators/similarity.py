@@ -348,6 +348,58 @@ def _lsh_buckets_udf(planes_by_table: np.ndarray):
     return _buckets
 
 
+def _unit_buckets_udf(planes_by_table: np.ndarray):
+    """Fused L2-normalize + bucket assignment for the LSH near-dup path
+    (round 13): ONE Arrow pass returns struct(u, buckets) — the unit
+    vector the downstream GEMM packs AND the per-table sign buckets —
+    replacing the two interpreted higher-order-function evaluations the
+    JVM projection paid per row (the norm aggregate was inlined into both
+    the zero-norm filter and the divide once Catalyst collapsed the
+    projections). Bit-equality with the JVM form it replaces: the norm is
+    a SEQUENTIAL left fold of v*v in float64 (np.cumsum — same IEEE adds
+    in the same order as F.aggregate), the divide is the same per-element
+    IEEE op, and the bucket GEMM consumes the identical unit vector, so
+    pairs and cos_sims are unchanged to the bit. Zero-norm and NULL rows
+    return an EMPTY bucket array — posexplode drops them with no
+    filter-on-UDF-output (which the optimizer would duplicate the Python
+    node for, guide §4.4)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes, dim = planes_by_table.shape
+    flat = planes_by_table.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    empty: list = []
+
+    @pandas_udf("struct<u: array<double>, buckets: array<long>>")
+    def _unit_buckets(col):
+        if not len(col):
+            return pd.DataFrame({"u": [], "buckets": []})
+        x = np.stack(
+            [
+                np.asarray(v, dtype=np.float64) if v is not None else np.zeros(dim)
+                for v in col
+            ]
+        )
+        # sequential left-fold sum of squares: bit-identical to the JVM's
+        # F.aggregate fold (numpy's pairwise .sum() is NOT)
+        nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+        ok = nrm > 0
+        safe = np.where(ok, nrm, 1.0)
+        u = x / safe[:, None]
+        signs = (u @ flat.T) >= 0  # (n, tables*planes)
+        b = signs.reshape(len(x), n_tables, n_planes) @ weights  # (n, tables)
+        keep = [v is not None and o for v, o in zip(col, ok)]
+        return pd.DataFrame(
+            {
+                "u": [row if k else empty for row, k in zip(u, keep)],
+                "buckets": [row if k else empty for row, k in zip(b, keep)],
+            }
+        )
+
+    return _unit_buckets
+
+
 def lsh_bucket(vec_col: str, dim: int, num_planes: int = 8, seed: int = 42) -> Column:
     """Sign-sketch bucket id: bit i = (v . plane_i) >= 0, packed into a long."""
     planes = _hyperplanes(dim, num_planes, seed)[None, ...]
@@ -869,25 +921,24 @@ def neardup_cosine_lsh(
         .head()
     )
     dim = int(head["d"]) if head else 0
-    # materialized norm: O(d) per row (not O(d^2) re-evaluated per lane)
-    # and zero-norm/NULL vectors drop instead of ANSI-dividing by zero
-    unit = (
-        df.filter(F.col(vec_col).isNotNull())
-        .withColumn("__nrm", _norm(F.col(vec_col)))
-        .filter(F.col("__nrm") > 0)
-        .select(
-            F.col(id_col).cast("long").alias("__id"),
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
-            ).alias("__u"),
-        )
-    )
     planes = np.stack(
         [_hyperplanes(dim, num_planes, seed=seed + t) for t in range(num_tables)]
     )
-    buckets = _lsh_buckets_udf(planes)(F.col("__u"))
-    assign = unit.select(
-        "__id", "__u", F.posexplode(buckets).alias("__tbl", "__bucket")
+    # normalization + bucketing fused into ONE Arrow pass (round 13): the
+    # former JVM projection evaluated the norm aggregate as an interpreted
+    # HOF inlined into both the zero-norm filter and the divide, then paid
+    # a second Arrow transfer for bucketing. Bit-identical output — see
+    # _unit_buckets_udf. Zero-norm/NULL rows carry an empty bucket array,
+    # so posexplode drops them with no filter on the UDF output.
+    ub = _unit_buckets_udf(planes)(F.col(vec_col)).alias("__ub")
+    assign = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).cast("long").alias("__id"), ub)
+        .select(
+            "__id",
+            F.col("__ub.u").alias("__u"),
+            F.posexplode("__ub.buckets").alias("__tbl", "__bucket"),
+        )
     )
     if n_rows is None:
         n_rows = df.count()
