@@ -9,7 +9,7 @@ JVM-side, whole-stage codegen'd); no Python runs per row, so these scale to
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -711,11 +711,14 @@ def bigram_logprob(
     successor), so probabilities sum to 1 over the vocabulary per context.
 
     Scale: bigram extraction is map-only (zip_with over two array slices —
-    no posexplode + window shuffle for adjacency). Two histogram
-    aggregations shuffle compact (token-pair, count) rows, then join back
-    onto the exploded bigrams — AQE broadcasts them while the vocabulary
-    is small and falls back to shuffle joins when it isn't. The vocabulary
-    size is a 1-row broadcast. Documents with < 2 tokens have no bigram
+    no posexplode + window shuffle for adjacency). ONE histogram
+    aggregation shuffles compact (token-pair, count) rows; the context
+    count rides the SAME relation as a window sum over it (c(w1) =
+    sum of c(w1, *) partitioned by w1 — O(distinct bigrams) rows, never
+    a second corpus pass), so one join attaches both counts — AQE
+    broadcasts the model while the vocabulary is small and falls back to
+    a shuffle join when it isn't. The vocabulary size is a 1-row
+    broadcast. Documents with < 2 tokens have no bigram
     transitions and are absent from the output (consistent with the
     DuckDB oracle's QUALIFY filter)."""
     toks = tokens(F.col(text_col))
@@ -730,7 +733,34 @@ def bigram_logprob(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    # c(w1) is the CONTEXT count = number of bigrams led by w1 = the sum of
+    # c(w1, *) — a window sum OVER the bigram histogram itself, so the
+    # model is ONE relation carrying both counts: the former second
+    # corpus-wide tokenize+explode+aggregate pass for c1 and its separate
+    # join are gone STRUCTURALLY (round 13; a c1 = c2.groupBy variant was
+    # tried first, but duplicates c2's whole subtree in the initial plan
+    # and leaves the dedup to AQE stage reuse — the window form needs no
+    # optimizer favor). Values identical: sum of longs is a long, and
+    # every bg row finds its (w1, w2) in c2 by construction, so the
+    # single inner join emits exactly the rows the two-join form did.
+    w1_totals = Window.partitionBy("w1")
+    model = c2.withColumn("cnt1", F.sum("cnt2").over(w1_totals))
+    # Build-side discipline: the window wrapper hides the aggregate from
+    # the planner's size heuristics, and left alone Catalyst broadcast the
+    # EXPLODED BIGRAM side (O(corpus tokens), with doc_id!) at bench scale
+    # — exactly backwards. Hint the model side, but only when Catalyst's
+    # estimate of the TEXT SCAN feeding it is broadcast-small (the
+    # packing.py size-gate pattern; the histogram is bounded by its input,
+    # and gating on the bare scan keeps the driver-side check to one
+    # trivial plan — optimizing the full c2 subtree here cost 0.5 s per
+    # call): at 100 TB the scan estimate is huge, the hint stays off, and
+    # the join degrades to the same shuffle join the pre-window form
+    # chose there.
+    from sdlt_spark.operators.packing import _plan_size_bytes
+
+    scan_bytes = _plan_size_bytes(df.select(text_col))
+    if scan_bytes is not None and scan_bytes < 64 << 20:
+        model = F.broadcast(model)
     vocab = (
         df.select(F.explode(toks).alias("w"))
         .agg(F.count_distinct("w").alias("vocab"))
@@ -739,8 +769,7 @@ def bigram_logprob(
         F.col("cnt1") + F.lit(alpha) * F.col("vocab")
     )
     return (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bg.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
