@@ -666,6 +666,45 @@ class VintageTable:
             return None
         return rel_dir
 
+    def _write_data_and_changes(
+        self, new_data: DataFrame, changes: DataFrame | None
+    ) -> tuple[list[str], str | None]:
+        """Run a mutation's data-file write and change-data write as
+        CONCURRENT Spark jobs and return ``(add, change_dir)``. The two
+        writes are independent frames whose only meeting point is the
+        commit record, and Spark happily runs several jobs at once — the
+        CDC job's tasks back-fill executors the data write's stage tail
+        leaves idle, hiding the smaller job's wall time entirely (at
+        100 TB the CDC write is O(changed rows) against a data write of
+        O(touched files); at bench scale it hides one of two
+        fixed-overhead jobs per commit).
+
+        Crash safety is unchanged: the commit's atomicity point is the
+        log publish in ``_commit``, which the caller reaches only after
+        BOTH writes returned, so both file sets are durable — and tracked
+        in ``_op_files`` for failure cleanup (list.extend is atomic under
+        the GIL) — before any reader can learn of them. An exception from
+        either write propagates only after the other has finished, so
+        ``_retry_conflicts``' cleanup never races a live write.
+
+        Callers must pin any shared NONDETERMINISTIC lineage (eagerly
+        materialized checkpoint) before calling: with lazy checkpoints
+        the two jobs could race the first materialization and each
+        evaluate the source independently — exactly the CDC/table
+        divergence the merge checkpoint exists to prevent.
+        """
+        if changes is None or not self.change_feed:
+            return self._write_files(new_data), None
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(self._write_change_data, changes)
+            add = self._write_files(new_data)
+            return add, fut.result()
+        finally:
+            pool.shutdown(wait=True)
+
     def _stats_path(self) -> str:
         return os.path.join(self.path, _LOG_DIR, "file_stats.json")
 
@@ -1497,8 +1536,12 @@ class VintageTable:
             # table-data write are separate jobs, and a nondeterministic
             # source (e.g. a keep_any dropDuplicates pick) could otherwise
             # record one row in the change feed while landing another in the
-            # table — CDC consumers would reconstruct divergent state
-            src = src.localCheckpoint(eager=False)
+            # table — CDC consumers would reconstruct divergent state.
+            # EAGER since round 13: the two writes now run concurrently
+            # (_write_data_and_changes), so the checkpoint must be
+            # materialized before either starts — a lazy checkpoint's
+            # first materialization could race and evaluate src twice
+            src = src.localCheckpoint(eager=True)
         # merge reasons about raw file contents (zone-map skip + rewrite),
         # so outstanding deletion vectors are folded in first
         self.materialize_deletion_vectors()
@@ -1736,7 +1779,7 @@ class VintageTable:
             new_data = (
                 rewritten.unionByName(ins_src) if rewritten is not None else ins_src
             )
-            change_dir = None
+            changes = None
             if self.change_feed:
                 changes = ins_src.withColumn("_change_type", F.lit("insert"))
                 if del_frame is not None:
@@ -1748,8 +1791,9 @@ class VintageTable:
                     changes = changes.unionByName(
                         before.withColumn("_change_type", F.lit("delete"))
                     ).unionByName(after.withColumn("_change_type", F.lit("insert")))
-                change_dir = self._write_change_data(changes)
-            add = self._write_files(new_data)
+            # concurrent data + CDC writes; src is an eager checkpoint, and
+            # every other shared input is a deterministic file scan
+            add, change_dir = self._write_data_and_changes(new_data, changes)
             params = {
                 "predicate": " AND ".join(f"{k} = source.{k}" for k in key_cols),
                 "clauses": "true",
@@ -1798,7 +1842,6 @@ class VintageTable:
         else:
             new_data = src.select(*[f.name for f in target_schema.fields])
 
-        change_dir = None
         if self.change_feed:
             # CDF capture: every source row lands (insert); previously-stored
             # rows for matched keys disappear (delete). Reuses the frames the
@@ -1821,11 +1864,13 @@ class VintageTable:
                         removed.withColumn("_change_type", F.lit("delete")),
                         allowMissingColumns=True,
                     )
-            change_dir = self._write_change_data(changes)
+        else:
+            changes = None
 
         # Untouched files keep their old schema; mergeSchema on read surfaces
         # evolved columns as nulls there, matching Delta autoMerge semantics.
-        add = self._write_files(new_data)
+        # Data + CDC land as concurrent jobs (src is an eager checkpoint).
+        add, change_dir = self._write_data_and_changes(new_data, changes)
         schema_json = None
         if not self.exists():
             schema_json = new_data.schema.json()
@@ -1897,13 +1942,16 @@ class VintageTable:
         # only removes rows where it is true; a bare ~cond would silently
         # drop NULL-evaluating rows from rewritten files
         survivors = rows.filter(~F.coalesce(cond, F.lit(False)))
-        change_dir = self._write_change_data(
+        # zero-row outputs are dropped inside _write_files; no isEmpty job.
+        # Survivor rewrite + CDC land as concurrent jobs: both sides are
+        # deterministic scans of the same touched files (a nondeterministic
+        # condition was already double-evaluated by the sequential form)
+        add, change_dir = self._write_data_and_changes(
+            survivors,
             rows.filter(cond).withColumn("_change_type", F.lit("delete"))
             if self.change_feed
-            else None
+            else None,
         )
-        # zero-row outputs are dropped inside _write_files; no isEmpty job
-        add = self._write_files(survivors)
         params = {"predicate": condition}
         if change_dir:
             params["changeData"] = change_dir
@@ -2025,7 +2073,7 @@ class VintageTable:
                 for col, val in assignments.items()
             }
         )
-        change_dir = None
+        changes = None
         if self.change_feed:
             matching = rows.filter(cond)
             after = matching.withColumns(
@@ -2034,12 +2082,12 @@ class VintageTable:
                     for col, val in assignments.items()
                 }
             )
-            change_dir = self._write_change_data(
-                matching.withColumn("_change_type", F.lit("delete")).unionByName(
-                    after.withColumn("_change_type", F.lit("insert"))
-                )
-            )
-        add = self._write_files(updated)
+            changes = matching.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(after.withColumn("_change_type", F.lit("insert")))
+        # rewrite + CDC as concurrent jobs (both deterministic scans of the
+        # touched files; see delete())
+        add, change_dir = self._write_data_and_changes(updated, changes)
         params = {"predicate": condition}
         if change_dir:
             params["changeData"] = change_dir
