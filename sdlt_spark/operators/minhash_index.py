@@ -423,28 +423,36 @@ def minhash_refresh(
                     F.greatest(id_col, "__bid").alias("id_b"),
                 )
                 .distinct()
-                .persist()
             )
-            persisted.append(cand)
             # fetch candidate rows once (batch ∪ live index are id-disjoint).
             # Above the size gate, prune to candidate ids (broadcast
             # semi-join — the 100 TB path: verify touches O(candidate)
-            # rows, never O(corpus)); materializing FETCH then also
-            # materializes cand through cids — no separate cand.count()
-            # job (the semi-join is broadcast by hint, not by cached-size
-            # stats). Below the gate the prune's fixed cost (explode +
-            # distinct + a second index pass) exceeds what it saves, so
-            # fetch is simply batch ∪ live index — identical pairs, one
-            # plan picked by size (see _PRUNE_MIN_BYTES).
+            # rows, never O(corpus)); cand is then consumed TWICE (the
+            # prune and the verify), so it persists, and materializing
+            # FETCH — now O(candidates) — also materializes cand through
+            # cids (no separate count job; the semi-join is broadcast by
+            # hint, not by cached-size stats). Below the gate the prune's
+            # fixed cost (explode + distinct + a second index pass)
+            # exceeds what it saves, cand feeds exactly ONE downstream
+            # plan leg and fetch is a cheap column-pruned re-scan of
+            # batch ∪ live index — so neither persists and probe+verify
+            # run as ONE lazy plan into the pairs checkpoint: one
+            # materialization per fold instead of two (the fetch.count
+            # job alone was 0.3-0.6 s per fold at bench scale).
+            # Identical pairs either way, plan picked by size
+            # (see _PRUNE_MIN_BYTES).
             fetch = batch.unionByName(index_live)
             if _index_data_bytes(t) >= _PRUNE_MIN_BYTES:
+                cand = cand.persist()
+                persisted.append(cand)
                 cids = cand.select(
                     F.explode(F.array("id_a", "id_b")).alias(id_col)
                 ).distinct()
-                fetch = fetch.join(F.broadcast(cids), id_col, "left_semi")
-            fetch = fetch.persist()
-            persisted.append(fetch)
-            fetch.count()
+                fetch = fetch.join(
+                    F.broadcast(cids), id_col, "left_semi"
+                ).persist()
+                persisted.append(fetch)
+                fetch.count()
             c2 = (
                 _estimate_filter(cand, fetch, id_col, num_hashes, threshold)
                 if p["estimate_prefilter"]
