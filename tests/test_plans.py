@@ -522,11 +522,18 @@ def test_partitioned_import_read_is_single_scan_broadcast_join(spark, tmp_path):
 
 def test_bigram_logprob_broadcasts_vocab_scalar(spark):
     """Bigram extraction must be map-only (zip_with over slices — no
-    posexplode+window shuffle for adjacency) and the vocab size a 1-row
-    broadcast; the histogram joins may broadcast or shuffle (AQE), but
-    never a cartesian product."""
+    posexplode + lead() window over tokens for adjacency; the ONLY window
+    allowed is the round-13 context-count sum OVER the aggregated
+    histogram, O(distinct bigrams)) and the vocab size a 1-row broadcast;
+    the histogram join may broadcast or shuffle (AQE), but never a
+    cartesian product. Round 13: the context count is derived from the
+    pair histogram, so the plan holds exactly THREE corpus scans (bigram
+    rows, pair histogram, vocabulary) — a fourth means the separate
+    c(w1) corpus pass regressed back in."""
     plan = plan_of(spark, "bigram_logprob")
-    assert "Window" not in plan  # adjacency came from zip_with, not lead()
+    assert "zip_with" in plan  # adjacency came from zip_with...
+    assert "lead(" not in plan  # ...never a per-token window
+    assert plan.count("Location: InMemoryFileIndex") == 3
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row vocab crossJoin
     assert "CartesianProduct" not in plan
 
