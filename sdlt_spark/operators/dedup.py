@@ -715,6 +715,40 @@ def minhash_dedup(
     distinct) plus broadcast joins, and the cold-JVM wall time halves
     (measured 17.2 s -> 9.6 s at sf0.1; the retired k-wide HashAggregate and
     64-column estimate join were the two slowest Janino compiles)."""
+    out, caches = _minhash_pairs_lazy(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        estimate_prefilter=estimate_prefilter,
+        max_bucket_size=max_bucket_size,
+        max_pairs=max_pairs,
+    )
+    return _materialize_and_release(out, *caches) if materialize else out
+
+
+def _minhash_pairs_lazy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int | None = None,
+    estimate_prefilter: bool = True,
+    max_bucket_size: int | None = None,
+    max_pairs: int | None = None,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """:func:`minhash_dedup`'s body, returning ``(lazy_out, caches)`` so a
+    composing caller (``exact_then_minhash_pairs``) can extend the plan —
+    e.g. union the exact-dup edges on — and pay ONE eager checkpoint for
+    the whole composition instead of checkpointing the minhash leg
+    separately and re-shuffling its output (round-13: the pipeline's
+    intermediate pair checkpoint + its union-level distinct were a full
+    extra materialization of the O(pairs) frame). The caller OWNS
+    releasing ``caches`` once its own materialization is done; a
+    :class:`PairBudgetExceeded` abort releases them before raising."""
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
     rows_per_band = num_hashes // bands
@@ -752,7 +786,7 @@ def minhash_dedup(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-        return _materialize_and_release(out, combined) if materialize else out
+        return out, [combined]
 
     th = token_hashes(df, id_col, text_col).persist()
     sig = _signatures_from_hashes(th, id_col, num_hashes).persist()
@@ -807,7 +841,7 @@ def minhash_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _materialize_and_release(out, th, sig, est, toks_arr) if materialize else out
+    return out, [th, sig, est, toks_arr]
 
 
 def exact_then_minhash_pairs(
@@ -855,7 +889,7 @@ def exact_then_minhash_pairs(
         rep.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
     )
     try:
-        mh = minhash_dedup(
+        mh, mh_caches = _minhash_pairs_lazy(
             reps_docs,
             id_col,
             text_col,
@@ -872,8 +906,19 @@ def exact_then_minhash_pairs(
     exact_edges = canon_map.filter(F.col(id_col) != F.col("rep_id")).select(
         F.col("rep_id").alias("id_a"), F.col(id_col).alias("id_b")
     )
-    out = mh.select("id_a", "id_b").unionByName(exact_edges).distinct()
-    return _materialize_and_release(out, canon)
+    # The union needs NO distinct: the minhash leg is distinct by
+    # construction (lsh_candidate_pairs dedups candidates), the exact leg
+    # is one row per non-representative document (canon_map is one row per
+    # doc), and the two legs are DISJOINT — an exact edge's id_b is never
+    # any fp-group's representative (its group's min is rep_id < id_b), so
+    # it cannot appear in the minhash leg, whose both sides are
+    # representatives. Dropping it removes a full O(pairs) exchange, and
+    # taking the minhash leg LAZY (one composed checkpoint, caches released
+    # after) removes the intermediate O(pairs) materialization the round-12
+    # shape paid (round-13 profile: the second dedup.py checkpoint +
+    # distinct were ~1.5-2 s of dedup_pipeline's 10.6 s at sf0.1).
+    out = mh.select("id_a", "id_b").unionByName(exact_edges)
+    return _materialize_and_release(out, canon, *mh_caches)
 
 
 # ------------------------------------------------------------------ simhash
@@ -1441,6 +1486,56 @@ def ngram_jaccard_pairs(
 # ----------------------------------------------------------- dup clustering
 
 
+# Contracted-remnant size (edges) below which connected components finish
+# on the driver via union-find instead of further distributed rounds. Each
+# Spark round on a tiny remnant is pure fixed overhead (a join + aggregate
+# + checkpoint over a few thousand rows); the collect this gate admits is
+# bounded control-plane state — 100k edges of two ids ≈ a few MB, the same
+# class as the k-means centroid collects. Scale-safe by construction: the
+# gate reads the EXACT contracted edge count the loop already computes, so
+# a 100 TB graph whose remnant stays large never collects anything.
+_CC_DRIVER_EDGES = int(os.environ.get("SDLT_CC_DRIVER_EDGES", str(100_000)))
+
+
+def _driver_components(e2: DataFrame) -> DataFrame:
+    """Finish the contracted component graph on the driver: collect the
+    (already persisted, gate-bounded) edge list, union-find it, and return
+    the (u, cluster = component min) label map as a local DataFrame —
+    bit-identical to the distributed fixpoint (the per-component minimum
+    is unique, and Spark's string ordering matches Python's here because
+    UTF-8 byte order preserves code-point order)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e2.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in roots or x < roots[r]:
+            roots[r] = x
+    rows = [(x, roots[find(x)]) for x in parent]
+    utype = e2.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("u", utype), T.StructField("cluster", utype)]
+    )
+    return e2.sparkSession.createDataFrame(rows, schema)
+
+
 def dedup_clusters(
     pairs: DataFrame, ids: DataFrame, id_col: str, max_iterations: int = 20
 ) -> DataFrame:
@@ -1506,6 +1601,7 @@ def dedup_clusters(
     level_maps: list[DataFrame] = []
     e2 = edges
     n_cur = None
+    driver_labels = None
     for _ in range(max_iterations):
         lvl = (
             e2.groupBy("u")
@@ -1532,13 +1628,31 @@ def dedup_clusters(
         prev, e2, n_cur = n_cur, nxt, n_next
         if n_next == 0:
             break
+        if n_next <= _CC_DRIVER_EDGES:
+            # The contracted remnant fits the driver's control plane (the
+            # gate bounds the collect: default 100k edges = a few MB, the
+            # same cost class as the k-means centroid collects). Every
+            # further distributed round — each a full pass of joins +
+            # aggregates + a checkpoint over a FEW THOUSAND rows — costs
+            # pure fixed overhead (round-13 profile: levels past the first
+            # + the remnant loop were ~1.5-2 s of dedup_pipeline at sf0.1
+            # for <3k edges). A driver union-find computes the identical
+            # fixpoint (per-component min label) in microseconds; graphs
+            # whose contracted remnant stays above the gate keep the
+            # distributed rounds unchanged.
+            driver_labels = _driver_components(e2)
+            break
         if prev is not None and n_next * 2 > prev:
             # shrink factor under 2x: contraction has hit an adversarial
             # shape (long increasing-id chains lose O(1) edges per level)
             # — stop paying a level per O(1) progress and let the
             # pointer-jumped loop below finish in O(log diameter) rounds
             break
-    labels = e2.select("u").distinct().withColumn("cluster", F.col("u"))
+    if driver_labels is not None:
+        labels = driver_labels
+        n_cur = 0  # remnant fully resolved: skip the distributed loop
+    else:
+        labels = e2.select("u").distinct().withColumn("cluster", F.col("u"))
 
     for _ in range(max_iterations - 1) if n_cur else ():
         neighbor_min = (

@@ -192,6 +192,7 @@ def minhash_index_build(
     estimate_prefilter: bool = False,
     app_id: str = "minhash",
     max_pairs: int | None = None,
+    version: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Build the persisted MinHash signature index for ``corpus`` at its
     head version and return ``(pairs, report)``: the from-scratch
@@ -213,6 +214,12 @@ def minhash_index_build(
     carry ``id_col`` + ``text_col``. NULL-text documents are absent from
     the index (they have no token set — same contract as the classic
     operator).
+
+    ``version`` pins the corpus snapshot the index reflects (default: the
+    head at call time). Passing it explicitly lets a caller overlap the
+    build with LATER corpus commits (guide §2.6) — the build's reads and
+    its watermark are then deterministic regardless of what concurrent
+    ingest does to the corpus head.
     """
     from sdlt_spark.store import VintageTable
 
@@ -221,39 +228,69 @@ def minhash_index_build(
         bands = tune_bands(num_hashes, threshold)
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
-    head = corpus.latest_version()
+    head = corpus.latest_version() if version is None else version
     docs = corpus.read(version=head).select(id_col, text_col)
     combined = _toks_and_sigs(
         token_hashes(docs, id_col, text_col), id_col, num_hashes
     ).persist()
     n_docs = combined.count()  # materialize once: index write + banding + verify
     t = VintageTable(spark, index_path, change_feed=True)
-    # size-targeted layout: without the coalesce the kernel's shuffle
-    # partitioning shatters the index into 32 ~150 KB files at bench scale
-    # (each later scan = 32 tasks, each merge = 32 footer stats)
-    t.write(_size_coalesced(combined), txn_id=f"{app_id}:{head}")
-    _write_params(
-        index_path,
-        {
-            "id_col": id_col,
-            "text_col": text_col,
-            "threshold": threshold,
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "estimate_prefilter": estimate_prefilter,
-        },
-    )
     try:
-        cand = lsh_candidate_pairs(
-            combined, id_col, bands, num_hashes // bands, max_pairs=max_pairs
-        )
-        if estimate_prefilter:
-            cand = _estimate_filter(cand, combined, id_col, num_hashes, threshold)
-        pairs = _jaccard_verify_toks(cand, combined, id_col, threshold)
-        out = _materialize_and_release(pairs, combined)
-    except Exception:
+        # The index write and the initial-pairs verification are
+        # INDEPENDENT consumers of the materialized `combined` cache, so
+        # they run as CONCURRENT Spark jobs (guide §2.6 — actions are only
+        # sequential because driver code calls them sequentially): the
+        # write's tasks back-fill executors the verify's stage tails leave
+        # idle. Determinism is untouched — both legs read the same
+        # materialized cache — and the caller sees the index only after
+        # BOTH finish (fut.result() below; the params sidecar that makes
+        # the index refreshable publishes after the write returns).
+        # size-targeted layout: without the coalesce the kernel's shuffle
+        # partitioning shatters the index into 32 ~150 KB files at bench
+        # scale (each later scan = 32 tasks, each merge = 32 footer stats)
+        from concurrent.futures import ThreadPoolExecutor
+
+        src = _size_coalesced(combined)  # driver-side stats read, main thread
+
+        def _write_and_publish():
+            t.write(src, txn_id=f"{app_id}:{head}")
+            # params publish rides the write leg so the index is
+            # refreshable exactly when it exists — even if the verify leg
+            # aborts (e.g. PairBudgetExceeded), matching the sequential
+            # ordering this replaces
+            _write_params(
+                index_path,
+                {
+                    "id_col": id_col,
+                    "text_col": text_col,
+                    "threshold": threshold,
+                    "num_hashes": num_hashes,
+                    "bands": bands,
+                    "estimate_prefilter": estimate_prefilter,
+                },
+            )
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(_write_and_publish)
+            try:
+                cand = lsh_candidate_pairs(
+                    combined, id_col, bands, num_hashes // bands, max_pairs=max_pairs
+                )
+                if estimate_prefilter:
+                    cand = _estimate_filter(
+                        cand, combined, id_col, num_hashes, threshold
+                    )
+                pairs = _jaccard_verify_toks(cand, combined, id_col, threshold)
+                out = pairs.localCheckpoint(eager=True)
+            finally:
+                # an exception from either leg propagates only after the
+                # other finished: the write must not race a teardown
+                fut.result()
+        finally:
+            pool.shutdown(wait=True)
+    finally:
         combined.unpersist()
-        raise
     report = {
         "corpus_version": head,
         "indexed_docs": n_docs,
@@ -267,6 +304,7 @@ def minhash_refresh(
     index_path: str,
     app_id: str = "minhash",
     max_pairs: int | None = None,
+    to_version: int | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Fold the corpus changes since the index watermark into the
     persisted signature index and return ``(new_pairs, stale_ids,
@@ -335,7 +373,12 @@ def minhash_refresh(
             f"it with minhash_index_build so refresh knows which corpus "
             "version it reflects"
         )
-    last, head = int(token), corpus.latest_version()
+    # ``to_version`` pins the fold's upper bound (default: head at call
+    # time) so a caller can overlap the refresh with LATER corpus commits
+    # (guide §2.6): the folded range — and therefore the emitted pairs and
+    # the new watermark — is deterministic regardless of concurrent ingest.
+    last = int(token)
+    head = corpus.latest_version() if to_version is None else to_version
     report = {
         "from_version": last + 1,
         "to_version": head,
@@ -458,47 +501,74 @@ def minhash_refresh(
                 if p["estimate_prefilter"]
                 else cand
             )
-            pairs = _jaccard_verify_toks(c2, fetch, id_col, threshold)
-            pairs = _materialize_and_release(pairs, cand, fetch)
+            pairs_plan = _jaccard_verify_toks(c2, fetch, id_col, threshold)
         else:
-            pairs = empty_pairs
+            pairs_plan = None
 
-        if n_upserts and not n_removed:
-            # append/update-only fold (THE daily-crawl shape): a plain
-            # updateAll/insertAll merge — clause-mode plans carry ~2x the
-            # commit overhead (measured 4.3 s vs 2.1 s on the sf0.1
-            # lifecycle) and buy nothing without deletes. The batch is
-            # size-coalesced so each fold appends ~_INDEX_FILE_BYTES
-            # files, not one shard per shuffle partition.
-            t.merge(
-                _size_coalesced(batch),
-                [id_col],
-                on_duplicate_source="assume_unique",
-                txn_id=f"{app_id}:{head}",
-            )
-        elif n_upserts or n_removed:
-            # ONE merge commit: upserts replace superseded rows, deletes
-            # ride as h0 = -1 sentinel rows (unreachable by real
-            # signatures, which live in [0, 2^31-1)). The removed-id
-            # frame is derived here, on the only path that needs it.
-            removed = stale.join(batch.select(id_col), id_col, "left_anti")
-            del_rows = removed.select(
-                F.col(id_col),
-                F.lit(None).cast("array<long>").alias("__toks"),
-                F.lit(-1).cast("long").alias("h0"),
-                *[F.lit(None).cast("long").alias(f"h{i}") for i in range(1, num_hashes)],
-            )
-            cols = {c: f"src_{c}" for c in ["__toks"] + [f"h{i}" for i in range(num_hashes)]}
-            t.merge(
-                _size_coalesced(batch).unionByName(del_rows),
-                [id_col],
-                matched_delete="src_h0 = -1",
-                matched_update=cols,
-                matched_condition="coalesce(src_h0, 0) >= 0",
-                insert_condition="coalesce(h0, 0) >= 0",
-                on_duplicate_source="assume_unique",
-                txn_id=f"{app_id}:{head}",
-            )
+        def _fold_merge():
+            if n_upserts and not n_removed:
+                # append/update-only fold (THE daily-crawl shape): a plain
+                # updateAll/insertAll merge — clause-mode plans carry ~2x
+                # the commit overhead (measured 4.3 s vs 2.1 s on the sf0.1
+                # lifecycle) and buy nothing without deletes. The batch is
+                # size-coalesced so each fold appends ~_INDEX_FILE_BYTES
+                # files, not one shard per shuffle partition.
+                t.merge(
+                    _size_coalesced(batch),
+                    [id_col],
+                    on_duplicate_source="assume_unique",
+                    txn_id=f"{app_id}:{head}",
+                )
+            elif n_upserts or n_removed:
+                # ONE merge commit: upserts replace superseded rows, deletes
+                # ride as h0 = -1 sentinel rows (unreachable by real
+                # signatures, which live in [0, 2^31-1)). The removed-id
+                # frame is derived here, on the only path that needs it.
+                removed = stale.join(batch.select(id_col), id_col, "left_anti")
+                del_rows = removed.select(
+                    F.col(id_col),
+                    F.lit(None).cast("array<long>").alias("__toks"),
+                    F.lit(-1).cast("long").alias("h0"),
+                    *[F.lit(None).cast("long").alias(f"h{i}") for i in range(1, num_hashes)],
+                )
+                cols = {c: f"src_{c}" for c in ["__toks"] + [f"h{i}" for i in range(num_hashes)]}
+                t.merge(
+                    _size_coalesced(batch).unionByName(del_rows),
+                    [id_col],
+                    matched_delete="src_h0 = -1",
+                    matched_update=cols,
+                    matched_condition="coalesce(src_h0, 0) >= 0",
+                    insert_condition="coalesce(h0, 0) >= 0",
+                    on_duplicate_source="assume_unique",
+                    txn_id=f"{app_id}:{head}",
+                )
+
+        # The fold's index merge and the pairs verification are INDEPENDENT:
+        # the merge consumes the persisted batch (and stale) caches, the
+        # verify consumes the same caches plus the PRE-merge index files —
+        # which the copy-on-write merge never deletes (only vacuum does),
+        # and the verify's index scan was pinned to the old version's file
+        # list at t.read() time. So they run as CONCURRENT Spark jobs
+        # (guide §2.6), the merge's commit machinery (zone-map agg, touched
+        # scan, data + CDC writes) hiding under the verify's candidate
+        # compute. The refresh returns only after BOTH finish; an exception
+        # from either leg propagates after the other completes, so the
+        # outer cache cleanup never races a live job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = pool.submit(_fold_merge)
+            try:
+                pairs = (
+                    _materialize_and_release(pairs_plan, cand, fetch)
+                    if pairs_plan is not None
+                    else empty_pairs
+                )
+            finally:
+                fut.result()
+        finally:
+            pool.shutdown(wait=True)
         stale_out = stale.localCheckpoint(eager=True)
     finally:
         # double-unpersist of frames _materialize_and_release already

@@ -4480,17 +4480,34 @@ def minhash_lsh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     key = (id(spark), sf_dir)
     cached = _MINHASH_INCREMENTAL.get(key)
     if cached is None:
+        from concurrent.futures import ThreadPoolExecutor
+
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         root = tempfile.mkdtemp(prefix="sdlt_mh_inc_")
         corpus = VintageTable(spark, root + "/corpus", change_feed=True)
-        corpus.write(docs.filter(F.col("doc_id") % 5 < 3))
+        v0 = corpus.write(docs.filter(F.col("doc_id") % 5 < 3))
         idx = root + "/index"
-        pairs0, _rep = _mi.minhash_index_build(
-            corpus, idx, "doc_id", "text", threshold=0.9
-        )
-        corpus.merge(docs.filter(F.col("doc_id") % 5 == 3), ["doc_id"])
-        p1, _s1, _r1 = _mi.minhash_refresh(corpus, idx)
-        corpus.merge(docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"])
+        # Ingest/index overlap (guide §2.6): each corpus merge commits a
+        # version the CURRENT build/refresh step never reads — the build is
+        # pinned to v0 and the first refresh folds exactly v0+1..v1 — so
+        # the next batch's ingest runs CONCURRENTLY with the previous
+        # step's probe + verify + index commit (different tables, disjoint
+        # version ranges: results are deterministic by construction, and
+        # the oracle asserts them equal to the from-scratch pair set).
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            m1 = pool.submit(
+                corpus.merge, docs.filter(F.col("doc_id") % 5 == 3), ["doc_id"]
+            )
+            pairs0, _rep = _mi.minhash_index_build(
+                corpus, idx, "doc_id", "text", threshold=0.9, version=v0
+            )
+            v1 = m1.result()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            m2 = pool.submit(
+                corpus.merge, docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"]
+            )
+            p1, _s1, _r1 = _mi.minhash_refresh(corpus, idx, to_version=v1)
+            m2.result()
         p2, _s2, _r2 = _mi.minhash_refresh(corpus, idx)
         # the three legs are already checkpoint-backed; the union is cheap
         # and cached so repeat correctness calls don't rebuild the lifecycle
@@ -4549,16 +4566,26 @@ def ann_ivf_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     entry = _IVF_REFRESH.get(key)
     if entry is None:
+        from concurrent.futures import ThreadPoolExecutor
+
         emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
         root = tempfile.mkdtemp(prefix="sdlt_ivf_refresh_")
         corpus = VintageTable(spark, root + "/corpus", change_feed=True)
         v0 = corpus.write(emb.select("vec_id", "embedding"))
         idx = root + "/index"
-        _, cents = _sim.ivf_build(
-            corpus.read(), "embedding", "vec_id", idx, n_cells=16,
-            txn_id=f"ivf_refresh:{v0}",
-        )
-        corpus.delete("vec_id % 9 = 2")
+        # corpus.read() pins the v0 file list HERE (driver-side), and the
+        # copy-on-write delete never removes files from disk (only vacuum
+        # does), so the index build over the v0 snapshot and the delete
+        # commit (v1) are independent jobs — run them concurrently
+        # (guide §2.6); ivf_refresh below folds v1..v2 CDC either way.
+        snap0 = corpus.read()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_del = pool.submit(corpus.delete, "vec_id % 9 = 2")
+            _, cents = _sim.ivf_build(
+                snap0, "embedding", "vec_id", idx, n_cells=16,
+                txn_id=f"ivf_refresh:{v0}",
+            )
+            fut_del.result()
         corpus.merge(  # flip a slice across cells + plant fresh ids
             emb.filter((F.col("vec_id") % 9 != 2) & (F.col("vec_id") % 6 == 1))
             .select(

@@ -647,3 +647,99 @@ def test_minhash_refresh_equals_from_scratch(spark, tmp_path):
     p3, s3, rep3 = mi.minhash_refresh(corpus, idx)
     assert p3.isEmpty() and s3.isEmpty()
     assert rep3["upserts"] == 0 and rep3["deletes"] == 0
+
+
+def test_exact_then_minhash_edges_distinct_without_final_exchange(spark):
+    """Round-13 optimization: the pipeline's edge union dropped its
+    .distinct() on a disjointness proof — the minhash leg is distinct by
+    construction and both sides are representatives, while every exact
+    edge's id_b is a NON-representative (its fp-group's min is smaller).
+    Pin the proof: on a corpus mixing exact-dup groups with near-dup
+    variants, the emitted edge list carries no duplicate rows and no
+    exact/minhash overlap."""
+    base = " ".join(WORDS * 16)
+    rows = []
+    for g in range(5):  # five exact-dup groups of 4 copies each
+        txt = f"group{g} " + base
+        rows += [(g * 10 + j, txt) for j in range(4)]
+    # near-dup variants of group 0's text (distinct fingerprints)
+    rows += [(100 + j, f"variant{j} group0 " + base) for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dedup.exact_then_minhash_pairs(docs, "doc_id", threshold=0.5)
+    got = [(r["id_a"], r["id_b"]) for r in edges.collect()]
+    assert len(got) == len(set(got)), "duplicate edges reached the union"
+    # exact edges' targets are never representatives: each id_b > its rep
+    reps = {g * 10 for g in range(5)} | {100, 101, 102}
+    exact_targets = {b for a, b in got if b not in reps}
+    assert exact_targets == {g * 10 + j for g in range(5) for j in (1, 2, 3)}
+
+
+def test_dedup_clusters_driver_finish_matches_distributed(spark, monkeypatch):
+    """Round-13 optimization: once the contracted remnant fits under
+    _CC_DRIVER_EDGES, components finish on the driver via union-find. The
+    fixpoint (per-component min label) is unique, so the driver finish and
+    the distributed rounds must label IDENTICALLY; the gate only picks the
+    plan. Graph mixes a long chain (contraction-adversarial), a clique,
+    and random components."""
+    import random
+
+    rnd = random.Random(7)
+    edges = [(i, i + 1) for i in range(60)]  # long chain
+    edges += [
+        (100 + a, 100 + b) for a in range(10) for b in range(a + 1, 10)
+    ]  # clique
+    edges += [
+        tuple(sorted(rnd.sample(range(200, 280), 2))) for _ in range(90)
+    ]  # random blobs
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+
+    via_driver = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGES", 0)  # force distributed
+    via_spark = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert via_driver == via_spark
+
+
+def test_minhash_refresh_to_version_pins_fold(spark, tmp_path):
+    """Round-13 optimization: ``to_version`` bounds the folded CDC range so
+    a caller can overlap the NEXT batch's ingest with the current refresh
+    (guide §2.6) — with the corpus head already at v2, to_version=1 must
+    fold batch 1 only; the following unpinned refresh folds batch 2; the
+    union of all pairs still equals the from-scratch set."""
+    from sdlt_spark.operators import minhash_index as mi
+    from sdlt_spark.store import VintageTable
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = VintageTable(spark, str(tmp_path / "corpus"), change_feed=True)
+    v0 = corpus.write(docs.filter(F.col("doc_id") % 5 < 3))
+    idx = str(tmp_path / "index")
+    pairs0, _ = mi.minhash_index_build(
+        corpus, idx, "doc_id", "text", threshold=0.9, version=v0
+    )
+    # both batches are ALREADY committed when the pinned refresh runs —
+    # the overlap's worst-case interleaving, made deterministic here
+    v1 = corpus.merge(docs.filter(F.col("doc_id") % 5 == 3), ["doc_id"])
+    corpus.merge(docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"])
+    p1, _s1, r1 = mi.minhash_refresh(corpus, idx, to_version=v1)
+    assert (r1["from_version"], r1["to_version"]) == (1, 1)
+    p2, _s2, r2 = mi.minhash_refresh(corpus, idx)
+    assert (r2["from_version"], r2["to_version"]) == (2, 2)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in pairs0.unionByName(p1).unionByName(p2).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup(
+            corpus.read(), "doc_id", threshold=0.9, estimate_prefilter=False
+        ).collect()
+    }
+    assert got == want
