@@ -65,6 +65,16 @@ _CHECKPOINT_EVERY = 10
 # re-runs the full operation, so runaway retrying hides real contention).
 _COMMIT_RETRIES = 3
 
+# Live-data-bytes gate below which a non-validating merge skips its
+# zone-map pruning aggregate (one Spark job per commit): on a table this
+# small the touched-file scan reads every live file in one task wave
+# anyway, so computing the source key range to prune files cannot pay for
+# the job's fixed cost. Driver-side file stats, no Spark job; identical
+# merge results either way (pruning is an over-approximation).
+_MERGE_PRUNE_MIN_BYTES = int(
+    os.environ.get("SDLT_MERGE_PRUNE_MIN_BYTES", str(64 << 20))
+)
+
 
 def _retry_conflicts(fn):
     """Optimistic concurrency for mutations: on ``CommitConflictError`` the
@@ -925,6 +935,21 @@ class VintageTable:
         so paths compare equal however they were derived)."""
         return os.path.normpath(os.path.join(self.path, rel))
 
+    def _live_data_bytes(self) -> int:
+        """Total bytes of the live data files, from driver-side file stats
+        (no Spark job). Feeds size gates that pick a plan shape — e.g.
+        whether a merge's zone-map pruning aggregate can pay for itself.
+        Unstat-able files (remote store) count as large so gates fail
+        toward the scale-safe plan."""
+        data, _ = self._split_live(self._live_files())
+        total = 0
+        for f in data:
+            try:
+                total += os.path.getsize(self._abs(f))
+            except OSError:
+                return 1 << 60
+        return total
+
     def _dv_coverage(self, dv_files: list[str]) -> dict[str, set[str]]:
         """Absolute paths of the data files each deletion-vector sidecar
         covers. Metadata-plane: DV files are O(deleted rows) tiny, read
@@ -1548,10 +1573,19 @@ class VintageTable:
         live = self._live_files()
         key0 = key_cols[0]
         validate = on_duplicate_source == "error" and order_col is None
-        if live or validate:
+        rng = None
+        if validate or (live and self._live_data_bytes() >= _MERGE_PRUNE_MIN_BYTES):
             # One tiny agg job does double duty: the key range feeds
             # zone-map file skipping, the exact distinct count detects
-            # duplicate source keys without a separate pass.
+            # duplicate source keys without a separate pass. When the
+            # caller already vouches for unique keys (assume_unique /
+            # order_col) the agg exists ONLY for pruning — and below the
+            # size gate the table is too small for file skipping to beat
+            # the job's fixed cost, so the whole job is skipped and the
+            # touched-file scan simply reads every live file (identical
+            # results: pruning is an over-approximation either way). At
+            # 100 TB the gate keeps the agg, which is what makes merge
+            # O(touched files) instead of O(table).
             aggs = [F.min(key0).alias("lo"), F.max(key0).alias("hi")]
             if validate:
                 aggs += [
