@@ -356,15 +356,50 @@ def lsh_candidate_pairs(
         return acc
 
     band_hashes = F.array(*[_bh(b) for b in range(bands)])
-    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bh")
+    if max_bucket_size is None:
+        # Minimal-agreeing-band emission (round 13): a pair colliding in
+        # several bands used to emit one join row per band and pay a full
+        # O(collisions) distinct exchange to dedup (near-identical docs
+        # agree on EVERY band, so the exchange carried ~bands x the pair
+        # volume — 2.6 s of the sf0.1 fold at ~3.7M rows). Carrying each
+        # band hash as its own column lets a flat codegen'd predicate keep
+        # ONLY the row whose band is the pair's FIRST agreeing band —
+        # unique per pair, so the join output IS the distinct pair set and
+        # the exchange disappears. Identical pairs by construction. Only
+        # valid when no hot-bucket cap drops band rows: a capped run must
+        # emit from a SURVIVING band, and the earlier-band hashes can't
+        # see the cap — that path keeps the distinct.
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode(band_hashes).alias("band", "bh"),
+            *[_bh(b).alias(f"__bh{b}") for b in range(bands - 1)],
         )
-        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+        if max_pairs is not None:
+            check_lsh_pair_budget(banded, bands, rows_per_band, max_pairs)
+        a, b = banded.alias("a"), banded.alias("b")
+        first_band = F.lit(True)
+        for e in range(bands - 1):
+            first_band = first_band & (
+                (F.col("a.band") <= F.lit(e))
+                | (F.col(f"a.__bh{e}") != F.col(f"b.__bh{e}"))
+            )
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).filter(first_band).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+
+    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    hot = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band", "bh")
+    )
+    banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     if max_pairs is not None:
         # eager, by design: the guard aborts BEFORE the self-join is
         # submitted (see PairBudgetExceeded / the docstring); callers
@@ -711,10 +746,12 @@ def minhash_dedup(
     it is strictly wasteful — the no-prefilter path skips the two 33-column
     signature joins AND the k-wide min-aggregate entirely: the signature is
     derived from the (anyway-materialized) token arrays by a vectorized
-    pandas UDF, so the whole pipeline is two shuffles (groupBy id, candidate
-    distinct) plus broadcast joins, and the cold-JVM wall time halves
-    (measured 17.2 s -> 9.6 s at sf0.1; the retired k-wide HashAggregate and
-    64-column estimate join were the two slowest Janino compiles)."""
+    pandas UDF, so the whole pipeline is one shuffle (groupBy id) plus
+    broadcast joins — the former candidate-distinct exchange is gone since
+    minimal-band emission (see lsh_candidate_pairs) — and the cold-JVM wall
+    time halves (measured 17.2 s -> 9.6 s at sf0.1; the retired k-wide
+    HashAggregate and 64-column estimate join were the two slowest Janino
+    compiles)."""
     out, caches = _minhash_pairs_lazy(
         df,
         id_col,

@@ -334,7 +334,9 @@ def minhash_refresh(
     3. Candidates: ONE broadcast probe join — the batch's banded keys
        (tiny) broadcast against the union of the batch's and the live
        index's (id, band-hash) rows, covering batch x batch and
-       batch x index together, deduped by a single distinct. The index
+       batch x index together; minimal-agreeing-band emission (each side
+       carries its earlier band hashes) makes every pair exit the join
+       exactly once, so no dedup exchange follows. The index
        contributes ONE column-pruned scan reading k longs/row, no
        shuffle, no re-hash; the batch side never pays a shuffle
        self-join. Stale index rows (ids in the batch) are anti-joined
@@ -435,10 +437,13 @@ def minhash_refresh(
         # broadcast anti join; the index is scanned, never shuffled)
         index_live = t.read().join(F.broadcast(stale), id_col, "left_anti")
 
-        band_arr = F.posexplode(F.array(*_band_exprs(num_hashes, bands)))
+        bexprs = _band_exprs(num_hashes, bands)
+        band_arr = F.posexplode(F.array(*bexprs))
         if n_upserts:
             batch_banded = batch.select(
-                F.col(id_col).alias("__bid"), band_arr.alias("band", "bh")
+                F.col(id_col).alias("__bid"),
+                band_arr.alias("band", "bh"),
+                *[bexprs[e].alias(f"__pbh{e}") for e in range(bands - 1)],
             )
             if max_pairs is not None:
                 # same pre-join estimator as lsh_candidate_pairs (shared
@@ -449,23 +454,51 @@ def minhash_refresh(
                 )
             # ONE broadcast probe join covers batch x batch AND
             # batch x index: the tiny batch-banded side probes the union
-            # of (batch ∪ live index) banded keys, least/greatest
-            # canonicalizes, ONE distinct dedups across bands. The
-            # previous shape ran lsh_candidate_pairs(batch) (a shuffle
-            # self-join + its own distinct) plus a second broadcast join
-            # plus a union-level distinct — one full exchange more per
-            # fold for the identical pair set.
-            base_banded = batch.select(
-                F.col(id_col), band_arr.alias("band", "bh")
-            ).unionByName(index_live.select(F.col(id_col), band_arr.alias("band", "bh")))
+            # of (batch ∪ live index) banded keys. Minimal-agreeing-band
+            # emission (round 13, mirror of lsh_candidate_pairs): both
+            # sides carry their earlier band hashes, so a flat codegen'd
+            # predicate keeps only the row whose band is the pair's FIRST
+            # agreeing band, and the batch-leg flag keeps one orientation
+            # of batch x batch pairs — the join output IS the distinct
+            # pair set and the O(collisions) distinct exchange (2.6 s of
+            # the sf0.1 fold at ~3.7M rows) disappears. The index
+            # contributes ONE column-pruned scan, no shuffle, no re-hash.
+            def _base(src, is_batch: bool):
+                return src.select(
+                    F.col(id_col),
+                    band_arr.alias("band", "bh"),
+                    *[bexprs[e].alias(f"__bbh{e}") for e in range(bands - 1)],
+                    F.lit(is_batch).alias("__isb"),
+                )
+
+            base_banded = _base(batch, True).unionByName(_base(index_live, False))
+            first_band = F.lit(True)
+            for e in range(bands - 1):
+                first_band = first_band & (
+                    (F.col("band") <= F.lit(e))
+                    | (F.col(f"__bbh{e}") != F.col(f"__pbh{e}"))
+                )
             cand = (
                 base_banded.join(F.broadcast(batch_banded), ["band", "bh"])
                 .filter(F.col(id_col) != F.col("__bid"))
+                .filter(first_band)
+                # batch x batch pairs arrive in BOTH orientations (each
+                # side probes the other): keep the base-id-smaller one.
+                # batch x index pairs arrive once — always kept.
+                .filter(~F.col("__isb") | (F.col(id_col) < F.col("__bid")))
                 .select(
                     F.least(id_col, "__bid").alias("id_a"),
                     F.greatest(id_col, "__bid").alias("id_b"),
                 )
-                .distinct()
+                # Rebalance the emitted pairs before verification: the
+                # fused probe's partitioning follows batch-cache ∪
+                # index-scan splits, and the index leg — one or two task
+                # splits of the size-coalesced index file — emits most
+                # pairs, so a fully fused verify would run on 1-2 cores.
+                # This exchange carries only the DISTINCT pairs (934k rows
+                # at sf0.1); the distinct it replaced exchanged every band
+                # collision (~3.7M rows) AND paid a hash aggregate.
+                .repartition(F.col("id_a"), F.col("id_b"))
             )
             # fetch candidate rows once (batch ∪ live index are id-disjoint).
             # Above the size gate, prune to candidate ids (broadcast
