@@ -984,62 +984,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 60) 
     form hashed inside an ``F.transform`` lambda, which higher-order
     functions evaluate INTERPRETED per element — two non-codegen md5 calls
     per token occurrence over the whole corpus (~7 s of the cold sf0.1
-    run). The collect_list regroup this costs is one shuffle of
-    (id, 8-byte hash) rows; vote order is irrelevant (bit sums).
-    The per-lane bit voting runs vectorized in an Arrow-batched UDF. The
-    all-expression form (60 sum(when(bit)) aggregates) evaluated
-    tokens*bits interpreted branches — ~17M for a 5k-doc corpus — and was
-    several times slower; the numpy form is two matrix ops per document."""
+    run).
+
+    The regroup is the ``_toks_and_sigs`` streaming kernel shape (round
+    13): ONE shuffle of compact (id, 8-byte hash) rows — repartition by id
+    + in-partition sort by id — streamed through an Arrow kernel that
+    counts per-lane one-bits per document with ``add.reduceat``. This
+    replaces the previous ``collect_list`` regroup: collect_list plans as
+    ObjectHashAggregate, whose per-group array buffers are exactly the
+    shape that measured 45x superlinear at the sf100 decade for the
+    minhash family (see _toks_and_sigs) — the kernel is linear and
+    spill-friendly (the sort spills 16-byte rows, never object trees).
+    Vote order is irrelevant (bit sums), so sorting by id alone — not
+    (id, hash) — suffices and the output is bit-identical. NULL text:
+    split -> NULL -> explode emits no row, so the doc is absent — same as
+    the collect_list form's post-UDF NULL filter. Empty text splits to
+    [""], one token, as before."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
-    lanes = np.arange(bits, dtype=np.uint64)
+    from pyspark.sql import types as T
 
-    @pandas_udf("long")
-    def _simhash(col):
-        if not len(col):
-            return pd.Series([], dtype="int64")
-        # NULL text -> NULL hash array -> None here; treat as empty and emit
-        # simhash NULL below (filtered out, matching the old explode/groupBy
-        # form which produced no row for NULL text)
-        isnull = np.fromiter((v is None for v in col), dtype=bool, count=len(col))
-        col = pd.Series([v if v is not None else [] for v in col])
-        # whole-batch vectorization: flatten every doc's hashes, then count
-        # per-lane one-bits per document with add.reduceat — a per-document
-        # numpy loop is overhead-bound on short docs (~1ms/doc of dispatch)
-        lens = np.fromiter((len(v) for v in col), dtype=np.int64, count=len(col))
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.int64) for v in col]).view(np.uint64)
-            if lens.sum()
-            else np.zeros(0, dtype=np.uint64)
-        )
-        offsets = np.zeros(len(col), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        nonempty = lens > 0
-        out = np.zeros(len(col), dtype=np.uint64)
-        for lane in lanes:
-            bit = (flat >> lane) & np.uint64(1)
-            ones = np.zeros(len(col), dtype=np.int64)
-            if len(flat):
-                # reduceat misbehaves on empty segments; docs always have
-                # >= 1 token (split of "" is [""]) but guard anyway
-                ones[nonempty] = np.add.reduceat(bit, offsets[nonempty]).astype(np.int64)
-            out |= ((2 * ones) > lens).astype(np.uint64) << lane
-        res = pd.array(out.view(np.int64), dtype="Int64")
-        res[isnull] = pd.NA
-        return pd.Series(res)
-
-    # explode WITHOUT distinct (term frequency weights votes). NULL text:
-    # split -> NULL -> explode emits no row, so the doc is absent — same as
-    # the previous form's post-UDF NULL filter. Empty text splits to [""],
-    # one token, as before.
+    # explode WITHOUT distinct (term frequency weights votes)
     tok = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("__t"))
     th = tok.select(id_col, portable_hash60(F.md5("__t")).alias("__h"))
-    arrs = th.groupBy(id_col).agg(F.collect_list("__h").alias("__hs"))
-    return arrs.select(F.col(id_col), _simhash("__hs").alias("simhash")).filter(
-        F.col("simhash").isNotNull()
+    out_schema = T.StructType(
+        [th.schema[id_col], T.StructField("simhash", T.LongType())]
     )
+    sorted_rows = th.repartition(F.col(id_col)).sortWithinPartitions(id_col)
+
+    def _fuse(batches):
+        def build(ids, hs):
+            bnd = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], bnd))
+            lens = np.diff(np.concatenate((starts, [len(ids)])))
+            u = hs.view(np.uint64)
+            out = np.zeros(len(starts), dtype=np.uint64)
+            for lane in range(bits):
+                bit = (u >> np.uint64(lane)) & np.uint64(1)
+                ones = np.add.reduceat(bit, starts).astype(np.int64)
+                out |= ((2 * ones) > lens).astype(np.uint64) << np.uint64(lane)
+            return pd.DataFrame({id_col: ids[starts], "simhash": out.view(np.int64)})
+
+        hold_ids = hold_hs = None
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            hs = pdf["__h"].to_numpy()
+            if hold_ids is not None:
+                ids = np.concatenate((hold_ids, ids))
+                hs = np.concatenate((hold_hs, hs))
+            if not len(ids):
+                continue
+            # rows of the last id may continue in the next Arrow batch
+            earlier = np.flatnonzero(ids != ids[-1])
+            cut = (earlier[-1] + 1) if len(earlier) else 0
+            if cut:
+                yield build(ids[:cut], hs[:cut])
+            hold_ids, hold_hs = ids[cut:], hs[cut:]
+        if hold_ids is not None and len(hold_ids):
+            yield build(hold_ids, hold_hs)
+
+    return sorted_rows.mapInPandas(_fuse, out_schema)
 
 
 def _ball_masks(width: int, radius: int) -> list[int]:
@@ -1319,16 +1324,12 @@ def simhash_neardup(
         raise ValueError(f"num_chunks must divide {bits}, got {num_chunks}")
     width = bits // num_chunks
     mask = (1 << width) - 1
-    # simhash() is a pure map over the scan; repartition its (id, simhash)
-    # OUTPUT — 16 bytes/row — when the scan is under-parallel (1-file
-    # fixture = 1 partition), never the raw rows: spreading text bodies
-    # first costs a document-sized shuffle. Parallelism is estimated from
-    # the scan's file list (metadata-only; a .rdd.getNumPartitions() probe
-    # would force physical planning per call).
-    sh = simhash(df, id_col, text_col)
-    if _scan_underparallel(df):
-        sh = sh.repartition(F.col(id_col))
-    sh = sh.persist()
+    # simhash()'s streaming kernel already regroups by id through one
+    # exchange, so its output carries cluster-wide partitioning whatever
+    # the scan's file layout — no under-parallel repartition needed (the
+    # round-13 kernel retired both the collect_list aggregate and the
+    # conditional output reshuffle this comment used to justify).
+    sh = simhash(df, id_col, text_col).persist()
     chunk_exprs = [
         F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
         for c in range(num_chunks)

@@ -743,3 +743,24 @@ def test_minhash_refresh_to_version_pins_fold(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_simhash_kernel_survives_arrow_batch_splits(spark):
+    """Round-13 optimization: simhash's collect_list regroup became the
+    _toks_and_sigs-style streaming kernel. Arrow batches do not align to
+    document boundaries, so the kernel carries the trailing id's rows into
+    the next batch — force 7-row batches so many documents straddle a
+    boundary and pin bit-equality against the default-batching run."""
+    base = " ".join(WORDS * 4)  # 48 tokens per doc >> 7-row batches
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " + base) for i in range(40)], "doc_id long, text string"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    want = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    try:
+        spark.conf.set(key, "7")
+        got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert got == want and len(got) == 40
