@@ -1575,7 +1575,11 @@ def _driver_components(e2: DataFrame) -> DataFrame:
 
 
 def dedup_clusters(
-    pairs: DataFrame, ids: DataFrame, id_col: str, max_iterations: int = 20
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 20,
+    trusted_edges: bool = False,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: transitively
     closed duplicate clusters, labeled by their minimum member id (the
@@ -1607,16 +1611,29 @@ def dedup_clusters(
     the SMALL side — against the id column): otherwise an out-of-corpus
     endpoint with a small id could become a cluster's min label and no
     member would satisfy `id == cluster`.
+
+    ``trusted_edges`` (round 13): a caller that PROVES its pair list is
+    duplicate-free with both endpoints in ``ids`` — e.g.
+    ``exact_then_minhash_pairs`` over the same corpus frame, whose edge
+    set is distinct by construction (see its union note) and whose
+    endpoints are all corpus documents — can skip the two guard
+    semi-joins and the symmetrized-union distinct: one exchange plus two
+    joins off the first (largest) contraction level's lineage. The
+    union of both directions of a distinct canonical-ordered (a < b)
+    pair list cannot itself collide, so the edge set is identical.
+    Default False: arbitrary callers keep the guards.
     """
     members = ids.select(F.col(id_col).alias("u"))
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .join(members, "u", "left_semi")
-        .join(members.withColumnRenamed("u", "v"), "v", "left_semi")
-        .distinct()
-        .persist()
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
+    if not trusted_edges:
+        edges = (
+            edges.join(members, "u", "left_semi")
+            .join(members.withColumnRenamed("u", "v"), "v", "left_semi")
+            .distinct()
+        )
+    edges = edges.persist()
     # Iterated star contraction (round 13). Each level's neighbor-min
     # needs no join at all — relative to the current edge set every label
     # is still the node's own id, so L(u) = least(u, min(v)) is ONE

@@ -4003,7 +4003,12 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.exact_then_minhash_pairs(
         docs, "doc_id", threshold=0.9, estimate_prefilter=False
     )
-    clusters = _dedup.dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    # trusted_edges: exact_then_minhash_pairs' edge list is distinct by
+    # construction with every endpoint a corpus document (same docs
+    # frame), so the clusterer's input guards are provably no-ops here
+    clusters = _dedup.dedup_clusters(
+        pairs, docs.select("doc_id"), "doc_id", trusted_edges=True
+    )
     return clusters.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_canonical")
     )

@@ -764,3 +764,28 @@ def test_simhash_kernel_survives_arrow_batch_splits(spark):
     finally:
         spark.conf.set(key, old)
     assert got == want and len(got) == 40
+
+
+def test_dedup_clusters_trusted_edges_matches_guarded(spark):
+    """Round-13 optimization: trusted_edges=True skips the input guards
+    (endpoint semi-joins + symmetrized-union distinct) when the caller
+    proves its pair list clean — the label map must be identical to the
+    guarded path on the same (clean) input."""
+    base = " ".join(WORDS * 16)
+    rows = [(i, "group " + base) for i in range(6)]
+    rows += [(10 + j, f"v{j} group " + base) for j in range(3)]
+    rows += [(20, "unrelated alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.exact_then_minhash_pairs(docs, "doc_id", threshold=0.5)
+    ids = docs.select("doc_id")
+    guarded = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.dedup_clusters(pairs, ids, "doc_id").collect()
+    }
+    trusted = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.dedup_clusters(
+            pairs, ids, "doc_id", trusted_edges=True
+        ).collect()
+    }
+    assert trusted == guarded and len(trusted) == 10
