@@ -139,6 +139,13 @@ def doc_ngrams(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 _BAND_K = 1000003  # polynomial-combine base for band bucket hashes
 
+# Minimal-agreeing-band candidate emission toggle for the UNCAPPED
+# lsh_candidate_pairs path (round-14 adjudication knob; the capped path
+# always keeps the distinct — see the emission comment below). Identical
+# pair sets either way; this only picks which plan computes them, so an
+# isolation A/B can alternate the two forms without touching code.
+_LSH_MINBAND = os.environ.get("SDLT_LSH_MINBAND", "1") != "0"
+
 
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) permutation coefficients, identical on every
@@ -356,7 +363,7 @@ def lsh_candidate_pairs(
         return acc
 
     band_hashes = F.array(*[_bh(b) for b in range(bands)])
-    if max_bucket_size is None:
+    if max_bucket_size is None and _LSH_MINBAND:
         # Minimal-agreeing-band emission (round 13): a pair colliding in
         # several bands used to emit one join row per band and pay a full
         # O(collisions) distinct exchange to dedup (near-identical docs
@@ -393,13 +400,14 @@ def lsh_candidate_pairs(
         )
 
     banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
-    hot = (
-        banded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > max_bucket_size)
-        .select("band", "bh")
-    )
-    banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     if max_pairs is not None:
         # eager, by design: the guard aborts BEFORE the self-join is
         # submitted (see PairBudgetExceeded / the docstring); callers
@@ -1535,6 +1543,30 @@ def ngram_jaccard_pairs(
 _CC_DRIVER_EDGES = int(os.environ.get("SDLT_CC_DRIVER_EDGES", str(100_000)))
 
 
+def _driver_orderable(dtype) -> bool:
+    """True when Python's ``<`` over collected values provably matches
+    Spark's ``min``/``least`` ordering for ``dtype``: integral types
+    (identical integer order), strings (Python compares by code point;
+    Spark's UTF-8 byte order preserves code points), and booleans. Floats
+    are excluded (NaN ordering diverges: Spark sorts NaN greatest, Python
+    ``<`` on NaN is always False), as is everything exotic — those ids
+    keep the distributed rounds, which need no cross-engine ordering
+    agreement (ADVICE round 13)."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.StringType,
+            T.BooleanType,
+        ),
+    )
+
+
 def _driver_components(e2: DataFrame) -> DataFrame:
     """Finish the contracted component graph on the driver: collect the
     (already persisted, gate-bounded) edge list, union-find it, and return
@@ -1683,7 +1715,7 @@ def dedup_clusters(
         prev, e2, n_cur = n_cur, nxt, n_next
         if n_next == 0:
             break
-        if n_next <= _CC_DRIVER_EDGES:
+        if n_next <= _CC_DRIVER_EDGES and _driver_orderable(e2.schema[0].dataType):
             # The contracted remnant fits the driver's control plane (the
             # gate bounds the collect: default 100k edges = a few MB, the
             # same cost class as the k-means centroid collects). Every
@@ -1694,7 +1726,10 @@ def dedup_clusters(
             # for <3k edges). A driver union-find computes the identical
             # fixpoint (per-component min label) in microseconds; graphs
             # whose contracted remnant stays above the gate keep the
-            # distributed rounds unchanged.
+            # distributed rounds unchanged. Id types whose Python `<`
+            # could diverge from Spark's min/least ordering (floats with
+            # NaN, binary, exotic orderables) skip the driver finish and
+            # take the distributed rounds instead (ADVICE round 13).
             driver_labels = _driver_components(e2)
             break
         if prev is not None and n_next * 2 > prev:

@@ -17,8 +17,25 @@ Ranks are fixed-point: ``scale`` = 1.0.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Persist gate (bytes of the edge scan, Catalyst driver-side estimate).
+# Persisting e/deg/nodes avoids ~4-5 re-scans of the edge source per
+# iteration — the right trade exactly when those re-scans outweigh the
+# fixed cost of 3 persists + their materialization jobs + the final eager
+# checkpoint. The round-13 unconditional persist regressed the sf0.1
+# bench row 1.52 -> 2.11 s (driver ground truth): at a few MB of edges
+# the re-scans are nearly free and the cache machinery dominates. Same
+# size-gated-plan pattern as packing.py / minhash_index.py: identical
+# results either way (the integer arithmetic is deterministic), plan
+# picked by input size; stats unavailable -> persist (the scale-safe
+# side, matching the 100 TB design point).
+_PAGERANK_PERSIST_MIN_BYTES = int(
+    os.environ.get("SDLT_PAGERANK_PERSIST_MIN_BYTES", str(64 << 20))
+)
 
 
 def pagerank(
@@ -67,21 +84,30 @@ def pagerank(
     # rebuild): without caching, each of the `iterations` plan levels
     # re-embeds their lineage and the edge source is re-scanned ~4-5x per
     # iteration (the captured bench plan held 7 scans of the same parquet
-    # for 3 iterations). Persist all three once, release after the final
-    # vector is checkpoint-backed — the _materialize_and_release
-    # discipline, so long-lived sessions keep no per-call cache entries.
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .persist()
-    )
+    # for 3 iterations). ABOVE the size gate, persist all three once and
+    # release after the final vector is checkpoint-backed — the
+    # _materialize_and_release discipline, so long-lived sessions keep no
+    # per-call cache entries. Below it the re-scans are cheaper than the
+    # cache machinery (round-13 driver measurement) and the plan stays
+    # fully lazy.
+    from sdlt_spark.operators.packing import _plan_size_bytes
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    size = _plan_size_bytes(e)
+    do_persist = size is None or size >= _PAGERANK_PERSIST_MIN_BYTES
+    if do_persist:
+        e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    if do_persist:
+        nodes = nodes.persist()
+        deg = deg.persist()
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for it in range(iterations):
@@ -105,6 +131,8 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    if not do_persist:
+        return ranks
     from sdlt_spark.operators.dedup import _materialize_and_release
 
     return _materialize_and_release(ranks, e, nodes, deg)

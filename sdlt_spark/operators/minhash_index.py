@@ -42,7 +42,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from concurrent.futures import Future, ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,10 +85,17 @@ _PRUNE_MIN_BYTES = int(os.environ.get("SDLT_MINHASH_PRUNE_MIN_BYTES", str(256 <<
 
 
 def _index_data_bytes(t) -> int:
-    """Total bytes of the index's live data files, from driver-side commit
-    metadata + file stats — no Spark job. Drives the fetch-prune gate."""
+    """Bytes of the index's live data files, from driver-side commit
+    metadata + file stats — no Spark job; short-circuits at the gate
+    threshold (the caller only needs the boolean, so O(files) syscalls
+    are not paid past the crossing point). Drives the fetch-prune gate."""
     data, _ = t._split_live(t._live_files())
-    return sum(os.path.getsize(os.path.join(t.path, f)) for f in data)
+    total = 0
+    for f in data:
+        total += os.path.getsize(os.path.join(t.path, f))
+        if total >= _PRUNE_MIN_BYTES:
+            break
+    return total
 
 
 def _size_coalesced(df):
@@ -100,6 +109,60 @@ def _size_coalesced(df):
     return df.coalesce(max(1, -(-size // _INDEX_FILE_BYTES)))
 
 _PARAMS_FILE = "minhash_params.json"
+
+
+def _await_both(fg_fn, bg_fut):
+    """Run ``fg_fn`` in this thread while ``bg_fut`` (already submitted)
+    runs in the pool, then await the future. The FOREGROUND exception is
+    primary — it carries the actionable diagnostic (e.g.
+    ``PairBudgetExceeded``); a background failure is chained as its
+    explicit ``__cause__`` instead of silently replacing it from a
+    ``finally`` block (ADVICE round 13)."""
+    primary = None
+    result = None
+    try:
+        result = fg_fn()
+    except BaseException as exc:  # noqa: BLE001 — re-raised below
+        primary = exc
+    try:
+        bg_fut.result()
+    except BaseException as bg:  # noqa: BLE001 — chained or re-raised
+        if primary is not None:
+            raise primary from bg
+        raise
+    if primary is not None:
+        raise primary
+    return result
+
+
+def _submit_deferred(bg_fn, caches, fg_fn) -> Future:
+    """Deferred-mode overlap (guide §2.6 one level up): submit ``bg_fn``
+    to a single-thread pool, run ``fg_fn`` in this thread, and return the
+    Future. The background thread unpersists ``caches`` only after BOTH
+    its own work and the foreground leg finished (the event), so neither
+    leg ever races a cache teardown. The caller awaits the Future after
+    submitting the NEXT lifecycle step's jobs — that is the overlap. If
+    the foreground leg raises, the exception propagates immediately; the
+    background leg still completes (and cleans up) on its own thread, its
+    outcome available on the returned Future."""
+    fg_done = threading.Event()
+
+    def _bg():
+        try:
+            return bg_fn()
+        finally:
+            fg_done.wait()
+            for c in caches:
+                c.unpersist()
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_bg)
+    pool.shutdown(wait=False)
+    try:
+        fg_fn()
+    finally:
+        fg_done.set()
+    return fut
 
 
 def _band_exprs(num_hashes: int, bands: int) -> list:
@@ -193,6 +256,7 @@ def minhash_index_build(
     app_id: str = "minhash",
     max_pairs: int | None = None,
     version: int | None = None,
+    defer: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Build the persisted MinHash signature index for ``corpus`` at its
     head version and return ``(pairs, report)``: the from-scratch
@@ -220,6 +284,19 @@ def minhash_index_build(
     build with LATER corpus commits (guide §2.6) — the build's reads and
     its watermark are then deterministic regardless of what concurrent
     ingest does to the corpus head.
+
+    ``defer`` (round-14, guide §2.6 one level up the lifecycle): when
+    True the function returns AS SOON AS the index write + params sidecar
+    have committed — i.e. as soon as a refresh against this index is
+    legal — and the first tuple element is a
+    :class:`concurrent.futures.Future` resolving to the checkpointed
+    initial-pairs frame (or raising what the verification raised, e.g.
+    :class:`~sdlt_spark.operators.dedup.PairBudgetExceeded`). The verify
+    jobs keep running in a background thread, overlapping whatever the
+    caller submits next (typically the first ``minhash_refresh``); the
+    signature cache is released by that thread once BOTH legs are done.
+    The pairs are bit-identical to the eager path — same plan, same
+    checkpoint — only the await point moves.
     """
     from sdlt_spark.store import VintageTable
 
@@ -235,62 +312,59 @@ def minhash_index_build(
     ).persist()
     n_docs = combined.count()  # materialize once: index write + banding + verify
     t = VintageTable(spark, index_path, change_feed=True)
-    try:
-        # The index write and the initial-pairs verification are
-        # INDEPENDENT consumers of the materialized `combined` cache, so
-        # they run as CONCURRENT Spark jobs (guide §2.6 — actions are only
-        # sequential because driver code calls them sequentially): the
-        # write's tasks back-fill executors the verify's stage tails leave
-        # idle. Determinism is untouched — both legs read the same
-        # materialized cache — and the caller sees the index only after
-        # BOTH finish (fut.result() below; the params sidecar that makes
-        # the index refreshable publishes after the write returns).
-        # size-targeted layout: without the coalesce the kernel's shuffle
-        # partitioning shatters the index into 32 ~150 KB files at bench
-        # scale (each later scan = 32 tasks, each merge = 32 footer stats)
-        from concurrent.futures import ThreadPoolExecutor
+    # The index write and the initial-pairs verification are INDEPENDENT
+    # consumers of the materialized `combined` cache, so they run as
+    # CONCURRENT Spark jobs (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially): one leg's tasks
+    # back-fill executors the other's stage tails leave idle. Determinism
+    # is untouched — both legs read the same materialized cache.
+    # size-targeted layout: without the coalesce the kernel's shuffle
+    # partitioning shatters the index into 32 ~150 KB files at bench
+    # scale (each later scan = 32 tasks, each merge = 32 footer stats)
+    src = _size_coalesced(combined)  # driver-side stats read, main thread
 
-        src = _size_coalesced(combined)  # driver-side stats read, main thread
+    def _write_and_publish():
+        t.write(src, txn_id=f"{app_id}:{head}")
+        # params publish rides the write leg so the index is
+        # refreshable exactly when it exists — even if the verify leg
+        # aborts (e.g. PairBudgetExceeded), matching the sequential
+        # ordering this replaces
+        _write_params(
+            index_path,
+            {
+                "id_col": id_col,
+                "text_col": text_col,
+                "threshold": threshold,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "estimate_prefilter": estimate_prefilter,
+            },
+        )
 
-        def _write_and_publish():
-            t.write(src, txn_id=f"{app_id}:{head}")
-            # params publish rides the write leg so the index is
-            # refreshable exactly when it exists — even if the verify leg
-            # aborts (e.g. PairBudgetExceeded), matching the sequential
-            # ordering this replaces
-            _write_params(
-                index_path,
-                {
-                    "id_col": id_col,
-                    "text_col": text_col,
-                    "threshold": threshold,
-                    "num_hashes": num_hashes,
-                    "bands": bands,
-                    "estimate_prefilter": estimate_prefilter,
-                },
-            )
+    def _verify():
+        cand = lsh_candidate_pairs(
+            combined, id_col, bands, num_hashes // bands, max_pairs=max_pairs
+        )
+        if estimate_prefilter:
+            cand = _estimate_filter(cand, combined, id_col, num_hashes, threshold)
+        pairs = _jaccard_verify_toks(cand, combined, id_col, threshold)
+        return pairs.localCheckpoint(eager=True)
 
+    if defer:
+        # Write leg FOREGROUND (return = the index is committed and
+        # refreshable), verify leg BACKGROUND: the returned Future
+        # resolves to the checkpointed pairs, and the background thread
+        # releases the signature cache only after BOTH legs finished
+        # (the event), so the write never races a cache teardown.
+        out = _submit_deferred(_verify, [combined], _write_and_publish)
+    else:
         pool = ThreadPoolExecutor(max_workers=1)
         try:
             fut = pool.submit(_write_and_publish)
-            try:
-                cand = lsh_candidate_pairs(
-                    combined, id_col, bands, num_hashes // bands, max_pairs=max_pairs
-                )
-                if estimate_prefilter:
-                    cand = _estimate_filter(
-                        cand, combined, id_col, num_hashes, threshold
-                    )
-                pairs = _jaccard_verify_toks(cand, combined, id_col, threshold)
-                out = pairs.localCheckpoint(eager=True)
-            finally:
-                # an exception from either leg propagates only after the
-                # other finished: the write must not race a teardown
-                fut.result()
+            out = _await_both(_verify, fut)
         finally:
             pool.shutdown(wait=True)
-    finally:
-        combined.unpersist()
+            combined.unpersist()
     report = {
         "corpus_version": head,
         "indexed_docs": n_docs,
@@ -305,6 +379,7 @@ def minhash_refresh(
     app_id: str = "minhash",
     max_pairs: int | None = None,
     to_version: int | None = None,
+    defer: bool = False,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Fold the corpus changes since the index watermark into the
     persisted signature index and return ``(new_pairs, stale_ids,
@@ -358,6 +433,14 @@ def minhash_refresh(
     ``max_pairs`` (off by default) extends the LSH family's circuit
     breaker to the batch x batch banding (the batch x index probe is
     bounded by batch fan-out and is not separately estimated).
+
+    ``defer`` (round-14): when True the function returns AS SOON AS the
+    fold's merge commit lands — i.e. as soon as the NEXT refresh is legal
+    — and ``new_pairs`` is a :class:`concurrent.futures.Future` resolving
+    to the checkpointed pairs frame. Fold N's verification then overlaps
+    fold N+1's signature/probe work (guide §2.6 applied across lifecycle
+    steps, round-13 verdict item 3); pairs are bit-identical to the eager
+    path — same plan, same checkpoint — only the await point moves.
     """
     from pyspark.sql import Window
 
@@ -394,6 +477,10 @@ def minhash_refresh(
     empty_ids = spark.createDataFrame([], f"{id_col} {id_type}")
     if head <= last:
         report["index_version"] = t.latest_version()
+        if defer:  # API consistency: pairs is a Future in deferred mode
+            done: Future = Future()
+            done.set_result(empty_pairs)
+            return done, empty_ids, report
         return empty_pairs, empty_ids, report
 
     ch = corpus.table_changes(last + 1, head).select(
@@ -584,30 +671,47 @@ def minhash_refresh(
         # list at t.read() time. So they run as CONCURRENT Spark jobs
         # (guide §2.6), the merge's commit machinery (zone-map agg, touched
         # scan, data + CDC writes) hiding under the verify's candidate
-        # compute. The refresh returns only after BOTH finish; an exception
-        # from either leg propagates after the other completes, so the
-        # outer cache cleanup never races a live job.
-        from concurrent.futures import ThreadPoolExecutor
+        # compute.
+        #
+        # Eager mode: the refresh returns only after BOTH finish; the
+        # verify's exception is primary, a merge failure chains onto it
+        # (_await_both). Deferred mode: the merge runs FOREGROUND (return
+        # = the new watermark is committed, so the NEXT refresh is legal)
+        # and the verify keeps running on a background thread whose
+        # Future is returned in place of the pairs frame — fold N's
+        # verification overlaps fold N+1's signature/probe work, and the
+        # background thread releases the fold's caches once both legs are
+        # done. Pairs are bit-identical either way — same plan, same
+        # checkpoint; only the await point moves.
+        def _verify():
+            return (
+                _materialize_and_release(pairs_plan, cand, fetch)
+                if pairs_plan is not None
+                else empty_pairs
+            )
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        try:
-            fut = pool.submit(_fold_merge)
+        if defer:
+            # stale_out checkpoints BEFORE cleanup ownership moves to the
+            # background thread — it must not race stale's unpersist
+            stale_out = stale.localCheckpoint(eager=True)
+            caches = list(persisted)
+            persisted.clear()  # background thread owns their release now
+            pairs = _submit_deferred(_verify, caches, _fold_merge)
+        else:
+            pool = ThreadPoolExecutor(max_workers=1)
             try:
-                pairs = (
-                    _materialize_and_release(pairs_plan, cand, fetch)
-                    if pairs_plan is not None
-                    else empty_pairs
-                )
+                fut = pool.submit(_fold_merge)
+                pairs = _await_both(_verify, fut)
             finally:
-                fut.result()
-        finally:
-            pool.shutdown(wait=True)
-        stale_out = stale.localCheckpoint(eager=True)
+                pool.shutdown(wait=True)
+            stale_out = stale.localCheckpoint(eager=True)
     finally:
         # double-unpersist of frames _materialize_and_release already
         # dropped is a harmless no-op; what matters is that NO path —
         # including a PairBudgetExceeded abort mid-probe — leaves an
-        # O(corpus) cache entry behind in a long-lived session
+        # O(corpus) cache entry behind in a long-lived session (in
+        # deferred mode the background thread owns exactly the same
+        # cleanup; `persisted` was handed over empty)
         for c in persisted:
             c.unpersist()
     report["index_version"] = t.latest_version()

@@ -4499,24 +4499,41 @@ def minhash_lsh_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         # step's probe + verify + index commit (different tables, disjoint
         # version ranges: results are deterministic by construction, and
         # the oracle asserts them equal to the from-scratch pair set).
+        #
+        # defer=True (round-13 verdict item 3): each step returns as soon
+        # as ITS index commit lands — the legality point for the next step
+        # — while its pairs verification keeps running on a background
+        # thread. Step N's verify checkpoint (the bulk of each step's
+        # wall) then overlaps step N+1's signature/probe/merge jobs; the
+        # three Futures are awaited only at the final union. Pairs are
+        # bit-identical to the eager lifecycle (same plans, same
+        # checkpoints), which the from-scratch-equality oracle asserts.
         with ThreadPoolExecutor(max_workers=1) as pool:
             m1 = pool.submit(
                 corpus.merge, docs.filter(F.col("doc_id") % 5 == 3), ["doc_id"]
             )
-            pairs0, _rep = _mi.minhash_index_build(
-                corpus, idx, "doc_id", "text", threshold=0.9, version=v0
+            f0, _rep = _mi.minhash_index_build(
+                corpus, idx, "doc_id", "text", threshold=0.9, version=v0,
+                defer=True,
             )
             v1 = m1.result()
         with ThreadPoolExecutor(max_workers=1) as pool:
             m2 = pool.submit(
                 corpus.merge, docs.filter(F.col("doc_id") % 5 == 4), ["doc_id"]
             )
-            p1, _s1, _r1 = _mi.minhash_refresh(corpus, idx, to_version=v1)
+            f1, _s1, _r1 = _mi.minhash_refresh(
+                corpus, idx, to_version=v1, defer=True
+            )
             m2.result()
-        p2, _s2, _r2 = _mi.minhash_refresh(corpus, idx)
+        f2, _s2, _r2 = _mi.minhash_refresh(corpus, idx, defer=True)
         # the three legs are already checkpoint-backed; the union is cheap
         # and cached so repeat correctness calls don't rebuild the lifecycle
-        cached = pairs0.unionByName(p1).unionByName(p2).localCheckpoint(eager=True)
+        cached = (
+            f0.result()
+            .unionByName(f1.result())
+            .unionByName(f2.result())
+            .localCheckpoint(eager=True)
+        )
         _MINHASH_INCREMENTAL[key] = cached
     return cached
 

@@ -935,19 +935,30 @@ class VintageTable:
         so paths compare equal however they were derived)."""
         return os.path.normpath(os.path.join(self.path, rel))
 
-    def _live_data_bytes(self) -> int:
+    def _live_data_bytes(
+        self, stop_at: int | None = None, live: list[str] | None = None
+    ) -> int:
         """Total bytes of the live data files, from driver-side file stats
         (no Spark job). Feeds size gates that pick a plan shape — e.g.
         whether a merge's zone-map pruning aggregate can pay for itself.
         Unstat-able files (remote store) count as large so gates fail
-        toward the scale-safe plan."""
-        data, _ = self._split_live(self._live_files())
+        toward the scale-safe plan.
+
+        ``stop_at`` short-circuits once the running total crosses it: gate
+        callers only need the boolean, and at the 100 TB / O(100k-files)
+        design point a handful of stats answers it instead of O(files)
+        driver syscalls per merge (ADVICE round 13). ``live`` lets a
+        caller that already replayed the commit log pass its file list in
+        rather than paying a second ``_live_files()`` replay."""
+        data, _ = self._split_live(self._live_files() if live is None else live)
         total = 0
         for f in data:
             try:
                 total += os.path.getsize(self._abs(f))
             except OSError:
                 return 1 << 60
+            if stop_at is not None and total >= stop_at:
+                return total
         return total
 
     def _dv_coverage(self, dv_files: list[str]) -> dict[str, set[str]]:
@@ -1574,7 +1585,11 @@ class VintageTable:
         key0 = key_cols[0]
         validate = on_duplicate_source == "error" and order_col is None
         rng = None
-        if validate or (live and self._live_data_bytes() >= _MERGE_PRUNE_MIN_BYTES):
+        if validate or (
+            live
+            and self._live_data_bytes(stop_at=_MERGE_PRUNE_MIN_BYTES, live=live)
+            >= _MERGE_PRUNE_MIN_BYTES
+        ):
             # One tiny agg job does double duty: the key range feeds
             # zone-map file skipping, the exact distinct count detects
             # duplicate source keys without a separate pass. When the
