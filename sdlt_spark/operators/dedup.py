@@ -146,6 +146,10 @@ _BAND_K = 1000003  # polynomial-combine base for band bucket hashes
 # isolation A/B can alternate the two forms without touching code.
 _LSH_MINBAND = os.environ.get("SDLT_LSH_MINBAND", "1") != "0"
 
+# The hamming-family twin (round-14): minimal-agreeing-CHUNK emission in
+# _hamming_pairs_grouped's uncapped path, same A/B-isolation role.
+_HAMMING_MINCHUNK = os.environ.get("SDLT_HAMMING_MINCHUNK", "1") != "0"
+
 
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) permutation coefficients, identical on every
@@ -1151,7 +1155,7 @@ def _hamming_pairs_grouped(
     sigs: DataFrame,
     id_col: str,
     sig_cols: list[str],
-    chunk_exprs: list,
+    chunk_exprs_fn,
     width: int,
     max_hamming: int,
     max_bucket_size: int | None,
@@ -1197,10 +1201,34 @@ def _hamming_pairs_grouped(
     ``num_chunks``. Uncapped runs (every registry entry) are
     scheme-independent: the verified output is full-recall either way.
 
+    ``chunk_exprs_fn(fmt)`` returns the per-chunk value expressions with
+    every signature column name passed through ``fmt`` — identity for the
+    banding explode, ``a.{c}``/``{c}_a`` forms for re-deriving a side's
+    chunk values on the join output (the minimal-agreeing-chunk emission
+    below needs both sides' chunk values, and the join output already
+    carries the full signatures for the popcount verify, so the re-derive
+    is a few codegen'd shifts — the shuffle widens by ZERO bytes).
+
     ``hamming_expr`` computes the distance from the _a/_b-suffixed sig
     columns; it is applied to the raw join output (verify-before-dedup,
     see inline note). Returns (ident_edges, verified_near_pairs), both
-    as (id_a, id_b, hamming); caller unions them."""
+    as (id_a, id_b, hamming); caller unions them.
+
+    **Minimal-agreeing-chunk emission** (round 14 — the hamming twin of
+    the LSH minimal-band emission, adjudicated at sf0.1 and sf10): a pair
+    within max_hamming collides once per agreeing chunk (collision at a
+    chunk is EXACTLY chunk-distance <= r, with key multiplicity exactly 1
+    — see the asymmetric-enumeration note), so the join output used to
+    carry up to num_chunks rows per pair and pay a dropDuplicates
+    exchange + aggregate over verified-pairs x multiplicity. A flat
+    codegen'd predicate keeps only the row whose chunk is the pair's
+    FIRST agreeing chunk — unique per pair, so the verified join output
+    IS the distinct pair set and the exchange disappears (guide §2.4).
+    Identical pairs by construction. Only valid when no hot-bucket cap
+    drops chunk rows: a capped run must emit from a SURVIVING chunk and
+    the earlier-chunk test cannot see the cap — that path keeps the
+    dropDuplicates."""
+    chunk_exprs = chunk_exprs_fn(lambda c: c)
     num_chunks = len(chunk_exprs)
     r = max_hamming // num_chunks
     # asymmetric enumeration: probe side A over the FULL radius-r ball,
@@ -1250,6 +1278,22 @@ def _hamming_pairs_grouped(
             F.explode(keys).alias("key"),
         )
 
+    # minimal-agreeing-chunk emission: see the docstring. `chunk` is the
+    # pair's agreeing chunk on the row; keep the row iff NO earlier chunk
+    # also agrees (agreement = chunk-distance <= r; == for r = 0).
+    minimal = max_bucket_size is None and _HAMMING_MINCHUNK
+
+    def _first_chunk(ca: list, cb: list, chunk_col):
+        keep = F.lit(True)
+        for e in range(num_chunks - 1):
+            agree = (
+                (ca[e] == cb[e])
+                if r == 0
+                else (F.bit_count(ca[e].bitwiseXOR(cb[e])) <= F.lit(r))
+            )
+            keep = keep & ((chunk_col <= F.lit(e)) | ~agree)
+        return keep
+
     if r == 0:
         # exact-equality banding: join the SAME frame against itself via
         # subquery aliases so both sides share one physical plan and
@@ -1258,12 +1302,21 @@ def _hamming_pairs_grouped(
         # aggregate and banding explode twice (measured ~1.5x on the sf10
         # grouped sweep)
         pa, pb = banded.alias("a"), banded.alias("b")
-        matched = pa.join(
+        joined = pa.join(
             pb,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        ).select(
+        )
+        if minimal:
+            joined = joined.filter(
+                _first_chunk(
+                    chunk_exprs_fn(lambda c: f"a.{c}"),
+                    chunk_exprs_fn(lambda c: f"b.{c}"),
+                    F.col("a.chunk"),
+                )
+            )
+        matched = joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             *[F.col(f"a.{c}").alias(f"{c}_a") for c in sig_cols],
@@ -1272,20 +1325,30 @@ def _hamming_pairs_grouped(
     else:
         a, b = probe("a", qa), probe("b", qb)
         matched = a.join(b, ["chunk", "key"]).filter(F.col("id_a") < F.col("id_b"))
+        if minimal:
+            matched = matched.filter(
+                _first_chunk(
+                    chunk_exprs_fn(lambda c: f"{c}_a"),
+                    chunk_exprs_fn(lambda c: f"{c}_b"),
+                    F.col("chunk"),
+                )
+            )
     # VERIFY BEFORE DEDUP: the join's output is the candidate stream — on
     # correlated corpora (real text at loose thresholds: 38% of sf0.1 doc
     # pairs sit within chunk-distance 2 of each other) it can be 10-50x
     # the true pair count, and shuffling it through a dropDuplicates first
     # was the dominant cost (measured 15.1 s -> ~4 s at sf0.1,
     # hamming<=10). The popcount verify is a codegen'd map over the join
-    # output, so false candidates die in place and only verified rows
-    # (true pairs x small key multiplicity) reach the dedup exchange.
+    # output, so false candidates die in place; with minimal-chunk
+    # emission the surviving rows are ALREADY one per pair and no dedup
+    # exchange runs at all (capped runs keep it — see the docstring).
     near = (
         matched.withColumn("hamming", hamming_expr)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if not minimal:
+        near = near.dropDuplicates(["id_a", "id_b"])
     return ident, near
 
 
@@ -1338,16 +1401,21 @@ def simhash_neardup(
     # round-13 kernel retired both the collect_list aggregate and the
     # conditional output reshuffle this comment used to justify).
     sh = simhash(df, id_col, text_col).persist()
-    chunk_exprs = [
-        F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(mask))
-        for c in range(num_chunks)
-    ]
+
+    def chunk_exprs_fn(fmt):
+        return [
+            F.shiftrightunsigned(F.col(fmt("simhash")), width * c).bitwiseAND(
+                F.lit(mask)
+            )
+            for c in range(num_chunks)
+        ]
+
     try:
         ident, near = _hamming_pairs_grouped(
             sh,
             id_col,
             ["simhash"],
-            chunk_exprs,
+            chunk_exprs_fn,
             width,
             max_hamming,
             max_bucket_size,

@@ -508,14 +508,21 @@ def dhash_neardup_indexed(
     width = 64 // num_bands  # per half: 32/(num_bands/2)
     mask = (1 << width) - 1
     shifts = [s for s in range(32 - width, -1, -width)]
-    chunk_exprs = [
-        F.shiftrightunsigned("dhash_hi", s).bitwiseAND(F.lit(mask)) for s in shifts
-    ] + [F.shiftrightunsigned("dhash_lo", s).bitwiseAND(F.lit(mask)) for s in shifts]
+
+    def chunk_exprs_fn(fmt):
+        return [
+            F.shiftrightunsigned(fmt("dhash_hi"), s).bitwiseAND(F.lit(mask))
+            for s in shifts
+        ] + [
+            F.shiftrightunsigned(fmt("dhash_lo"), s).bitwiseAND(F.lit(mask))
+            for s in shifts
+        ]
+
     ident, near = _hamming_pairs_grouped(
         h,
         "media_id",
         ["dhash_hi", "dhash_lo"],
-        chunk_exprs,
+        chunk_exprs_fn,
         width,
         max_hamming,
         max_bucket_size,
